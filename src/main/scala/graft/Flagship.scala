@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Engine
+
+/** Flagship end-to-end slice (SURVEY §7.3): events.parquet rows become
+  * moisturizer envelopes (`type_id` = event_type, `data` = row fields +
+  * parsed props), run through the full ingest pipeline — decode, flatten,
+  * infer, registry evolution, LWW upsert — then queried back per type.
+  */
+object Flagship {
+
+  /** Ingest `events.parquet` from `sfDir` into a fresh warehouse; returns the
+    * engine handle. */
+  def ingestEvents(spark: SparkSession, sfDir: String, warehouseDir: String): Engine.Handle = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    // props is a JSON string column; lift it to a nested object so the
+    // pipeline exercises flatten (props__k etc.)
+    val propsSchema = spark.read.json(events.select("props").as[String]).schema
+    val envelopes = events.select(to_json(struct(
+      col("event_type").as("type_id"),
+      struct(
+        col("event_id").cast("string").as("id"),
+        col("ts").cast("timestamp").as("last_modified"),
+        col("user_id"), col("value"),
+        from_json(col("props"), propsSchema).as("props")
+      ).as("data"))).as("message"))
+    val h = Engine.bootstrap(spark, warehouseDir, overrideWarehouse = true)
+    h.ingest(envelopes)
+    h
+  }
+
+  /** Per-type row counts over the LWW serving views — nonempty whenever the
+    * events table is. */
+  def perTypeCounts(h: Engine.Handle): DataFrame = {
+    val spark = h.spark
+    import spark.implicits._
+    h.registry.knownTypes.filterNot(_ == "descriptor_model")
+      .map(t => h.table(t).groupBy(lit(t).as("event_type")).agg(count(lit(1)).as("n")))
+      .reduce(_ unionByName _)
+      .orderBy("event_type")
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-flagship-wh").toString
+    perTypeCounts(ingestEvents(spark, sfDir, wh))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's parquet test tables (TESTDATA.md).
+  *
+  * `events.parquet` carries a TIMESTAMP(NANOS) column which Spark's parquet
+  * reader only admits as LongType (spark.sql.legacy.parquet.nanosAsLong —
+  * REQUIRED on every session touching events); `events` here normalizes it
+  * to a microsecond timestamp, matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+  */
+object Tables {
+  /** Conf key every session needs to read events.parquet. */
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

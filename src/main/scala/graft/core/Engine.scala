@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Upserts
+
+/** Engine façade: bootstrap + table serving views.
+  *
+  * Reference: main() bootstrap (moisturizer/__init__.py:20-42,62-83) —
+  * create keyspace (optionally dropping first), sync the descriptor table,
+  * seed the self-descriptor; `immutable_schema` disables all DDL.
+  */
+object Engine {
+
+  final case class Handle(spark: SparkSession, registry: SchemaRegistry) {
+
+    /** Raw append-log of a type's table (all versions of all rows). */
+    def tableLog(typeId: String): DataFrame = {
+      val path = registry.tablePath(typeId)
+      spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
+    /** Serving view: last-write-wins by `id` (Cassandra upsert semantics,
+      * reference consumer.py:69-70). */
+    def table(typeId: String): DataFrame =
+      Upserts.lwwView(tableLog(typeId), Seq("id"), "last_modified")
+
+    /** Point lookup (reference Model.get / GET objects/{id},
+      * tests/test_views.py:205-211). */
+    def get(typeId: String, id: String): DataFrame =
+      table(typeId).filter(col("id") === lit(id))
+
+    /** Serving JSON: unflatten `a__b` columns to nested objects and drop
+      * null fields (reference schemas.py:42-43,53-55). */
+    def toServingJson(df: DataFrame): DataFrame = {
+      val nested = Flattener.unflatten(df)
+      nested.select(to_json(struct(nested.columns.map(c => col(s"`$c`")).toSeq: _*),
+        Map("ignoreNullFields" -> "true")).as("object"))
+    }
+
+    def ingest(envelopes: DataFrame, messageCol: String = "message",
+               ingestTime: Option[java.sql.Timestamp] = None): Ingest.Report =
+      Ingest.ingest(spark, registry, envelopes, messageCol, ingestTime)
+  }
+
+  /** Bootstrap the engine over a warehouse directory (keyspace analog).
+    * `overrideWarehouse` mirrors the reference's override_keyspaces drop
+    * (__init__.py:23-26); `immutableSchema` mirrors config.py:17. */
+  def bootstrap(spark: SparkSession, warehouseDir: String,
+                overrideWarehouse: Boolean = false,
+                immutableSchema: Boolean = false): Handle = {
+    val dir = new java.io.File(warehouseDir)
+    if (overrideWarehouse && dir.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    dir.mkdirs()
+    val registry = new SchemaRegistry(spark, warehouseDir, immutableSchema)
+    registry.bootstrap()
+    Handle(spark, registry)
+  }
+}

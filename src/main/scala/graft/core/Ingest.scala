@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Codecs
+
+/** The batch ingestion pipeline — the reference's main path re-expressed for
+  * Spark (moisturizer/consumer.py:57-70, traced in SURVEY §3.1):
+  *
+  *   decode → envelope → per-type { infer → validate/coerce → flatten →
+  *   evolve registry → defaults → append write }
+  *
+  * Stage order matters and matches the reference: inference sees the
+  * flattened, null-stripped, coerced payload, so nested objects contribute
+  * leaf columns and nulls never create columns.
+  *
+  * Scale notes: the fan-out is per-TYPE (bounded, driver-side loop exactly
+  * like the reference's table-per-type design); per-type work is fully
+  * distributed (JSON parse, flatten projection, try_cast validation are all
+  * codegen'd executor work; no driver collect of data rows). Appends are
+  * write-once parquet — the LWW view resolves upserts at read, compaction
+  * collapses the log (Upserts.compact).
+  */
+object Ingest {
+
+  final case class Report(
+      perType: Map[String, Long],
+      deadLetters: Long,
+      quarantined: Long)
+
+  /** Ingest a batch of raw messages (JSON or MsgPack bytes rendered to JSON
+    * strings already, e.g. by Codecs.decodeMessageUdf).
+    *
+    * @param envelopes DataFrame with a string column `message` holding the
+    *                  decoded JSON envelope `{type_id, data}`.
+    * @param ingestTime logical write time for `last_modified` defaulting —
+    *                   injectable for deterministic tests (reference default
+    *                   is now(); models.py:55-56).
+    */
+  def ingest(spark: SparkSession, registry: SchemaRegistry,
+             envelopes: DataFrame, messageCol: String = "message",
+             ingestTime: Option[java.sql.Timestamp] = None): Report = {
+    import spark.implicits._
+
+    val (good, bad) = Codecs.unwrap(envelopes, messageCol)
+    val deadLetters = bad.count()
+
+    // Reference processes messages one-by-one; the batch equivalent groups
+    // by type. Types are bounded (table-per-type), so driver iteration over
+    // the distinct set is metadata-scale, not data-scale.
+    val cached = good.cache()
+    try {
+      val types = cached.select("type_id").distinct().as[String].collect().sorted
+      var quarantined = 0L
+      val counts = types.map { typeId =>
+        val payloads: Dataset[String] =
+          cached.filter($"type_id" === typeId).select("data_json").as[String]
+        val n = ingestType(spark, registry, typeId, payloads, ingestTime)
+        quarantined += n._2
+        typeId -> n._1
+      }.toMap
+      Report(counts, deadLetters, quarantined)
+    } finally cached.unpersist()
+  }
+
+  /** One type's sub-batch: returns (written, quarantined). */
+  def ingestType(spark: SparkSession, registry: SchemaRegistry, typeId: String,
+                 payloads: Dataset[String],
+                 ingestTime: Option[java.sql.Timestamp]): (Long, Long) = {
+    // 1. Parse + infer (schema-on-read): Spark's JSON inference plays the
+    //    role of DescriptorFieldType.from_value over the whole sub-batch
+    //    (reference models.py:91-96 per message; batching is the idiomatic
+    //    Spark equivalent — SURVEY §2.A S8).
+    // dropFieldIfAllNull: nulls never create columns (schemas.py:38-40)
+    val parsed0 = spark.read.option("dropFieldIfAllNull", "true").json(payloads)
+    // empty payloads ({} / null data) still become rows with meta defaults
+    // (reference writes a row with only id/last_modified, consumer.py:37,69)
+    val parsed =
+      if (parsed0.schema.isEmpty) payloads.toDF("__raw").select()
+      else parsed0
+    // corrupt-record column appears when some rows are malformed JSON
+    val corruptCol = "_corrupt_record"
+    val (clean, nCorrupt) =
+      if (parsed.columns.contains(corruptCol)) {
+        val c = parsed.filter(col(corruptCol).isNotNull).count()
+        (parsed.filter(col(corruptCol).isNull).drop(corruptCol), c)
+      } else (parsed, 0L)
+
+    // 2. Flatten nested objects to `a__b` leaf columns (schemas.py:37-40).
+    val flat = Flattener.flatten(clean)
+
+    // 3. Evolve the registry add-only with the inferred flat schema
+    //    (models.py:138-153). Existing columns keep their registered type.
+    val incoming = StructType(flat.schema.fields.map(f =>
+      f.copy(dataType = Inference.normalize(f.dataType))))
+    val target = registry.evolve(typeId, incoming)
+
+    // 4. Validate/coerce against the registered schema; incompatible rows
+    //    are quarantined, not widened (tests/test_models.py:65-83).
+    val v = Validation.validate(flat, target)
+    val nQuarantine = v.quarantined.count()
+    if (nQuarantine > 0) {
+      Validation.quarantineRecords(v.quarantined)
+        .withColumn("type_id", lit(typeId))
+        .write.mode("append").parquet(registry.warehouseDir + "/quarantine")
+    }
+
+    // 5. Defaults: id (uuid1-hex analog; deterministic content hash also
+    //    supported via conf) and last_modified=now (models.py:53-56).
+    val lm: org.apache.spark.sql.Column =
+      ingestTime.map(t => lit(t)).getOrElse(current_timestamp())
+    val withDefaults = v.good
+      .withColumn("id", coalesce(col("id").cast(StringType),
+        regexp_replace(expr("uuid()"), "-", "")))
+      .withColumn("last_modified", coalesce(col("last_modified"), lm))
+
+    // 6. Append to the per-type table. Schema evolution on disk is add-only;
+    //    readers use mergeSchema (Engine.table) so older files surface new
+    //    columns as NULL.
+    val written = withDefaults.cache()
+    try {
+      val n = written.count()
+      if (n > 0)
+        written.write.mode("append").parquet(registry.tablePath(typeId))
+      (n, nQuarantine + nCorrupt)
+    } finally written.unpersist()
+  }
+}

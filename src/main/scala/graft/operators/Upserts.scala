@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upsert / CRUD query shapes over append-only storage.
+  *
+  * The reference delegates upserts to Cassandra's primary-key last-write-wins
+  * (moisturizer/consumer.py:69-70); PUT overwrites, PATCH merges fields,
+  * DELETE removes rows (tests/test_views.py:244-305). Spark-native
+  * re-expression: append-only writes + a read-side LWW view via a ranking
+  * window, PATCH as outer-join+coalesce, DELETE as anti-join rewrite.
+  *
+  * Scale notes: the LWW window shuffles once on the key — the same shuffle an
+  * upsert-merging writer would need — and AQE coalesces post-shuffle
+  * partitions. For repeated serving reads one would compact (rewrite the LWW
+  * view back to storage, analogous to Cassandra compaction); `compact` below
+  * is exactly that rewrite.
+  */
+object Upserts {
+
+  /** Last-write-wins view: newest row per key wins. Ties on `ts` break by
+    * descending `tieBreaker` (ingest sequence), keeping the view
+    * deterministic. Pure window — oracle-expressible as ROW_NUMBER(). */
+  def lwwView(df: DataFrame, key: Seq[String], ts: String,
+              tieBreaker: Option[String] = None): DataFrame = {
+    val order: Seq[Column] = col(ts).desc +: tieBreaker.map(col(_).desc).toSeq
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** PATCH semantics (tests/test_views.py:283-297): fields present in
+    * `patch` override, absent fields keep the base value. Full outer on the
+    * key so patches to unknown ids create rows (PUT-like upsert). */
+  def patchMerge(base: DataFrame, patch: DataFrame, key: String): DataFrame = {
+    val commonCols = base.columns.filter(patch.columns.contains).filterNot(_ == key)
+    val patchOnly = patch.columns.filterNot(base.columns.contains)
+    val baseOnly = base.columns.filterNot(patch.columns.contains).filterNot(_ == key)
+    val b = base.alias("b")
+    val p = patch.alias("p")
+    val joined = b.join(p, col(s"b.`$key`") === col(s"p.`$key`"), "full_outer")
+    val cols: Seq[Column] =
+      coalesce(col(s"b.`$key`"), col(s"p.`$key`")).as(key) +:
+      (commonCols.map(c => coalesce(col(s"p.`$c`"), col(s"b.`$c`")).as(c)) ++
+        baseOnly.map(c => col(s"b.`$c`").as(c)) ++
+        patchOnly.map(c => col(s"p.`$c`").as(c))).toSeq
+    joined.select(cols: _*)
+  }
+
+  /** DELETE as anti-join rewrite (tests/test_views.py:234-241,300-305):
+    * survivors = base ▷ doomed. */
+  def deleteAnti(base: DataFrame, doomedKeys: DataFrame, key: String): DataFrame =
+    base.join(doomedKeys.select(col(s"`$key`")).distinct(), Seq(key), "left_anti")
+
+  /** Compaction: materialize the LWW view back to storage, collapsing the
+    * append log (Cassandra-compaction analog). */
+  def compact(df: DataFrame, key: Seq[String], ts: String, outPath: String): Unit =
+    lwwView(df, key, ts).write.mode("overwrite").parquet(outPath)
+}

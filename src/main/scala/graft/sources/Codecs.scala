@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Envelope decoding: MsgPack-with-JSON-fallback → `(type_id, data)`.
+  *
+  * Reference: moisturizer/consumer.py:24-39 — try `msgpack.loads`, on unpack
+  * failure try `json.loads`; then project the `{type_id, data}` envelope,
+  * rejecting messages without `type_id` and defaulting null `data` to `{}`.
+  *
+  * MsgPack support is a self-contained decoder of the public MessagePack
+  * spec (msgpack.org) — the container ships no msgpack jar. It normalizes to
+  * a JSON string so the rest of the pipeline is a single `from_json` path.
+  * The decoder requires full-buffer consumption, so JSON text (which happens
+  * to start with a fixint-looking '{') correctly falls through to the JSON
+  * branch, mirroring msgpack-python's ExtraData failure.
+  */
+object Codecs {
+
+  /** Decode one MsgPack value to a JSON string; None when the buffer is not
+    * a single complete MsgPack value. Maps are only valid with string keys
+    * (JSON requirement; the reference's payloads are JSON-shaped dicts). */
+  def msgpackToJson(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val sb = new java.lang.StringBuilder(bytes.length * 2)
+      val end = decodeValue(bytes, 0, sb)
+      if (end == bytes.length) Some(sb.toString) else None
+    } catch { case _: Exception => None }
+  }
+
+  private def jsonEscape(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private def u8(b: Byte): Int = b & 0xff
+  private def readU16(b: Array[Byte], p: Int): Int = (u8(b(p)) << 8) | u8(b(p + 1))
+  private def readU32(b: Array[Byte], p: Int): Long =
+    (u8(b(p)).toLong << 24) | (u8(b(p + 1)) << 16) | (u8(b(p + 2)) << 8) | u8(b(p + 3))
+  private def readU64(b: Array[Byte], p: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | u8(b(p + i)); i += 1 }
+    v
+  }
+
+  /** Decode the value at `pos`, append its JSON to `sb`, return end offset. */
+  private def decodeValue(b: Array[Byte], pos: Int, sb: java.lang.StringBuilder): Int = {
+    val t = u8(b(pos))
+    t match {
+      case x if x <= 0x7f => sb.append(x); pos + 1 // positive fixint
+      case x if x >= 0xe0 => sb.append(x - 256); pos + 1 // negative fixint
+      case x if (x & 0xf0) == 0x80 => decodeMap(b, pos + 1, x & 0x0f, sb)
+      case x if (x & 0xf0) == 0x90 => decodeArray(b, pos + 1, x & 0x0f, sb)
+      case x if (x & 0xe0) == 0xa0 => decodeStr(b, pos + 1, x & 0x1f, sb)
+      case 0xc0 => sb.append("null"); pos + 1
+      case 0xc2 => sb.append("false"); pos + 1
+      case 0xc3 => sb.append("true"); pos + 1
+      case 0xc4 => decodeBin(b, pos + 2, u8(b(pos + 1)), sb)
+      case 0xc5 => decodeBin(b, pos + 3, readU16(b, pos + 1), sb)
+      case 0xc6 => decodeBin(b, pos + 5, readU32(b, pos + 1).toInt, sb)
+      case 0xca =>
+        val v = java.lang.Float.intBitsToFloat(readU32(b, pos + 1).toInt)
+        appendNum(sb, v.toDouble); pos + 5
+      case 0xcb =>
+        val v = java.lang.Double.longBitsToDouble(readU64(b, pos + 1))
+        appendNum(sb, v); pos + 9
+      case 0xcc => sb.append(u8(b(pos + 1))); pos + 2
+      case 0xcd => sb.append(readU16(b, pos + 1)); pos + 3
+      case 0xce => sb.append(readU32(b, pos + 1)); pos + 5
+      case 0xcf =>
+        val v = readU64(b, pos + 1)
+        if (v >= 0) sb.append(v)
+        else sb.append(java.lang.Long.toUnsignedString(v))
+        pos + 9
+      case 0xd0 => sb.append(b(pos + 1).toInt); pos + 2
+      case 0xd1 => sb.append(readU16(b, pos + 1).toShort.toInt); pos + 3
+      case 0xd2 => sb.append(readU32(b, pos + 1).toInt); pos + 5
+      case 0xd3 => sb.append(readU64(b, pos + 1)); pos + 9
+      case 0xd9 => decodeStr(b, pos + 2, u8(b(pos + 1)), sb)
+      case 0xda => decodeStr(b, pos + 3, readU16(b, pos + 1), sb)
+      case 0xdb => decodeStr(b, pos + 5, readU32(b, pos + 1).toInt, sb)
+      case 0xdc => decodeArray(b, pos + 3, readU16(b, pos + 1), sb)
+      case 0xdd => decodeArray(b, pos + 5, readU32(b, pos + 1).toInt, sb)
+      case 0xde => decodeMap(b, pos + 3, readU16(b, pos + 1), sb)
+      case 0xdf => decodeMap(b, pos + 5, readU32(b, pos + 1).toInt, sb)
+      case _ => throw new IllegalArgumentException(f"msgpack: ext/unsupported 0x$t%02x")
+    }
+  }
+
+  private def appendNum(sb: java.lang.StringBuilder, v: Double): Unit =
+    if (v.isNaN || v.isInfinite) sb.append("null")
+    else if (v == Math.rint(v) && Math.abs(v) < 1e15) sb.append(v.toLong).append(".0")
+    else sb.append(v)
+
+  private def decodeStr(b: Array[Byte], pos: Int, len: Int, sb: java.lang.StringBuilder): Int = {
+    jsonEscape(new String(b, pos, len, java.nio.charset.StandardCharsets.UTF_8), sb)
+    pos + len
+  }
+
+  private def decodeBin(b: Array[Byte], pos: Int, len: Int, sb: java.lang.StringBuilder): Int = {
+    jsonEscape(java.util.Base64.getEncoder.encodeToString(
+      java.util.Arrays.copyOfRange(b, pos, pos + len)), sb)
+    pos + len
+  }
+
+  private def decodeArray(b: Array[Byte], pos: Int, n: Int, sb: java.lang.StringBuilder): Int = {
+    sb.append('[')
+    var p = pos; var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      p = decodeValue(b, p, sb)
+      i += 1
+    }
+    sb.append(']'); p
+  }
+
+  private def decodeMap(b: Array[Byte], pos: Int, n: Int, sb: java.lang.StringBuilder): Int = {
+    sb.append('{')
+    var p = pos; var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      // keys must be strings for JSON; decode and assert
+      val keyStart = new java.lang.StringBuilder()
+      p = decodeValue(b, p, keyStart)
+      val k = keyStart.toString
+      if (!(k.startsWith("\"") && k.endsWith("\"")))
+        throw new IllegalArgumentException("msgpack: non-string map key")
+      sb.append(k).append(':')
+      p = decodeValue(b, p, sb)
+      i += 1
+    }
+    sb.append('}'); p
+  }
+
+  /** msgpack → JSON with JSON fallback, as a deterministic scalar function
+    * over the raw message bytes (reference consumer.py:24-31). Returns null
+    * for undecodable messages (routed to quarantine downstream). */
+  def decodeMessage(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    msgpackToJson(bytes).getOrElse {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val trimmed = s.trim
+      if (trimmed.startsWith("{") || trimmed.startsWith("[")) s else null
+    }
+  }
+
+  /** Column form of [[decodeMessage]] for use in plans. UDF by necessity
+    * (custom byte-level decode); everything downstream is codegen'd. */
+  val decodeMessageUdf = udf(decodeMessage _)
+
+  /** Envelope projection (reference consumer.py:33-39): from a JSON message
+    * string column, extract `type_id` (null ⇒ invalid) and `data` (null ⇒
+    * `{}`). */
+  def envelope(jsonCol: Column): (Column, Column) = (
+    get_json_object(jsonCol, "$.type_id"),
+    coalesce(get_json_object(jsonCol, "$.data"), lit("{}")))
+
+  /** Split decoded messages into valid envelopes (type_id, data_json) and a
+    * dead-letter frame (reference consumer.py:36-37 ValueError path). */
+  def unwrap(df: DataFrame, messageCol: String): (DataFrame, DataFrame) = {
+    val (tid, data) = envelope(col(messageCol))
+    val withEnv = df.withColumn("type_id", tid).withColumn("data_json", data)
+    val good = withEnv.filter(col("type_id").isNotNull)
+      .select(col("type_id"), col("data_json"))
+    val bad = withEnv.filter(col("type_id").isNull)
+    (good, bad)
+  }
+}

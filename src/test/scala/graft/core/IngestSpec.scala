@@ -1,0 +1,152 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.sources.Codecs
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end engine behavior mirroring the reference's test suite semantics
+  * (SURVEY §5.2): infer→create round-trip, add-a-field evolution,
+  * type-conflict quarantine, LWW overwrite, null-drop. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+
+  private def freshEngine() = Engine.bootstrap(spark, tmpDir("graft-wh"))
+
+  private def env(msgs: String*) = msgs.toDF("message")
+
+  test("infer -> create -> read round-trip with defaults") {
+    val h = freshEngine()
+    val report = h.ingest(env(
+      """{"type_id":"t1","data":{"field":"foo","n":42,"f":42.42,"b":true}}"""),
+      ingestTime = Some(t0))
+    assert(report.perType === Map("t1" -> 1L))
+    val df = h.table("t1")
+    val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(schema("field") === StringType)
+    assert(schema("n") === LongType)
+    assert(schema("f") === DoubleType)
+    assert(schema("b") === BooleanType)
+    val row = df.collect().head
+    assert(row.getAs[String]("id") != null) // auto uuid
+    assert(row.getAs[java.sql.Timestamp]("last_modified") === t0)
+  }
+
+  test("add-a-field evolves schema add-only; old rows read as null") {
+    val h = freshEngine()
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","field":"foo"}}"""), ingestTime = Some(t0))
+    h.ingest(env("""{"type_id":"t","data":{"id":"b","field":"x","field2":"bar"}}"""), ingestTime = Some(t0))
+    val df = h.table("t")
+    assert(df.columns.contains("field2"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("field2") == null)
+    assert(rows(1).getAs[String]("field2") === "bar")
+    // registry agrees
+    assert(h.registry.get("t").get.fieldNames.contains("field2"))
+  }
+
+  test("type conflict quarantines the row, never widens (ref tests/test_models.py:65-83)") {
+    val h = freshEngine()
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","n":42}}"""), ingestTime = Some(t0))
+    val r2 = h.ingest(env("""{"type_id":"t","data":{"id":"b","n":"bar"}}"""), ingestTime = Some(t0))
+    assert(r2.quarantined === 1L)
+    assert(r2.perType("t") === 0L)
+    val df = h.table("t")
+    assert(df.schema("n").dataType === LongType) // not widened
+    assert(df.count() === 1L)
+    // int into a float column DOES fit (colander coercion accepts it)
+    val r3 = h.ingest(env("""{"type_id":"t","data":{"id":"c","n":7}}"""), ingestTime = Some(t1))
+    assert(r3.perType("t") === 1L)
+  }
+
+  test("LWW upsert: same id overwrites; last_modified bumps (ref PUT semantics)") {
+    val h = freshEngine()
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":1}}"""), ingestTime = Some(t0))
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":2}}"""), ingestTime = Some(t1))
+    val df = h.table("t")
+    assert(df.count() === 1L)
+    val row = df.collect().head
+    assert(row.getAs[Long]("v") === 2L)
+    assert(row.getAs[java.sql.Timestamp]("last_modified") === t1)
+    assert(h.tableLog("t").count() === 2L) // append log keeps history
+  }
+
+  test("nested objects flatten to __ columns; nulls never create columns") {
+    val h = freshEngine()
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","a":{"b":1},"z":null}}"""), ingestTime = Some(t0))
+    val df = h.table("t")
+    assert(df.columns.contains("a__b"))
+    assert(!df.columns.contains("z")) // null dropped before inference
+    assert(df.collect().head.getAs[Long]("a__b") === 1L)
+  }
+
+  test("missing type_id is dead-lettered; null data is {} (ref consumer.py:33-39)") {
+    val h = freshEngine()
+    val r = h.ingest(env(
+      """{"data":{"x":1}}""",
+      """{"type_id":"t","data":null}"""), ingestTime = Some(t0))
+    assert(r.deadLetters === 1L)
+    assert(r.perType("t") === 1L) // empty payload row still written with defaults
+  }
+
+  test("msgpack decode with JSON fallback (ref consumer.py:24-31)") {
+    // {"type_id":"mp","data":{"k":7}} in msgpack:
+    // fixmap2, fixstr"type_id", fixstr"mp", fixstr"data", fixmap1, fixstr"k", 7
+    val mp: Array[Byte] = Array[Byte](
+      0x82.toByte,
+      0xa7.toByte, 't', 'y', 'p', 'e', '_', 'i', 'd',
+      0xa2.toByte, 'm', 'p',
+      0xa4.toByte, 'd', 'a', 't', 'a',
+      0x81.toByte, 0xa1.toByte, 'k', 0x07)
+    assert(Codecs.msgpackToJson(mp) === Some("""{"type_id":"mp","data":{"k":7}}"""))
+    // JSON bytes fall through msgpack to the JSON branch
+    val js = """{"type_id":"j","data":{}}""".getBytes("UTF-8")
+    assert(Codecs.decodeMessage(js) === """{"type_id":"j","data":{}}""")
+    // garbage -> null
+    assert(Codecs.decodeMessage(Array[Byte](0xc1.toByte)) == null)
+
+    val h = freshEngine()
+    val df = Seq(mp, js).toDF("value")
+      .withColumn("message", Codecs.decodeMessageUdf(col("value")))
+    val r = h.ingest(df, ingestTime = Some(t0))
+    assert(r.perType.keySet === Set("mp", "j"))
+  }
+
+  test("serving json unflattens and strips nulls (ref schemas.py:42-55)") {
+    val h = freshEngine()
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","a":{"b":1},"s":"x"}}"""), ingestTime = Some(t0))
+    val out = h.toServingJson(h.table("t").drop("last_modified")).collect().head.getString(0)
+    assert(out.contains(""""a":{"b":1}"""))
+    assert(out.contains(""""s":"x""""))
+  }
+
+  test("immutable schema refuses new types and evolution") {
+    val wh = tmpDir("graft-wh-imm")
+    val h = Engine.bootstrap(spark, wh)
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":1}}"""), ingestTime = Some(t0))
+    val frozen = Engine.Handle(spark,
+      { val r = new SchemaRegistry(spark, wh, immutableSchema = true); r.bootstrap(); r })
+    // known type, known fields: fine
+    frozen.ingest(env("""{"type_id":"t","data":{"id":"b","v":2}}"""), ingestTime = Some(t1))
+    assert(frozen.table("t").count() === 2)
+    // new field or new type: refused
+    intercept[IllegalStateException] {
+      frozen.ingest(env("""{"type_id":"t","data":{"id":"c","w":9}}"""), ingestTime = Some(t1))
+    }
+    intercept[IllegalStateException] {
+      frozen.ingest(env("""{"type_id":"t2","data":{"id":"c"}}"""), ingestTime = Some(t1))
+    }
+  }
+
+  test("drop removes table and descriptor (ref models.py:176-182)") {
+    val h = freshEngine()
+    h.ingest(env("""{"type_id":"t","data":{"id":"a"}}"""), ingestTime = Some(t0))
+    assert(h.registry.knownTypes.contains("t"))
+    h.registry.drop("t")
+    assert(!h.registry.knownTypes.contains("t"))
+    assert(!new java.io.File(h.registry.tablePath("t")).exists())
+  }
+}
