@@ -1,0 +1,329 @@
+package graft
+
+/** DuckDB oracle SQL for every ANSI-expressible key in [[Queries]].
+  *
+  * Every statement mirrors its Spark twin exactly: same column aliases, same
+  * final ORDER BY (ending on a unique key, NULLS FIRST pinned on nullable
+  * sort keys), same DECIMAL(25,6) accumulation for double sums, and
+  * `CAST(ts AS TIMESTAMP)` wherever events.ts appears (DuckDB reads the
+  * parquet TIMESTAMP(NANOS) natively; the cast truncates to µs exactly like
+  * the Spark-side `ts div 1000`).
+  */
+object OracleSql {
+
+  /** decimal-exact sum rendered to double. */
+  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    // --- CRUD / engine semantics -----------------------------------
+    "q_point_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey = 42",
+
+    "q_scan_list" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_count" ->
+      "SELECT COUNT(*) AS n FROM lineitem",
+
+    "q_delete_anti" ->
+      """SELECT o.* FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_upsert_lww" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_patch_merge" ->
+      """WITH p AS (SELECT o_custkey AS c_custkey, 0.0 AS c_acctbal
+        |           FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3)
+        |SELECT COALESCE(b.c_custkey, p.c_custkey) AS c_custkey,
+        |       COALESCE(p.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |       b.c_name AS c_name
+        |FROM customer b FULL OUTER JOIN p ON b.c_custkey = p.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_flatten_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props__k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_required_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "q_null_strip" ->
+      """SELECT event_id, v FROM (
+        |  SELECT event_id, CASE WHEN value < 100.0 THEN NULL ELSE value END AS v
+        |  FROM events) WHERE v IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "q_cast_coerce" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS user_str,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_2dp,
+        |  CAST(event_id AS DOUBLE) AS id_double
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_schema_union_evolve" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       NULL AS l_extendedprice, 'a' AS src FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, NULL, l_extendedprice, 'b' FROM lineitem
+        |ORDER BY src, l_orderkey, l_linenumber""".stripMargin,
+
+    // --- Projection / filter ---------------------------------------
+    "q_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_quantity > 30.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_pred_range_time" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    // --- Joins ------------------------------------------------------
+    "q_join_inner_broadcast" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_sortmerge" ->
+      """SELECT l_orderkey, l_linenumber, o_orderdate, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c.* FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c.* FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderstatus = 'P' AND o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta_range" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
+        |SELECT a.event_id AS event_id, COUNT(b.event_id) AS n_prior
+        |FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+        |GROUP BY a.event_id ORDER BY event_id""".stripMargin,
+
+    // --- Aggregation ------------------------------------------------
+    "q_agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+         |  ${dsum("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT l_returnflag, MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // --- Window functions -------------------------------------------
+    "q_win_rank_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_lag_delta" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id,
+        |  value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_win_frame_running_sum" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    // --- Sort / limit / set ops -------------------------------------
+    "q_topk_orderby_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT o_orderkey, 'status_f' AS src FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, 'urgent' FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY src, o_orderkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    // --- Scalar functions -------------------------------------------
+    "q_str_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTR(p_name, 1, 5) AS prefix5,
+        |  LENGTH(p_name) AS name_len, CONCAT(p_brand, '#', p_type) AS brand_type,
+        |  REPLACE(p_type, ' ', '_') AS type_snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_trunc_bucket" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS n,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS abs_disc,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+        |  SQRT(l_quantity) AS sqrt_qty, l_quantity % 7.0 AS qty_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS n_dims,
+        |  CAST(embedding[1] AS DOUBLE) AS e0,
+        |  CAST(list_max(embedding) AS DOUBLE) AS e_max,
+        |  CAST(list_min(embedding) AS DOUBLE) AS e_min
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_json_get" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // --- Streaming-equivalent event-time windows --------------------
+    "q_window_tumbling" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+         |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         |  event_type, COUNT(*) AS n, ${dsum("value")} AS sum_value
+         |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM e
+        |      UNION ALL
+        |      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM e)
+        |SELECT ws AS window_start, ws + INTERVAL 60 MINUTE AS window_end,
+        |  event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |s AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+        |        THEN 0 ELSE 1 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM s)
+        |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    // --- Text analysis ----------------------------------------------
+    "q_text_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
+        |  CAST(n_chars AS DOUBLE) / len(w) AS avg_word_len,
+        |  CAST(len(list_filter(w, x -> list_contains(
+        |    ['the','a','an','of','and','or','to','in','is','it'], x))) AS DOUBLE)
+        |    / len(w) AS stopword_ratio,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dedup_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(
+        |  list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_jaccard_neardup" ->
+      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, lang, source,
+        |        list_distinct(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+        |          i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |      FROM t)
+        |SELECT id_a, id_b, jac FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
+
+    // --- Similarity search ------------------------------------------
+    "q_vec_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |dots AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,18)))) AS DOUBLE) AS dot,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, q.qv),
+        |      p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,18)))) AS DOUBLE) AS qq,
+        |    CAST(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |      p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,18)))) AS DOUBLE) AS nn
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) DESC, neighbor_id) AS rank
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,470 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{DedupOps, TextOps, Upserts, VectorOps}
+
+/** The declared query inventory (SURVEY §7.4): every key has a Spark
+  * implementation here and, where ANSI-expressible, a DuckDB oracle in
+  * [[OracleSql]]. Keys without oracle SQL get the driver's rows-only check.
+  *
+  * Determinism contract (BASELINE.md): every query is fully ordered ending
+  * on a unique key; double aggregation goes through DECIMAL(25,6)
+  * accumulation (exact, associative — immune to partition order) and back to
+  * double; timestamps are µs in both engines (events ns-timestamps are
+  * truncated identically); ORDER BY on nullable keys pins NULLS FIRST in the
+  * oracle to match Spark's asc default.
+  */
+object Queries {
+
+  private val Dec = DecimalType(25, 6)
+
+  /** Exact associative sum of a double column: decimal-accumulate → double. */
+  private def decSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** Deterministic average built from decSum (both engines compute the
+    * identical double division). */
+  private def decAvg(c: Column): Column = decSum(c) / count(c)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------
+  // CRUD / engine semantics (reference surface S12-S20, SURVEY §2.A)
+  // ------------------------------------------------------------------
+
+  /** S14 point lookup: partition-prunable single-key read. */
+  val qPointLookup: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") === 42L)
+
+  /** S15 full scan / list. */
+  val qScanList: Q = (s, d) =>
+    Tables.region(s, d).orderBy("r_regionkey")
+
+  /** S16 count. */
+  val qCount: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** S17 delete-collection as anti-join rewrite. */
+  val qDeleteAnti: Q = (s, d) => {
+    val doomed = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    Upserts.deleteAnti(Tables.orders(s, d), doomed, "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** S12 upsert: last-write-wins per user over the events stream. */
+  val qUpsertLww: Q = (s, d) =>
+    Upserts.lwwView(
+      Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), "ts", tieBreaker = Some("event_id"))
+      .orderBy("user_id")
+
+  /** S12 PATCH merge: field-wise coalesce of a patch set into a base. */
+  val qPatchMerge: Q = (s, d) => {
+    val base = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    val patch = Tables.orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 3)
+      .select(col("c_custkey"), lit(0.0).as("c_acctbal"))
+    Upserts.patchMerge(base, patch, "c_custkey").orderBy("c_custkey")
+  }
+
+  /** S6 flatten: nested JSON props → `props__k` leaf column. */
+  val qFlattenProps: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val nested = e.select(col("event_id"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("props"))
+    graft.core.Flattener.flatten(nested)
+      .orderBy("event_id")
+  }
+
+  /** S20 required-field enforcement as a NOT NULL gate. */
+  val qRequiredFilter: Q = (s, d) =>
+    Tables.events(s, d).select("event_id", "user_id", "event_type")
+      .filter(col("user_id").isNotNull)
+      .orderBy("event_id")
+
+  /** S5 null-strip: null-valued fields are never stored. */
+  val qNullStrip: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(col("value") < 100.0, lit(null)).otherwise(col("value")).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy("event_id")
+
+  /** S5 cast/coerce grid (string/decimal/double round-trips). */
+  val qCastCoerce: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("user_id").cast(StringType).as("user_str"),
+      col("value").cast(DecimalType(18, 2)).cast(DoubleType).as("value_2dp"),
+      col("event_id").cast(DoubleType).as("id_double"))
+      .orderBy("event_id")
+
+  /** S9 schema-evolving union: unionByName with missing columns. */
+  val qSchemaUnionEvolve: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val a = li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("src", lit("a"))
+    val b = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("src", lit("b"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("src", "l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------------
+  // Projection / filter
+  // ------------------------------------------------------------------
+
+  val qProjectFilter: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 30.0 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S18 analog: time-range scan (min-max/row-group skipping at scale). */
+  val qPredRangeTime: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType) &&
+        col("ts") < lit("2024-01-12 00:00:00").cast(TimestampType))
+      .select("event_id", "ts", "event_type")
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------------
+  // Joins
+  // ------------------------------------------------------------------
+
+  val qJoinInnerBroadcast: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = broadcast(Tables.customer(s, d))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val qJoinSortmerge: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qJoinLeft: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  val qJoinSemi: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi").orderBy("c_custkey")
+  }
+
+  val qJoinAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti").orderBy("c_custkey")
+  }
+
+  /** As-of-style band join: events preceded (≤1h) by same-user events. */
+  val qJoinThetaRange: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "ts", "user_id")
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") - expr("INTERVAL 1 HOUR") &&
+          col("b.ts") < col("a.ts"), "left")
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(col("b.event_id")).as("n_prior"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Aggregation
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q1 shape: the headline hash aggregate. */
+  val qAggHash: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val qAggDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch — engine-specific estimates, so no oracle (rows-only). */
+  val qAggApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  val qAggMinmax: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val qRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qCube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val qGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // ------------------------------------------------------------------
+  // Window functions
+  // ------------------------------------------------------------------
+
+  val qWinRankTopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWinLagDelta: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .select("event_id", "user_id", "delta")
+      .orderBy("event_id")
+  }
+
+  val qWinFrameRunningSum: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running_value", sum(col("value").cast(Dec)).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "running_value")
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Sort / limit / set operations
+  // ------------------------------------------------------------------
+
+  val qTopkOrderbyLimit: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val qUnionAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), lit("status_f").as("src"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), lit("urgent").as("src"))
+    a.unionAll(b).orderBy("src", "o_orderkey")
+  }
+
+  val qIntersect: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val qExcept: Q = (s, d) =>
+    Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // ------------------------------------------------------------------
+  // Scalar functions
+  // ------------------------------------------------------------------
+
+  val qStrFuncs: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_name"), 1, 5).as("prefix5"),
+      length(col("p_name")).as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_type"), " ", "_").as("type_snake"))
+      .orderBy("p_partkey")
+
+  val qDateTruncBucket: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("month")
+
+  val qMathFuncs: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - 0.05).as("abs_disc"),
+      ceil(col("l_extendedprice")).cast(LongType).as("ceil_price"),
+      floor(col("l_extendedprice")).cast(LongType).as("floor_price"),
+      sqrt(col("l_quantity")).as("sqrt_qty"),
+      (col("l_quantity") % 7.0).as("qty_mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qArrayFuncs: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      element_at(col("embedding"), 1).cast(DoubleType).as("e0"),
+      array_max(col("embedding")).cast(DoubleType).as("e_max"),
+      array_min(col("embedding")).cast(DoubleType).as("e_min"))
+      .orderBy("vec_id")
+
+  val qJsonGet: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------------
+  // Streaming-equivalent (batch-declared) event-time windows
+  // ------------------------------------------------------------------
+
+  val qWindowTumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val qWindowSliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
+  val qSessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val qDedupExact: Q = (s, d) =>
+    DedupOps.exact(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("digest")
+
+  // ------------------------------------------------------------------
+  // Extensions: text analysis
+  // ------------------------------------------------------------------
+
+  val qTextWordcount: Q = (s, d) =>
+    TextOps.wordCount(Tables.documents(s, d))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  val qTextQuality: Q = (s, d) =>
+    TextOps.qualityMetrics(Tables.documents(s, d))
+      .select("doc_id", "n_words", "n_distinct_words", "avg_word_len",
+        "stopword_ratio", "dedup_ratio")
+      .orderBy("doc_id")
+
+  val qTextTokenCount: Q = (s, d) =>
+    TextOps.tokenCounts(Tables.documents(s, d))
+      .select("doc_id", "n_ws_tokens", "n_bpeish_tokens")
+      .orderBy("doc_id")
+
+  val qTextFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val qTextJaccardNeardup: Q = (s, d) =>
+    DedupOps.jaccardNearDups(Tables.documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang", "source"), k = 3, threshold = 0.03)
+      .orderBy("id_a", "id_b")
+
+  /** Heuristic language ID — declared rows-only (no principled oracle). */
+  val qTextLangid: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.langIdPredict(col("text"), TextOps.defaultMarkers).as("pred_lang"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // Extensions: dedup + similarity search
+  // ------------------------------------------------------------------
+
+  /** MinHash+LSH near-dups — hash functions are engine-specific ⇒ rows-only. */
+  val qDedupMinhashLsh: Q = (s, d) =>
+    DedupOps.minhashLshNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dups — rows-only for the same reason. */
+  val qDedupSimhash: Q = (s, d) =>
+    DedupOps.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  val qVecCosineTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate ANN — approximate by construction ⇒ rows-only. */
+  val qVecAnnLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineTopKLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal decode plumbing over binary payloads (stubbed codec) —
+    * rows-only. */
+  val qMultimodalDecode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    val withMeta = operators.MultimodalOps.withMediaMeta(docs, "payload", "image/fake")
+    val feats = operators.MultimodalOps.decodeFeatures(s, withMeta, "doc_id", "payload")
+    withMeta.select("doc_id", "media_meta").join(feats, Seq("doc_id"))
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.digest").as("digest"), col("width"), col("height"),
+        col("n_frames"), col("feature"))
+      .orderBy("doc_id")
+  }
+}

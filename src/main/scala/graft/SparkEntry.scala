@@ -1,15 +1,85 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Implementations live in [[Queries]] (Spark) / [[OracleSql]] (DuckDB). */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full ingest pipeline over events.parquet (SURVEY §7.3): envelope decode
     * → flatten → schema inference/evolution → LWW upsert → per-type counts. */
   def entry(spark: SparkSession): DataFrame =
     Flagship.run(spark, "/root/testdata/sf0.001")
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** One entry per implemented operator from SURVEY.md §2 / §7.4. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CRUD / engine semantics (reference surface)
+    "q_point_lookup" -> Queries.qPointLookup,
+    "q_scan_list" -> Queries.qScanList,
+    "q_count" -> Queries.qCount,
+    "q_delete_anti" -> Queries.qDeleteAnti,
+    "q_upsert_lww" -> Queries.qUpsertLww,
+    "q_patch_merge" -> Queries.qPatchMerge,
+    "q_flatten_props" -> Queries.qFlattenProps,
+    "q_required_filter" -> Queries.qRequiredFilter,
+    "q_null_strip" -> Queries.qNullStrip,
+    "q_cast_coerce" -> Queries.qCastCoerce,
+    "q_schema_union_evolve" -> Queries.qSchemaUnionEvolve,
+    // projection / filter
+    "q_project_filter" -> Queries.qProjectFilter,
+    "q_pred_range_time" -> Queries.qPredRangeTime,
+    // joins
+    "q_join_inner_broadcast" -> Queries.qJoinInnerBroadcast,
+    "q_join_sortmerge" -> Queries.qJoinSortmerge,
+    "q_join_left" -> Queries.qJoinLeft,
+    "q_join_semi" -> Queries.qJoinSemi,
+    "q_join_anti" -> Queries.qJoinAnti,
+    "q_join_theta_range" -> Queries.qJoinThetaRange,
+    // aggregation
+    "q_agg_hash" -> Queries.qAggHash,
+    "q_agg_distinct" -> Queries.qAggDistinct,
+    "q_agg_approx_distinct" -> Queries.qAggApproxDistinct,
+    "q_agg_minmax" -> Queries.qAggMinmax,
+    "q_rollup" -> Queries.qRollup,
+    "q_cube" -> Queries.qCube,
+    "q_grouping_sets" -> Queries.qGroupingSets,
+    // window functions
+    "q_win_rank_topk_per_group" -> Queries.qWinRankTopkPerGroup,
+    "q_win_lag_delta" -> Queries.qWinLagDelta,
+    "q_win_frame_running_sum" -> Queries.qWinFrameRunningSum,
+    // sort / limit / set ops
+    "q_topk_orderby_limit" -> Queries.qTopkOrderbyLimit,
+    "q_union_all" -> Queries.qUnionAll,
+    "q_intersect" -> Queries.qIntersect,
+    "q_except" -> Queries.qExcept,
+    // scalar functions
+    "q_str_funcs" -> Queries.qStrFuncs,
+    "q_date_trunc_bucket" -> Queries.qDateTruncBucket,
+    "q_math_funcs" -> Queries.qMathFuncs,
+    "q_array_funcs" -> Queries.qArrayFuncs,
+    "q_json_get" -> Queries.qJsonGet,
+    // streaming-equivalent event-time windows
+    "q_window_tumbling" -> Queries.qWindowTumbling,
+    "q_window_sliding" -> Queries.qWindowSliding,
+    "q_session_window" -> Queries.qSessionWindow,
+    "q_dedup_exact" -> Queries.qDedupExact,
+    // text analysis extensions
+    "q_text_wordcount" -> Queries.qTextWordcount,
+    "q_text_quality" -> Queries.qTextQuality,
+    "q_text_token_count" -> Queries.qTextTokenCount,
+    "q_text_fingerprint" -> Queries.qTextFingerprint,
+    "q_text_jaccard_neardup" -> Queries.qTextJaccardNeardup,
+    "q_text_langid" -> Queries.qTextLangid,
+    // dedup + similarity extensions
+    "q_dedup_minhash_lsh" -> Queries.qDedupMinhashLsh,
+    "q_dedup_simhash" -> Queries.qDedupSimhash,
+    "q_vec_cosine_topk" -> Queries.qVecCosineTopk,
+    "q_vec_ann_lsh" -> Queries.qVecAnnLsh,
+    "q_multimodal_decode" -> Queries.qMultimodalDecode,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops (hash-based
+    * sketches, approximate ANN, stubbed multimodal decode, heuristic langid)
+    * → driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -19,7 +19,7 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns epoch ~1.7e18 overflows double
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes (the whole point of this module): pairwise similarity is
+  * O(n²) and dies at corpus scale, so every near-dup path here goes through
+  * a CANDIDATE GENERATION step whose output is linear-ish:
+  *  - exact: one hash-agg on a digest (map-side combined);
+  *  - Jaccard: deterministic blocking keys bound the pair space;
+  *  - MinHash+LSH: band buckets → self-join only within buckets;
+  *  - SimHash: 64-bit signature, candidates share a band of the signature.
+  * All signatures use Spark's codegen'd xxhash64/hash — no UDFs.
+  */
+object DedupOps {
+
+  /** Exact dedup via content digest: deterministic keeper = min(id). */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles of a text column (distinct, order-insensitive set). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** Jaccard similarity of two token-set columns (exact, set semantics). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** Exact n-gram Jaccard near-dup pairs within deterministic blocks.
+    * `blockCols` bound the quadratic pair space (e.g. lang+source); emits
+    * (idA < idB, jaccard ≥ threshold). */
+  def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      blockCols: Seq[String], k: Int,
+                      threshold: Double): DataFrame = {
+    val withSh = docs.select(
+      (col(idCol).as("id") +: blockCols.map(c => col(c))) :+
+        shingles(col(textCol), k).as("sh"): _*)
+    val a = withSh.alias("a")
+    val b = withSh.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.`$c`") === col(s"b.`$c`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, blockCond && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over the shingle set of xxhash64(shingle, seed). */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleSet, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup candidates: signatures are cut into
+    * `bands` bands of `rowsPerBand`; docs sharing any band land in the same
+    * bucket; candidate pairs are verified with exact Jaccard on shingles.
+    * The only shuffle is the bucket self-join — linear in bucket sizes. */
+  def minhashLshNearDups(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                         threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigd = docs.select(col(idCol).as("id"),
+        shingles(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sigd.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(transform(
+          sequence(b * rowsPerBand + 1, (b + 1) * rowsPerBand),
+          i => element_at(col("sig"), i).cast(StringType)), ",")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b") // same pair may share several bands
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** 64-bit SimHash of a token set: per bit, majority vote of token-hash
+    * bits. Codegen-only (bitwise ops over xxhash64). */
+  def simhash64(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on 16-bit signature bands (4 bands;
+    * near-dups differing in ≤3 bits must share ≥1 band), verify by Hamming
+    * distance ≤ maxDist. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sigd = docs.select(col(idCol).as("id"),
+      simhash64(array_distinct(split(col(textCol), " "))).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

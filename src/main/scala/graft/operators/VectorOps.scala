@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector similarity search over `array<float>` embedding columns.
+  *
+  * Determinism: dot products accumulate in DECIMAL(38,18) (exact, associative
+  * — no float-order sensitivity), then convert to double for the final
+  * ratio. This makes results bit-identical across engines and partitionings,
+  * which the DuckDB-oracle hash check requires (SURVEY §7.5.3) — and is also
+  * the right call on a real cluster, where partition order is arbitrary.
+  *
+  * Scale notes: brute-force top-k broadcasts the (small) query set and scans
+  * the corpus once — linear, and the per-group top-k uses a bounded heap via
+  * window rank over a repartitioned key. The LSH path buckets by
+  * random-hyperplane signs so candidate generation is linear and the final
+  * exact rank runs only within buckets.
+  */
+object VectorOps {
+
+  private val Dec = DecimalType(38, 18)
+
+  /** Exact decimal-accumulated dot product of two float-array columns. */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(java.math.BigDecimal.ZERO).cast(Dec),
+      // recast after +: Spark's coercion widens DECIMAL(38,18)+DECIMAL(38,18)
+      // to DECIMAL(38,17), which would break the accumulator type contract
+      (acc, x) => (acc + x.cast(Dec)).cast(Dec))
+
+  /** Cosine similarity, rounded to 6 dp. The decimal accumulation is exact
+    * WITHIN an engine (partition-order independent), but the double→decimal
+    * cast itself rounds differently across engines (shortest-string vs
+    * binary scaling, ~1e-16 drift over 64 terms) — so cross-engine
+    * determinism additionally needs the rounded output, and ranking must
+    * order by the ROUNDED value with an id tie-break. */
+  def cosine(a: Column, b: Column): Column =
+    round(dotDec(a, b).cast(DoubleType) /
+      (sqrt(dotDec(a, a).cast(DoubleType)) * sqrt(dotDec(b, b).cast(DoubleType))), 6)
+
+  /** Brute-force cosine top-k: for every query vector (broadcast), rank the
+    * corpus by cosine desc (tie-break id asc) and keep the top k. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane: for (plane p, dim d) the
+    * coefficient is a hash-derived value in [-0.5, 0.5). Stateless — every
+    * executor regenerates it identically, nothing to broadcast. */
+  private def planeCoef(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast(DoubleType) / 1e6) - 0.5
+
+  /** Sign-of-projection LSH bucket id from `nPlanes` hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeCoef(p, i)),
+        lit(java.math.BigDecimal.ZERO).cast(Dec),
+        (acc, x) => (acc + x.cast(Dec)).cast(Dec))
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: queries only rank candidates in their
+    * own hyperplane-sign bucket. Recall < 1 by construction; the scale path
+    * for corpora where the brute-force scan per query is too hot. */
+  def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("bucket", lshBucket(col("nv"), nPlanes))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}
