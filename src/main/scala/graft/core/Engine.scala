@@ -21,9 +21,12 @@ object Engine {
     }
 
     /** Serving view: last-write-wins by `id` (Cassandra upsert semantics,
-      * reference consumer.py:69-70). */
-    def table(typeId: String): DataFrame =
-      Upserts.lwwView(tableLog(typeId), Seq("id"), "last_modified")
+      * reference consumer.py:69-70); `_ingest_seq` breaks same-µs ties. */
+    def table(typeId: String): DataFrame = {
+      val log = tableLog(typeId)
+      val tie = if (log.columns.contains("_ingest_seq")) Some("_ingest_seq") else None
+      Upserts.lwwView(log, Seq("id"), "last_modified", tie).drop("_ingest_seq")
+    }
 
     /** Point lookup (reference Model.get / GET objects/{id},
       * tests/test_views.py:205-211). */

@@ -114,6 +114,9 @@ object Ingest {
       .withColumn("id", coalesce(col("id").cast(StringType),
         regexp_replace(expr("uuid()"), "-", "")))
       .withColumn("last_modified", coalesce(col("last_modified"), lm))
+      // monotonic ingest sequence: deterministic LWW tie-break when two
+      // writes share a last_modified microsecond (e.g. replayed batches)
+      .withColumn("_ingest_seq", lit(System.nanoTime()))
 
     // 6. Append to the per-type table. Schema evolution on disk is add-only;
     //    readers use mergeSchema (Engine.table) so older files surface new

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.Engine
+import graft.sources.Codecs
+
+/** Structured-Streaming front end for the ingestion engine.
+  *
+  * Reference: the Kafka consumer loop (moisturizer/consumer.py:72-83) —
+  * subscribe N topics in a consumer group, decode each message, commit it,
+  * swallow per-message failures and keep going (at-least-once).
+  *
+  * Spark shape: `readStream` → `foreachBatch` running the SAME batch
+  * pipeline as [[graft.core.Ingest]]. `foreachBatch` is required (not a
+  * declarative sink) because the reference picks the SINK per row — the
+  * `type_id` decides which table a message lands in, and the schema registry
+  * may evolve between batches; both are driver-side decisions Structured
+  * Streaming cannot express in a single fixed-schema sink (SURVEY §2.B).
+  *
+  * Delivery: per-batch appends + LWW read view ⇒ re-processed batches
+  * (at-least-once replay after failure) converge to the same serving state —
+  * the same idempotence Cassandra upserts gave the reference.
+  */
+object StreamingIngest {
+
+  /** Kafka envelope stream (requires the spark-sql-kafka connector on the
+    * classpath — present on real clusters; absent in this container, where
+    * specs use file/memory sources through [[start]] instead).
+    * Mirrors consumer config: topics + group (reference config.py:8-10). */
+  def fromKafka(spark: SparkSession, bootstrapServers: String,
+                topics: Seq[String], groupId: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("kafka.group.id", groupId)
+      .option("startingOffsets", "earliest")
+      .load()
+      // value: binary msgpack-or-json, exactly the reference's input bytes
+      .select(Codecs.decodeMessageUdf(col("value")).as("message"))
+
+  /** Run the engine over any streaming DataFrame bearing a `message` column
+    * (JSON envelope). Each micro-batch runs the full batch pipeline:
+    * decode → per-type infer/validate/flatten/evolve → append. */
+  def start(h: Engine.Handle, envelopes: DataFrame, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    envelopes.writeStream
+      .queryName("graft-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch failure isolation (reference consumer.py:78-83): a
+        // poison batch logs and is skipped; good rows in it were already
+        // split out by the pipeline's quarantine routing
+        try h.ingest(batch)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[graft-ingest] batch $batchId failed: ${e.getMessage}")
+        }
+        ()
+      }
+      .start()
+}

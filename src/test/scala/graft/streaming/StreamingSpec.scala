@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Engine
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming behavior: micro-batch ingest through the full engine pipeline,
+  * watermarked event-time windows, in-watermark dedup, custom keyed state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeJsonFiles(dir: String, batches: Seq[Seq[String]]): Unit =
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      val p = java.nio.file.Paths.get(dir, f"b$i%03d.json")
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      // distinct mtimes: the file source orders batches by modification time
+      p.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+  test("streaming ingest: file-source envelopes -> per-type tables via foreachBatch") {
+    val srcDir = tmpDir("graft-stream-src")
+    val ckpt = tmpDir("graft-stream-ckpt")
+    writeJsonFiles(srcDir, Seq(
+      Seq(
+        """{"m":{"type_id":"s1","data":{"id":"a","v":1}}}""",
+        """{"m":{"type_id":"s1","data":{"id":"b","v":2}}}""",
+        """{"m":{"type_id":"s2","data":{"id":"a","w":"x"}}}"""),
+      Seq(
+        """{"m":{"type_id":"s1","data":{"id":"a","v":9,"fresh":"new-col"}}}""")))
+
+    val h = Engine.bootstrap(spark, tmpDir("graft-stream-wh"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("m", StringType))))
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .json(srcDir)
+      .select(col("m").as("message"))
+    val q = StreamingIngest.start(h, stream, ckpt)
+    q.awaitTermination(120000)
+
+    val s1 = h.table("s1") // LWW serving view
+    assert(s1.count() === 2)
+    val a = s1.filter($"id" === "a").collect().head
+    assert(a.getAs[Long]("v") === 9L)          // later batch won
+    assert(a.getAs[String]("fresh") === "new-col") // schema evolved mid-stream
+    assert(h.table("s2").count() === 1)
+    assert(h.tableLog("s1").count() === 3)     // append log kept history
+  }
+
+  test("watermarked tumbling window aggregation over a stream") {
+    val srcDir = tmpDir("graft-stream-win")
+    val ckpt = tmpDir("graft-stream-win-ckpt")
+    writeJsonFiles(srcDir, Seq(Seq(
+      """{"ts":"2024-01-01T00:05:00.000Z","k":"a"}""",
+      """{"ts":"2024-01-01T00:55:00.000Z","k":"a"}""",
+      """{"ts":"2024-01-01T01:05:00.000Z","k":"b"}""")))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType), StructField("k", StringType))))
+      .json(srcDir)
+    val agg = EventTime.tumblingStream(stream, "ts", "k", "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("win_out").orderBy("window_start", "k").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n") === 2) // two 'a' events in hour 0
+    assert(rows(1).getAs[String]("k") === "b")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a replayed stream") {
+    val srcDir = tmpDir("graft-stream-dedup")
+    val ckpt = tmpDir("graft-stream-dedup-ckpt")
+    writeJsonFiles(srcDir, Seq(Seq(
+      """{"ts":"2024-01-01T00:05:00.000Z","id":1}""",
+      """{"ts":"2024-01-01T00:06:00.000Z","id":1}""",
+      """{"ts":"2024-01-01T00:07:00.000Z","id":2}""")))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType), StructField("id", LongType))))
+      .json(srcDir)
+    val deduped = EventTime.dedupStream(stream, "ts", Seq("id"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").select("id").distinct().count() === 2)
+    assert(spark.table("dedup_out").count() === 2)
+  }
+
+  test("mapGroupsWithState per-user profiles (batch-equivalent run)") {
+    val events = Seq(
+      Stateful.UserEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Stateful.UserEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 5.0),
+      Stateful.UserEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 3.0)
+    ).toDS()
+    val profiles = Stateful.userProfiles(spark, events).collect()
+      .sortBy(_.user_id)
+    assert(profiles.length === 2)
+    assert(profiles(0).n_events === 2 && profiles(0).last_value === 5.0)
+    assert(profiles(1).n_events === 1 && profiles(1).last_value === 3.0)
+  }
+}
