@@ -123,13 +123,21 @@ object Queries {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** S18 analog: time-range scan (min-max/row-group skipping at scale). */
-  val qPredRangeTime: Q = (s, d) =>
-    Tables.events(s, d)
-      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType) &&
-        col("ts") < lit("2024-01-12 00:00:00").cast(TimestampType))
+  /** S18 analog: time-range scan. The predicate is applied to the RAW
+    * nanosecond long column so it pushes to the parquet scan (min-max
+    * row-group skipping) — a filter on the derived µs-timestamp would not.
+    * `ts_ns >= B·1000 ⟺ floor(ts_ns/1000) >= B` for whole-µs bounds, so the
+    * semantics match the oracle's timestamp comparison exactly. */
+  val qPredRangeTime: Q = (s, d) => {
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000000L
+    Tables.load(s, d, "events")
+      .filter(col("ts") >= ns("2024-01-10T00:00:00Z") &&
+        col("ts") < ns("2024-01-12T00:00:00Z"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "event_type")
       .orderBy("event_id")
+  }
 
   // ------------------------------------------------------------------
   // Joins

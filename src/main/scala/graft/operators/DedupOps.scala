@@ -37,13 +37,20 @@ object DedupOps {
 
   /** Exact n-gram Jaccard near-dup pairs within deterministic blocks.
     * `blockCols` bound the quadratic pair space (e.g. lang+source); emits
-    * (idA < idB, jaccard ≥ threshold). */
+    * (idA < idB, jaccard ≥ threshold).
+    *
+    * Shingles are compared as xxhash64 values, not strings: set sizes are
+    * identical as long as the hash is injective on the observed shingle
+    * universe (collision odds ~|shingles|²/2⁶⁴ ≈ 1e-8 here; verified
+    * collision-free on the test corpus), and long-array intersection is
+    * several× cheaper than string-array intersection over the O(block²)
+    * pair space. */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], k: Int,
                       threshold: Double): DataFrame = {
     val withSh = docs.select(
       (col(idCol).as("id") +: blockCols.map(c => col(c))) :+
-        shingles(col(textCol), k).as("sh"): _*)
+        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"): _*)
     val a = withSh.alias("a")
     val b = withSh.alias("b")
     val blockCond = blockCols.map(c => col(s"a.`$c`") === col(s"b.`$c`"))
@@ -54,24 +61,26 @@ object DedupOps {
       .filter(col("jac") >= threshold)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the shingle set of xxhash64(shingle, seed). */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleSet, s => xxhash64(s, lit(seed))))
-    }: _*)
-
   /** MinHash + LSH banding near-dup candidates: signatures are cut into
     * `bands` bands of `rowsPerBand`; docs sharing any band land in the same
-    * bucket; candidate pairs are verified with exact Jaccard on shingles.
-    * The only shuffle is the bucket self-join — linear in bucket sizes. */
+    * bucket; candidate pairs are verified with exact Jaccard on (hashed)
+    * shingles. The only shuffle is the bucket self-join — linear in bucket
+    * sizes.
+    *
+    * The signature frame is locally checkpointed: the self-join would
+    * otherwise evaluate the whole shingle+minhash pipeline on BOTH sides
+    * (2× the dominant cost) — at cluster scale one materializes signatures
+    * for the same reason. */
   def minhashLshNearDups(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                          threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigd = docs.select(col(idCol).as("id"),
-        shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"))
+      .withColumn("sig", array((0 until numHashes).map { seed =>
+        array_min(transform(col("sh"), h => xxhash64(h, lit(seed))))
+      }: _*))
+      .localCheckpoint()
     val banded = sigd.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(transform(
@@ -91,16 +100,24 @@ object DedupOps {
       .select("id_a", "id_b", "jac")
   }
 
-  /** 64-bit SimHash of a token set: per bit, majority vote of token-hash
-    * bits. Codegen-only (bitwise ops over xxhash64). */
-  def simhash64(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
-    (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(lit(-1L)))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Per-document 64-bit SimHash signatures: explode tokens, hash each ONCE,
+    * and majority-vote all 64 bits in a single vectorized hash aggregate
+    * (64 conditional sums). One shuffle, map-side combined; the expression
+    * stays small enough for whole-stage codegen — the naive "64 aggregate
+    * lambdas" formulation re-hashes every token 64× and blows up codegen. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    tok.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -111,8 +128,7 @@ object DedupOps {
     * distance ≤ maxDist. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val sigd = docs.select(col(idCol).as("id"),
-      simhash64(array_distinct(split(col(textCol), " "))).as("sig"))
+    val sigd = simhashSignatures(docs, idCol, textCol).localCheckpoint()
     val banded = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))

@@ -46,10 +46,16 @@ object VectorOps {
     * corpus by cosine desc (tie-break id asc) and keep the top k. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    // norms are precomputed per SIDE, not per pair: |Q|+|C| decimal
+    // aggregates instead of 2·|Q|·|C| — the dot product is the only
+    // per-pair work
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", sqrt(dotDec(col("qv"), col("qv")).cast(DoubleType))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nnorm", sqrt(dotDec(col("nv"), col("nv")).cast(DoubleType)))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("cosine", round(
+        dotDec(col("qv"), col("nv")).cast(DoubleType) / (col("qnorm") * col("nnorm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -80,12 +86,15 @@ object VectorOps {
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes)))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+      .withColumn("qnorm", sqrt(dotDec(col("qv"), col("qv")).cast(DoubleType))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("bucket", lshBucket(col("nv"), nPlanes))
+      .withColumn("nnorm", sqrt(dotDec(col("nv"), col("nv")).cast(DoubleType)))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("cosine", round(
+        dotDec(col("qv"), col("nv")).cast(DoubleType) / (col("qnorm") * col("nnorm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
