@@ -50,14 +50,15 @@ object DedupOps {
                       threshold: Double): DataFrame = {
     val withSh = docs.select(
       (col(idCol).as("id") +: blockCols.map(c => col(c))) :+
-        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"): _*)
+        array_sort(array_distinct(
+          transform(shingles(col(textCol), k), s => xxhash64(s)))).as("sh"): _*)
     val a = withSh.alias("a")
     val b = withSh.alias("b")
     val blockCond = blockCols.map(c => col(s"a.`$c`") === col(s"b.`$c`"))
       .reduceOption(_ && _).getOrElse(lit(true))
     a.join(b, blockCond && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jac"))
+        graft.plans.SortedIntersect.jaccardSorted(col("a.sh"), col("b.sh")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -76,7 +77,8 @@ object DedupOps {
                          threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigd = docs.select(col(idCol).as("id"),
-        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"))
+        array_sort(array_distinct(
+          transform(shingles(col(textCol), k), s => xxhash64(s)))).as("sh"))
       .withColumn("sig", array((0 until numHashes).map { seed =>
         array_min(transform(col("sh"), h => xxhash64(h, lit(seed))))
       }: _*))
@@ -95,7 +97,8 @@ object DedupOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b") // same pair may share several bands
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jac",
+        graft.plans.SortedIntersect.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }

@@ -63,38 +63,40 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane: for (plane p, dim d) the
-    * coefficient is a hash-derived value in [-0.5, 0.5). Stateless — every
-    * executor regenerates it identically, nothing to broadcast. */
-  private def planeCoef(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast(DoubleType) / 1e6) - 0.5
+  /** Deterministic random hyperplanes: fixed-seed PRNG, regenerated
+    * identically everywhere — a few KB of literals, nothing to broadcast. */
+  def planes(nPlanes: Int, dims: Int): Seq[Array[Float]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Array.fill(dims)(rng.nextFloat() - 0.5f))
+  }
 
-  /** Sign-of-projection LSH bucket id from `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeCoef(p, i)),
-        lit(java.math.BigDecimal.ZERO).cast(Dec),
-        (acc, x) => (acc + x.cast(Dec)).cast(Dec))
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Sign-of-projection LSH bucket id from `nPlanes` hyperplanes, computed
+    * with the native codegen'd dot kernel ([[graft.plans.FloatDotProduct]]). */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
+    planes(nPlanes, dims).zipWithIndex.map { case (p, i) =>
+      when(graft.plans.FloatVectorExpressions.dot(vec, typedlit(p)) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed approximate top-k: queries only rank candidates in their
     * own hyperplane-sign bucket. Recall < 1 by construction; the scale path
-    * for corpora where the brute-force scan per query is too hot. */
+    * for corpora where the brute-force scan per query is too hot. Runs on
+    * the fast double kernels (per-row sequential fold — deterministic, just
+    * not oracle-shared). */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+                    vecCol: String, k: Int, nPlanes: Int = 8,
+                    dims: Int = 64): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
-      .withColumn("qnorm", sqrt(dotDec(col("qv"), col("qv")).cast(DoubleType))))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes, dims))
+      .withColumn("qnorm", norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("bucket", lshBucket(col("nv"), nPlanes))
-      .withColumn("nnorm", sqrt(dotDec(col("nv"), col("nv")).cast(DoubleType)))
+      .withColumn("bucket", lshBucket(col("nv"), nPlanes, dims))
+      .withColumn("nnorm", norm(col("nv")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(
-        dotDec(col("qv"), col("nv")).cast(DoubleType) / (col("qnorm") * col("nnorm")), 6))
+        dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

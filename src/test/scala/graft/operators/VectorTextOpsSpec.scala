@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorTextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // near v0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to v0
+    (3L, Array(-1.0f, 0.0f, 0.0f))  // opposite of v0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine top-k ranks by similarity with exact values") {
+    val r = VectorOps.cosineTopK(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(math.abs(r(0).getAs[Double]("cosine") - 0.993884) < 1e-6)
+    assert(r(1).getAs[Double]("cosine") === 0.0)
+    assert(r(2).getAs[Double]("cosine") === -1.0)
+  }
+
+  test("LSH ANN: identical vectors share a bucket; opposite vectors do not") {
+    val b = vecs.select(col("vec_id"),
+      VectorOps.lshBucket(col("embedding"), 8, dims = 3).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) !== b(3L)) // every plane flips sign for the negation
+    val ann = VectorOps.cosineTopKLsh(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 3, nPlanes = 4, dims = 3)
+    // candidates are bucket-mates only; whatever returns must be ranked right
+    val rows = ann.orderBy("rank").collect()
+    assert(rows.map(_.getAs[Double]("cosine")).toSeq.sorted.reverse ===
+      rows.map(_.getAs[Double]("cosine")).toSeq)
+  }
+
+  test("quality metrics compute exact ratios") {
+    val docs = Seq((1L, "the cat the cat runs", 20L)).toDF("doc_id", "text", "n_chars")
+    val m = TextOps.qualityMetrics(docs).collect().head
+    assert(m.getAs[Long]("n_words") === 5L)
+    assert(m.getAs[Long]("n_distinct_words") === 3L)
+    assert(m.getAs[Double]("stopword_ratio") === 0.4) // "the" twice / 5
+    assert(m.getAs[Double]("dedup_ratio") === 0.6)
+  }
+
+  test("bpe-ish tokenizer splits words, digits, punctuation") {
+    val r = Seq("hello, world42 x!").toDF("text")
+      .select(TextOps.bpeishTokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(r === Seq("hello", ",", "world", "42", "x", "!"))
+  }
+
+  test("fingerprint is word-order insensitive") {
+    val fps = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("langid predicts from marker tokens deterministically") {
+    val docs = Seq(
+      (1L, "der hund und die katze ist hier"),
+      (2L, "le chat et les oiseaux des arbres"),
+      (3L, "xyzzy plugh")) // no markers -> lexicographically first lang
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextOps.langIdPredict(col("text"), TextOps.defaultMarkers).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "de")
+    assert(r(2L) === "fr")
+    assert(r(3L) === "de") // deterministic tie-break
+  }
+
+  test("multimodal decode plumbing: schema, determinism, null payloads") {
+    val docs = Seq((1L, "payload-a"), (2L, "payload-b"), (3L, null))
+      .toDF("doc_id", "txt")
+      .select(col("doc_id"), col("txt").cast("binary").as("payload"))
+    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload")
+    val rows = f.orderBy("doc_id").collect()
+    assert(f.columns.toSeq === Seq("doc_id", "width", "height", "n_frames", "feature"))
+    assert(rows(0).getAs[Seq[Float]]("feature").length === 8)
+    assert(rows(2).getAs[Int]("width") === 0) // null payload -> zero features
+    // deterministic: same payload, same features
+    val again = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+}

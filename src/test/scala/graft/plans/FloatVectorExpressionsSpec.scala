@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FloatVectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.0f, 0.0f), Array(1.0f, 1.0f))
+  ).toDF("id", "a", "b")
+
+  test("native dot matches the built-in HOF formulation") {
+    val builtin = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(col("id"),
+        FloatVectorExpressions.dot(col("a"), col("b")).as("native"),
+        builtin.as("hof"))
+      .orderBy("id").collect()
+    rows.foreach(r => assert(r.getDouble(1) === r.getDouble(2)))
+    assert(rows(0).getDouble(1) === 32.0)
+  }
+
+  test("native norm") {
+    val r = df.select(col("id"), FloatVectorExpressions.norm(col("a")).as("n"))
+      .orderBy("id").collect()
+    assert(math.abs(r(0).getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(r(1).getDouble(1) === 0.0)
+  }
+
+  test("null inputs propagate null") {
+    val withNull = Seq((1L, null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("id", "a", "b")
+    val r = withNull.select(FloatVectorExpressions.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("SQL registration via GraftExtensions: graft_dot / graft_norm callable from SQL") {
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("vexpr_test")
+    val r = spark.sql(
+      "SELECT id, graft_dot(a, b) AS d, graft_norm(a) AS n FROM vexpr_test ORDER BY id")
+      .collect()
+    assert(r(0).getDouble(1) === 32.0)
+    assert(math.abs(r(0).getDouble(2) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("codegen survives: native kernels stay inside wholestage codegen") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val plan = emb.select(
+        FloatVectorExpressions.dot(col("embedding"), col("embedding")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("WholeStageCodegen"))
+    assert(!plan.contains("Found 0 WholeStageCodegen"))
+  }
+}
