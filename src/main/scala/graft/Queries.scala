@@ -462,6 +462,20 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-partitioned approximate ANN — rows-only (approximate). */
+  val qVecAnnIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineTopKIvf(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs — rows-only (native double kernels). */
+  val qDedupEmbedding: Q = (s, d) =>
+    VectorOps.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
   /** Multimodal decode plumbing over binary payloads (stubbed codec) —
     * rows-only. */
   val qMultimodalDecode: Q = (s, d) => {

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_dedup_simhash" -> Queries.qDedupSimhash,
     "q_vec_cosine_topk" -> Queries.qVecCosineTopk,
     "q_vec_ann_lsh" -> Queries.qVecAnnLsh,
+    "q_vec_ann_ivf" -> Queries.qVecAnnIvf,
+    "q_dedup_embedding" -> Queries.qDedupEmbedding,
     "q_multimodal_decode" -> Queries.qMultimodalDecode,
   )
 

@@ -44,6 +44,12 @@ object Engine {
     def ingest(envelopes: DataFrame, messageCol: String = "message",
                ingestTime: Option[java.sql.Timestamp] = None): Ingest.Report =
       Ingest.ingest(spark, registry, envelopes, messageCol, ingestTime)
+
+    /** Health check (reference GET /__heartbeat__,
+      * tests/test_views.py:186-190): server/schema liveness booleans. */
+    def heartbeat: Map[String, Boolean] = Map(
+      "server" -> !spark.sparkContext.isStopped,
+      "schema" -> registry.knownTypes.contains("descriptor_model"))
   }
 
   /** Bootstrap the engine over a warehouse directory (keyspace analog).

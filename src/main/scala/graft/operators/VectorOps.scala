@@ -103,4 +103,69 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** IVF-style approximate top-k: a deterministic coarse codebook (the
+    * `nCentroids` lowest-id corpus vectors — a real deployment trains
+    * k-means; the partition/probe plumbing is identical), every vector
+    * assigned to its nearest centroid, queries probe `nProbe` nearest
+    * cells only. Candidate generation is one broadcast-join on cell id —
+    * the inverted-file shape that scales: list size ~N/nCentroids. */
+  def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nCentroids: Int = 16,
+                    nProbe: Int = 4): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", norm(col("cv"))))
+
+    def cellsFor(df: DataFrame, vec: String, probe: Int): DataFrame = {
+      val w = Window.partitionBy("__vid").orderBy(
+        col("__sim").desc, col("cent_id").asc)
+      df.withColumn("__vid", col(idCol))
+        .crossJoin(cents)
+        .withColumn("__sim", dot(col(vec), col("cv")) / (norm(col(vec)) * col("cnorm")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= probe)
+        .drop("cv", "cnorm", "__sim", "__r", "__vid")
+        .withColumnRenamed("cent_id", "cell")
+    }
+
+    val q = broadcast(cellsFor(
+        queries.select(col(idCol), col(vecCol).as("qv"))
+          .withColumn("qnorm", norm(col("qv"))), "qv", nProbe)
+      .withColumnRenamed(idCol, "query_id"))
+    val c = cellsFor(
+      corpus.select(col(idCol), col(vecCol).as("nv"))
+        .withColumn("nnorm", norm(col("nv"))), "nv", 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .dropDuplicates("query_id", "neighbor_id") // multi-probe overlap
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs (the vector analog of Jaccard dedup):
+    * all pairs above `threshold`, exact over the full pair space — runs on
+    * the native kernels; at corpus scale swap candidate generation for
+    * [[lshBucket]] cells. */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    import graft.plans.FloatVectorExpressions.dot
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", graft.plans.FloatVectorExpressions.norm(col("v")))
+    val a = side.alias("a")
+    val b = side.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .withColumn("cosine", round(
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
 }

@@ -36,6 +36,23 @@ class VectorTextOpsSpec extends SparkSpec {
       rows.map(_.getAs[Double]("cosine")).toSeq)
   }
 
+  test("IVF ANN returns ranked bucket-mates; embedding near-dup finds close pairs") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val ivf = VectorOps.cosineTopKIvf(emb, emb.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.sorted.reverse.toSeq === cos.toSeq) // ranked descending
+    }
+    val dups = VectorOps.cosineNearDups(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)), (3L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups === Set((1L, 2L)))
+  }
+
   test("quality metrics compute exact ratios") {
     val docs = Seq((1L, "the cat the cat runs", 20L)).toDF("doc_id", "text", "n_chars")
     val m = TextOps.qualityMetrics(docs).collect().head
