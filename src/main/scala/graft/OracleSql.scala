@@ -119,6 +119,18 @@ object OracleSql {
         |  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
         |GROUP BY a.event_id ORDER BY event_id""".stripMargin,
 
+    "q_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+        |l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |r0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |         ORDER BY event_id DESC) AS rn
+        |       FROM e WHERE event_type = 'signup'),
+        |r AS (SELECT user_id, ts, event_id AS signup_event_id, value AS signup_value
+        |      FROM r0 WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, r.signup_event_id, r.signup_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
     // --- Aggregation ------------------------------------------------
     "q_agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -194,6 +194,22 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Point-in-time as-of join via the union+window operator ([[operators.AsOf]]):
+    * each purchase matched to the user's latest prior-or-same-time signup.
+    * Oracle uses DuckDB's native ASOF LEFT JOIN — two independent
+    * formulations of the same semantics. */
+  val qJoinAsof: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts", "value", "event_type")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = e.filter(col("event_type") === "signup")
+    operators.AsOf.join(purchases, signups, key = "user_id", ts = "ts",
+        rightId = "event_id",
+        rightValueCols = Map("event_id" -> "signup_event_id", "value" -> "signup_value"))
+      .select("event_id", "user_id", "signup_event_id", "signup_value")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------
   // Aggregation
   // ------------------------------------------------------------------
