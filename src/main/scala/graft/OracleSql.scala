@@ -143,6 +143,35 @@ object OracleSql {
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_collect_sorted" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+        |  CUME_DIST() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps

@@ -251,6 +251,15 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated median per group (rounded: the two engines'
+    * interpolation arithmetic differs in the last ulp). */
+  val qAggPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+      .orderBy("l_returnflag")
+
   val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
@@ -271,9 +280,47 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Pivot: returnflag × linestatus counts as columns. */
+  val qPivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("l_returnflag")
+
+  /** Correlated scalar subquery: orders above their customer's average. */
+  val qScalarSubquery: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val avgs = o.groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast(Dec)).cast(DoubleType) / count(lit(1)))
+        .as("cust_avg"))
+    o.join(avgs, Seq("o_custkey"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered string aggregation (deterministic listagg). */
+  val qAggCollectSorted: Q = (s, d) =>
+    Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("n_regionkey")
+
   // ------------------------------------------------------------------
   // Window functions
   // ------------------------------------------------------------------
+
+  /** ntile + percent_rank ranking battery. */
+  val qWinNtile: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
 
   val qWinRankTopkPerGroup: Q = (s, d) => {
     val w = Window.partitionBy("o_custkey")

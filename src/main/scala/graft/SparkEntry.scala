@@ -38,6 +38,11 @@ object SparkEntry {
     // aggregation
     "q_agg_hash" -> Queries.qAggHash,
     "q_agg_distinct" -> Queries.qAggDistinct,
+    "q_pivot" -> Queries.qPivot,
+    "q_scalar_subquery" -> Queries.qScalarSubquery,
+    "q_agg_collect_sorted" -> Queries.qAggCollectSorted,
+    "q_win_ntile" -> Queries.qWinNtile,
+    "q_agg_percentile" -> Queries.qAggPercentile,
     "q_agg_approx_distinct" -> Queries.qAggApproxDistinct,
     "q_agg_minmax" -> Queries.qAggMinmax,
     "q_rollup" -> Queries.qRollup,
