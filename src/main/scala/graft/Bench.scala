@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/session warmup outside the timed loop: one trivial job + parquet
+    // footer reads so the first measured query doesn't absorb session init
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings",
+      "part", "supplier", "nation", "region").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").schema catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -352,11 +352,11 @@ object OracleSql {
         |dots AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |    CAST(list_sum(list_transform(list_zip(q.qv, e.embedding),
-        |      p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,18)))) AS DOUBLE) AS dot,
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS dot,
         |    CAST(list_sum(list_transform(list_zip(q.qv, q.qv),
-        |      p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,18)))) AS DOUBLE) AS qq,
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS qq,
         |    CAST(list_sum(list_transform(list_zip(e.embedding, e.embedding),
-        |      p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,18)))) AS DOUBLE) AS nn
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS nn
         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id,

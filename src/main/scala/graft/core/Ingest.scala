@@ -52,17 +52,38 @@ object Ingest {
     val cached = good.cache()
     try {
       val types = cached.select("type_id").distinct().as[String].collect().sorted
-      var quarantined = 0L
-      val counts = types.map { typeId =>
-        val payloads: Dataset[String] =
-          cached.filter($"type_id" === typeId).select("data_json").as[String]
-        val n = ingestType(spark, registry, typeId, payloads, ingestTime)
-        quarantined += n._2
-        typeId -> n._1
-      }.toMap
-      Report(counts, deadLetters, quarantined)
+      // Types are independent (separate tables, separate registry rows with
+      // locked mutations) — fan their sub-batches out concurrently; Spark's
+      // scheduler interleaves the jobs. Mirrors a real cluster where a
+      // driver loop over types would serialize executor idle time.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = Ingest.ingestPool
+      val futures = types.toSeq.map { typeId =>
+        Future {
+          val payloads: Dataset[String] =
+            cached.filter($"type_id" === typeId).select("data_json").as[String]
+          typeId -> ingestType(spark, registry, typeId, payloads, ingestTime)
+        }
+      }
+      val results = Await.result(Future.sequence(futures), Duration.Inf)
+      Report(
+        results.map { case (t, (n, _)) => t -> n }.toMap,
+        deadLetters,
+        results.map(_._2._2).sum)
     } finally cached.unpersist()
   }
+
+  /** Bounded pool for per-type ingest concurrency (driver-side job
+    * submission only; the heavy lifting stays on executors). Daemon threads:
+    * the pool must never block JVM exit. */
+  private lazy val ingestPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-ingest")
+        t.setDaemon(true)
+        t
+      }))
 
   /** One type's sub-batch: returns (written, quarantined). */
   def ingestType(spark: SparkSession, registry: SchemaRegistry, typeId: String,
@@ -101,9 +122,12 @@ object Ingest {
     val v = Validation.validate(flat, target)
     val nQuarantine = v.quarantined.count()
     if (nQuarantine > 0) {
+      // per-type quarantine path: concurrent type ingests must not share a
+      // FileOutputCommitter staging directory
       Validation.quarantineRecords(v.quarantined)
         .withColumn("type_id", lit(typeId))
-        .write.mode("append").parquet(registry.warehouseDir + "/quarantine")
+        .write.mode("append")
+        .parquet(registry.warehouseDir + s"/quarantine/$typeId")
     }
 
     // 5. Defaults: id (uuid1-hex analog; deterministic content hash also

@@ -60,8 +60,10 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     Types.withMetaFields(StructType(fields))
   }
 
-  /** Serialize a StructType to a descriptors-table row and upsert it. */
-  private def writeDescriptor(typeId: String, schema: StructType): Unit = {
+  /** Serialize a StructType to a descriptors-table row and upsert it.
+    * Synchronized: concurrent per-type ingest threads (Ingest parallelism)
+    * must not interleave the read-modify-write of the descriptors table. */
+  private def writeDescriptor(typeId: String, schema: StructType): Unit = synchronized {
     val props: Map[String, Row] = schema.fields.map { f =>
       val d = Types.fromStructField(f)
       f.name -> Row(d.jsonType, d.format.orNull, d.primaryKey, d.partitionKey,
@@ -102,7 +104,7 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
   /** Add-only evolution (reference models.py:138-153): merge newly-inferred
     * fields into the registered schema, persist, refresh cache. No-op when
     * nothing is new or the registry is immutable. */
-  def evolve(typeId: String, incoming: StructType): StructType = {
+  def evolve(typeId: String, incoming: StructType): StructType = synchronized {
     val current = getOrCreate(typeId)
     val merged = Inference.mergeAddOnly(current, incoming)
     if (merged.length != current.length) {

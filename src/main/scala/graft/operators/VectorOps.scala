@@ -32,6 +32,19 @@ object VectorOps {
       // to DECIMAL(38,17), which would break the accumulator type contract
       (acc, x) => (acc + x.cast(Dec)).cast(Dec))
 
+  /** Fixed-point dot product: each double product floored onto a 1e-13 grid
+    * and summed as longs. Exact and associative (partition-order immune)
+    * like the decimal path, identically computable in ANSI SQL
+    * (FLOOR/BIGINT), but runs on primitive long adds inside codegen instead
+    * of boxed decimals. 64 terms × |p|≤~1e13 stays far below 2^53, so the
+    * final long→double conversion is exact in both engines. */
+  def dotFixed(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e13))),
+      lit(0L), (acc, x) => acc + x)
+      .cast(DoubleType) / lit(1e13)
+
   /** Cosine similarity, rounded to 6 dp. The decimal accumulation is exact
     * WITHIN an engine (partition-order independent), but the double→decimal
     * cast itself rounds differently across engines (shortest-string vs
@@ -46,16 +59,15 @@ object VectorOps {
     * corpus by cosine desc (tie-break id asc) and keep the top k. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    // norms are precomputed per SIDE, not per pair: |Q|+|C| decimal
-    // aggregates instead of 2·|Q|·|C| — the dot product is the only
-    // per-pair work
+    // norms are precomputed per SIDE, not per pair: |Q|+|C| aggregates
+    // instead of 2·|Q|·|C| — the dot product is the only per-pair work
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qnorm", sqrt(dotDec(col("qv"), col("qv")).cast(DoubleType))))
+      .withColumn("qnorm", sqrt(dotFixed(col("qv"), col("qv")))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("nnorm", sqrt(dotDec(col("nv"), col("nv")).cast(DoubleType)))
+      .withColumn("nnorm", sqrt(dotFixed(col("nv"), col("nv"))))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(
-        dotDec(col("qv"), col("nv")).cast(DoubleType) / (col("qnorm") * col("nnorm")), 6))
+        dotFixed(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
