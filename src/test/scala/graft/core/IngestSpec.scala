@@ -72,6 +72,13 @@ class IngestSpec extends SparkSpec {
     assert(row.getAs[Long]("v") === 2L)
     assert(row.getAs[java.sql.Timestamp]("last_modified") === t1)
     assert(h.tableLog("t").count() === 2L) // append log keeps history
+    // compaction collapses the log to the LWW view
+    val compactPath = tmpDir("graft-compact")
+    graft.operators.Upserts.compact(
+      h.tableLog("t"), Seq("id"), "last_modified", compactPath + "/t")
+    val compacted = spark.read.parquet(compactPath + "/t")
+    assert(compacted.count() === 1L)
+    assert(compacted.collect().head.getAs[Long]("v") === 2L)
   }
 
   test("nested objects flatten to __ columns; nulls never create columns") {

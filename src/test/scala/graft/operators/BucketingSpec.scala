@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The co-location contract: bucketed tables join and aggregate with no
+  * shuffle exchange in the physical plan. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join on the bucket key plans without a shuffle") {
+    val li = graft.Tables.lineitem(spark, sf())
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = graft.Tables.orders(spark, sf())
+      .selectExpr("o_orderkey AS l_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "b_orders", "l_orderkey", 8)
+
+    val joined = Bucketing.bucketedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
+    assert(joined.count() === 6000) // sf0.001 lineitem rows, all orders match
+    assert(Bucketing.isShuffleFree(joined),
+      "bucketed join must not shuffle:\n" + joined.queryExecution.executedPlan)
+
+    // bucket-local aggregation: groupBy on the bucket key also shuffle-free
+    val agg = spark.table("b_lineitem").groupBy("l_orderkey")
+      .agg(sum("l_quantity"))
+    agg.count()
+    assert(Bucketing.isShuffleFree(agg),
+      "bucket-local aggregation must not shuffle:\n" + agg.queryExecution.executedPlan)
+
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+  }
+}
