@@ -270,6 +270,18 @@ object OracleSql {
         |  CAST(list_min(embedding) AS DOUBLE) AS e_min
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    "q_date_cond_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_end,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'final'
+        |       WHEN o_orderstatus = 'O' THEN 'open'
+        |       ELSE 'partial' END AS status_label,
+        |  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS priority_or_default,
+        |  GREATEST(o_totalprice, 100000.0) AS price_floor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_json_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -417,6 +417,23 @@ object Queries {
       array_min(col("embedding")).cast(DoubleType).as("e_min"))
       .orderBy("vec_id")
 
+  /** Date-part + conditional scalar battery. */
+  val qDateCondFuncs: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      datediff(lit("1998-12-31").cast(DateType), col("o_orderdate").cast(DateType))
+        .as("days_to_end"),
+      when(col("o_orderstatus") === "F", "final")
+        .when(col("o_orderstatus") === "O", "open")
+        .otherwise("partial").as("status_label"),
+      coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")),
+        lit("unspecified")).as("priority_or_default"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("price_floor"))
+      .orderBy("o_orderkey")
+
   val qJsonGet: Q = (s, d) =>
     Tables.events(s, d).select(
       col("event_id"),

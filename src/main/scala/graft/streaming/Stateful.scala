@@ -42,4 +42,31 @@ object Stateful {
       .mapGroupsWithState[UserProfile, UserProfile](
         GroupStateTimeout.NoTimeout())(profileUpdate)
   }
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  closed: Boolean)
+
+  /** Session close-out via flatMapGroupsWithState with event-time timeout:
+    * events accumulate per user; when the watermark passes last-seen + gap,
+    * the timed-out state EMITS a final summary and clears — the
+    * "emit-on-session-close" shape (late data past the watermark is dropped
+    * by the engine). */
+  def sessionCloseouts(spark: SparkSession, events: Dataset[UserEvent],
+                       gapMs: Long): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserProfile, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, it, state) =>
+          if (state.hasTimedOut) {
+            val p = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, p.n_events, closed = true))
+          } else {
+            profileUpdate(userId, it, state)
+            state.setTimeoutTimestamp(state.get.last_seen.getTime + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

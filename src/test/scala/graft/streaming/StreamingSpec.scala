@@ -87,6 +87,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("flatMapGroupsWithState: event-time timeout emits session close-outs") {
+    val srcDir = tmpDir("graft-stream-closeout")
+    writeJsonFiles(srcDir, Seq(
+      Seq(
+        """{"user_id":1,"ts":"2024-01-01T00:00:00.000Z","value":1.0}""",
+        """{"user_id":1,"ts":"2024-01-01T00:05:00.000Z","value":2.0}"""),
+      Seq(
+        // far-future event advances the watermark past user 1's gap
+        """{"user_id":2,"ts":"2024-01-01T03:00:00.000Z","value":9.0}""")))
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .json(srcDir)
+      .withWatermark("ts", "1 minute")
+      .as[Stateful.UserEvent](org.apache.spark.sql.Encoders.product[Stateful.UserEvent])
+    val closed = Stateful.sessionCloseouts(spark, stream, gapMs = 30 * 60 * 1000L)
+    val q = closed.writeStream.format("memory").queryName("closeout_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("closeout_out").collect()
+    assert(rows.length === 1) // user 1's session closed; user 2 still open
+    assert(rows.head.getAs[Long]("user_id") === 1L)
+    assert(rows.head.getAs[Long]("n_events") === 2L)
+    assert(rows.head.getAs[Boolean]("closed"))
+  }
+
   test("mapGroupsWithState per-user profiles (batch-equivalent run)") {
     val events = Seq(
       Stateful.UserEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
