@@ -11,22 +11,29 @@ import graft.core.Engine
   */
 object Flagship {
 
-  /** Ingest `events.parquet` from `sfDir` into a fresh warehouse; returns the
-    * engine handle. */
-  def ingestEvents(spark: SparkSession, sfDir: String, warehouseDir: String): Engine.Handle = {
+  /** events rows → moisturizer envelopes. `ts` rides as a full-precision
+    * string (to_json would truncate a timestamp field to millis); the
+    * engine's validation casts it back to timestamp because
+    * `last_modified` is a registered meta field. */
+  def envelopesFrom(spark: SparkSession, events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val events = Tables.events(spark, sfDir)
     // props is a JSON string column; lift it to a nested object so the
     // pipeline exercises flatten (props__k etc.)
     val propsSchema = spark.read.json(events.select("props").as[String]).schema
-    val envelopes = events.select(to_json(struct(
+    events.select(to_json(struct(
       col("event_type").as("type_id"),
       struct(
         col("event_id").cast("string").as("id"),
-        col("ts").cast("timestamp").as("last_modified"),
+        col("ts").cast("string").as("last_modified"),
         col("user_id"), col("value"),
         from_json(col("props"), propsSchema).as("props")
       ).as("data"))).as("message"))
+  }
+
+  /** Ingest `events.parquet` from `sfDir` into a fresh warehouse; returns the
+    * engine handle. */
+  def ingestEvents(spark: SparkSession, sfDir: String, warehouseDir: String): Engine.Handle = {
+    val envelopes = envelopesFrom(spark, Tables.events(spark, sfDir))
     val h = Engine.bootstrap(spark, warehouseDir, overrideWarehouse = true)
     h.ingest(envelopes)
     h

@@ -66,6 +66,12 @@ object OracleSql {
         |  CAST(event_id AS DOUBLE) AS id_double
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_engine_ingest" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
     "q_schema_union_evolve" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |       NULL AS l_extendedprice, 'a' AS src FROM lineitem

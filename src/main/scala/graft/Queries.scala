@@ -102,6 +102,24 @@ object Queries {
       col("event_id").cast(DoubleType).as("id_double"))
       .orderBy("event_id")
 
+  /** The ENGINE PIPELINE under the oracle gate: ingest the signup slice of
+    * events through decode → flatten → infer → evolve → LWW, then serve the
+    * resulting table. The oracle is plain SQL over the raw parquet — so
+    * schema inference, meta-field coercion, props flattening and the LWW
+    * view are all hash-checked end-to-end, not just unit-tested. */
+  val qEngineIngest: Q = (s, d) => {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qe-wh").toString
+    val events = Tables.events(s, d).filter(col("event_type") === "signup")
+    val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
+    h.ingest(Flagship.envelopesFrom(s, events))
+    h.table("signup").select(
+      col("id").cast(LongType).as("event_id"),
+      col("user_id"), col("value"),
+      col("props__k").as("k"),
+      col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
   /** S9 schema-evolving union: unionByName with missing columns. */
   val qSchemaUnionEvolve: Q = (s, d) => {
     val li = Tables.lineitem(s, d)

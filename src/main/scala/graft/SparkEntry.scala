@@ -24,6 +24,7 @@ object SparkEntry {
     "q_null_strip" -> Queries.qNullStrip,
     "q_cast_coerce" -> Queries.qCastCoerce,
     "q_schema_union_evolve" -> Queries.qSchemaUnionEvolve,
+    "q_engine_ingest" -> Queries.qEngineIngest,
     // projection / filter
     "q_project_filter" -> Queries.qProjectFilter,
     "q_pred_range_time" -> Queries.qPredRangeTime,
