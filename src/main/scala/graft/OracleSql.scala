@@ -364,6 +364,11 @@ object OracleSql {
         |    AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
 
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // --- Similarity search ------------------------------------------
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

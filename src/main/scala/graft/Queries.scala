@@ -574,6 +574,18 @@ object Queries {
         threshold = 0.6)
       .orderBy("id_a", "id_b")
 
+  /** Multimodal metadata struct over binary payloads — oracle-checked
+    * (byte length + digest agree across engines). */
+  val qMultimodalMeta: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    operators.MultimodalOps.withMediaMeta(docs, "payload", "image/fake")
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.digest").as("digest"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal decode plumbing over binary payloads (stubbed codec) —
     * rows-only. */
   val qMultimodalDecode: Q = (s, d) => {

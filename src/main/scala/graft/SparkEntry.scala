@@ -85,6 +85,7 @@ object SparkEntry {
     "q_vec_ann_ivf" -> Queries.qVecAnnIvf,
     "q_dedup_embedding" -> Queries.qDedupEmbedding,
     "q_multimodal_decode" -> Queries.qMultimodalDecode,
+    "q_multimodal_meta" -> Queries.qMultimodalMeta,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
