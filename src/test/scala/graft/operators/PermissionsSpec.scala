@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Permission matrix semantics from the reference's test suite
+  * (tests/test_views.py:373-440): granted flags admit, missing rows deny. */
+class PermissionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def perms = Permissions.table(spark, Seq(
+    ("alice", "t1", true, true, true),
+    ("bob", "t1", true, false, false),
+    ("bob", "t2", false, false, true)))
+
+  test("flag checks follow the grant matrix; absent rows deny") {
+    assert(Permissions.isAllowed(perms, "alice", "t1", "can_write"))
+    assert(Permissions.isAllowed(perms, "bob", "t1", "can_read"))
+    assert(!Permissions.isAllowed(perms, "bob", "t1", "can_write"))
+    assert(Permissions.isAllowed(perms, "bob", "t2", "can_write"))
+    assert(!Permissions.isAllowed(perms, "bob", "t2", "can_read"))
+    assert(!Permissions.isAllowed(perms, "carol", "t1", "can_read")) // no row
+  }
+
+  test("gateRead admits all rows for granted users and none otherwise") {
+    val data = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    assert(Permissions.gateRead(data, perms, "alice", "t1").count() === 2)
+    assert(Permissions.gateRead(data, perms, "bob", "t2").count() === 0)
+    assert(Permissions.gateRead(data, perms, "carol", "t1").count() === 0)
+  }
+}
