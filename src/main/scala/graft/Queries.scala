@@ -552,11 +552,15 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate ANN — approximate by construction ⇒ rows-only. */
+  /** LSH-bucketed approximate ANN — approximate by construction ⇒ rows-only.
+    * 4 planes = 16 buckets: sized so candidate lists stay a meaningful
+    * fraction of this corpus (more planes ⇒ exponentially more buckets ⇒
+    * vanishing recall at small N; at 10⁸+ vectors one raises planes to keep
+    * per-bucket lists bounded). */
   val qVecAnnLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 10)
+        "embedding", k = 10, nPlanes = 4)
       .orderBy("query_id", "rank")
   }
 

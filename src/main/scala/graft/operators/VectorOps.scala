@@ -76,37 +76,46 @@ object VectorOps {
   }
 
   /** Deterministic random hyperplanes: fixed-seed PRNG, regenerated
-    * identically everywhere — a few KB of literals, nothing to broadcast. */
-  def planes(nPlanes: Int, dims: Int): Seq[Array[Float]] = {
-    val rng = new scala.util.Random(42)
+    * identically everywhere — a few KB of literals, nothing to broadcast.
+    * `seed` varies per hash table (OR-construction). */
+  def planes(nPlanes: Int, dims: Int, seed: Long = 42L): Seq[Array[Float]] = {
+    val rng = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dims)(rng.nextFloat() - 0.5f))
   }
 
   /** Sign-of-projection LSH bucket id from `nPlanes` hyperplanes, computed
     * with the native codegen'd dot kernel ([[graft.plans.FloatDotProduct]]). */
-  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
-    planes(nPlanes, dims).zipWithIndex.map { case (p, i) =>
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int, seed: Long = 42L): Column =
+    planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
       when(graft.plans.FloatVectorExpressions.dot(vec, typedlit(p)) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed approximate top-k: queries only rank candidates in their
-    * own hyperplane-sign bucket. Recall < 1 by construction; the scale path
-    * for corpora where the brute-force scan per query is too hot. Runs on
-    * the fast double kernels (per-row sequential fold — deterministic, just
-    * not oracle-shared). */
+  /** LSH-bucketed approximate top-k with the OR-construction: `tables`
+    * independent hash tables of `nPlanes` sign bits each; a corpus vector is
+    * a candidate when it shares a bucket with the query in ANY table
+    * (recall 1-(1-p^planes)^tables), then candidates are exact-ranked.
+    * Cost is linear in `tables`; the scale path when per-query brute force
+    * is too hot. Runs on the fast double kernels (per-row sequential fold —
+    * deterministic, just not oracle-shared). */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nPlanes: Int = 8,
-                    dims: Int = 64): DataFrame = {
+                    dims: Int = 64, tables: Int = 4): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes, dims))
-      .withColumn("qnorm", norm(col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("bucket", lshBucket(col("nv"), nPlanes, dims))
-      .withColumn("nnorm", norm(col("nv")))
-    val scored = c.join(q, Seq("bucket"))
+    def withBuckets(df: DataFrame, vec: String): DataFrame =
+      df.select(col("*"), posexplode(array((0 until tables).map(t =>
+        lshBucket(col(vec), nPlanes, dims, seed = 42L + t)): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+    val q = broadcast(withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qnorm", norm(col("qv"))), "qv"))
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+        .withColumn("nnorm", norm(col("nv"))), "nv")
+    val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id") // any-table OR semantics
       .withColumn("cosine", round(
         dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
     val w = Window.partitionBy("query_id")
