@@ -137,6 +137,18 @@ object OracleSql {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+        |             date_trunc('hour', MAX(ts)) AS h1 FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts FROM b),
+        |r0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |         ORDER BY event_id DESC) AS rn FROM e),
+        |r AS (SELECT user_id, ts, value AS value_ffill FROM r0 WHERE rn = 1)
+        |SELECT g.user_id, g.ts, r.value_ffill
+        |FROM grid g ASOF LEFT JOIN r ON g.user_id = r.user_id AND r.ts <= g.ts
+        |ORDER BY g.user_id, g.ts""".stripMargin,
+
     // --- Aggregation ------------------------------------------------
     "q_agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -228,6 +228,24 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Time-series resample: per-user hourly grid spanning each user's event
+    * range, forward-filled with the latest value at-or-before each grid
+    * point — built by composing the grid (sequence+explode) with the
+    * [[operators.AsOf]] join. The gap-filling shape every metrics/feature
+    * pipeline needs; stays O(n log n) via the as-of union+window. */
+  val qResampleFfill: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts", "value")
+    val grid = e.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("ts"))
+    operators.AsOf.join(grid, e, key = "user_id", ts = "ts",
+        rightId = "event_id", rightValueCols = Map("value" -> "value_ffill"))
+      .select("user_id", "ts", "value_ffill")
+      .orderBy("user_id", "ts")
+  }
+
   // ------------------------------------------------------------------
   // Aggregation
   // ------------------------------------------------------------------

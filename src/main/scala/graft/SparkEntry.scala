@@ -36,6 +36,7 @@ object SparkEntry {
     "q_join_anti" -> Queries.qJoinAnti,
     "q_join_theta_range" -> Queries.qJoinThetaRange,
     "q_join_asof" -> Queries.qJoinAsof,
+    "q_resample_ffill" -> Queries.qResampleFfill,
     // aggregation
     "q_agg_hash" -> Queries.qAggHash,
     "q_agg_distinct" -> Queries.qAggDistinct,
