@@ -77,13 +77,14 @@ object OracleSql {
         |       NULL AS l_extendedprice, 'a' AS src FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, NULL, l_extendedprice, 'b' FROM lineitem
-        |ORDER BY src, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY src, l_orderkey, l_linenumber,
+        |  l_quantity NULLS FIRST, l_extendedprice NULLS FIRST""".stripMargin,
 
     // --- Projection / filter ---------------------------------------
     "q_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_quantity > 30.0 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "q_pred_range_time" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -100,7 +101,7 @@ object OracleSql {
     "q_join_sortmerge" ->
       """SELECT l_orderkey, l_linenumber, o_orderdate, l_quantity
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, o_orderdate, l_quantity""".stripMargin,
 
     "q_join_left" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
@@ -279,7 +280,8 @@ object OracleSql {
         |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
         |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
         |  SQRT(l_quantity) AS sqrt_qty, l_quantity % 7.0 AS qty_mod7
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ceil_price, abs_disc,
+        |  sqrt_qty, qty_mod7, floor_price""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT vec_id, len(embedding) AS n_dims,

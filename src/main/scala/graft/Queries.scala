@@ -128,18 +128,22 @@ object Queries {
     val b = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .withColumn("src", lit("b"))
     a.unionByName(b, allowMissingColumns = true)
-      .orderBy("src", "l_orderkey", "l_linenumber")
+      .orderBy(col("src"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").asc_nulls_first, col("l_extendedprice").asc_nulls_first)
   }
 
   // ------------------------------------------------------------------
   // Projection / filter
   // ------------------------------------------------------------------
 
+  // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+  // lineitem-based queries must ORDER BY every output column so tied keys
+  // produce identical (order-independent) rows in both engines.
   val qProjectFilter: Q = (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_quantity") > 30.0 && col("l_returnflag") === "R")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
 
   /** S18 analog: time-range scan. The predicate is applied to the RAW
     * nanosecond long column so it pushes to the parquet scan (min-max
@@ -174,7 +178,7 @@ object Queries {
     val o = Tables.orders(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity")
   }
 
   val qJoinLeft: Q = (s, d) => {
@@ -442,7 +446,8 @@ object Queries {
       floor(col("l_extendedprice")).cast(LongType).as("floor_price"),
       sqrt(col("l_quantity")).as("sqrt_qty"),
       (col("l_quantity") % 7.0).as("qty_mod7"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "ceil_price", "abs_disc",
+        "sqrt_qty", "qty_mod7", "floor_price")
 
   val qArrayFuncs: Q = (s, d) =>
     Tables.embeddings(s, d).select(
