@@ -185,6 +185,32 @@ object OracleSql {
         |  CUME_DIST() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS cd
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_agg_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((sxx - sx*sx/n)/(n-1.0), 6) AS var_qty,
+        |  ROUND(SQRT((sxx - sx*sx/n)/(n-1.0)), 6) AS stddev_qty,
+        |  ROUND((sxy - sx*sy/n)/(n-1.0), 4) AS covar_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_funnel" ->
+      """SELECT user_id, first_signup, first_purchase, n_purchases,
+        |  (first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |   AND first_purchase > first_signup) AS converted
+        |FROM (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

@@ -291,6 +291,45 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregates built from decimal-exact moments: the built-in
+    * stddev/corr are order-dependent double folds, so variance/correlation
+    * are assembled from exact Σx, Σx², Σxy — identical doubles everywhere. */
+  val qAggStats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // products multiply as raw doubles (IEEE-identical in both engines),
+    // then decimal-cast so the SUM is exact and associative — decimal×decimal
+    // would exceed DuckDB's internal precision
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(q.cast(Dec)).cast(DoubleType)
+    val sxx = sum((q * q).cast(DecimalType(38, 12))).cast(DoubleType)
+    val sy = sum(p.cast(Dec)).cast(DoubleType)
+    val sxy = sum((q * p).cast(DecimalType(38, 12))).cast(DoubleType)
+    li.groupBy("l_returnflag")
+      .agg(
+        round((sxx - sx * sx / n) / (n - 1.0), 6).as("var_qty"),
+        round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6).as("stddev_qty"),
+        round((sxy - sx * sy / n) / (n - 1.0), 4).as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Funnel: per user, did a purchase follow their first signup?
+    * The conversion query every event pipeline runs — min-timestamp
+    * comparison per user, one hash aggregate. */
+  val qFunnel: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+      .withColumn("converted",
+        col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_signup"))
+      .orderBy("user_id")
+  }
+
   /** Exact interpolated median per group (rounded: the two engines'
     * interpolation arithmetic differs in the last ulp). */
   val qAggPercentile: Q = (s, d) =>

@@ -45,6 +45,8 @@ object SparkEntry {
     "q_agg_collect_sorted" -> Queries.qAggCollectSorted,
     "q_win_ntile" -> Queries.qWinNtile,
     "q_agg_percentile" -> Queries.qAggPercentile,
+    "q_agg_stats" -> Queries.qAggStats,
+    "q_funnel" -> Queries.qFunnel,
     "q_agg_approx_distinct" -> Queries.qAggApproxDistinct,
     "q_agg_minmax" -> Queries.qAggMinmax,
     "q_rollup" -> Queries.qRollup,
