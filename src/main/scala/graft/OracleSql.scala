@@ -390,6 +390,27 @@ object OracleSql {
         |  list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_sample_hash" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY event_id""".stripMargin,
+
+    "q_shuffle_deterministic" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dedup_ratio,
+        |  CAST(len(list_filter(w, x -> list_contains(
+        |    ['the','a','an','of','and','or','to','in','is','it'], x))) AS DOUBLE)
+        |    / len(w) AS stopword_ratio
+        |FROM t)
+        |SELECT doc_id, n_words, dedup_ratio, stopword_ratio FROM m
+        |WHERE n_words >= 10 AND dedup_ratio >= 0.3 AND stopword_ratio <= 0.5
+        |ORDER BY doc_id""".stripMargin,
+
     "q_text_jaccard_neardup" ->
       """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, lang, source,

@@ -585,6 +585,33 @@ object Queries {
         blockCols = Seq("lang", "source"), k = 3, threshold = 0.03)
       .orderBy("id_a", "id_b")
 
+  /** Deterministic hash sampling: reproducible ~12.5% sample via md5 prefix
+    * — the sampling a training pipeline needs (stable across runs, engines,
+    * partitionings; no RNG state). */
+  val qSampleHash: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(substring(md5(col("event_id").cast(StringType)), 1, 1).isin("0", "1"))
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** Reproducible corpus shuffle: global order by content-independent hash
+    * of the key — the "shuffle the training set identically every epoch"
+    * primitive. */
+  val qShuffleDeterministic: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("doc_id").cast(StringType)).as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+      .limit(200)
+
+  /** Composed quality gate: the keep/drop filter assembled from the quality
+    * metrics — what actually runs in front of a training corpus. */
+  val qQualityFilter: Q = (s, d) =>
+    TextOps.qualityMetrics(Tables.documents(s, d))
+      .filter(col("n_words") >= 10 && col("dedup_ratio") >= 0.3 &&
+        col("stopword_ratio") <= 0.5)
+      .select("doc_id", "n_words", "dedup_ratio", "stopword_ratio")
+      .orderBy("doc_id")
+
   /** Heuristic language ID — declared rows-only (no principled oracle). */
   val qTextLangid: Q = (s, d) =>
     Tables.documents(s, d)

@@ -80,6 +80,9 @@ object SparkEntry {
     "q_text_fingerprint" -> Queries.qTextFingerprint,
     "q_text_jaccard_neardup" -> Queries.qTextJaccardNeardup,
     "q_text_langid" -> Queries.qTextLangid,
+    "q_sample_hash" -> Queries.qSampleHash,
+    "q_shuffle_deterministic" -> Queries.qShuffleDeterministic,
+    "q_quality_filter" -> Queries.qQualityFilter,
     // dedup + similarity extensions
     "q_dedup_minhash_lsh" -> Queries.qDedupMinhashLsh,
     "q_dedup_simhash" -> Queries.qDedupSimhash,
