@@ -36,6 +36,7 @@ object Queries {
   /** S14 point lookup: partition-prunable single-key read. */
   val qPointLookup: Q = (s, d) =>
     Tables.customer(s, d).filter(col("c_custkey") === 42L)
+      .orderBy("c_custkey")
 
   /** S15 full scan / list. */
   val qScanList: Q = (s, d) =>
@@ -661,10 +662,12 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs — rows-only (native double kernels). */
+  /** Embedding-cosine near-dup pairs — rows-only (native double kernels).
+    * Threshold sized to the synthetic corpus (random-ish vectors top out
+    * near cosine 0.4; 0.3 yields a nonempty, bounded pair set). */
   val qDedupEmbedding: Q = (s, d) =>
     VectorOps.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.6)
+        threshold = 0.3)
       .orderBy("id_a", "id_b")
 
   /** Multimodal metadata struct over binary payloads — oracle-checked

@@ -1,0 +1,39 @@
+package graft
+
+/** Driver-contract invariants over the whole declared inventory — the
+  * regression guard for careless additions:
+  *  - every oracle key maps to a declared query (typo guard);
+  *  - every declared query builds, executes at sf0.001, and is nonempty
+  *    (the driver's rows-only check would silently weaken on empties);
+  *  - every query result is globally ordered (BASELINE.md determinism
+  *    contract) — verified by the presence of a top-level Sort in the
+  *    optimized plan, except intentionally-aggregated single-row outputs.
+  */
+class QueriesContractSpec extends SparkSpec {
+
+  private val singleRowKeys = Set("q_count")
+
+  test("oracle keys are a subset of declared query keys") {
+    val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(undeclared.isEmpty, s"oracle SQL without a query: $undeclared")
+  }
+
+  test("every declared query executes nonempty at sf0.001 and is ordered") {
+    val dir = sf()
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        val ordered = singleRowKeys.contains(name) ||
+          df.queryExecution.optimizedPlan.collectFirst {
+            case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+          }.isDefined
+        val n = df.count()
+        (if (n == 0) Seq(s"$name: EMPTY") else Nil) ++
+          (if (!ordered) Seq(s"$name: NO GLOBAL ORDER") else Nil)
+      } catch {
+        case e: Exception => Seq(s"$name: ${e.getMessage.take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
