@@ -683,7 +683,8 @@ object Queries {
   }
 
   /** Multimodal decode plumbing over binary payloads (stubbed codec) —
-    * rows-only. */
+    * rows-only. The array-typed `feature` is serialized to JSON so the
+    * declared output is scalar-only (driver row-compare can hash it). */
   val qMultimodalDecode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
@@ -692,7 +693,7 @@ object Queries {
     withMeta.select("doc_id", "media_meta").join(feats, Seq("doc_id"))
       .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
         col("media_meta.digest").as("digest"), col("width"), col("height"),
-        col("n_frames"), col("feature"))
+        col("n_frames"), to_json(col("feature")).as("feature_json"))
       .orderBy("doc_id")
   }
 }
