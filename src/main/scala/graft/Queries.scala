@@ -59,7 +59,7 @@ object Queries {
   val qUpsertLww: Q = (s, d) =>
     Upserts.lwwView(
       Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
-      Seq("user_id"), "ts", tieBreaker = Some("event_id"))
+      Seq("user_id"), "ts", tieBreakers = Seq("event_id"))
       .orderBy("user_id")
 
   /** S12 PATCH merge: field-wise coalesce of a patch set into a base. */
@@ -662,9 +662,12 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs — rows-only (native double kernels).
-    * Threshold sized to the synthetic corpus (random-ish vectors top out
-    * near cosine 0.4; 0.3 yields a nonempty, bounded pair set). */
+  /** Embedding-cosine near-dup pairs — rows-only (approximate: LSH-bucketed
+    * candidate generation, exact-cosine verify; see
+    * [[VectorOps.cosineNearDups]]). Threshold sized to the synthetic corpus
+    * (random-ish vectors top out near cosine 0.4; 0.3 yields a nonempty,
+    * bounded pair set — recall at that weak-similarity threshold is the
+    * documented LSH trade; true near-dups ≥0.9 recall ~0.96). */
   val qDedupEmbedding: Q = (s, d) =>
     VectorOps.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.3)

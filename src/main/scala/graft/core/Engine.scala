@@ -21,11 +21,16 @@ object Engine {
     }
 
     /** Serving view: last-write-wins by `id` (Cassandra upsert semantics,
-      * reference consumer.py:69-70); `_ingest_seq` breaks same-µs ties. */
+      * reference consumer.py:69-70). Equal-`last_modified` ties break by
+      * (`_ingest_epoch` — which batch wrote the row — then `_ingest_seq` —
+      * position within the batch), so the LAST message of the last batch
+      * wins deterministically, matching the reference's sequential consumer
+      * order (consumer.py:79-83). */
     def table(typeId: String): DataFrame = {
       val log = tableLog(typeId)
-      val tie = if (log.columns.contains("_ingest_seq")) Some("_ingest_seq") else None
-      Upserts.lwwView(log, Seq("id"), "last_modified", tie).drop("_ingest_seq")
+      val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
+      Upserts.lwwView(log, Seq("id"), "last_modified", ties)
+        .drop("_ingest_epoch", "_ingest_seq")
     }
 
     /** Point lookup (reference Model.get / GET objects/{id},

@@ -85,6 +85,16 @@ object Ingest {
         t
       }))
 
+  /** Batch epoch in µs since the Unix epoch — one value per sub-batch,
+    * strictly increasing across successive batches (guarded by a monotonic
+    * floor so clock granularity can never hand two batches the same epoch). */
+  private val lastEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def batchEpochMicros(): Long = {
+    val now = java.time.Instant.now()
+    val micros = now.getEpochSecond * 1000000L + now.getNano / 1000L
+    lastEpoch.updateAndGet(prev => math.max(prev + 1, micros))
+  }
+
   /** One type's sub-batch: returns (written, quarantined). */
   def ingestType(spark: SparkSession, registry: SchemaRegistry, typeId: String,
                  payloads: Dataset[String],
@@ -138,9 +148,15 @@ object Ingest {
       .withColumn("id", coalesce(col("id").cast(StringType),
         regexp_replace(expr("uuid()"), "-", "")))
       .withColumn("last_modified", coalesce(col("last_modified"), lm))
-      // monotonic ingest sequence: deterministic LWW tie-break when two
-      // writes share a last_modified microsecond (e.g. replayed batches)
-      .withColumn("_ingest_seq", lit(System.nanoTime()))
+      // deterministic LWW tie-break for equal last_modified: `_ingest_epoch`
+      // orders BATCHES (driver-side µs wall clock, one value per sub-batch),
+      // `_ingest_seq` orders rows WITHIN the batch — monotonically_
+      // increasing_id is (partitionId << 33 | rowIdx), which follows source
+      // order for ordered inputs (files, replayed logs), so the last message
+      // of a batch wins exactly like the reference's sequential consumer
+      // (consumer.py:79-83). Per-ROW expressions, not a plan-time constant.
+      .withColumn("_ingest_epoch", lit(batchEpochMicros()))
+      .withColumn("_ingest_seq", monotonically_increasing_id())
 
     // 6. Append to the per-type table. Schema evolution on disk is add-only;
     //    readers use mergeSchema (Engine.table) so older files surface new

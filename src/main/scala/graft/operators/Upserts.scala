@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
 object Upserts {
 
   /** Last-write-wins view: newest row per key wins. Ties on `ts` break by
-    * descending `tieBreaker` (ingest sequence), keeping the view
-    * deterministic. Pure window — oracle-expressible as ROW_NUMBER(). */
+    * descending `tieBreakers` in order (batch epoch, then within-batch
+    * sequence), keeping the view deterministic. Pure window —
+    * oracle-expressible as ROW_NUMBER(). */
   def lwwView(df: DataFrame, key: Seq[String], ts: String,
-              tieBreaker: Option[String] = None): DataFrame = {
-    val order: Seq[Column] = col(ts).desc +: tieBreaker.map(col(_).desc).toSeq
+              tieBreakers: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = col(ts).desc +: tieBreakers.map(col(_).desc)
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

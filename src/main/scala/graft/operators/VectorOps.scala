@@ -172,12 +172,61 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs (the vector analog of Jaccard dedup):
-    * all pairs above `threshold`, exact over the full pair space — runs on
-    * the native kernels; at corpus scale swap candidate generation for
-    * [[lshBucket]] cells. */
+  /** Embedding-cosine near-dup pairs (the vector analog of Jaccard dedup),
+    * LSH-bucketed: candidate pairs come from shared (table, bucket) cells of
+    * `tables` independent random-hyperplane hash tables (OR-construction,
+    * the same shape [[DedupOps.minhashLshNearDups]] uses for text), then
+    * exact cosine verifies each candidate. The bucket self-join is an
+    * EQUI-join on (table, bucket) — a shuffled hash/sort-merge join whose
+    * cost is Σ bucket² per table, never a cartesian/BNLJ over the corpus —
+    * so the pair space stays bounded at 10⁸+ vectors as long as bucket
+    * sizes are bounded (raise `nPlanes` with corpus size: buckets = 2^planes).
+    *
+    * Recall follows the sign-LSH collision curve p = (1 - θ/π)^planes per
+    * table: high for true near-dups (cosine ≥ 0.9 ⇒ ~0.96 recall at
+    * 4 planes × 4 tables) and intentionally low for weakly-similar pairs —
+    * the regime near-dup DEDUP cares about. Measured on the fixture in
+    * AnnRecallSpec (cosineNearDups vs [[cosineNearDupsExact]] ground truth).
+    *
+    * The signature frame is localCheckpoint'ed: both sides of the self-join
+    * would otherwise recompute the plane projections (2× the bucketing cost).
+    */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, nPlanes: Int = 4, dims: Int = 64,
+                     tables: Int = 4): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
+    // candidate generation stays NARROW: only (id, table, bucket) flows
+    // through the self-join and the pair dedup — the 64-float vectors would
+    // otherwise be duplicated ×tables and shuffled twice
+    val banded = side.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("v"), nPlanes, dims, seed = 42L + t)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b, col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may share cells in several tables
+    // exact-cosine verify: two id-equi-joins re-attach vectors — linear
+    // shuffles (broadcastable when the corpus side is small)
+    candidates
+      .join(side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** All-pairs exact variant of [[cosineNearDups]] — O(n²); the ground truth
+    * for recall measurement and the right tool only for small corpora. */
+  def cosineNearDupsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
     import graft.plans.FloatVectorExpressions.dot
     val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", graft.plans.FloatVectorExpressions.norm(col("v")))

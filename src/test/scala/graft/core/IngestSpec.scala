@@ -81,6 +81,27 @@ class IngestSpec extends SparkSpec {
     assert(compacted.collect().head.getAs[Long]("v") === 2L)
   }
 
+  test("within-batch LWW tie: equal (id, last_modified) -> later message wins " +
+      "(ref sequential consumer order, consumer.py:79-83)") {
+    val h = freshEngine()
+    // one batch, same id, same explicit last_modified, different payloads —
+    // a plan-time-constant _ingest_seq would pick a nondeterministic winner
+    val r = h.ingest(env(
+      """{"type_id":"t","data":{"id":"a","v":1,"last_modified":"2024-01-01T00:00:00Z"}}""",
+      """{"type_id":"t","data":{"id":"a","v":2,"last_modified":"2024-01-01T00:00:00Z"}}""",
+      """{"type_id":"t","data":{"id":"a","v":3,"last_modified":"2024-01-01T00:00:00Z"}}"""))
+    assert(r.perType("t") === 3L)
+    val served = h.table("t").collect()
+    assert(served.length === 1)
+    assert(served.head.getAs[Long]("v") === 3L) // the LAST message of the batch
+    // and a LATER batch with the same (id, last_modified) beats the earlier one
+    h.ingest(env(
+      """{"type_id":"t","data":{"id":"a","v":9,"last_modified":"2024-01-01T00:00:00Z"}}"""))
+    assert(h.table("t").collect().head.getAs[Long]("v") === 9L)
+    // serving view no longer exposes the ingest bookkeeping columns
+    assert(!h.table("t").columns.exists(c => c.startsWith("_ingest")))
+  }
+
   test("nested objects flatten to __ columns; nulls never create columns") {
     val h = freshEngine()
     h.ingest(env("""{"type_id":"t","data":{"id":"a","a":{"b":1},"z":null}}"""), ingestTime = Some(t0))
