@@ -425,6 +425,22 @@ object OracleSql {
         |    AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
 
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |sc AS (SELECT doc_id, lang, unnest([
+        |    {'cand': 'de', 'score': len(list_intersect(w, ['der','die','und','das','ist']))},
+        |    {'cand': 'en', 'score': len(list_intersect(w, ['the','and','of','to','in']))},
+        |    {'cand': 'es', 'score': len(list_intersect(w, ['el','la','de','que','y']))},
+        |    {'cand': 'fr', 'score': len(list_intersect(w, ['le','la','les','et','des']))},
+        |    {'cand': 'zh', 'score': len(list_intersect(w, ['的','是','了','在','我']))}
+        |  ]) AS s FROM t),
+        |r AS (SELECT doc_id, lang, s.cand AS pred_lang,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY s.score DESC, s.cand ASC) AS rn
+        |      FROM sc)
+        |SELECT doc_id, lang, pred_lang FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

@@ -613,7 +613,9 @@ object Queries {
       .select("doc_id", "n_words", "dedup_ratio", "stopword_ratio")
       .orderBy("doc_id")
 
-  /** Heuristic language ID — declared rows-only (no principled oracle). */
+  /** Heuristic language ID — deterministic marker-intersection argmax, so it
+    * carries a full DuckDB oracle (same scoring, same (score desc, lang asc)
+    * tie-break). */
   val qTextLangid: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -646,11 +648,13 @@ object Queries {
     * 4 planes = 16 buckets: sized so candidate lists stay a meaningful
     * fraction of this corpus (more planes ⇒ exponentially more buckets ⇒
     * vanishing recall at small N; at 10⁸+ vectors one raises planes to keep
-    * per-bucket lists bounded). */
+    * per-bucket lists bounded). 8 OR-tables: recall 1-(1-p^planes)^tables
+    * ≈ 0.7 on this corpus (AnnRecallSpec) at 2× the linear candidate cost
+    * of 4 tables. */
   val qVecAnnLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 10, nPlanes = 4)
+        "embedding", k = 10, nPlanes = 4, tables = 8)
       .orderBy("query_id", "rank")
   }
 

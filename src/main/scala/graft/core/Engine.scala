@@ -63,10 +63,12 @@ object Engine {
   def bootstrap(spark: SparkSession, warehouseDir: String,
                 overrideWarehouse: Boolean = false,
                 immutableSchema: Boolean = false): Handle = {
-    val dir = new java.io.File(warehouseDir)
-    if (overrideWarehouse && dir.exists())
-      org.apache.commons.io.FileUtils.deleteDirectory(dir)
-    dir.mkdirs()
+    // warehouse lives on whatever Hadoop FileSystem the path names
+    // (file:, hdfs:, s3a:, ...) — never driver-local java.io
+    val p = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (overrideWarehouse && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
     val registry = new SchemaRegistry(spark, warehouseDir, immutableSchema)
     registry.bootstrap()
     Handle(spark, registry)

@@ -59,6 +59,15 @@ object Flattener {
     df.select(cols: _*)
   }
 
+  /** A head that is BOTH a scalar column (`a`) and a nested group (`a__b`) —
+    * reachable through add-only evolution (ingest {"a":1} then {"a":{"b":2}})
+    * — merges per row exactly like the reference's per-row dicts: the scalar
+    * wins when present, else the nested object. The merged column is a
+    * VARIANT (either shape per row); `to_json` renders it natively. */
+  private def scalarObjectMerge(scalar: Column, nested: Column): Column =
+    when(scalar.isNotNull, scalar.cast(VariantType))
+      .otherwise(to_variant_object(nested))
+
   private def unflattenColumns(names: Seq[String]): Seq[Column] = {
     // group by head segment, preserving first-appearance order
     val groups = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
@@ -69,12 +78,15 @@ object Flattener {
     groups.toSeq.map { case (head, members) =>
       if (members == Vector(head)) col(quoted(head))
       else {
-        // nested: strip the head prefix and recurse
-        val inner = members.map { m =>
-          val rest = m.substring(head.length + Sep.length)
-          rest -> col(quoted(m))
+        // nested: strip the head prefix and recurse; a member equal to the
+        // head itself is the scalar sibling, merged per row
+        val (self, rest) = members.partition(_ == head)
+        val inner = rest.map { m =>
+          m.substring(head.length + Sep.length) -> col(quoted(m))
         }
-        structOf(inner).as(head)
+        val nested = structOf(inner)
+        if (self.isEmpty) nested.as(head)
+        else scalarObjectMerge(col(quoted(head)), nested).as(head)
       }
     }
   }
@@ -89,9 +101,12 @@ object Flattener {
       members match {
         case Vector((n, c)) if n == head => c.as(head)
         case _ =>
-          structOf(members.map { case (n, c) =>
+          val (self, rest) = members.partition(_._1 == head)
+          val nested = structOf(rest.map { case (n, c) =>
             n.substring(head.length + Sep.length) -> c
-          }).as(head)
+          })
+          if (self.isEmpty) nested.as(head)
+          else scalarObjectMerge(self.head._2, nested).as(head)
       }
     }
     // restore null structs: a struct whose every leaf is null was an absent

@@ -110,11 +110,21 @@ object Ingest {
     val parsed =
       if (parsed0.schema.isEmpty) payloads.toDF("__raw").select()
       else parsed0
-    // corrupt-record column appears when some rows are malformed JSON
+    // corrupt-record column appears when some rows are malformed JSON;
+    // the raw payload gets a dead-letter copy in the quarantine table
+    // (reference consumer.py swallow-and-log keeps the raw message), never
+    // a silent drop
     val corruptCol = "_corrupt_record"
     val (clean, nCorrupt) =
       if (parsed.columns.contains(corruptCol)) {
-        val c = parsed.filter(col(corruptCol).isNotNull).count()
+        val corrupt = parsed.filter(col(corruptCol).isNotNull)
+        val c = corrupt.count()
+        if (c > 0)
+          Validation.quarantineRecords(
+              corrupt.select(col(corruptCol).as("raw_payload")),
+              errno = 400, message = "malformed payload")
+            .withColumn("type_id", lit(typeId))
+            .write.mode("append").parquet(registry.quarantinePath(typeId))
         (parsed.filter(col(corruptCol).isNull).drop(corruptCol), c)
       } else (parsed, 0L)
 
@@ -137,7 +147,7 @@ object Ingest {
       Validation.quarantineRecords(v.quarantined)
         .withColumn("type_id", lit(typeId))
         .write.mode("append")
-        .parquet(registry.warehouseDir + s"/quarantine/$typeId")
+        .parquet(registry.quarantinePath(typeId))
     }
 
     // 5. Defaults: id (uuid1-hex analog; deterministic content hash also

@@ -25,13 +25,56 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
 
   private val cache = TrieMap.empty[String, StructType]
 
+  // All registry IO goes through the Hadoop FileSystem of the warehouse path
+  // (file:, hdfs:, s3a:, ...), never java.io.File — the warehouse is cluster
+  // storage, not driver-local disk.
+  private val fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def pathExists(s: String): Boolean = fs.exists(hpath(s))
+
+  /** Crash-safe replace of the descriptors table: the new table is fully
+    * written at `.tmp` first, the live dir is renamed ASIDE (never deleted
+    * before its replacement is in place), the tmp renamed in, then the old
+    * copy dropped. At every intermediate point either `descriptors` or
+    * `descriptors.old` holds a complete table — [[recoverIfNeeded]] heals
+    * the one-rename window on the next load. */
+  private def swapInDescriptors(tmpPath: String): Unit = {
+    val dst = hpath(descriptorsPath)
+    val old = hpath(descriptorsPath + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(hpath(tmpPath), dst)
+    fs.delete(old, true)
+  }
+
+  private def recoverIfNeeded(): Unit = {
+    val dst = hpath(descriptorsPath)
+    val old = hpath(descriptorsPath + ".old")
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+  }
+
   private def descriptorsPath = s"$warehouseDir/descriptors"
-  def tablePath(typeId: String): String = s"$warehouseDir/tables/$typeId"
+
+  /** Defense-in-depth behind Codecs.unwrap's dead-letter gate: typeId lands
+    * in filesystem paths (and drop() recursively DELETES the resolved path),
+    * so a non-identifier must never reach path construction. */
+  private def checkTypeId(typeId: String): String = {
+    require(typeId != null && typeId.matches(graft.sources.Codecs.TypeIdPattern),
+      s"invalid type_id for path construction: '$typeId'")
+    typeId
+  }
+  def tablePath(typeId: String): String =
+    s"$warehouseDir/tables/${checkTypeId(typeId)}"
+  def quarantinePath(typeId: String): String =
+    s"$warehouseDir/quarantine/${checkTypeId(typeId)}"
 
   /** Bootstrap: create the descriptors table seeded with its own descriptor
     * (self-describing root, reference __init__.py:20-42). Idempotent. */
   def bootstrap(): Unit = {
-    if (!new java.io.File(descriptorsPath).exists()) {
+    recoverIfNeeded()
+    if (!pathExists(descriptorsPath)) {
       val self = Types.descriptorsTableSchema
       writeDescriptor("descriptor_model", self)
     }
@@ -39,7 +82,7 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
   }
 
   private def loadAll(): Unit =
-    if (new java.io.File(descriptorsPath).exists()) {
+    if (pathExists(descriptorsPath)) {
       spark.read.parquet(descriptorsPath).collect().foreach { row =>
         cache.put(row.getString(0), schemaOfRow(row))
       }
@@ -73,17 +116,14 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     val df = spark.createDataFrame(
       java.util.List.of(row), Types.descriptorsTableSchema)
     val existing =
-      if (new java.io.File(descriptorsPath).exists())
+      if (pathExists(descriptorsPath))
         spark.read.parquet(descriptorsPath).filter(col("id") =!= typeId)
       else spark.createDataFrame(java.util.List.of[Row](), Types.descriptorsTableSchema)
     val merged = existing.unionByName(df).cache()
     merged.count() // materialize before overwrite of a path we just read
     merged.coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
     merged.unpersist()
-    val tmp = new java.io.File(descriptorsPath + ".tmp")
-    val dst = new java.io.File(descriptorsPath)
-    if (dst.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(dst) }
-    tmp.renameTo(dst)
+    swapInDescriptors(descriptorsPath + ".tmp")
   }
 
   /** Descriptor lookup with create-if-missing (reference consumer.py:41-55,
@@ -120,22 +160,19 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
   /** Drop a type: delete its descriptor row and physical table
     * (reference models.py:176-182). */
   def drop(typeId: String): Unit = {
+    checkTypeId(typeId) // before ANY side effect: drop deletes the resolved path
     cache.remove(typeId)
     val existing =
-      if (new java.io.File(descriptorsPath).exists())
+      if (pathExists(descriptorsPath))
         spark.read.parquet(descriptorsPath).filter(col("id") =!= typeId).cache()
       else null
     if (existing != null) {
       existing.count()
       existing.coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
       existing.unpersist()
-      val tmp = new java.io.File(descriptorsPath + ".tmp")
-      val dst = new java.io.File(descriptorsPath)
-      org.apache.commons.io.FileUtils.deleteDirectory(dst)
-      tmp.renameTo(dst)
+      swapInDescriptors(descriptorsPath + ".tmp")
     }
-    val t = new java.io.File(tablePath(typeId))
-    if (t.exists()) org.apache.commons.io.FileUtils.deleteDirectory(t)
+    fs.delete(hpath(tablePath(typeId)), true)
   }
 
   /** The descriptors table as a DataFrame (for catalog queries). */

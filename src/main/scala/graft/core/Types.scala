@@ -34,7 +34,12 @@ final case class FieldDescriptor(
     case ("integer", _)                => LongType
     case ("boolean", _)                => BooleanType
     case ("object", Some("descriptor")) => Types.descriptorMapType
-    case ("array", _)                  => StringType // ref stores arrays as Text fallback (models.py:37)
+    // arrays persist their ELEMENT type in `format` (catalogString encoding,
+    // e.g. "bigint" / "array<double>") so a registry reload reconstructs the
+    // exact live type — a bare ('array', null) descriptor (legacy rows)
+    // falls back to array<string>
+    case ("array", Some(fmt))          => ArrayType(Types.parseDataTypeString(fmt))
+    case ("array", None)               => ArrayType(StringType)
     case _                             => StringType
   }
 
@@ -90,9 +95,15 @@ object Types {
     case BooleanType    => ("boolean", None)
     case _: MapType     => ("object", Some("descriptor"))
     case _: StructType  => ("object", None)
-    case _: ArrayType   => ("array", None)
+    case a: ArrayType   => ("array", Some(a.elementType.catalogString))
     case _              => ("string", None)
   }
+
+  /** Parse a DataType persisted as a descriptor `format` string (the
+    * catalogString/DDL encoding written by [[jsonTypeOf]]). Unknown strings
+    * degrade to string — a registry load must never fail on one field. */
+  def parseDataTypeString(s: String): DataType =
+    try DataType.fromDDL(s) catch { case _: Exception => StringType }
 
   def fromStructField(f: StructField): FieldDescriptor = {
     val m = f.metadata

@@ -125,19 +125,59 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF-style approximate top-k: a deterministic coarse codebook (the
-    * `nCentroids` lowest-id corpus vectors — a real deployment trains
-    * k-means; the partition/probe plumbing is identical), every vector
-    * assigned to its nearest centroid, queries probe `nProbe` nearest
-    * cells only. Candidate generation is one broadcast-join on cell id —
-    * the inverted-file shape that scales: list size ~N/nCentroids. */
+  /** Deterministic Lloyd-iteration k-means codebook for IVF partitioning:
+    * seeds from the `k` lowest-id corpus vectors, then `iters` rounds of
+    * (assign to nearest centroid by cosine → element-wise mean per cell).
+    * Assignment is one broadcast-crossJoin pass (N·k dot products, fully
+    * distributed); the mean uses DECIMAL-exact accumulation so the codebook
+    * is bit-identical across partitionings, and the k×dims result is
+    * collected driver-side — metadata scale, exactly like any trained
+    * codebook a real deployment would broadcast. Empty cells keep their
+    * previous centroid. */
+  def lloydCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: DataFrame = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast(LongType).as("cent_id"), col(vecCol).as("cv"))
+    for (_ <- 0 until iters) {
+      val bc = broadcast(cents.withColumn("cnorm", norm(col("cv"))))
+      val w = Window.partitionBy("__vid").orderBy(col("__sim").desc, col("cent_id").asc)
+      val assigned = corpus.select(col(idCol).as("__vid"), col(vecCol).as("v"))
+        .withColumn("vn", norm(col("v")))
+        .crossJoin(bc)
+        .withColumn("__sim", dot(col("v"), col("cv")) / (col("vn") * col("cnorm")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("col").cast(Dec)).cast(DoubleType) / count(lit(1))).as("m"))
+        .collect()
+      val byCell: Map[Long, Array[Float]] = means.groupBy(_.getLong(0)).map {
+        case (c, rows) => c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      }
+      val prev: Seq[(Long, Array[Float])] = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      cents = prev.map { case (c, v) => (c, byCell.getOrElse(c, v)) }
+        .sortBy(_._1).toDF("cent_id", "cv")
+    }
+    cents
+  }
+
+  /** IVF-style approximate top-k over a Lloyd-trained coarse codebook
+    * ([[lloydCodebook]]): every vector assigned to its nearest centroid,
+    * queries probe `nProbe` nearest cells only. Candidate generation is one
+    * broadcast-join on cell id — the inverted-file shape that scales: list
+    * size ~N/nCentroids. */
   def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nCentroids: Int = 16,
-                    nProbe: Int = 4): DataFrame = {
+                    nProbe: Int = 6, kmeansIters: Int = 1): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
-      .withColumn("cnorm", norm(col("cv"))))
+    val cents = broadcast(
+      lloydCodebook(corpus, idCol, vecCol, nCentroids, kmeansIters)
+        .withColumn("cnorm", norm(col("cv"))))
 
     def cellsFor(df: DataFrame, vec: String, probe: Int): DataFrame = {
       val w = Window.partitionBy("__vid").orderBy(

@@ -171,14 +171,22 @@ object Codecs {
     get_json_object(jsonCol, "$.type_id"),
     coalesce(get_json_object(jsonCol, "$.data"), lit("{}")))
 
+  /** type_id values are interpolated into warehouse filesystem paths
+    * downstream (tables/, quarantine/) — only plain identifiers are valid.
+    * The reference's Cassandra table names were implicitly constrained the
+    * same way; anything else (e.g. `../../x` traversal) is dead-lettered. */
+  val TypeIdPattern = "^[A-Za-z0-9_-]+$"
+
   /** Split decoded messages into valid envelopes (type_id, data_json) and a
-    * dead-letter frame (reference consumer.py:36-37 ValueError path). */
+    * dead-letter frame (reference consumer.py:36-37 ValueError path).
+    * Missing AND non-identifier type_ids both dead-letter. */
   def unwrap(df: DataFrame, messageCol: String): (DataFrame, DataFrame) = {
     val (tid, data) = envelope(col(messageCol))
     val withEnv = df.withColumn("type_id", tid).withColumn("data_json", data)
-    val good = withEnv.filter(col("type_id").isNotNull)
+    val valid = col("type_id").isNotNull && col("type_id").rlike(TypeIdPattern)
+    val good = withEnv.filter(valid)
       .select(col("type_id"), col("data_json"))
-    val bad = withEnv.filter(col("type_id").isNull)
+    val bad = withEnv.filter(col("type_id").isNull || !col("type_id").rlike(TypeIdPattern))
     (good, bad)
   }
 }

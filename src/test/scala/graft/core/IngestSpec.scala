@@ -151,6 +151,85 @@ class IngestSpec extends SparkSpec {
     assert(out.contains(""""s":"x""""))
   }
 
+  test("traversal-shaped type_id dead-letters; no path escapes the warehouse") {
+    val wh = tmpDir("graft-wh-sec")
+    val h = Engine.bootstrap(spark, wh)
+    val marker = tmpDir("graft-outside") // a sibling dir a traversal could hit
+    val r = h.ingest(env(
+      """{"type_id":"../../x","data":{"id":"a","v":1}}""",
+      """{"type_id":"ok_type-1","data":{"id":"b","v":2}}"""), ingestTime = Some(t0))
+    assert(r.deadLetters === 1L)
+    assert(r.perType === Map("ok_type-1" -> 1L))
+    assert(h.registry.knownTypes.forall(_.matches(graft.sources.Codecs.TypeIdPattern)))
+    // nothing was created outside the warehouse tables dir
+    val tables = new java.io.File(s"$wh/tables").listFiles()
+    assert(tables == null || tables.forall(_.getName.matches("[A-Za-z0-9_-]+")))
+    assert(new java.io.File(marker).exists()) // sibling untouched
+    // and the registry refuses to build (or delete!) a traversal path
+    intercept[IllegalArgumentException] { h.registry.tablePath("../../x") }
+    intercept[IllegalArgumentException] { h.registry.drop("../../x") }
+  }
+
+  test("registry restart preserves array element types; later appends don't poison") {
+    val wh = tmpDir("graft-wh-arr")
+    val h = Engine.bootstrap(spark, wh)
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","tags":[1,2,3],"xs":[1.5,2.5]}}"""),
+      ingestTime = Some(t0))
+    assert(h.table("t").schema("tags").dataType === ArrayType(LongType))
+    // fresh registry over the same warehouse — the persisted-descriptor path
+    val h2 = Engine.Handle(spark,
+      { val r = new SchemaRegistry(spark, wh); r.bootstrap(); r })
+    assert(h2.registry.get("t").get("tags").dataType === ArrayType(LongType))
+    assert(h2.registry.get("t").get("xs").dataType === ArrayType(DoubleType))
+    // second batch through the RELOADED registry: same array types appended,
+    // mergeSchema read stays healthy
+    h2.ingest(env("""{"type_id":"t","data":{"id":"b","tags":[7],"xs":[9.5]}}"""),
+      ingestTime = Some(t1))
+    val df = h2.table("t")
+    assert(df.count() === 2)
+    assert(df.schema("tags").dataType === ArrayType(LongType))
+    assert(df.filter(col("id") === "b").collect().head
+      .getAs[Seq[Long]]("tags") === Seq(7L))
+  }
+
+  test("malformed payloads get a dead-letter copy in quarantine, not a silent drop") {
+    val h = freshEngine()
+    val r = h.ingest(env(
+      """{"type_id":"t","data":{"id":"a","v":1}}""",
+      """{"type_id":"t","data":5}"""), ingestTime = Some(t0)) // scalar data -> corrupt JSON row
+    assert(r.perType("t") === 1L)
+    assert(r.quarantined === 1L)
+    val q = spark.read.parquet(h.registry.quarantinePath("t"))
+    assert(q.count() === 1L)
+    val row = q.collect().head
+    assert(row.getAs[String]("row_json").contains("5")) // raw payload preserved
+    assert(row.getAs[String]("message") === "malformed payload")
+    assert(row.getAs[String]("type_id") === "t")
+  }
+
+  test("registry runs on the Hadoop FileSystem API (explicit file: scheme)") {
+    val wh = "file:" + tmpDir("graft-wh-fs")
+    val h = Engine.bootstrap(spark, wh, overrideWarehouse = true)
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":1}}"""), ingestTime = Some(t0))
+    assert(h.table("t").count() === 1L)
+    // restart-reload over the same URI-style path
+    val h2 = Engine.Handle(spark,
+      { val r = new SchemaRegistry(spark, wh); r.bootstrap(); r })
+    assert(h2.registry.get("t").isDefined)
+    h2.ingest(env("""{"type_id":"t","data":{"id":"b","v":2}}"""), ingestTime = Some(t1))
+    assert(h2.table("t").count() === 2L)
+    // crash-window recovery: simulate a crash between the two renames
+    // (descriptors moved aside, replacement not yet in place)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$wh/descriptors"),
+      new org.apache.hadoop.fs.Path(s"$wh/descriptors.old"))
+    val h3 = Engine.Handle(spark,
+      { val r = new SchemaRegistry(spark, wh); r.bootstrap(); r })
+    assert(h3.registry.get("t").isDefined) // healed from .old
+    assert(h3.table("t").count() === 2L)
+  }
+
   test("immutable schema refuses new types and evolution") {
     val wh = tmpDir("graft-wh-imm")
     val h = Engine.bootstrap(spark, wh)

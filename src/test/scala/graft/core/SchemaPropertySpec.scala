@@ -51,6 +51,25 @@ class SchemaPropertySpec extends AnyFunSuite with graft.GenDriven {
     }
   }
 
+  test("array (and nested-array) element types survive the (type, format) codec") {
+    val elem: Gen[DataType] =
+      Gen.oneOf(StringType, LongType, DoubleType, BooleanType, TimestampType, FloatType)
+    val arr: Gen[DataType] = Gen.oneOf(
+      elem.map(ArrayType(_)),
+      elem.map(e => ArrayType(ArrayType(e))))
+    forAllSampled(arr) { dt =>
+      val (jt, fmt) = Types.jsonTypeOf(dt)
+      assert(jt === "array")
+      assert(FieldDescriptor(jt, fmt).dataType === dt)
+      // and through the full StructField metadata round-trip
+      val f = FieldDescriptor(jt, fmt).toStructField("x")
+      assert(f.dataType === dt)
+      assert(Types.fromStructField(f).dataType === dt)
+    }
+    // legacy descriptors persisted before the codec carried element types
+    assert(FieldDescriptor("array", None).dataType === ArrayType(StringType))
+  }
+
   test("descriptor codec round-trips every flag combination") {
     val genDesc = for {
       jt <- Gen.oneOf("string", "integer", "number", "boolean")
