@@ -24,13 +24,20 @@ object Bench {
     // codegen/GC noise (BENCH_r02's 14× phantom regression on unchanged
     // code); sorted key order keeps rounds comparable query-by-query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
     val results: Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(_._1.contains(filter)).map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        // queries that localCheckpoint (minhash/simhash/embedding dedup)
+        // leave lineage-truncated blocks pinned in block-manager storage;
+        // across runs×queries those accumulate and throttle later queries —
+        // release them like a real pipeline releasing its intermediates
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         name -> times(times.size / 2)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -30,13 +30,25 @@ object Engine {
       val log = tableLog(typeId)
       val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
       Upserts.lwwView(log, Seq("id"), "last_modified", ties)
-        .drop("_ingest_epoch", "_ingest_seq")
+        .drop("_ingest_epoch", "_ingest_seq", "_part")
     }
 
     /** Point lookup (reference Model.get / GET objects/{id},
-      * tests/test_views.py:205-211). */
-    def get(typeId: String, id: String): DataFrame =
-      table(typeId).filter(col("id") === lit(id))
+      * tests/test_views.py:205-211). The id-bucket predicate is foldable
+      * (hash of a literal), so it becomes a PARTITION filter on the `_part`
+      * layout — the scan reads 1/NumIdBuckets of the table's files, and all
+      * versions of the id share that bucket so LWW stays correct. */
+    def get(typeId: String, id: String): DataFrame = {
+      val log = tableLog(typeId)
+      val pruned =
+        if (log.columns.contains("_part"))
+          log.filter(col("_part") === Ingest.idBucket(lit(id)))
+        else log
+      val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
+      Upserts.lwwView(pruned, Seq("id"), "last_modified", ties)
+        .drop("_ingest_epoch", "_ingest_seq", "_part")
+        .filter(col("id") === lit(id))
+    }
 
     /** Serving JSON: unflatten `a__b` columns to nested objects and drop
       * null fields (reference schemas.py:42-43,53-55). */

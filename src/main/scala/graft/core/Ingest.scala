@@ -95,6 +95,15 @@ object Ingest {
     lastEpoch.updateAndGet(prev => math.max(prev + 1, micros))
   }
 
+  /** Physical layout: per-type tables are partitioned by a stable hash
+    * bucket of the primary key, the Spark-native analog of the reference's
+    * Cassandra partition_key (models.py:87,131-132). All versions of an id
+    * land in one bucket, so point lookups read 1/NumIdBuckets of the files
+    * (partition pruning) and the LWW view over a single id stays correct. */
+  val NumIdBuckets = 16
+  def idBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(NumIdBuckets))
+
   /** One type's sub-batch: returns (written, quarantined). */
   def ingestType(spark: SparkSession, registry: SchemaRegistry, typeId: String,
                  payloads: Dataset[String],
@@ -168,14 +177,16 @@ object Ingest {
       .withColumn("_ingest_epoch", lit(batchEpochMicros()))
       .withColumn("_ingest_seq", monotonically_increasing_id())
 
-    // 6. Append to the per-type table. Schema evolution on disk is add-only;
-    //    readers use mergeSchema (Engine.table) so older files surface new
-    //    columns as NULL.
-    val written = withDefaults.cache()
+    // 6. Append to the per-type table, partitioned by the id-hash bucket
+    //    (partition-key layout — point lookups prune to one bucket). Schema
+    //    evolution on disk is add-only; readers use mergeSchema
+    //    (Engine.table) so older files surface new columns as NULL.
+    val written = withDefaults.withColumn("_part", idBucket(col("id"))).cache()
     try {
       val n = written.count()
       if (n > 0)
-        written.write.mode("append").parquet(registry.tablePath(typeId))
+        written.write.mode("append").partitionBy("_part")
+          .parquet(registry.tablePath(typeId))
       (n, nQuarantine + nCorrupt)
     } finally written.unpersist()
   }

@@ -230,6 +230,26 @@ class IngestSpec extends SparkSpec {
     assert(h3.table("t").count() === 2L)
   }
 
+  test("partition-key layout: tables bucket by id hash; point lookup prunes partitions") {
+    val h = freshEngine()
+    h.ingest(env((1 to 40).map(i =>
+      s"""{"type_id":"t","data":{"id":"k$i","v":$i}}"""): _*), ingestTime = Some(t0))
+    // physical layout: _part=<bucket> partition dirs
+    val dirs = new java.io.File(h.registry.tablePath("t"))
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("_part=")))
+    assert(dirs.length > 1) // 40 ids spread over several of the 16 buckets
+    // point lookup: correct row AND a partition filter in the scan
+    val got = h.get("t", "k7")
+    assert(got.collect().map(_.getAs[Long]("v")).toSeq === Seq(7L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+      "expected a _part partition filter in the scan:\n" + plan)
+    // serving views never expose the layout column
+    assert(!h.table("t").columns.contains("_part"))
+    assert(!got.columns.contains("_part"))
+  }
+
   test("immutable schema refuses new types and evolution") {
     val wh = tmpDir("graft-wh-imm")
     val h = Engine.bootstrap(spark, wh)
