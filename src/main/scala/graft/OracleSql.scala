@@ -72,6 +72,30 @@ object OracleSql {
         |  CAST(ts AS TIMESTAMP) AS ts
         |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
 
+    "q_merge_into" ->
+      """WITH s0 AS (SELECT o_custkey AS c_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS c_acctbal,
+        |        COUNT(*) AS n
+        |      FROM orders GROUP BY o_custkey),
+        |s AS (SELECT * FROM s0
+        |      UNION ALL
+        |      SELECT c_custkey + 3000000, c_acctbal, n FROM s0 WHERE n > 12),
+        |m AS (SELECT t.c_custkey AS tk, s.c_custkey AS sk, t.c_name AS c_name,
+        |             t.c_acctbal AS t_bal, s.c_acctbal AS s_bal, s.n AS n
+        |      FROM customer t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey)
+        |SELECT COALESCE(tk, sk) AS c_custkey, c_name,
+        |       CASE WHEN sk IS NOT NULL THEN s_bal ELSE t_bal END AS c_acctbal
+        |FROM m
+        |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND n > 15)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_engine_point_lookup" ->
+      """WITH sl AS (SELECT event_id, user_id, value FROM events
+        |            WHERE event_type = 'signup' AND event_id <= 500)
+        |SELECT event_id, user_id, value FROM sl
+        |WHERE event_id = (SELECT MIN(event_id) FROM sl)
+        |ORDER BY event_id""".stripMargin,
+
     "q_schema_union_evolve" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |       NULL AS l_extendedprice, 'a' AS src FROM lineitem

@@ -121,6 +121,41 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** S12+ Delta-style MERGE INTO ([[Upserts.mergeInto]]): per-customer
+    * order totals merged into customer — matched rows update `c_acctbal`
+    * to the decimal-exact spend, heavy customers (n > 15 orders) DELETE,
+    * key-shifted source rows exercise the INSERT branch (c_name NULL). */
+  val qMergeInto: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    val stats = Tables.orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(decSum(col("o_totalprice")).as("c_acctbal"), count(lit(1)).as("n"))
+    val src = stats.unionByName(
+      stats.filter(col("n") > 12)
+        .withColumn("c_custkey", col("c_custkey") + 3000000L))
+    Upserts.mergeInto(cust, src, "c_custkey",
+        updateCols = Seq("c_acctbal"),
+        deleteCondition = col("s.n") > 15)
+      .orderBy("c_custkey")
+  }
+
+  /** S14 through the ENGINE path: ingest a small signup slice, then a
+    * point lookup via [[graft.core.Engine.Handle.get]] — the id-hash folds
+    * to a literal `_part` partition filter, so the scan prunes to one of
+    * the 16 id buckets. Puts the partition-pruned lookup under the oracle
+    * hash, not just under a plan assertion. */
+  val qEnginePointLookup: Q = (s, d) => {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qpl-wh").toString
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 500)
+    val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
+    h.ingest(Flagship.envelopesFrom(s, events))
+    val targetId = events.agg(min(col("event_id"))).collect()(0).getLong(0)
+    h.get("signup", targetId.toString).select(
+      col("id").cast(LongType).as("event_id"),
+      col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** S9 schema-evolving union: unionByName with missing columns. */
   val qSchemaUnionEvolve: Q = (s, d) => {
     val li = Tables.lineitem(s, d)

@@ -25,6 +25,8 @@ object SparkEntry {
     "q_cast_coerce" -> Queries.qCastCoerce,
     "q_schema_union_evolve" -> Queries.qSchemaUnionEvolve,
     "q_engine_ingest" -> Queries.qEngineIngest,
+    "q_engine_point_lookup" -> Queries.qEnginePointLookup,
+    "q_merge_into" -> Queries.qMergeInto,
     // projection / filter
     "q_project_filter" -> Queries.qProjectFilter,
     "q_pred_range_time" -> Queries.qPredRangeTime,
@@ -96,7 +98,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (hash-based
-    * sketches, approximate ANN, stubbed multimodal decode, heuristic langid)
+    * sketches, approximate ANN/dedup, stubbed multimodal decode)
     * → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

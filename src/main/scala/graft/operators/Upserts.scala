@@ -56,6 +56,35 @@ object Upserts {
   def deleteAnti(base: DataFrame, doomedKeys: DataFrame, key: String): DataFrame =
     base.join(doomedKeys.select(col(s"`$key`")).distinct(), Seq(key), "left_anti")
 
+  /** Delta-style MERGE INTO as one batch rewrite over a full outer join:
+    *
+    *   WHEN MATCHED AND deleteCondition THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET (updateCols from source)
+    *   WHEN NOT MATCHED THEN INSERT (source projected onto target schema;
+    *                                 target-only columns become NULL)
+    *
+    * `deleteCondition` may reference both sides via the `t`/`s` aliases.
+    * One shuffle on the key (the same shuffle a transactional MERGE
+    * executes), fully expressible in ANSI SQL for the oracle. */
+  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+                updateCols: Seq[String],
+                deleteCondition: Column = lit(false)): DataFrame = {
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val joined = t.join(s, col(s"t.`$key`") === col(s"s.`$key`"), "full_outer")
+    val matched = col(s"t.`$key`").isNotNull && col(s"s.`$key`").isNotNull
+    val sourceOnly = col(s"t.`$key`").isNull
+    val kept = joined.filter(!(matched && deleteCondition))
+    val cols: Seq[Column] = target.columns.toSeq.map { c =>
+      if (c == key) coalesce(col(s"t.`$key`"), col(s"s.`$key`")).as(key)
+      else if (updateCols.contains(c) && source.columns.contains(c))
+        when(matched || sourceOnly, col(s"s.`$c`"))
+          .otherwise(col(s"t.`$c`")).as(c)
+      else col(s"t.`$c`").as(c)
+    }
+    kept.select(cols: _*)
+  }
+
   /** Compaction: materialize the LWW view back to storage, collapsing the
     * append log (Cassandra-compaction analog). */
   def compact(df: DataFrame, key: Seq[String], ts: String, outPath: String): Unit =
