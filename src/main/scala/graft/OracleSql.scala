@@ -423,6 +423,22 @@ object OracleSql {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
 
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tok,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        |  FROM documents)
+        |SELECT shard, doc_id, n_tok,
+        |  CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_quality_filter" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,

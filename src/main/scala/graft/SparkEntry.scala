@@ -83,6 +83,8 @@ object SparkEntry {
     "q_text_jaccard_neardup" -> Queries.qTextJaccardNeardup,
     "q_text_langid" -> Queries.qTextLangid,
     "q_sample_hash" -> Queries.qSampleHash,
+    "q_sample_stratified" -> Queries.qSampleStratified,
+    "q_pack_sequences" -> Queries.qPackSequences,
     "q_shuffle_deterministic" -> Queries.qShuffleDeterministic,
     "q_quality_filter" -> Queries.qQualityFilter,
     // dedup + similarity extensions

@@ -97,22 +97,36 @@ object VectorOps {
     * (recall 1-(1-p^planes)^tables), then candidates are exact-ranked.
     * Cost is linear in `tables`; the scale path when per-query brute force
     * is too hot. Runs on the fast double kernels (per-row sequential fold —
-    * deterministic, just not oracle-shared). */
+    * deterministic, just not oracle-shared).
+    *
+    * `probes` > 0 adds MULTIPROBE on the QUERY side: each query also visits
+    * the buckets reachable by flipping one of the first `probes` sign bits
+    * — recall rises like extra hash tables would provide, but the corpus
+    * index stays one entry per table (no storage blowup; the standard
+    * multiprobe trade). */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nPlanes: Int = 8,
-                    dims: Int = 64, tables: Int = 4): DataFrame = {
+                    dims: Int = 64, tables: Int = 4,
+                    probes: Int = 0): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    def withBuckets(df: DataFrame, vec: String): DataFrame =
-      df.select(col("*"), posexplode(array((0 until tables).map(t =>
-        lshBucket(col(vec), nPlanes, dims, seed = 42L + t)): _*)))
-        .withColumnRenamed("pos", "table")
-        .withColumnRenamed("col", "bucket")
+    def withBuckets(df: DataFrame, vec: String, flips: Int): DataFrame = {
+      val entries: Seq[Column] = (0 until tables).flatMap { t =>
+        val base = lshBucket(col(vec), nPlanes, dims, seed = 42L + t)
+        val variants = base +: (0 until math.min(flips, nPlanes)).map(i =>
+          base.bitwiseXOR(lit(1L << i)))
+        variants.map(v => struct(lit(t).as("table"), v.as("bucket")))
+      }
+      df.select(col("*"), explode(array(entries: _*)).as("__tb"))
+        .withColumn("table", col("__tb.table"))
+        .withColumn("bucket", col("__tb.bucket"))
+        .drop("__tb")
+    }
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .withColumn("qnorm", norm(col("qv"))), "qv"))
+        .withColumn("qnorm", norm(col("qv"))), "qv", probes))
     val c = withBuckets(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-        .withColumn("nnorm", norm(col("nv"))), "nv")
+        .withColumn("nnorm", norm(col("nv"))), "nv", 0)
     val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id") // any-table OR semantics

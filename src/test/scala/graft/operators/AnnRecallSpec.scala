@@ -40,6 +40,18 @@ class AnnRecallSpec extends SparkSpec {
       f"LSH(4 planes × 8 tables): $rLsh%.2f")
     assert(rIvf >= 0.95, s"IVF recall regressed: $rIvf")
     assert(rLsh >= 0.6, s"LSH recall regressed: $rLsh")
+
+    // multiprobe: 4 tables + 2 flipped-bit probes per table should recover
+    // most of what 8 tables buy, at HALF the corpus index size
+    val mp = topkSets(VectorOps.cosineTopKLsh(emb, queries, "vec_id", "embedding", 10,
+      nPlanes = 4, tables = 4, probes = 2))
+    val base4 = topkSets(VectorOps.cosineTopKLsh(emb, queries, "vec_id", "embedding", 10,
+      nPlanes = 4, tables = 4))
+    val rMp = recall(mp)
+    val rBase = recall(base4)
+    info(f"LSH multiprobe — 4 tables plain: $rBase%.2f, +2 probes: $rMp%.2f")
+    assert(rMp >= rBase, "multiprobe candidates are a superset — recall cannot drop")
+    assert(rMp >= 0.5, s"multiprobe recall collapsed: $rMp")
   }
 
   test("cosineNearDups: LSH plan has no cartesian/BNLJ; recall vs all-pairs truth") {
