@@ -277,6 +277,13 @@ object OracleSql {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
 
+    "q_topk_udaf" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+
     "q_win_lag_delta" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
         |SELECT event_id, user_id,

@@ -447,6 +447,18 @@ object Queries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** The bounded top-k UDAF ([[operators.TopKAggregator]]) under the oracle
+    * gate: identical output contract to [[qWinRankTopkPerGroup]] but
+    * computed through the O(n log k) hash-aggregate buffer instead of a
+    * full per-group sort — two independent formulations, one oracle truth
+    * (the window SQL). */
+  val qTopkUdaf: Q = (s, d) =>
+    operators.TopKAggregator.topKPerGroup(Tables.orders(s, d),
+        "o_custkey", "o_orderkey", "o_totalprice", k = 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank").cast(IntegerType).as("rn"))
+      .orderBy("o_custkey", "rn")
+
   val qWinLagDelta: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)

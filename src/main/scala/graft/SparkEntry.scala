@@ -56,6 +56,7 @@ object SparkEntry {
     "q_grouping_sets" -> Queries.qGroupingSets,
     // window functions
     "q_win_rank_topk_per_group" -> Queries.qWinRankTopkPerGroup,
+    "q_topk_udaf" -> Queries.qTopkUdaf,
     "q_win_lag_delta" -> Queries.qWinLagDelta,
     "q_win_frame_running_sum" -> Queries.qWinFrameRunningSum,
     // sort / limit / set ops
