@@ -768,6 +768,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over decoded video metadata: every 2nd frame index of
+    * each payload's n_frames (stub-decoded) — the pure-expression sampling
+    * plan a video pipeline schedules decode work from. Rows-only (n_frames
+    * comes from the stub codec). */
+  val qMultimodalFrames: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    val feats = operators.MultimodalOps.decodeFeatures(s, docs, "doc_id", "payload")
+    feats.select(col("doc_id"), col("n_frames"),
+        posexplode(operators.MultimodalOps.frameSamplePlan(col("n_frames"), 2)))
+      .select(col("doc_id"), col("n_frames"),
+        col("pos").as("sample_idx"), col("col").cast(LongType).as("frame_idx"))
+      .orderBy("doc_id", "sample_idx")
+  }
+
   /** Multimodal decode plumbing over binary payloads (stubbed codec) —
     * rows-only. The array-typed `feature` is serialized to JSON so the
     * declared output is scalar-only (driver row-compare can hash it). */

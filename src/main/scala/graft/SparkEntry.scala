@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_embedding" -> Queries.qDedupEmbedding,
     "q_multimodal_decode" -> Queries.qMultimodalDecode,
     "q_multimodal_meta" -> Queries.qMultimodalMeta,
+    "q_multimodal_frames" -> Queries.qMultimodalFrames,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

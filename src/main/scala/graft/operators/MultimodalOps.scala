@@ -81,4 +81,41 @@ object MultimodalOps {
     * `stride`-th frame index — pure expressions, no decode needed. */
   def frameSamplePlan(nFrames: org.apache.spark.sql.Column, stride: Int) =
     sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))
+
+  /** STUBBED resize: average-pool a feature array to `targetDims` — the
+    * stand-in for an image/audio resample. Deterministic, boundary-exact
+    * (each output cell averages its ⌊n/target⌋..⌈⌉ source slice). */
+  def resizeStub(feat: Seq[Float], targetDims: Int): Array[Float] = {
+    if (feat == null || feat.isEmpty || targetDims <= 0) return Array.empty
+    val n = feat.length
+    Array.tabulate(targetDims) { i =>
+      val lo = (i.toLong * n / targetDims).toInt
+      val hi = math.max(lo + 1, ((i + 1).toLong * n / targetDims).toInt)
+      var acc = 0.0
+      var j = lo
+      while (j < hi) { acc += feat(j); j += 1 }
+      (acc / (hi - lo)).toFloat
+    }
+  }
+
+  /** Partition-wise resize over a decoded-feature frame — the second stage
+    * of the decode → resize pipeline, same batch shape as
+    * [[decodeFeatures]] (one resampler init per partition, rows streamed)
+    * so chained media stages compose without re-shuffling. */
+  def resizeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                     featCol: String, targetDims: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("feature_resized", ArrayType(FloatType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val featIdx = df.schema.fieldIndex(featCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // resampler init would happen here, once per partition
+      it.map { row =>
+        val feat = if (row.isNullAt(featIdx)) null else row.getSeq[Float](featIdx)
+        Row(row.get(idIdx), resizeStub(feat, targetDims).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

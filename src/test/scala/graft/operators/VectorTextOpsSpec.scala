@@ -106,4 +106,33 @@ class VectorTextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("multimodal resize + frame-sample compose with decode") {
+    // resize: exact average-pool semantics on a known array
+    assert(MultimodalOps.resizeStub(Seq(1f, 3f, 5f, 7f), 2).toSeq === Seq(2f, 6f))
+    assert(MultimodalOps.resizeStub(Seq(2f, 4f), 4).toSeq === Seq(2f, 2f, 4f, 4f))
+    assert(MultimodalOps.resizeStub(Seq.empty, 4).isEmpty)
+
+    val docs = Seq((1L, "payload-a"), (2L, "payload-b"))
+      .toDF("doc_id", "txt")
+      .select(col("doc_id"), col("txt").cast("binary").as("payload"))
+    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload")
+    val r = MultimodalOps.resizeFeatures(spark, f, "doc_id", "feature", 4)
+    val rows = r.orderBy("doc_id").collect()
+    assert(r.columns.toSeq === Seq("doc_id", "feature_resized"))
+    assert(rows.forall(_.getSeq[Float](1).length === 4))
+    // resized cell = mean of its source slice (8 -> 4: pairwise means)
+    val feat = f.orderBy("doc_id").collect()(0).getSeq[Float](4)
+    assert(rows(0).getSeq[Float](1)(0) === (feat(0) + feat(1)) / 2f)
+
+    // frame-sample plan: stride-2 indices bounded by n_frames
+    val frames = f.select(col("doc_id"), col("n_frames"),
+        MultimodalOps.frameSamplePlan(col("n_frames"), 2).as("idx"))
+      .orderBy("doc_id").collect()
+    frames.foreach { row =>
+      val nf = row.getAs[Int]("n_frames")
+      val idx = row.getSeq[Int](2)
+      assert(idx.toSeq === (0 until nf by 2).toSeq)
+    }
+  }
 }
