@@ -17,7 +17,27 @@ object Engine {
     /** Raw append-log of a type's table (all versions of all rows). */
     def tableLog(typeId: String): DataFrame = {
       val path = registry.tablePath(typeId)
+      registry.healPath(path) // finish a compaction swap a crash interrupted
       spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
+    /** Compaction: collapse the append log to its LWW view and atomically
+      * swap the table directory (the Cassandra-compaction analog —
+      * reference upserts rely on Cassandra compaction collapsing
+      * overwritten rows). Preserves the `_part` partition layout and the
+      * ingest tie-break columns, so point lookups still prune and later
+      * appends still LWW-merge correctly against compacted rows. */
+    def compact(typeId: String): Unit = {
+      val log = tableLog(typeId)
+      val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
+      // the source dir is only touched AFTER the tmp write completes, so
+      // the single write job reads the live files directly — no staging copy
+      val collapsed = Upserts.lwwView(log, Seq("id"), "last_modified", ties)
+      val tmp = registry.tablePath(typeId) + ".compact"
+      val writer = collapsed.write.mode("overwrite")
+      (if (collapsed.columns.contains("_part")) writer.partitionBy("_part")
+       else writer).parquet(tmp)
+      registry.replaceTable(typeId, tmp)
     }
 
     /** Serving view: last-write-wins by `id` (Cassandra upsert semantics,

@@ -34,26 +34,36 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
   private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def pathExists(s: String): Boolean = fs.exists(hpath(s))
 
-  /** Crash-safe replace of the descriptors table: the new table is fully
-    * written at `.tmp` first, the live dir is renamed ASIDE (never deleted
-    * before its replacement is in place), the tmp renamed in, then the old
-    * copy dropped. At every intermediate point either `descriptors` or
-    * `descriptors.old` holds a complete table — [[recoverIfNeeded]] heals
-    * the one-rename window on the next load. */
-  private def swapInDescriptors(tmpPath: String): Unit = {
-    val dst = hpath(descriptorsPath)
-    val old = hpath(descriptorsPath + ".old")
+  /** Crash-safe replace of a live dir with a fully-written tmp dir: the
+    * live dir is renamed ASIDE (never deleted before its replacement is in
+    * place), the tmp renamed in, then the old copy dropped. At every
+    * intermediate point either `dst` or `dst.old` holds a complete copy —
+    * [[healPath]] heals the one-rename window on the next access. */
+  private def swapPaths(dstPath: String, tmpPath: String): Unit = {
+    val dst = hpath(dstPath)
+    val old = hpath(dstPath + ".old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(hpath(tmpPath), dst)
     fs.delete(old, true)
   }
 
-  private def recoverIfNeeded(): Unit = {
-    val dst = hpath(descriptorsPath)
-    val old = hpath(descriptorsPath + ".old")
+  private def swapInDescriptors(tmpPath: String): Unit =
+    swapPaths(descriptorsPath, tmpPath)
+
+  /** Heal a crashed swap: if only the `.old` copy survives, restore it. */
+  def healPath(dstPath: String): Unit = {
+    val dst = hpath(dstPath)
+    val old = hpath(dstPath + ".old")
     if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
   }
+
+  /** Crash-safe replace of a type's physical table with a fully-written
+    * replacement dir (compaction's final step). */
+  def replaceTable(typeId: String, tmpPath: String): Unit =
+    swapPaths(tablePath(typeId), tmpPath)
+
+  private def recoverIfNeeded(): Unit = healPath(descriptorsPath)
 
   private def descriptorsPath = s"$warehouseDir/descriptors"
 

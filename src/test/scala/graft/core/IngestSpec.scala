@@ -250,6 +250,43 @@ class IngestSpec extends SparkSpec {
     assert(!got.columns.contains("_part"))
   }
 
+  test("compact collapses the log in place; pruned lookups and later LWW appends survive") {
+    val h = freshEngine()
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":1}}""",
+      """{"type_id":"t","data":{"id":"b","v":2}}"""), ingestTime = Some(t0))
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":3}}"""), ingestTime = Some(t1))
+    assert(h.tableLog("t").count() === 3L)
+    val before = h.table("t").orderBy("id").collect().map(r =>
+      (r.getAs[String]("id"), r.getAs[Long]("v"))).toSeq
+
+    h.compact("t")
+    assert(h.tableLog("t").count() === 2L) // log collapsed to live rows
+    val after = h.table("t").orderBy("id").collect().map(r =>
+      (r.getAs[String]("id"), r.getAs[Long]("v"))).toSeq
+    assert(after === before)
+    // partition layout preserved: lookups still prune
+    val plan = h.get("t", "a").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"))
+    assert(h.get("t", "a").collect().head.getAs[Long]("v") === 3L)
+    // a LATER append still LWW-wins over compacted rows
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":9}}"""),
+      ingestTime = Some(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+    assert(h.get("t", "a").collect().head.getAs[Long]("v") === 9L)
+  }
+
+  test("replaying the same batch is effectively idempotent (LWW absorbs the duplicate)") {
+    val h = freshEngine()
+    val batch = env(
+      """{"type_id":"t","data":{"id":"a","v":1}}""",
+      """{"type_id":"t","data":{"id":"b","v":2}}""")
+    h.ingest(batch, ingestTime = Some(t0))
+    val first = h.table("t").orderBy("id").collect().toSeq
+    h.ingest(batch, ingestTime = Some(t0)) // replay: same ids, same last_modified
+    assert(h.tableLog("t").count() === 4L) // log keeps both copies
+    val replayed = h.table("t").orderBy("id").collect().toSeq
+    assert(replayed === first) // serving view unchanged — replay-safe
+  }
+
   test("immutable schema refuses new types and evolution") {
     val wh = tmpDir("graft-wh-imm")
     val h = Engine.bootstrap(spark, wh)
