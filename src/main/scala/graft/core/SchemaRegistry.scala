@@ -153,12 +153,21 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
 
   /** Add-only evolution (reference models.py:138-153): merge newly-inferred
     * fields into the registered schema, persist, refresh cache. No-op when
-    * nothing is new or the registry is immutable. */
+    * nothing is new or the registry is immutable. A first-seen type is
+    * persisted ONCE with its full inferred schema (not empty-then-evolved —
+    * every descriptor write is a read-merge-swap of the registry table, so
+    * collapsing the two writes halves the metadata cost of new types). */
   def evolve(typeId: String, incoming: StructType): StructType = synchronized {
-    val current = getOrCreate(typeId)
-    val merged = Inference.mergeAddOnly(current, incoming)
-    if (merged.length != current.length) {
+    val known = cache.contains(typeId)
+    val current = cache.getOrElse(typeId, {
       if (immutableSchema)
+        throw new IllegalStateException(
+          s"immutable_schema: unknown type '$typeId'") // reference __init__.py:68-74
+      Types.withMetaFields(StructType(Nil))
+    })
+    val merged = Inference.mergeAddOnly(current, incoming)
+    if (!known || merged.length != current.length) {
+      if (known && immutableSchema)
         throw new IllegalStateException(
           s"immutable_schema: cannot evolve '$typeId'")
       writeDescriptor(typeId, merged)
