@@ -430,6 +430,14 @@ object OracleSql {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id LIMIT 200""".stripMargin,
 
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_sample_stratified" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang

@@ -651,6 +651,18 @@ object Queries {
       .orderBy("shuffle_key", "doc_id")
       .limit(200)
 
+  /** Text normalization — the cleaning pass that runs BEFORE dedup in a
+    * real corpus pipeline: lowercase, strip non-alphanumerics, collapse
+    * whitespace. Pure codegen'd expressions; DuckDB needs the 'g' flag to
+    * match Spark's replace-all semantics. */
+  val qTextNormalize: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .withColumn("n_chars_norm", length(col("norm")).cast(LongType))
+      .orderBy("doc_id")
+
   /** Deterministic stratified sampling: k docs per language stratum chosen
     * by content-independent hash order — the "balanced subset per class"
     * primitive, reproducible across engines/runs/partitionings. One window

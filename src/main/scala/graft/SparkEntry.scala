@@ -83,6 +83,7 @@ object SparkEntry {
     "q_text_fingerprint" -> Queries.qTextFingerprint,
     "q_text_jaccard_neardup" -> Queries.qTextJaccardNeardup,
     "q_text_langid" -> Queries.qTextLangid,
+    "q_text_normalize" -> Queries.qTextNormalize,
     "q_sample_hash" -> Queries.qSampleHash,
     "q_sample_stratified" -> Queries.qSampleStratified,
     "q_pack_sequences" -> Queries.qPackSequences,

@@ -53,6 +53,17 @@ object Engine {
         .drop("_ingest_epoch", "_ingest_seq", "_part")
     }
 
+    /** Compact when the physical file count exceeds `maxFiles` — a
+      * metadata-only check (one directory listing, no data jobs), the
+      * policy a maintenance loop runs after streaming appends pile up
+      * small files. Returns true when a compaction ran. */
+    def compactIfNeeded(typeId: String, maxFiles: Int = 64): Boolean = {
+      val n = registry.dataFileCount(typeId)
+      val needed = n > maxFiles
+      if (needed) compact(typeId)
+      needed
+    }
+
     /** Point lookup (reference Model.get / GET objects/{id},
       * tests/test_views.py:205-211). The id-bucket predicate is foldable
       * (hash of a literal), so it becomes a PARTITION filter on the `_part`

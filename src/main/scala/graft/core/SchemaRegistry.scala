@@ -63,6 +63,21 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
   def replaceTable(typeId: String, tmpPath: String): Unit =
     swapPaths(tablePath(typeId), tmpPath)
 
+  /** Number of data files under a type's table — a recursive listing,
+    * metadata-only (compaction-policy input). */
+  def dataFileCount(typeId: String): Int = {
+    val root = hpath(tablePath(typeId))
+    if (!fs.exists(root)) return 0
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        n += 1
+    }
+    n
+  }
+
   private def recoverIfNeeded(): Unit = healPath(descriptorsPath)
 
   private def descriptorsPath = s"$warehouseDir/descriptors"

@@ -274,6 +274,20 @@ class IngestSpec extends SparkSpec {
     assert(h.get("t", "a").collect().head.getAs[Long]("v") === 9L)
   }
 
+  test("compactIfNeeded triggers on file count only (metadata policy)") {
+    val h = freshEngine()
+    (1 to 4).foreach { i =>
+      h.ingest(env(s"""{"type_id":"t","data":{"id":"a","v":$i}}"""), ingestTime = Some(t0))
+    }
+    val before = h.registry.dataFileCount("t")
+    assert(before >= 4) // one file per append at minimum
+    assert(!h.compactIfNeeded("t", maxFiles = 1000)) // under threshold: no-op
+    assert(h.registry.dataFileCount("t") === before)
+    assert(h.compactIfNeeded("t", maxFiles = 2)) // over threshold: compacts
+    assert(h.registry.dataFileCount("t") < before)
+    assert(h.table("t").collect().head.getAs[Long]("v") === 4L)
+  }
+
   test("replaying the same batch is effectively idempotent (LWW absorbs the duplicate)") {
     val h = freshEngine()
     val batch = env(
