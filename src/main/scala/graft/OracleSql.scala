@@ -199,6 +199,15 @@ object OracleSql {
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT c_custkey, c_nationkey AS nationkey, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_agg_collect_sorted" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

@@ -416,6 +416,26 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Salted two-phase aggregation ([[operators.Skew.saltedCount]]) under
+    * the oracle gate: the hot-key mitigation must produce EXACTLY the plain
+    * GROUP BY result — the oracle is that plain SQL. */
+  val qSkewSaltedAgg: Q = (s, d) =>
+    operators.Skew.saltedCount(Tables.lineitem(s, d), "l_returnflag", salts = 8)
+      .orderBy("l_returnflag")
+
+  /** Salted fact-dim join ([[operators.Skew.saltedJoin]]) under the oracle
+    * gate: salt spreading + dim replication must be invisible in the
+    * result — the oracle is the unsalted join. */
+  val qSkewSaltedJoin: Q = (s, d) => {
+    val fact = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
+    val dim = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+    operators.Skew.saltedJoin(fact, dim, "nationkey", salts = 4)
+      .select("c_custkey", "nationkey", "n_name")
+      .orderBy("c_custkey")
+  }
+
   /** Ordered string aggregation (deterministic listagg). */
   val qAggCollectSorted: Q = (s, d) =>
     Tables.nation(s, d)

@@ -54,6 +54,8 @@ object SparkEntry {
     "q_rollup" -> Queries.qRollup,
     "q_cube" -> Queries.qCube,
     "q_grouping_sets" -> Queries.qGroupingSets,
+    "q_skew_salted_agg" -> Queries.qSkewSaltedAgg,
+    "q_skew_salted_join" -> Queries.qSkewSaltedJoin,
     // window functions
     "q_win_rank_topk_per_group" -> Queries.qWinRankTopkPerGroup,
     "q_topk_udaf" -> Queries.qTopkUdaf,

@@ -62,4 +62,29 @@ object StreamingIngest {
         ()
       }
       .start()
+
+  /** [[start]] plus post-batch maintenance: after each micro-batch, any
+    * type whose physical file count crossed `maxFilesPerType` is compacted
+    * (LWW-collapse + crash-safe dir swap). The small-files control loop a
+    * long-running streaming ingest needs — the check is one directory
+    * listing per type, so idle batches cost only metadata. */
+  def startWithMaintenance(h: Engine.Handle, envelopes: DataFrame,
+                           checkpointDir: String, maxFilesPerType: Int = 64,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    envelopes.writeStream
+      .queryName("graft-ingest-maint")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try {
+          h.ingest(batch)
+          h.registry.knownTypes.filterNot(_ == "descriptor_model")
+            .foreach(t => h.compactIfNeeded(t, maxFilesPerType))
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[graft-ingest] batch $batchId failed: ${e.getMessage}")
+        }
+        ()
+      }
+      .start()
 }

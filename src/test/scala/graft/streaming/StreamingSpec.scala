@@ -47,6 +47,28 @@ class StreamingSpec extends SparkSpec {
     assert(h.tableLog("s1").count() === 3)     // append log kept history
   }
 
+  test("streaming ingest with compaction maintenance keeps serving correct") {
+    val srcDir = tmpDir("graft-stream-maint-src")
+    val ckpt = tmpDir("graft-stream-maint-ckpt")
+    writeJsonFiles(srcDir, Seq(
+      Seq("""{"m":{"type_id":"mt","data":{"id":"a","v":1}}}"""),
+      Seq("""{"m":{"type_id":"mt","data":{"id":"a","v":2}}}"""),
+      Seq("""{"m":{"type_id":"mt","data":{"id":"a","v":3}}}""")))
+    val h = Engine.bootstrap(spark, tmpDir("graft-stream-maint-wh"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("m", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .json(srcDir)
+      .select(col("m").as("message"))
+    // threshold 1: every batch after the first triggers a compaction
+    val q = StreamingIngest.startWithMaintenance(h, stream, ckpt, maxFilesPerType = 1)
+    q.awaitTermination(120000)
+    val served = h.table("mt").collect()
+    assert(served.length === 1)
+    assert(served.head.getAs[Long]("v") === 3L) // latest batch still wins
+    assert(h.tableLog("mt").count() <= 2)       // log was collapsed along the way
+  }
+
   test("watermarked tumbling window aggregation over a stream") {
     val srcDir = tmpDir("graft-stream-win")
     val ckpt = tmpDir("graft-stream-win-ckpt")
