@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts for the declared inventory — the scale story as
+  * executable assertions, not prose. Catches silent plan regressions: a
+  * broadcast that stopped broadcasting, a pushed filter that stopped
+  * pushing, a bounded candidate join degrading to a nested loop.
+  *
+  * Planning-only (`executedPlan` is built, nothing runs) except for the
+  * engine queries, which materialize a warehouse during construction and
+  * are excluded from the sweep.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("small-dim joins broadcast") {
+    assert(plan("q_join_inner_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_skew_salted_join").contains("BroadcastHashJoin")) // exploded dim is still tiny
+  }
+
+  test("time-range predicate pushes to the parquet scan as raw-int64 filters") {
+    val p = plan("q_pred_range_time")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      "expected the ns-int64 range predicate in PushedFilters:\n" + p)
+  }
+
+  test("projection reaches the scan (column pruning)") {
+    val p = plan("q_project_filter")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // exactly the 3 projected + 2 filter columns; none of lineitem's other 11
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      .foreach(c => assert(read.contains(c), s"$c missing from scan:\n$read"))
+    Seq("l_comment", "l_shipdate", "l_partkey")
+      .foreach(c => assert(!read.contains(c), s"unpruned column $c in scan:\n$read"))
+  }
+
+  test("per-group top-k prunes before the shuffle (WindowGroupLimit)") {
+    assert(plan("q_win_rank_topk_per_group").contains("WindowGroupLimit"))
+    assert(plan("q_sample_stratified").contains("WindowGroupLimit"))
+  }
+
+  test("global top-k is a TakeOrdered, not a full sort") {
+    assert(plan("q_topk_orderby_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("nested-loop joins appear ONLY where the pair space is intentionally dense") {
+    // brute-force/pairwise similarity shapes broadcast a tiny side by design;
+    // everything else must stay hash/sort-merge — a BNLJ over two large
+    // sides is the canonical does-not-scale regression
+    val intendedDense = Set(
+      "q_vec_cosine_topk", // broadcast queries × corpus, non-equi by design
+      "q_vec_ann_ivf",     // crossJoin against the broadcast 16-row codebook
+      "q_vec_ann_lsh")     // broadcast query buckets, non-equi residual
+    val engineQueries = Set("q_engine_ingest", "q_engine_point_lookup",
+      "q_merge_into") // merge is full-outer SMJ; engine queries execute on build
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intendedDense)
+      .filterNot(engineQueries)
+      .filter { k =>
+        val p = plan(k)
+        p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian in: ${offenders.mkString(", ")}")
+  }
+}
