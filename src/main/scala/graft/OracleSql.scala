@@ -511,6 +511,26 @@ object OracleSql {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // --- Similarity search ------------------------------------------
+    "q_vec_normalize" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    SQRT(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, gs.i AS pos,
+        |  ROUND(CAST(embedding[gs.i] AS DOUBLE) / nrm, 6) AS e_norm
+        |FROM n, generate_series(1, 64) AS gs(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q_vec_centroids" ->
+      """WITH a AS (SELECT label, gs.i AS pos,
+        |    SUM(CAST(FLOOR(CAST(embedding[gs.i] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
+        |    COUNT(*) AS n
+        |  FROM embeddings, generate_series(1, 64) AS gs(i)
+        |  GROUP BY label, gs.i)
+        |SELECT label, pos,
+        |  CAST((s - ((s % n) + n) % n) / n AS BIGINT) / 1e6 AS centroid
+        |FROM a ORDER BY label, pos""".stripMargin,
+
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |dots AS (

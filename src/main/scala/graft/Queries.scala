@@ -777,6 +777,37 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** L2-normalization of embeddings — the preprocessing pass before cosine
+    * ANN. Norm uses the fixed-point dot (exact, associative, cross-engine
+    * identical); output exploded to (vec_id, pos, e_norm) scalars so the
+    * driver can hash it. */
+  val qVecNormalize: Q = (s, d) => {
+    val nrm = sqrt(VectorOps.dotFixed(col("embedding"), col("embedding")))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), nrm.as("nrm"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        round(col("col").cast(DoubleType) / col("nrm"), 6).as("e_norm"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** Per-label embedding centroids — the class-prototype aggregation
+    * (label → element-wise mean). Accumulates each element on a 1e-6
+    * fixed-point grid (floor is exact on identical doubles) so the sums are
+    * associative and cross-engine identical; the mean is FLOOR-DIVISION on
+    * that integer grid (s - pmod(s,n))/n — no final double rounding, which
+    * near round-half boundaries diverges between engines. One hash
+    * aggregate over the exploded (label, pos) keys, map-side combined. */
+  val qVecCentroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("pos"))
+      .agg(sum(floor(col("col").cast(DoubleType) * lit(1e6))).cast(LongType).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (((col("s") - pmod(col("s"), col("n"))) / col("n")).cast(LongType)
+          .cast(DoubleType) / lit(1e6)).as("centroid"))
+      .orderBy("label", "pos")
+
   /** Embedding-cosine near-dup pairs — rows-only (approximate: LSH-bucketed
     * candidate generation, exact-cosine verify; see
     * [[VectorOps.cosineNearDups]]). Threshold sized to the synthetic corpus

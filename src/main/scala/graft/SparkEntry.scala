@@ -95,6 +95,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> Queries.qDedupMinhashLsh,
     "q_dedup_simhash" -> Queries.qDedupSimhash,
     "q_vec_cosine_topk" -> Queries.qVecCosineTopk,
+    "q_vec_normalize" -> Queries.qVecNormalize,
+    "q_vec_centroids" -> Queries.qVecCentroids,
     "q_vec_ann_lsh" -> Queries.qVecAnnLsh,
     "q_vec_ann_ivf" -> Queries.qVecAnnIvf,
     "q_dedup_embedding" -> Queries.qDedupEmbedding,
