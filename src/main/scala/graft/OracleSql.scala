@@ -116,6 +116,12 @@ object OracleSql {
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
         |ORDER BY event_id""".stripMargin,
 
+    "q_sink_roundtrip" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, f.fmt
+        |FROM events e CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+        |WHERE e.event_id <= 2000
+        |ORDER BY fmt, event_id""".stripMargin,
+
     // --- Joins ------------------------------------------------------
     "q_join_inner_broadcast" ->
       """SELECT o_orderkey, c_name, o_totalprice

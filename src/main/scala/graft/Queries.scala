@@ -197,6 +197,27 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Source/sink format round-trip: one slice written to JSON, CSV and ORC
+    * sinks, read back with explicit schemas, unioned under a format tag —
+    * the oracle is the original parquet × 3 formats. Proves value-exact
+    * round-trips (shortest-repr doubles, nullable longs) across the text
+    * and columnar families Spark ships natively. */
+  val qSinkRoundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-rt").toString
+    val slice = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") <= 2000)
+    val schema = slice.schema
+    slice.write.mode("overwrite").json(dir + "/json")
+    slice.write.mode("overwrite").option("header", "true").csv(dir + "/csv")
+    slice.write.mode("overwrite").orc(dir + "/orc")
+    val j = s.read.schema(schema).json(dir + "/json").withColumn("fmt", lit("json"))
+    val c = s.read.schema(schema).option("header", "true").csv(dir + "/csv")
+      .withColumn("fmt", lit("csv"))
+    val o = s.read.schema(schema).orc(dir + "/orc").withColumn("fmt", lit("orc"))
+    j.unionByName(c).unionByName(o).orderBy("fmt", "event_id")
+  }
+
   // ------------------------------------------------------------------
   // Joins
   // ------------------------------------------------------------------

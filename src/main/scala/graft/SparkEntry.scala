@@ -26,6 +26,7 @@ object SparkEntry {
     "q_schema_union_evolve" -> Queries.qSchemaUnionEvolve,
     "q_engine_ingest" -> Queries.qEngineIngest,
     "q_engine_point_lookup" -> Queries.qEnginePointLookup,
+    "q_sink_roundtrip" -> Queries.qSinkRoundtrip,
     "q_merge_into" -> Queries.qMergeInto,
     // projection / filter
     "q_project_filter" -> Queries.qProjectFilter,
