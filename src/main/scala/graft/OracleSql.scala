@@ -374,6 +374,13 @@ object OracleSql {
         |  GREATEST(o_totalprice, 100000.0) AS price_floor
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+        |  json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_json_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

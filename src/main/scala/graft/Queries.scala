@@ -603,6 +603,20 @@ object Queries {
       greatest(col("o_totalprice"), lit(100000.0)).as("price_floor"))
       .orderBy("o_orderkey")
 
+  /** Map-typed column surface: props parsed as map<string,long>, then
+    * map_keys / element_at / map_contains_key — the map operations the
+    * flatten pipeline relies on, under the oracle gate via DuckDB's JSON
+    * functions. */
+  val qMapFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        element_at(col("m"), "k").as("k_value"),
+        col("m").getItem("k").isNotNull.as("has_k"))
+      .orderBy("event_id")
+
   val qJsonGet: Q = (s, d) =>
     Tables.events(s, d).select(
       col("event_id"),

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_math_funcs" -> Queries.qMathFuncs,
     "q_array_funcs" -> Queries.qArrayFuncs,
     "q_json_get" -> Queries.qJsonGet,
+    "q_map_funcs" -> Queries.qMapFuncs,
     "q_date_cond_funcs" -> Queries.qDateCondFuncs,
     // streaming-equivalent event-time windows
     "q_window_tumbling" -> Queries.qWindowTumbling,
