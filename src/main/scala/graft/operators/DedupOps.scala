@@ -48,10 +48,13 @@ object DedupOps {
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], k: Int,
                       threshold: Double): DataFrame = {
+    // localCheckpoint for the same reason as minhash below: the self-join
+    // would otherwise evaluate the shingle pipeline on BOTH sides
     val withSh = docs.select(
       (col(idCol).as("id") +: blockCols.map(c => col(c))) :+
         array_sort(array_distinct(
           transform(shingles(col(textCol), k), s => xxhash64(s)))).as("sh"): _*)
+      .localCheckpoint()
     val a = withSh.alias("a")
     val b = withSh.alias("b")
     val blockCond = blockCols.map(c => col(s"a.`$c`") === col(s"b.`$c`"))

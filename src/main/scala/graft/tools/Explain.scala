@@ -12,7 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_project_filter", "q_join_inner_broadcast", "q_agg_hash",
-        "q_topk_orderby_limit", "q_pred_range_time")
+        "q_topk_orderby_limit", "q_pred_range_time", "q_merge_into",
+        "q_dedup_embedding", "q_pack_sequences", "q_sample_stratified")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")
