@@ -31,13 +31,14 @@ object Bench {
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // queries that localCheckpoint (minhash/simhash/embedding dedup)
+          // leave lineage-truncated blocks pinned in block-manager storage;
+          // released AFTER EVERY RUN so run 1's blocks don't pressure the
+          // runs being medianed (and runs×queries never accumulate)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          t
         }.sorted
-        // queries that localCheckpoint (minhash/simhash/embedding dedup)
-        // leave lineage-truncated blocks pinned in block-manager storage;
-        // across runs×queries those accumulate and throttle later queries —
-        // release them like a real pipeline releasing its intermediates
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         name -> times(times.size / 2)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

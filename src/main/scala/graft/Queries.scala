@@ -23,6 +23,22 @@ object Queries {
 
   /** Exact associative sum of a double column: decimal-accumulate → double. */
   private def decSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Scratch dir for queries that materialize a warehouse/sink: the
+    * PREVIOUS dir for the same tag is deleted first, so repeated
+    * invocations (3-run bench, gate reruns) hold at most one leftover per
+    * tag per JVM instead of leaking /tmp unboundedly. The current dir must
+    * outlive the returned DataFrame (lazy reads), hence delete-on-next-call
+    * rather than delete-on-exit. */
+  private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(tag: String): String = {
+    val fresh = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    val old = scratch.put(tag, fresh)
+    if (old != null)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+      catch { case _: Exception => }
+    fresh
+  }
   /** Deterministic average built from decSum (both engines compute the
     * identical double division). */
   private def decAvg(c: Column): Column = decSum(c) / count(c)
@@ -109,7 +125,7 @@ object Queries {
     * schema inference, meta-field coercion, props flattening and the LWW
     * view are all hash-checked end-to-end, not just unit-tested. */
   val qEngineIngest: Q = (s, d) => {
-    val wh = java.nio.file.Files.createTempDirectory("graft-qe-wh").toString
+    val wh = scratchDir("qe-wh")
     val events = Tables.events(s, d).filter(col("event_type") === "signup")
     val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
     h.ingest(Flagship.envelopesFrom(s, events))
@@ -144,7 +160,7 @@ object Queries {
     * the 16 id buckets. Puts the partition-pruned lookup under the oracle
     * hash, not just under a plan assertion. */
   val qEnginePointLookup: Q = (s, d) => {
-    val wh = java.nio.file.Files.createTempDirectory("graft-qpl-wh").toString
+    val wh = scratchDir("qpl-wh")
     val events = Tables.events(s, d)
       .filter(col("event_type") === "signup" && col("event_id") <= 500)
     val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
@@ -203,7 +219,7 @@ object Queries {
     * round-trips (shortest-repr doubles, nullable longs) across the text
     * and columnar families Spark ships natively. */
   val qSinkRoundtrip: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft-sink-rt").toString
+    val dir = scratchDir("sink-rt")
     val slice = Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
       .filter(col("event_id") <= 2000)

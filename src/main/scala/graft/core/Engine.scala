@@ -27,16 +27,22 @@ object Engine {
       * overwritten rows). Preserves the `_part` partition layout and the
       * ingest tie-break columns, so point lookups still prune and later
       * appends still LWW-merge correctly against compacted rows. */
-    def compact(typeId: String): Unit = {
+    def compact(typeId: String): Unit = registry.withTableLock(typeId) {
       val log = tableLog(typeId)
       val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
       // the source dir is only touched AFTER the tmp write completes, so
-      // the single write job reads the live files directly — no staging copy
-      val collapsed = Upserts.lwwView(log, Seq("id"), "last_modified", ties)
+      // the single write job reads the live files directly — no staging copy.
+      // repartition on _part: without it each LWW shuffle task writes one
+      // file PER bucket it holds (tasks × 16 files), so compaction output
+      // could itself exceed the compactIfNeeded threshold and the
+      // maintenance loop would rewrite the table every batch, forever
+      val collapsed0 = Upserts.lwwView(log, Seq("id"), "last_modified", ties)
+      val hasPart = collapsed0.columns.contains("_part")
+      val collapsed =
+        if (hasPart) collapsed0.repartition(col("_part")) else collapsed0
       val tmp = registry.tablePath(typeId) + ".compact"
       val writer = collapsed.write.mode("overwrite")
-      (if (collapsed.columns.contains("_part")) writer.partitionBy("_part")
-       else writer).parquet(tmp)
+      (if (hasPart) writer.partitionBy("_part") else writer).parquet(tmp)
       registry.replaceTable(typeId, tmp)
     }
 

@@ -185,8 +185,12 @@ object Ingest {
     try {
       val n = written.count()
       if (n > 0)
-        written.write.mode("append").partitionBy("_part")
-          .parquet(registry.tablePath(typeId))
+        // table lock: an append racing a compaction's listing→swap window
+        // would otherwise be renamed aside and deleted with the old copy
+        registry.withTableLock(typeId) {
+          written.write.mode("append").partitionBy("_part")
+            .parquet(registry.tablePath(typeId))
+        }
       (n, nQuarantine + nCorrupt)
     } finally written.unpersist()
   }

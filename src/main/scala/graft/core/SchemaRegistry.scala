@@ -42,10 +42,16 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
   private def swapPaths(dstPath: String, tmpPath: String): Unit = {
     val dst = hpath(dstPath)
     val old = hpath(dstPath + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(hpath(tmpPath), dst)
-    fs.delete(old, true)
+    // Hadoop rename signals most failures by RETURNING FALSE, not throwing —
+    // every step must be checked or a failed rename silently drops the
+    // write (or worse, the final delete removes the only live copy)
+    def must(ok: Boolean, step: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"swap of $dstPath failed at: $step (filesystem rename returned false)")
+    if (fs.exists(old)) must(fs.delete(old, true), s"delete stale $old")
+    if (fs.exists(dst)) must(fs.rename(dst, old), s"rename $dst aside")
+    must(fs.rename(hpath(tmpPath), dst), s"rename $tmpPath into place")
+    fs.delete(old, true) // best-effort: .old is now redundant; healPath ignores it when dst exists
   }
 
   private def swapInDescriptors(tmpPath: String): Unit =
@@ -62,6 +68,19 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     * replacement dir (compaction's final step). */
   def replaceTable(typeId: String, tmpPath: String): Unit =
     swapPaths(tablePath(typeId), tmpPath)
+
+  /** Per-type write lock: serializes table-dir mutations (append writes,
+    * compaction read+swap) WITHIN this JVM — without it an append landing
+    * between compaction's file listing and its directory swap would be
+    * renamed aside and deleted with the old copy. Cross-process writers
+    * need external coordination: a plain-parquet layout has no transaction
+    * log (that is Delta/Iceberg territory, out of scope per SURVEY). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withTableLock[T](typeId: String)(body: => T): T = {
+    val lock = tableLocks.computeIfAbsent(typeId, _ => new Object)
+    lock.synchronized(body)
+  }
 
   /** Number of data files under a type's table — a recursive listing,
     * metadata-only (compaction-policy input). */
@@ -173,6 +192,7 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     * every descriptor write is a read-merge-swap of the registry table, so
     * collapsing the two writes halves the metadata cost of new types). */
   def evolve(typeId: String, incoming: StructType): StructType = synchronized {
+    checkTypeId(typeId) // never persist a descriptor for a non-identifier id
     val known = cache.contains(typeId)
     val current = cache.getOrElse(typeId, {
       if (immutableSchema)

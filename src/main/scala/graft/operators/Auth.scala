@@ -35,12 +35,21 @@ object Auth {
     * the api_key in effect. */
   def upsertUser(h: Engine.Handle, id: String, role: String, password: String,
                  apiKey: Option[String] = None): String = {
+    // every interpolated field is identifier/hex-constrained — a quote or
+    // backslash in `role` would otherwise break the JSON (silent dead-letter
+    // while still returning a key) or inject a duplicate "role" key that
+    // Spark's last-wins JSON parse would honor (privilege escalation)
     require(id.matches("^[A-Za-z0-9_-]+$"), s"invalid user id: '$id'")
+    require(role == "admin" || role == "user", s"invalid role: '$role'")
+    apiKey.foreach(k => require(k.matches("^[A-Za-z0-9_-]+$"),
+      s"invalid api key format"))
     val key = apiKey.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    h.ingest(envelope(h.spark,
+    val report = h.ingest(envelope(h.spark,
       s"""{"type_id":"$UsersType","data":{"id":"$id","role":"$role",""" +
         s""""api_key":"$key","password_hash":"${sha256(password)}"}}"""))
+    require(report.perType.getOrElse(UsersType, 0L) == 1L,
+      s"user row for '$id' was not written (dead-lettered or quarantined)")
     key
   }
 

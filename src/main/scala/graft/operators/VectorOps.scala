@@ -153,8 +153,12 @@ object VectorOps {
     import graft.plans.FloatVectorExpressions.{dot, norm}
     val spark = corpus.sparkSession
     import spark.implicits._
+    // cent_id = xxhash64 of the id rendered as string: deterministic and
+    // type-agnostic (a plain cast-to-long would null out string ids and
+    // crash the collect below)
     var cents: DataFrame = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast(LongType).as("cent_id"), col(vecCol).as("cv"))
+      .select(xxhash64(col(idCol).cast(StringType)).as("cent_id"),
+        col(vecCol).as("cv"))
     for (_ <- 0 until iters) {
       val bc = broadcast(cents.withColumn("cnorm", norm(col("cv"))))
       val w = Window.partitionBy("__vid").orderBy(col("__sim").desc, col("cent_id").asc)

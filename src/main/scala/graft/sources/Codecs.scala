@@ -177,16 +177,23 @@ object Codecs {
     * same way; anything else (e.g. `../../x` traversal) is dead-lettered. */
   val TypeIdPattern = "^[A-Za-z0-9_-]+$"
 
+  /** The rlike form: Java regex `$` under find() matches BEFORE a trailing
+    * newline, so "t\n" passes `^...$` in rlike while failing matches() —
+    * the filter gate must use the absolute anchors. */
+  val TypeIdPatternAnchored = "\\A[A-Za-z0-9_-]+\\z"
+
   /** Split decoded messages into valid envelopes (type_id, data_json) and a
     * dead-letter frame (reference consumer.py:36-37 ValueError path).
     * Missing AND non-identifier type_ids both dead-letter. */
   def unwrap(df: DataFrame, messageCol: String): (DataFrame, DataFrame) = {
     val (tid, data) = envelope(col(messageCol))
     val withEnv = df.withColumn("type_id", tid).withColumn("data_json", data)
-    val valid = col("type_id").isNotNull && col("type_id").rlike(TypeIdPattern)
+    val valid = col("type_id").isNotNull &&
+      col("type_id").rlike(TypeIdPatternAnchored)
     val good = withEnv.filter(valid)
       .select(col("type_id"), col("data_json"))
-    val bad = withEnv.filter(col("type_id").isNull || !col("type_id").rlike(TypeIdPattern))
+    val bad = withEnv.filter(col("type_id").isNull ||
+      !col("type_id").rlike(TypeIdPatternAnchored))
     (good, bad)
   }
 }
