@@ -69,6 +69,22 @@ class StreamingSpec extends SparkSpec {
     assert(h.tableLog("mt").count() <= 2)       // log was collapsed along the way
   }
 
+  test("kafka wiring: loads with the connector, fails ONLY for jar absence without") {
+    // the container ships no spark-sql-kafka jar; on a real cluster this
+    // same test validates the stream frame shape. Either way it pins that
+    // OUR wiring (options, projection) is not the failure.
+    scala.util.Try(
+      StreamingIngest.fromKafka(spark, "localhost:9092", Seq("t1", "t2"), "g1")) match {
+      case scala.util.Success(df) =>
+        assert(df.isStreaming && df.columns.toSeq === Seq("message"))
+      case scala.util.Failure(e) =>
+        val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+          .toLowerCase
+        assert(msg.contains("kafka"),
+          s"fromKafka failed for a non-connector reason: $e")
+    }
+  }
+
   test("watermarked tumbling window aggregation over a stream") {
     val srcDir = tmpDir("graft-stream-win")
     val ckpt = tmpDir("graft-stream-win-ckpt")
