@@ -168,6 +168,21 @@ object OracleSql {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    "q_join_interval_overlap" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |st AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+        |        THEN 0 ELSE 1 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM st),
+        |s AS (SELECT user_id, MIN(ts) AS s0, MAX(ts) + INTERVAL 30 MINUTE AS s1
+        |      FROM g GROUP BY user_id, grp HAVING COUNT(*) >= 2)
+        |SELECT a.user_id AS user_a, a.s0 AS start_a,
+        |       b.user_id AS user_b, b.s0 AS start_b
+        |FROM s a JOIN s b ON a.user_id < b.user_id
+        |  AND a.s0 < b.s1 AND b.s0 < a.s1
+        |ORDER BY user_a, start_a, user_b, start_b""".stripMargin,
+
     "q_resample_ffill" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
@@ -360,6 +375,15 @@ object OracleSql {
         |  CAST(embedding[1] AS DOUBLE) AS e0,
         |  CAST(list_max(embedding) AS DOUBLE) AS e_max,
         |  CAST(list_min(embedding) AS DOUBLE) AS e_min
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_hof_funcs" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS DOUBLE) / 1e6 AS sum_fixed,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(embedding, x -> x > CAST(0.4 AS FLOAT))) > 0 AS any_big,
+        |  ROUND(CAST(embedding[1] AS DOUBLE) * 2.0, 6) AS e0_doubled
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_date_cond_funcs" ->

@@ -305,6 +305,34 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** INTERVAL-OVERLAP join: pairs of sessions (different users) whose time
+    * ranges overlap — scalable via time-bucket blocking: each session
+    * explodes to the hour buckets it touches, candidates must share a
+    * bucket (overlapping intervals always share ≥1 hour), exact overlap
+    * verifies, dedup collapses multi-bucket matches. The same
+    * candidate-generation discipline as the LSH dedup paths — the pair
+    * space is bounded by sessions-per-hour², never corpus². */
+  val qJoinIntervalOverlap: Q = (s, d) => {
+    val sess = Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 2) // multi-event sessions only
+      .select(col("user_id"),
+        col("session_window.start").as("s0"), col("session_window.end").as("s1"))
+    val bucketed = sess.select(col("*"),
+      explode(sequence(date_trunc("hour", col("s0")),
+        date_trunc("hour", col("s1")), expr("INTERVAL 1 HOUR"))).as("h"))
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b, col("a.h") === col("b.h") &&
+        col("a.user_id") < col("b.user_id") &&
+        col("a.s0") < col("b.s1") && col("b.s0") < col("a.s1"))
+      .select(col("a.user_id").as("user_a"), col("a.s0").as("start_a"),
+        col("b.user_id").as("user_b"), col("b.s0").as("start_b"))
+      .dropDuplicates("user_a", "start_a", "user_b", "start_b")
+      .orderBy("user_a", "start_a", "user_b", "start_b")
+  }
+
   /** Time-series resample: per-user hourly grid spanning each user's event
     * range, forward-filled with the latest value at-or-before each grid
     * point — built by composing the grid (sequence+explode) with the
@@ -600,6 +628,21 @@ object Queries {
       element_at(col("embedding"), 1).cast(DoubleType).as("e0"),
       array_max(col("embedding")).cast(DoubleType).as("e_max"),
       array_min(col("embedding")).cast(DoubleType).as("e_min"))
+      .orderBy("vec_id")
+
+  /** Higher-order-function battery over array columns: transform / filter /
+    * aggregate lambdas (the Spark HOF surface the vector kernels build on),
+    * with fixed-point folds so the fold result is cross-engine exact. */
+  val qHofFuncs: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      (aggregate(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1e6))),
+        lit(0L), (acc, x) => acc + x).cast(DoubleType) / lit(1e6)).as("sum_fixed"),
+      size(filter(col("embedding"), x => x > 0f)).cast(LongType).as("n_pos"),
+      (size(filter(col("embedding"), x => x > 0.4f)) > 0).as("any_big"),
+      round(element_at(transform(col("embedding"),
+        x => x.cast(DoubleType) * 2.0), 1), 6).as("e0_doubled"))
       .orderBy("vec_id")
 
   /** Date-part + conditional scalar battery. */

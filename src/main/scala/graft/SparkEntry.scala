@@ -39,6 +39,7 @@ object SparkEntry {
     "q_join_anti" -> Queries.qJoinAnti,
     "q_join_theta_range" -> Queries.qJoinThetaRange,
     "q_join_asof" -> Queries.qJoinAsof,
+    "q_join_interval_overlap" -> Queries.qJoinIntervalOverlap,
     "q_resample_ffill" -> Queries.qResampleFfill,
     // aggregation
     "q_agg_hash" -> Queries.qAggHash,
@@ -72,6 +73,7 @@ object SparkEntry {
     "q_date_trunc_bucket" -> Queries.qDateTruncBucket,
     "q_math_funcs" -> Queries.qMathFuncs,
     "q_array_funcs" -> Queries.qArrayFuncs,
+    "q_hof_funcs" -> Queries.qHofFuncs,
     "q_json_get" -> Queries.qJsonGet,
     "q_map_funcs" -> Queries.qMapFuncs,
     "q_date_cond_funcs" -> Queries.qDateCondFuncs,
