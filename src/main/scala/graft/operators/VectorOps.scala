@@ -75,6 +75,15 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Plane count that keeps expected LSH bucket size near `targetBucket`
+    * for a corpus of `corpusSize` vectors: buckets = 2^planes, so
+    * planes = ⌈log2(N / target)⌉. The knob that keeps the bucket self-join
+    * bounded as the corpus grows — e.g. 10⁸ vectors at target 1000 ⇒ 17
+    * planes; this repo's 2×10³ fixture at target 125 ⇒ 4. */
+  def planesFor(corpusSize: Long, targetBucket: Int = 1000): Int =
+    math.max(1, math.ceil(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt)
+
   /** Deterministic random hyperplanes: fixed-seed PRNG, regenerated
     * identically everywhere — a few KB of literals, nothing to broadcast.
     * `seed` varies per hash table (OR-construction). */

@@ -190,6 +190,19 @@ class IngestSpec extends SparkSpec {
     assert(df.schema("tags").dataType === ArrayType(LongType))
     assert(df.filter(col("id") === "b").collect().head
       .getAs[Seq[Long]]("tags") === Seq(7L))
+    // array-of-struct fields (JSON arrays of objects) round-trip the
+    // descriptor codec too: catalogString "struct<...>" element encoding
+    h2.ingest(env("""{"type_id":"t2","data":{"id":"a","objs":[{"a":1,"b":"x"}]}}"""),
+      ingestTime = Some(t0))
+    val h3 = Engine.Handle(spark,
+      { val r = new SchemaRegistry(spark, wh); r.bootstrap(); r })
+    val objsType = h3.registry.get("t2").get("objs").dataType
+    assert(objsType.isInstanceOf[ArrayType] &&
+      objsType.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType],
+      s"objs reloaded as $objsType")
+    h3.ingest(env("""{"type_id":"t2","data":{"id":"b","objs":[{"a":2,"b":"y"}]}}"""),
+      ingestTime = Some(t1))
+    assert(h3.table("t2").count() === 2)
   }
 
   test("malformed payloads get a dead-letter copy in quarantine, not a silent drop") {

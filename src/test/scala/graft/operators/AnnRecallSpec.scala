@@ -54,6 +54,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(rMp >= 0.5, s"multiprobe recall collapsed: $rMp")
   }
 
+  test("planesFor keeps bucket size bounded as the corpus grows") {
+    assert(VectorOps.planesFor(2000, 125) === 4)     // this fixture's setting
+    assert(VectorOps.planesFor(100000000L, 1000) === 17)
+    assert(VectorOps.planesFor(100, 1000) === 1)     // tiny corpus: floor at 1
+    // expected bucket size stays ≤ target across 6 orders of magnitude
+    Seq(1000L, 1000000L, 1000000000L).foreach { n =>
+      val p = VectorOps.planesFor(n, 1000)
+      assert(n.toDouble / math.pow(2, p) <= 1000.0)
+    }
+  }
+
   test("cosineNearDups: LSH plan has no cartesian/BNLJ; recall vs all-pairs truth") {
     val emb = graft.Tables.embeddings(spark, sf())
     val lsh = VectorOps.cosineNearDups(emb, "vec_id", "embedding", threshold = 0.3)
