@@ -169,8 +169,9 @@ object OracleSql {
         |ORDER BY l.event_id""".stripMargin,
 
     "q_join_interval_overlap" ->
+      // <= matches Spark's inclusive session merge at the exact gap
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-        |st AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+        |st AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
         |        THEN 0 ELSE 1 END AS is_new
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
@@ -379,8 +380,9 @@ object OracleSql {
 
     "q_hof_funcs" ->
       """SELECT vec_id,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS DOUBLE) / 1e6 AS sum_fixed,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_filter(embedding, x -> x IS NOT NULL),
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))), 0) AS DOUBLE) / 1e6 AS sum_fixed,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
         |  len(list_filter(embedding, x -> x > CAST(0.4 AS FLOAT))) > 0 AS any_big,
         |  ROUND(CAST(embedding[1] AS DOUBLE) * 2.0, 6) AS e0_doubled
@@ -427,8 +429,10 @@ object OracleSql {
         |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
     "q_session_window" ->
+      // <= not <: Spark's session_window MERGES an event arriving exactly
+      // gap after the previous one (verified empirically on 4.1.2)
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-        |s AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+        |s AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
         |        THEN 0 ELSE 1 END AS is_new
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id

@@ -319,9 +319,12 @@ object Queries {
       .filter(col("n_events") >= 2) // multi-event sessions only
       .select(col("user_id"),
         col("session_window.start").as("s0"), col("session_window.end").as("s1"))
+    // localCheckpoint for the same reason as the dedup paths: the self-join
+    // would otherwise rebuild the session aggregation on both sides
     val bucketed = sess.select(col("*"),
       explode(sequence(date_trunc("hour", col("s0")),
         date_trunc("hour", col("s1")), expr("INTERVAL 1 HOUR"))).as("h"))
+      .localCheckpoint()
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     a.join(b, col("a.h") === col("b.h") &&
@@ -636,7 +639,10 @@ object Queries {
   val qHofFuncs: Q = (s, d) =>
     Tables.embeddings(s, d).select(
       col("vec_id"),
-      (aggregate(transform(col("embedding"),
+      // null elements filtered BEFORE the fold and empty arrays fold to 0,
+      // matching the oracle's COALESCE(list_sum(...), 0) — Spark's fold
+      // would otherwise null-propagate where DuckDB's list_sum skips
+      (aggregate(transform(filter(col("embedding"), x => x.isNotNull),
           x => floor(x.cast(DoubleType) * lit(1e6))),
         lit(0L), (acc, x) => acc + x).cast(DoubleType) / lit(1e6)).as("sum_fixed"),
       size(filter(col("embedding"), x => x > 0f)).cast(LongType).as("n_pos"),

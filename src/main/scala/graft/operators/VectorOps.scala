@@ -259,18 +259,23 @@ object VectorOps {
     * would otherwise recompute the plane projections (2× the bucketing cost).
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, nPlanes: Int = 4, dims: Int = 64,
+                     threshold: Double, nPlanes: Int = 0, dims: Int = 64,
                      tables: Int = 4): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
     val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint()
+    // nPlanes <= 0 ⇒ auto-size from the corpus via [[planesFor]], so the
+    // bucket self-join stays bounded as the corpus grows without the
+    // caller re-deriving the knob (the count reads the checkpointed side)
+    val planes =
+      if (nPlanes > 0) nPlanes else planesFor(side.count(), targetBucket = 125)
     // candidate generation stays NARROW: only (id, table, bucket) flows
     // through the self-join and the pair dedup — the 64-float vectors would
     // otherwise be duplicated ×tables and shuffled twice
     val banded = side.select(col("id"),
       posexplode(array((0 until tables).map(t =>
-        lshBucket(col("v"), nPlanes, dims, seed = 42L + t)): _*)))
+        lshBucket(col("v"), planes, dims, seed = 42L + t)): _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
     val a = banded.alias("a")
