@@ -43,15 +43,17 @@ object Ingest {
              ingestTime: Option[java.sql.Timestamp] = None): Report = {
     import spark.implicits._
 
-    val (good, bad) = Codecs.unwrap(envelopes, messageCol)
-    val deadLetters = bad.count()
-
     // Reference processes messages one-by-one; the batch equivalent groups
     // by type. Types are bounded (table-per-type), so driver iteration over
-    // the distinct set is metadata-scale, not data-scale.
-    val cached = good.cache()
+    // the distinct set is metadata-scale, not data-scale. ONE aggregation
+    // pass yields both the dead-letter count (null type_id group) and the
+    // type fan-out list.
+    val cached = Codecs.unwrapAll(envelopes, messageCol)
+      .select("type_id", "data_json").cache()
     try {
-      val types = cached.select("type_id").distinct().as[String].collect().sorted
+      val typeCounts = cached.groupBy("type_id").count().collect()
+      val deadLetters = typeCounts.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+      val types = typeCounts.filter(!_.isNullAt(0)).map(_.getString(0)).sorted
       // Types are independent (separate tables, separate registry rows with
       // locked mutations) — fan their sub-batches out concurrently; Spark's
       // scheduler interleaves the jobs. Mirrors a real cluster where a

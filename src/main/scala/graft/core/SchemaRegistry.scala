@@ -163,10 +163,10 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
       if (pathExists(descriptorsPath))
         spark.read.parquet(descriptorsPath).filter(col("id") =!= typeId)
       else spark.createDataFrame(java.util.List.of[Row](), Types.descriptorsTableSchema)
-    val merged = existing.unionByName(df).cache()
-    merged.count() // materialize before overwrite of a path we just read
-    merged.coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
-    merged.unpersist()
+    // the write targets `.tmp`, never the path being read, so no pre-write
+    // materialization is needed — the swap happens only after it completes
+    existing.unionByName(df)
+      .coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
     swapInDescriptors(descriptorsPath + ".tmp")
   }
 
@@ -216,14 +216,9 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
   def drop(typeId: String): Unit = {
     checkTypeId(typeId) // before ANY side effect: drop deletes the resolved path
     cache.remove(typeId)
-    val existing =
-      if (pathExists(descriptorsPath))
-        spark.read.parquet(descriptorsPath).filter(col("id") =!= typeId).cache()
-      else null
-    if (existing != null) {
-      existing.count()
-      existing.coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
-      existing.unpersist()
+    if (pathExists(descriptorsPath)) {
+      spark.read.parquet(descriptorsPath).filter(col("id") =!= typeId)
+        .coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
       swapInDescriptors(descriptorsPath + ".tmp")
     }
     fs.delete(hpath(tablePath(typeId)), true)

@@ -186,14 +186,19 @@ object Codecs {
     * dead-letter frame (reference consumer.py:36-37 ValueError path).
     * Missing AND non-identifier type_ids both dead-letter. */
   def unwrap(df: DataFrame, messageCol: String): (DataFrame, DataFrame) = {
+    val all = unwrapAll(df, messageCol)
+    (all.filter(col("type_id").isNotNull).select("type_id", "data_json"),
+      all.filter(col("type_id").isNull))
+  }
+
+  /** One-frame variant of [[unwrap]]: `type_id` is NULLED for invalid
+    * envelopes (missing or non-identifier ids), so a single cached pass can
+    * yield dead-letter counts AND the per-type fan-out without a second
+    * job over the batch. */
+  def unwrapAll(df: DataFrame, messageCol: String): DataFrame = {
     val (tid, data) = envelope(col(messageCol))
-    val withEnv = df.withColumn("type_id", tid).withColumn("data_json", data)
-    val valid = col("type_id").isNotNull &&
-      col("type_id").rlike(TypeIdPatternAnchored)
-    val good = withEnv.filter(valid)
-      .select(col("type_id"), col("data_json"))
-    val bad = withEnv.filter(col("type_id").isNull ||
-      !col("type_id").rlike(TypeIdPatternAnchored))
-    (good, bad)
+    df.withColumn("type_id",
+        when(tid.isNotNull && tid.rlike(TypeIdPatternAnchored), tid))
+      .withColumn("data_json", data)
   }
 }
