@@ -79,12 +79,13 @@ object DedupOps {
                          k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                          threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // fused signature kernel: all k minima in one pass over the shingle
+    // hashes (graft.plans.MinHashSignatures) — the k-lambda built-in
+    // formulation materializes k intermediate arrays per document
     val sigd = docs.select(col(idCol).as("id"),
         array_sort(array_distinct(
           transform(shingles(col(textCol), k), s => xxhash64(s)))).as("sh"))
-      .withColumn("sig", array((0 until numHashes).map { seed =>
-        array_min(transform(col("sh"), h => xxhash64(h, lit(seed))))
-      }: _*))
+      .withColumn("sig", graft.plans.MinHash.signatures(col("sh"), numHashes))
       .localCheckpoint()
     val banded = sigd.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

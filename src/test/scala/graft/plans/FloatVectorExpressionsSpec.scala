@@ -1,6 +1,37 @@
 package graft.plans
 
 import graft.SparkSpec
+
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("fused signature equals the reference k-min computation; deterministic") {
+    val docs = Seq(
+      (1L, Seq(11L, 42L, 77L, 42L)), // dup element: min unaffected
+      (2L, Seq(5L)),
+      (3L, Seq.empty[Long]))         // empty: all Long.MaxValue minima
+      .toDF("id", "sh")
+    val k = 8
+    val got = docs.select(col("id"), MinHash.signatures(col("sh"), k).as("sig"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    // scala reference: per seed, min over elements of the same hash
+    def ref(sh: Seq[Long]): Seq[Long] =
+      (0 until k).map(s =>
+        if (sh.isEmpty) Long.MaxValue
+        else sh.map(h => MinHash.hashLong(h, s)).min)
+    assert(got(0)._2 === ref(Seq(11L, 42L, 77L, 42L)))
+    assert(got(1)._2 === ref(Seq(5L)))
+    assert(got(2)._2 === ref(Seq.empty))
+    assert(got.forall(_._2.length === k))
+    // subset property: adding elements can only lower each minimum
+    val subset = ref(Seq(11L, 42L))
+    ref(Seq(11L, 42L, 77L)).zip(subset).foreach { case (full, sub) =>
+      assert(full <= sub)
+    }
+  }
+}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
