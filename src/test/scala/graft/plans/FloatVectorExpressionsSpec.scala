@@ -69,7 +69,7 @@ class FloatVectorExpressionsSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
-  test("SQL registration via GraftExtensions: graft_dot / graft_norm callable from SQL") {
+  test("SQL registration via GraftExtensions: all native kernels callable from SQL") {
     GraftExtensions.register(spark)
     df.createOrReplaceTempView("vexpr_test")
     val r = spark.sql(
@@ -77,6 +77,12 @@ class FloatVectorExpressionsSpec extends SparkSpec {
       .collect()
     assert(r(0).getDouble(1) === 32.0)
     assert(math.abs(r(0).getDouble(2) - math.sqrt(14.0)) < 1e-12)
+    val r2 = spark.sql(
+      """SELECT graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i,
+        |       size(graft_minhash(array(11L, 42L), 8)) AS k""".stripMargin)
+      .collect().head
+    assert(r2.getInt(0) === 2)
+    assert(r2.getInt(1) === 8)
   }
 
   test("codegen survives: native kernels stay inside wholestage codegen") {
