@@ -182,19 +182,11 @@ object Codecs {
     * the filter gate must use the absolute anchors. */
   val TypeIdPatternAnchored = "\\A[A-Za-z0-9_-]+\\z"
 
-  /** Split decoded messages into valid envelopes (type_id, data_json) and a
-    * dead-letter frame (reference consumer.py:36-37 ValueError path).
-    * Missing AND non-identifier type_ids both dead-letter. */
-  def unwrap(df: DataFrame, messageCol: String): (DataFrame, DataFrame) = {
-    val all = unwrapAll(df, messageCol)
-    (all.filter(col("type_id").isNotNull).select("type_id", "data_json"),
-      all.filter(col("type_id").isNull))
-  }
-
-  /** One-frame variant of [[unwrap]]: `type_id` is NULLED for invalid
-    * envelopes (missing or non-identifier ids), so a single cached pass can
-    * yield dead-letter counts AND the per-type fan-out without a second
-    * job over the batch. */
+  /** Envelope split (reference consumer.py:36-37 ValueError path) as ONE
+    * frame: `type_id` is NULLED for invalid envelopes (missing or
+    * non-identifier ids — both dead-letter), so a single cached pass yields
+    * dead-letter counts AND the per-type fan-out without a second job over
+    * the batch. */
   def unwrapAll(df: DataFrame, messageCol: String): DataFrame = {
     val (tid, data) = envelope(col(messageCol))
     df.withColumn("type_id",
