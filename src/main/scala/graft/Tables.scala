@@ -14,8 +14,21 @@ object Tables {
   /** Conf key every session needs to read events.parquet. */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
+  // Each spark.read.parquet(path) builds a fresh InMemoryFileIndex (full
+  // file listing + footer schema read). Over an 85-query Verify/Bench run
+  // that fixed cost dominates the sub-second queries, so loaded frames are
+  // cached per (session, path). Keys are weak on the session: stopped test
+  // sessions fall out; the test tables themselves are immutable (TESTDATA.md)
+  // so a cached listing can never go stale.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    synchronized {
+      cache.computeIfAbsent(spark, _ => collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$sfDir/$name",
+          spark.read.parquet(s"$sfDir/$name.parquet"))
+    }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
