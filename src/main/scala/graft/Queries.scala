@@ -848,6 +848,27 @@ object Queries {
     DedupOps.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
 
+  /** Dedup CLUSTERING — the transitive-closure step after pair generation:
+    * docs sharing an exact word-8-shingle form edges (stop-shingle filter
+    * bounds bucket fan-out: shingles in >10 docs are boilerplate and would
+    * create quadratic buckets), connected components assign every doc its
+    * cluster (min doc_id canonical), singletons included. Deterministic and
+    * ANSI-expressible ⇒ full DuckDB oracle (recursive-CTE reachability). */
+  val qDedupCluster: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+      explode(DedupOps.shingles(col("text"), 8)).as("sh"))
+    val ok = sh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs").between(2, 10))
+    val cand = sh.join(ok.select("sh"), "sh")
+    val pairs = cand.as("a").join(cand.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    operators.GraphOps.dedupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id")
+  }
+
   val qVecCosineTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

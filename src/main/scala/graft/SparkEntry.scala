@@ -98,6 +98,7 @@ object SparkEntry {
     // dedup + similarity extensions
     "q_dedup_minhash_lsh" -> Queries.qDedupMinhashLsh,
     "q_dedup_simhash" -> Queries.qDedupSimhash,
+    "q_dedup_cluster" -> Queries.qDedupCluster,
     "q_vec_cosine_topk" -> Queries.qVecCosineTopk,
     "q_vec_normalize" -> Queries.qVecNormalize,
     "q_vec_centroids" -> Queries.qVecCentroids,

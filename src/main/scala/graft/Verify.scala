@@ -17,7 +17,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // substring filter for fast single-query iteration (mirrors Bench's
+    // SPARK_GRAFT_BENCH_FILTER); default "" = all queries
+    val filter = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FILTER", "")
+    SparkEntry.queries.filter(_._1.contains(filter)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed connected components — the transitive-closure step that turns
+  * near-dup PAIRS (minhash/simhash/jaccard/embedding candidates) into dedup
+  * CLUSTERS with one canonical keeper per cluster. Without it, A~B and B~C
+  * keeps both B and C when only A should survive.
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  * round is two hash-shuffles (groupBy + join), converges in O(log n)
+  * rounds on any graph (vs O(diameter) for plain label propagation), and
+  * never materializes a neighborhood larger than the input degree. This is
+  * the shape that survives a 100 TB corpus: per-round cost is linear in
+  * |E|, driver work is one 1-row checksum action per round, and lineage is
+  * cut with localCheckpoint so plans don't grow across iterations.
+  */
+object GraphOps {
+
+  /** One large-star round: every node u links its strictly-larger neighbors
+    * to m = min(N(u) ∪ {u}). Keeps big components shrinking in parallel. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = und.groupBy("src")
+      .agg(least(min(col("dst")), first(col("src"))).as("m"))
+    und.join(m, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: orient edges toward the smaller endpoint; every
+    * node links its smaller neighbors (and itself) to the minimum one. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val m = or.groupBy("src").agg(min(col("dst")).as("m"))
+    val fromNbrs = or.join(m, "src")
+      .where(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val fromSelf = m.select(col("src"), col("m").as("dst"))
+    fromNbrs.union(fromSelf).distinct()
+  }
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges frame with two long-castable columns `src`, `dst`
+    *              (self-loops and duplicate/reversed edges are fine)
+    * @return (id, component) for every node APPEARING IN `edges`, where
+    *         component = min node id of the node's component. Isolated
+    *         nodes never seen in an edge are the caller's to union in
+    *         (they are their own component by definition).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val cleaned = edges
+      .select(col("src").cast(LongType).as("src"),
+        col("dst").cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    // nodes are collected BEFORE dropping self-loops so a node appearing
+    // only as (x, x) still gets a label
+    val nodes = cleaned.select(col("src").as("id"))
+      .union(cleaned.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var e = cleaned
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    // convergence = edge set unchanged; (count, xor of edge hashes) is a
+    // 1-row action per round, not a full frame compare. bit_xor is order-
+    // independent and can't overflow under ANSI mode; edges are distinct()
+    // so xor-cancellation of repeated values can't produce a false match.
+    def checksum(f: DataFrame): (Long, Long) = {
+      val r = f.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
+      val old = e
+      e = next
+      old.unpersist()
+      it += 1
+    }
+
+    // at the fixpoint the edge set is a union of stars rooted at each
+    // component's minimum id; min() per node is belt-and-braces for the
+    // maxIter cutoff on adversarial graphs
+    val lbl = e.select(
+        greatest(col("src"), col("dst")).as("id"),
+        least(col("src"), col("dst")).as("comp"))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+  }
+
+  /** Dedup clustering: pairs → transitive clusters over ALL rows of `docs`.
+    * Rows never appearing in a pair are singleton clusters of themselves.
+    * Output: (idCol, cluster_id = min id in cluster, cluster_size). */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(
+      pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val withLbl = docs.select(col(idCol))
+      .join(labels, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol).cast(LongType)).as("cluster_id"))
+    val sizes = withLbl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    withLbl.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+}

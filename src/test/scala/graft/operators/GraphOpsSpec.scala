@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find ground truth with min-id canonical labels. */
+  private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccLabels(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to one component rooted at min") {
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    assert(ccLabels(chain) === (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("cycle, clique, and bridged cliques") {
+    val cycle = (10L until 15L).map(i => (i, i + 1)) :+ (15L, 10L)
+    val clique = for { a <- 20L to 24L; b <- (a + 1) to 24L } yield (a, b)
+    val bridge = Seq((30L, 31L), (31L, 32L), (40L, 41L), (32L, 40L))
+    val edges = cycle ++ clique ++ bridge
+    assert(ccLabels(edges) === unionFindLabels(edges))
+  }
+
+  test("duplicates, reversed edges, and self-loops") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (5L, 4L))
+    val got = ccLabels(edges)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200
+      val ids = (1 to n).map(_ => rnd.nextLong(1000000).abs)
+      val edges = (1 to 300).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      assert(ccLabels(edges) === unionFindLabels(edges), s"trial $trial")
+    }
+  }
+
+  test("dedupClusters labels every doc; singletons are their own cluster") {
+    val docs = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = GraphOps.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 1L), (5L, 5L, 1L), (6L, 6L, 1L),
+      (7L, 7L, 2L), (9L, 7L, 2L),
+      (8L, 8L, 1L), (10L, 10L, 1L))
+    assert(got === expect)
+  }
+}
