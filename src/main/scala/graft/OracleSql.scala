@@ -441,6 +441,21 @@ object OracleSql {
         |  user_id, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
 
+    "q_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT *, LAG(event_type) OVER w AS prev FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (SELECT user_id, event_id, event_type, ts FROM c
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |s AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+        |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS valid_to
+        |      FROM ch)
+        |SELECT user_id, event_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM s ORDER BY user_id, valid_from, event_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,

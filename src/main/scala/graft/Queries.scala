@@ -723,6 +723,18 @@ object Queries {
     DedupOps.exact(Tables.documents(s, d), "text", "doc_id")
       .orderBy("digest")
 
+  /** SCD2 history reconstruction: per-user event_type changes become
+    * validity intervals (valid_from/valid_to, open interval = current) —
+    * the "state over time" serving view of a CDC stream. One window per
+    * user_id; fully deterministic on the unique (ts, event_id) order. */
+  val qScd2History: Q = (s, d) =>
+    operators.Temporal.scd2(
+        Tables.events(s, d), keyCols = Seq("user_id"), tsCol = "ts",
+        orderCols = Seq("ts", "event_id"), attrCols = Seq("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+
   // ------------------------------------------------------------------
   // Extensions: text analysis
   // ------------------------------------------------------------------

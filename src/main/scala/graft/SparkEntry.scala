@@ -82,6 +82,7 @@ object SparkEntry {
     "q_window_sliding" -> Queries.qWindowSliding,
     "q_session_window" -> Queries.qSessionWindow,
     "q_dedup_exact" -> Queries.qDedupExact,
+    "q_scd2_history" -> Queries.qScd2History,
     // text analysis extensions
     "q_text_wordcount" -> Queries.qTextWordcount,
     "q_text_quality" -> Queries.qTextQuality,
