@@ -545,6 +545,40 @@ object OracleSql {
         |    AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
 
+    "q_text_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 2),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS ngram FROM t)
+        |SELECT ngram, COUNT(*) AS n FROM n GROUP BY ngram
+        |ORDER BY n DESC, ngram LIMIT 100""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH t AS (SELECT DISTINCT doc_id AS doc,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS df_docs,
+        |  (list(doc ORDER BY doc))[1:100] AS postings
+        |FROM t WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok FROM t)
+        |SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(w[start_tok+1:start_tok+64]) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(w[start_tok+1:start_tok+64], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(c_name,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS red_name,
+        |  CAST(len(regexp_extract_all(c_name,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{7,}')) AS BIGINT) AS n_longnums
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_dedup_cluster" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -849,6 +849,38 @@ object Queries {
   // Extensions: dedup + similarity search
   // ------------------------------------------------------------------
 
+  /** Corpus-wide top word bigrams — frequency table of 2-grams, ties broken
+    * on the gram. One explode + one combined hash agg. */
+  val qTextNgrams: Q = (s, d) =>
+    TextOps.topNgrams(Tables.documents(s, d), "text", k = 2, limit = 100)
+
+  /** Inverted index: term → document frequency + first-100 sorted postings.
+    * Truncation happens BEFORE collection (see TextOps.invertedIndex), so
+    * hot terms can't blow an executor. Full DuckDB oracle incl. the
+    * array-typed posting column. */
+  val qInvertedIndex: Q = (s, d) =>
+    TextOps.invertedIndex(Tables.documents(s, d), "doc_id", "text", cap = 100)
+      .orderBy("term")
+
+  /** Overlapping 64-token chunks at stride 48 — context-window splitting
+    * for LLM training. Chunk body travels as md5. */
+  val qChunkTokens: Q = (s, d) =>
+    TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+        winSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** PII redaction over customer names: ≥7-digit identifier runs → <NUM>,
+    * emails → <EMAIL>; per-row redaction counts prove the masking fired. */
+  val qPiiRedact: Q = (s, d) =>
+    Tables.customer(s, d).select(
+        col("c_custkey"),
+        TextOps.redactPii(col("c_name")).as("red_name"),
+        regexp_count(col("c_name"), lit(TextOps.EmailPattern))
+          .cast(LongType).as("n_emails"),
+        regexp_count(col("c_name"), lit(TextOps.LongNumPattern))
+          .cast(LongType).as("n_longnums"))
+      .orderBy("c_custkey")
+
   /** MinHash+LSH near-dups — hash functions are engine-specific ⇒ rows-only. */
   val qDedupMinhashLsh: Q = (s, d) =>
     DedupOps.minhashLshNearDups(Tables.documents(s, d), "doc_id", "text",

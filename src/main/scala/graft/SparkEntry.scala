@@ -96,6 +96,10 @@ object SparkEntry {
     "q_pack_sequences" -> Queries.qPackSequences,
     "q_shuffle_deterministic" -> Queries.qShuffleDeterministic,
     "q_quality_filter" -> Queries.qQualityFilter,
+    "q_text_ngrams" -> Queries.qTextNgrams,
+    "q_inverted_index" -> Queries.qInvertedIndex,
+    "q_chunk_tokens" -> Queries.qChunkTokens,
+    "q_pii_redact" -> Queries.qPiiRedact,
     // dedup + similarity extensions
     "q_dedup_minhash_lsh" -> Queries.qDedupMinhashLsh,
     "q_dedup_simhash" -> Queries.qDedupSimhash,

@@ -23,12 +23,8 @@ object DedupOps {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Word k-shingles of a text column (distinct, order-insensitive set). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(k)), " ")))
-  }
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(TextOps.ngrams(text, k))
 
   /** Jaccard similarity of two token-set columns (exact, set semantics). */
   def jaccard(a: Column, b: Column): Column =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -83,6 +84,78 @@ object TextOps {
           .when(a.getField("lang") > b.getField("lang"), 1).otherwise(0)))
     element_at(best, 1).getField("lang")
   }
+
+  /** All word k-grams of a text, in order, NON-distinct — the counting
+    * variant of [[DedupOps.shingles]] (which wraps this in array_distinct
+    * for set semantics). A doc shorter than k yields its whole token run
+    * as the single gram. */
+  def ngrams(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(k)), " "))
+  }
+
+  /** Corpus-wide top n-grams by frequency: one explode + one map-side-
+    * combined hash aggregate; ties broken on the gram itself. */
+  def topNgrams(docs: DataFrame, textCol: String, k: Int,
+                limit: Int): DataFrame =
+    docs.select(explode(ngrams(col(textCol), k)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram")).limit(limit)
+
+  /** Inverted index: term → document frequency + the first `cap` postings
+    * (sorted doc ids). The posting list is truncated BEFORE collection
+    * (row_number over the term partition), so no executor ever buffers an
+    * unbounded hot-term list — the shape that survives a 100 TB corpus,
+    * where full postings would be sharded by (term, doc_bucket) instead.
+    * Both windows share one shuffle on `term`. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int = 100): DataFrame = {
+    val byTerm = Window.partitionBy("term")
+    val byTermDoc = byTerm.orderBy("doc")
+    docs.select(col(idCol).as("doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("df_docs", count(lit(1)).over(byTerm))
+      .withColumn("rn", row_number().over(byTermDoc))
+      .filter(col("rn") <= cap)
+      .groupBy("term")
+      .agg(max(col("df_docs")).as("df_docs"),
+        sort_array(collect_list(col("doc"))).as("postings"))
+  }
+
+  /** Overlapping token-window chunks (window `winSize`, stride `stride`) —
+    * the context-window splitting step before tokenizer/packing in an LLM
+    * training pipeline. Pure expressions: sequence + slice, one output row
+    * per chunk; the chunk body travels as an md5 so downstream exchange
+    * stays narrow. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  winSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && winSize >= stride,
+      s"need 0 < stride <= winSize, got winSize=$winSize stride=$stride")
+    val chunk = slice(col("w"), col("start_tok") + 1, lit(winSize))
+    docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as("start_tok"),
+        col("w"))
+      .select(col(idCol),
+        (col("start_tok") / stride).cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        size(chunk).cast(LongType).as("chunk_len"),
+        md5(array_join(chunk, " ")).as("chunk_md5"))
+  }
+
+  /** PII masking patterns — lookaround-free so Java regex and RE2 agree. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumPattern = "[0-9]{7,}"
+
+  /** Redact emails and ≥7-digit runs (ids, phones, accounts) — the masking
+    * pass a corpus takes before training. Replace-all in one codegen'd
+    * expression chain. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, lit(EmailPattern), lit("<EMAIL>")),
+      lit(LongNumPattern), lit("<NUM>"))
 
   /** Default marker sets for the synthetic corpus's language codes. */
   val defaultMarkers: Map[String, Seq[String]] = Map(
