@@ -143,6 +143,12 @@ object OracleSql {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey = l.l_orderkey)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
     "q_join_anti" ->
       """SELECT c.* FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

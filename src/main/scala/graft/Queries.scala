@@ -268,6 +268,21 @@ object Queries {
     c.join(o, Seq("c_custkey"), "left_semi").orderBy("c_custkey")
   }
 
+  /** Bloom-filter semi-join: lineitem rows of urgent orders. The bloom
+    * pre-filter runs scan-side BEFORE any exchange (see
+    * [[operators.BloomJoin]]); the exact semi-join removes the sketch's
+    * false positives, so the result equals a plain semi-join — which is
+    * exactly what the oracle checks. (l_orderkey, l_linenumber) is not
+    * unique in the synthetic lineitem ⇒ ORDER BY every output column. */
+  val qBloomSemi: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    operators.BloomJoin.semiJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+        urgent, "l_orderkey", "o_orderkey")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
   val qJoinAnti: Q = (s, d) => {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")

@@ -36,6 +36,7 @@ object SparkEntry {
     "q_join_sortmerge" -> Queries.qJoinSortmerge,
     "q_join_left" -> Queries.qJoinLeft,
     "q_join_semi" -> Queries.qJoinSemi,
+    "q_bloom_semi" -> Queries.qBloomSemi,
     "q_join_anti" -> Queries.qJoinAnti,
     "q_join_theta_range" -> Queries.qJoinThetaRange,
     "q_join_asof" -> Queries.qJoinAsof,
