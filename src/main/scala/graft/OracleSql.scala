@@ -585,6 +585,20 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(c_name, '[0-9]{7,}')) AS BIGINT) AS n_longnums
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term <> '' GROUP BY doc_id, term),
+        |dfd AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfd.df_docs,
+        |         tf.tf * 1000000 // dfd.df_docs AS score_ppm
+        |       FROM tf JOIN dfd USING (term)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score_ppm DESC, term) AS rn FROM sc)
+        |SELECT doc_id, rn, term, tf, df_docs, score_ppm FROM r
+        |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
     "q_dedup_cluster" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -896,6 +896,28 @@ object Queries {
           .cast(LongType).as("n_longnums"))
       .orderBy("c_custkey")
 
+  /** Per-document keyword extraction: top-5 terms by tf/df weighting. The
+    * score is (tf · 10⁶) div df — integer arithmetic, so ranking is
+    * cross-engine exact (a float ln(N/df) idf would risk last-ulp rank
+    * flips; for a FIXED corpus tf/df ranks like tf·idf for the dominant
+    * df-ordering). Per-doc window ⇒ WindowGroupLimit prunes before the
+    * shuffle. */
+  val qTextTfidf: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfd = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dfd, "term")
+      .withColumn("score_ppm", expr("tf * 1000000L DIV df_docs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "rn", "term", "tf", "df_docs", "score_ppm")
+      .orderBy("doc_id", "rn")
+  }
+
   /** MinHash+LSH near-dups — hash functions are engine-specific ⇒ rows-only. */
   val qDedupMinhashLsh: Q = (s, d) =>
     DedupOps.minhashLshNearDups(Tables.documents(s, d), "doc_id", "text",
@@ -998,6 +1020,22 @@ object Queries {
     VectorOps.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.3)
       .orderBy("id_a", "id_b")
+
+  /** Embedding near-dup pairs → transitive CLUSTERS: the vector-side
+    * composition of [[operators.GraphOps.dedupClusters]] over the
+    * LSH-bucketed candidate pairs. Threshold 0.38 sits at the top of this
+    * corpus's similarity distribution (112 exact pairs over 500 vectors at
+    * sf0.01) so clusters stay small; the pair-query's weak 0.3 setting
+    * would blob half the corpus into one component — correct CC, useless
+    * dedup. Rows-only (pairs are approximate), but the clustering itself
+    * is exact given the pairs. */
+  val qDedupEmbeddingCluster: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = VectorOps.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.38)
+    operators.GraphOps.dedupClusters(emb, "vec_id", pairs)
+      .orderBy("vec_id")
+  }
 
   /** Multimodal metadata struct over binary payloads — oracle-checked
     * (byte length + digest agree across engines). */

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_shuffle_deterministic" -> Queries.qShuffleDeterministic,
     "q_quality_filter" -> Queries.qQualityFilter,
     "q_text_ngrams" -> Queries.qTextNgrams,
+    "q_text_tfidf" -> Queries.qTextTfidf,
     "q_inverted_index" -> Queries.qInvertedIndex,
     "q_chunk_tokens" -> Queries.qChunkTokens,
     "q_pii_redact" -> Queries.qPiiRedact,
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_vec_ann_lsh" -> Queries.qVecAnnLsh,
     "q_vec_ann_ivf" -> Queries.qVecAnnIvf,
     "q_dedup_embedding" -> Queries.qDedupEmbedding,
+    "q_dedup_embedding_cluster" -> Queries.qDedupEmbeddingCluster,
     "q_multimodal_decode" -> Queries.qMultimodalDecode,
     "q_multimodal_meta" -> Queries.qMultimodalMeta,
     "q_multimodal_frames" -> Queries.qMultimodalFrames,
