@@ -937,15 +937,13 @@ object Queries {
     * ANSI-expressible ⇒ full DuckDB oracle (recursive-CTE reachability). */
   val qDedupCluster: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // shingles travel as xxhash64 longs, not 8-word strings — same bucket
+    // structure given injectivity on the observed shingle universe (the
+    // DedupOps.jaccardNearDups argument), several× cheaper to shuffle
     val sh = docs.select(col("doc_id"),
-      explode(DedupOps.shingles(col("text"), 8)).as("sh"))
-    val ok = sh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs").between(2, 10))
-    val cand = sh.join(ok.select("sh"), "sh")
-    val pairs = cand.as("a").join(cand.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      explode(transform(DedupOps.shingles(col("text"), 8),
+        x => xxhash64(x))).as("sh"))
+    val pairs = DedupOps.keyedPairs(sh, "sh", "doc_id", minN = 2, maxN = 10)
     operators.GraphOps.dedupClusters(docs, "doc_id", pairs)
       .orderBy("doc_id")
   }

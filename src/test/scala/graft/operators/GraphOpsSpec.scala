@@ -20,39 +20,61 @@ class GraphOpsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccLabels(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    GraphOps.connectedComponents(edges.toDF("src", "dst"))
+  /** fastPath=false forces the distributed star-contraction rounds; true
+    * takes the driver union-find cutover — both must agree everywhere. */
+  private def ccLabels(edges: Seq[(Long, Long)],
+                       fastPath: Boolean): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"),
+        driverFastPathEdges = if (fastPath) 1000000L else 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("chain collapses to one component rooted at min") {
-    val chain = (1L until 40L).map(i => (i, i + 1))
-    assert(ccLabels(chain) === (1L to 40L).map(_ -> 1L).toMap)
-  }
+  for (fastPath <- Seq(true, false)) {
+    val tag = if (fastPath) "driver fast path" else "distributed stars"
 
-  test("cycle, clique, and bridged cliques") {
-    val cycle = (10L until 15L).map(i => (i, i + 1)) :+ (15L, 10L)
-    val clique = for { a <- 20L to 24L; b <- (a + 1) to 24L } yield (a, b)
-    val bridge = Seq((30L, 31L), (31L, 32L), (40L, 41L), (32L, 40L))
-    val edges = cycle ++ clique ++ bridge
-    assert(ccLabels(edges) === unionFindLabels(edges))
-  }
-
-  test("duplicates, reversed edges, and self-loops") {
-    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (5L, 4L))
-    val got = ccLabels(edges)
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
-  }
-
-  test("random graphs match union-find") {
-    val rnd = new Random(42)
-    for (trial <- 1 to 3) {
-      val n = 200
-      val ids = (1 to n).map(_ => rnd.nextLong(1000000).abs)
-      val edges = (1 to 300).map { _ =>
-        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
-      }.filter { case (a, b) => a != b }
-      assert(ccLabels(edges) === unionFindLabels(edges), s"trial $trial")
+    test(s"[$tag] chain collapses to one component rooted at min") {
+      val chain = (1L until 40L).map(i => (i, i + 1))
+      assert(ccLabels(chain, fastPath) === (1L to 40L).map(_ -> 1L).toMap)
     }
+
+    test(s"[$tag] cycle, clique, and bridged cliques") {
+      val cycle = (10L until 15L).map(i => (i, i + 1)) :+ (15L, 10L)
+      val clique = for { a <- 20L to 24L; b <- (a + 1) to 24L } yield (a, b)
+      val bridge = Seq((30L, 31L), (31L, 32L), (40L, 41L), (32L, 40L))
+      val edges = cycle ++ clique ++ bridge
+      assert(ccLabels(edges, fastPath) === unionFindLabels(edges))
+    }
+
+    test(s"[$tag] duplicates, reversed edges, and self-loops") {
+      val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (5L, 4L))
+      val got = ccLabels(edges, fastPath)
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+    }
+
+    test(s"[$tag] random graphs match union-find") {
+      val rnd = new Random(42)
+      for (trial <- 1 to 3) {
+        val n = 200
+        val ids = (1 to n).map(_ => rnd.nextLong(1000000).abs)
+        val edges = (1 to 300).map { _ =>
+          (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+        }.filter { case (a, b) => a != b }
+        assert(ccLabels(edges, fastPath) === unionFindLabels(edges),
+          s"trial $trial")
+      }
+    }
+  }
+
+  test("keyedPairs emits within-group pairs, prefilters hot keys") {
+    val df = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"),    // group of 3 → 3 pairs
+      (20L, "b"), (21L, "b"),                // group of 2 → 1 pair
+      (30L, "c"),                            // singleton → filtered (minN)
+      (11L, "d"), (12L, "d"),                // duplicate pair via 2nd key
+      (40L, "hot"), (41L, "hot"), (42L, "hot"), (43L, "hot")) // > maxN
+      .toDF("id", "k")
+    val got = DedupOps.keyedPairs(df, "k", "id", minN = 2, maxN = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
   }
 
   test("dedupClusters labels every doc; singletons are their own cluster") {
