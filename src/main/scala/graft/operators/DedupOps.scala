@@ -70,7 +70,11 @@ object DedupOps {
     * the cross-key pair distinct — vs 4-5 for the groupBy+join+self-join
     * formulation. The count prefilter runs BEFORE any array is collected,
     * so a boilerplate key shared by 10⁶ docs costs its count, never a
-    * 10⁶-element array or a 10¹²-pair bucket. */
+    * 10⁶-element array or a 10¹²-pair bucket.
+    *
+    * Input contract: (key, id) rows must be distinct — the prefilter counts
+    * ROWS per key (a windowed count-distinct isn't available), so duplicate
+    * rows would inflate group sizes past maxN. Dedupe upstream. */
   def keyedPairs(df: DataFrame, keyCol: String, idCol: String,
                  minN: Int, maxN: Int): DataFrame = {
     df.select(col(keyCol).as("_k"), col(idCol).as("_id"))

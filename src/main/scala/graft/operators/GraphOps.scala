@@ -73,9 +73,6 @@ object GraphOps {
 
     // checkpoint the RAW edge input once: `nodes` and the initial edge set
     // both derive from it, and without the cut each would re-run the whole
-    // upstream candidate-pair pipeline (the dominant cost for dedup graphs)
-    // checkpoint the RAW edge input once: `nodes` and the initial edge set
-    // both derive from it, and without the cut each would re-run the whole
     // upstream candidate-pair pipeline (the dominant cost for dedup graphs).
     // All checkpoints here are LAZY — the per-round checksum action below
     // materializes them, so each round costs ONE job, not two.
@@ -157,12 +154,15 @@ object GraphOps {
     * Output: (idCol, cluster_id = min id in cluster, cluster_size). */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    // rename label columns before the join so an idCol literally named
+    // "id" can't collide
     val labels = connectedComponents(
-      pairs.select(col(idA).as("src"), col(idB).as("dst")))
+        pairs.select(col(idA).as("src"), col(idB).as("dst")))
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     val withLbl = docs.select(col(idCol))
-      .join(labels, col(idCol) === col("id"), "left")
+      .join(labels, col(idCol) === col("__cc_id"), "left")
       .select(col(idCol),
-        coalesce(col("component"), col(idCol).cast(LongType)).as("cluster_id"))
+        coalesce(col("__cc_comp"), col(idCol).cast(LongType)).as("cluster_id"))
     val sizes = withLbl.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     withLbl.join(sizes, "cluster_id")

@@ -40,6 +40,7 @@ class PlanContractSpec extends SparkSpec {
   test("per-group top-k prunes before the shuffle (WindowGroupLimit)") {
     assert(plan("q_win_rank_topk_per_group").contains("WindowGroupLimit"))
     assert(plan("q_sample_stratified").contains("WindowGroupLimit"))
+    assert(plan("q_text_tfidf").contains("WindowGroupLimit"))
   }
 
   test("global top-k is a TakeOrdered, not a full sort") {
