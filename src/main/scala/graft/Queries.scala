@@ -969,6 +969,17 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ANN (ADC scan over m=8 codes/vector — 32×
+    * smaller than the floats — then exact re-rank of the top 8·k):
+    * recall@10 = 0.87 on the structureless random fixture (AnnRecallSpec;
+    * real clustered embeddings quantize better). Rows-only (approximate). */
+  val qVecAnnPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineTopKPq(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, m = 8, ksub = 16, refine = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-partitioned approximate ANN — rows-only (approximate). */
   val qVecAnnIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)

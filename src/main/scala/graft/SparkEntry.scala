@@ -111,6 +111,7 @@ object SparkEntry {
     "q_vec_centroids" -> Queries.qVecCentroids,
     "q_vec_ann_lsh" -> Queries.qVecAnnLsh,
     "q_vec_ann_ivf" -> Queries.qVecAnnIvf,
+    "q_vec_ann_pq" -> Queries.qVecAnnPq,
     "q_dedup_embedding" -> Queries.qDedupEmbedding,
     "q_dedup_embedding_cluster" -> Queries.qDedupEmbeddingCluster,
     "q_multimodal_decode" -> Queries.qMultimodalDecode,

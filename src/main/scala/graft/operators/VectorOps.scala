@@ -239,6 +239,139 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Per-subspace L2 codebooks for product quantization: the vector is cut
+    * into `m` contiguous subvectors of dims/m floats; each subspace trains
+    * its own `ksub`-centroid codebook with deterministic Lloyd rounds
+    * (lowest-id seeds, L2 assignment with (dist², code) tie-break,
+    * DECIMAL-exact means — bit-identical across partitionings). Result is
+    * m·ksub rows (sub, code, cv, csq=|c|²) — metadata scale, broadcastable.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 m: Int = 4, ksub: Int = 16, dims: Int = 64,
+                 iters: Int = 1): DataFrame = {
+    import graft.plans.FloatVectorExpressions.dot
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dims / m
+    require(m * dsub == dims, s"dims=$dims must divide by m=$m")
+    val subs = corpus.select(col(idCol).as("__vid"),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * dsub + 1, dsub)): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+    // seeds: the ksub lowest-id vectors' subvectors, per subspace
+    var books: DataFrame = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("__sid"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol), s * dsub + 1, dsub)): _*)))
+      .select(col("pos").as("sub"),
+        xxhash64(col("__sid").cast(StringType)).as("code"),
+        col("col").as("cv"))
+    for (_ <- 0 until iters) {
+      val bc = broadcast(books.withColumn("csq", dot(col("cv"), col("cv"))))
+      val w = Window.partitionBy("__vid", "sub")
+        .orderBy(col("__d2").asc, col("code").asc)
+      // argmin_c |sv - c|² = argmin_c (|c|² - 2 sv·c); |sv|² is constant
+      val assigned = subs.join(bc, Seq("sub"))
+        .withColumn("__d2", col("csq") - lit(2.0) * dot(col("sv"), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy("sub", "code", "pos")
+        .agg((sum(col("col").cast(Dec)).cast(DoubleType) / count(lit(1))).as("mv"))
+        .collect()
+      val byCell = means.groupBy(r => (r.getInt(0), r.getLong(1))).map {
+        case (k0, rows) =>
+          k0 -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat)
+      }
+      val prev = books.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      books = prev.map { case (s, c, v) => (s, c, byCell.getOrElse((s, c), v)) }
+        .sortBy(t => (t._1, t._2)).toSeq.toDF("sub", "code", "cv")
+    }
+    books.withColumn("csq", dot(col("cv"), col("cv")))
+  }
+
+  /** PQ-encode the corpus: one (id, sub, code) row per subvector — the
+    * compressed representation (m codes instead of dims floats) that a
+    * billion-scale index scans. One broadcast join + per-(id,sub) argmin. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: DataFrame, m: Int, dims: Int): DataFrame = {
+    import graft.plans.FloatVectorExpressions.dot
+    val dsub = dims / m
+    val subs = corpus.select(col(idCol).as("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * dsub + 1, dsub)): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+    val w = Window.partitionBy("id", "sub")
+      .orderBy(col("__d2").asc, col("code").asc)
+    subs.join(broadcast(books), Seq("sub"))
+      .withColumn("__d2", col("csq") - lit(2.0) * dot(col("sv"), col("cv")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select("id", "sub", "code")
+  }
+
+  /** PQ approximate top-k with ADC scoring + exact re-rank — the
+    * compressed-domain half of the canonical IVF-PQ billion-scale layout:
+    *
+    *  1. train m per-subspace codebooks ([[pqCodebook]]), encode the corpus
+    *     to m codes/vector ([[pqEncode]]) — 16× smaller than the floats at
+    *     the defaults (64 floats → 4 codes);
+    *  2. ADC (asymmetric distance computation): each query precomputes its
+    *     dot with every per-subspace centroid (m·ksub lookup-table entries,
+    *     broadcast), so scoring a corpus vector is m lookup-joins + a sum —
+    *     the float vectors are never read during the scan;
+    *     approx cosine = Σ q_sub·c(code) / (|q| · √Σ|c(code)|²), exact for
+    *     the RECONSTRUCTED vector since subspaces are disjoint;
+    *  3. the top k·`refine` candidates per query re-rank with exact cosine
+    *     on the true vectors (two narrow id-joins), top-k of that is final.
+    *
+    * Approximate by construction ⇒ rows-only; recall measured in
+    * AnnRecallSpec against the exact brute force. */
+  def cosineTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
+                   dims: Int = 64, refine: Int = 4,
+                   iters: Int = 1): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val dsub = dims / m
+    val books = pqCodebook(corpus, idCol, vecCol, m, ksub, dims, iters)
+      .localCheckpoint() // tiny; stops every consumer re-running Lloyd
+    val codes = pqEncode(corpus, idCol, vecCol, books, m, dims)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val lut = broadcast(q.crossJoin(broadcast(books))
+      .select(col("query_id"), col("qnorm"), col("sub"), col("code"),
+        dot(slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("cv"))
+          .as("pdot"),
+        col("csq")))
+    val approx = codes.join(lut, Seq("sub", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(first(col("qnorm")).as("qnorm"),
+        sum(col("pdot")).as("adot"), sum(col("csq")).as("vsq"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        col("adot") / (col("qnorm") * sqrt(col("vsq"))))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k * refine)
+      .select("query_id", "neighbor_id")
+    // exact re-rank on the true vectors
+    val side = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+    val scored = cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(side, Seq("neighbor_id"))
+      .withColumn("cosine", round(
+        dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs (the vector analog of Jaccard dedup),
     * LSH-bucketed: candidate pairs come from shared (table, bucket) cells of
     * `tables` independent random-hyperplane hash tables (OR-construction,

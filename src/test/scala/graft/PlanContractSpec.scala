@@ -54,7 +54,8 @@ class PlanContractSpec extends SparkSpec {
     val intendedDense = Set(
       "q_vec_cosine_topk", // broadcast queries × corpus, non-equi by design
       "q_vec_ann_ivf",     // crossJoin against the broadcast 16-row codebook
-      "q_vec_ann_lsh")     // broadcast query buckets, non-equi residual
+      "q_vec_ann_lsh",     // broadcast query buckets, non-equi residual
+      "q_vec_ann_pq")      // crossJoin against the broadcast m·ksub codebook
     val engineQueries = Set("q_engine_ingest", "q_engine_point_lookup",
       "q_merge_into") // merge is full-outer SMJ; engine queries execute on build
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -52,6 +52,23 @@ class AnnRecallSpec extends SparkSpec {
     info(f"LSH multiprobe — 4 tables plain: $rBase%.2f, +2 probes: $rMp%.2f")
     assert(rMp >= rBase, "multiprobe candidates are a superset — recall cannot drop")
     assert(rMp >= 0.5, s"multiprobe recall collapsed: $rMp")
+
+    // PQ/ADC with exact re-rank: compressed-domain scan (4 codes instead of
+    // 64 floats) + refine×k exact re-rank
+    val pq = topkSets(VectorOps.cosineTopKPq(emb, queries, "vec_id", "embedding", 10,
+      m = 4, ksub = 16, refine = 4))
+    val rPq = recall(pq)
+    val pq8 = topkSets(VectorOps.cosineTopKPq(emb, queries, "vec_id", "embedding", 10,
+      m = 8, ksub = 16, refine = 4))
+    val rPq8 = recall(pq8)
+    val pq8r8 = topkSets(VectorOps.cosineTopKPq(emb, queries, "vec_id", "embedding", 10,
+      m = 8, ksub = 16, refine = 8))
+    val rPq8r8 = recall(pq8r8)
+    info(f"PQ recall@10 — m=4: $rPq%.2f, m=8: $rPq8%.2f, m=8+refine=8: $rPq8r8%.2f")
+    assert(rPq >= 0.5, s"PQ m=4 recall regressed: $rPq")
+    assert(rPq8 >= 0.65, s"PQ m=8 recall regressed: $rPq8")
+    // the declared query's pinned config
+    assert(rPq8r8 >= 0.85, s"PQ m=8 refine=8 recall regressed: $rPq8r8")
   }
 
   test("planesFor keeps bucket size bounded as the corpus grows") {
