@@ -149,6 +149,12 @@ object OracleSql {
         |  WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey = l.l_orderkey)
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
+    "q_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 10 AND 60
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
     "q_join_anti" ->
       """SELECT c.* FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -550,6 +556,23 @@ object OracleSql {
         |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
         |    AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_langid_eval" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |sc AS (SELECT doc_id, lang, unnest([
+        |    {'cand': 'de', 'score': len(list_intersect(w, ['der','die','und','das','ist']))},
+        |    {'cand': 'en', 'score': len(list_intersect(w, ['the','and','of','to','in']))},
+        |    {'cand': 'es', 'score': len(list_intersect(w, ['el','la','de','que','y']))},
+        |    {'cand': 'fr', 'score': len(list_intersect(w, ['le','la','les','et','des']))},
+        |    {'cand': 'zh', 'score': len(list_intersect(w, ['的','是','了','在','我']))}
+        |  ]) AS s FROM t),
+        |r AS (SELECT doc_id, lang, s.cand AS pred_lang,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY s.score DESC, s.cand ASC) AS rn
+        |      FROM sc)
+        |SELECT lang, pred_lang, COUNT(*) AS n FROM r WHERE rn = 1
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
     "q_text_ngrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -234,6 +234,26 @@ object Queries {
     j.unionByName(c).unionByName(o).orderBy("fmt", "event_id")
   }
 
+  /** Z-order clustered layout ([[operators.Layout]]): lineitem rewritten
+    * range-partitioned + sorted on the Morton interleave of
+    * (l_partkey, l_suppkey), then scanned with a 2-D range predicate.
+    * Layout NEVER changes answers — the oracle filters the original table —
+    * but every output file carries a tight bounding box in both keys, so
+    * stats-based skipping prunes on either dimension (measured in
+    * LayoutSpec: ≤8/16 files per dimension vs 16/16 for a 1-D sort). */
+  val qZorderScan: Q = (s, d) => {
+    val dir = scratchDir("zorder")
+    operators.Layout.zorderWrite(
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity"),
+      "l_partkey", "l_suppkey", dir, numFiles = 16)
+    s.read.parquet(dir)
+      .filter(col("l_partkey").between(100, 500) &&
+        col("l_suppkey").between(10, 60))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity")
+  }
+
   // ------------------------------------------------------------------
   // Joins
   // ------------------------------------------------------------------
@@ -863,6 +883,17 @@ object Queries {
   // ------------------------------------------------------------------
   // Extensions: dedup + similarity search
   // ------------------------------------------------------------------
+
+  /** Language-ID EVALUATION: confusion matrix of predicted vs labeled
+    * language — the model-eval step a corpus pipeline runs after any
+    * heuristic classifier. Same deterministic scoring as q_text_langid,
+    * aggregated to (lang, pred_lang, n). */
+  val qLangidEval: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        TextOps.langIdPredict(col("text"), TextOps.defaultMarkers).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
 
   /** Corpus-wide top word bigrams — frequency table of 2-grams, ties broken
     * on the gram. One explode + one combined hash agg. */

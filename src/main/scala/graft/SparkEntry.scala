@@ -27,6 +27,7 @@ object SparkEntry {
     "q_engine_ingest" -> Queries.qEngineIngest,
     "q_engine_point_lookup" -> Queries.qEnginePointLookup,
     "q_sink_roundtrip" -> Queries.qSinkRoundtrip,
+    "q_zorder_scan" -> Queries.qZorderScan,
     "q_merge_into" -> Queries.qMergeInto,
     // projection / filter
     "q_project_filter" -> Queries.qProjectFilter,
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_text_fingerprint" -> Queries.qTextFingerprint,
     "q_text_jaccard_neardup" -> Queries.qTextJaccardNeardup,
     "q_text_langid" -> Queries.qTextLangid,
+    "q_langid_eval" -> Queries.qLangidEval,
     "q_text_normalize" -> Queries.qTextNormalize,
     "q_sample_hash" -> Queries.qSampleHash,
     "q_sample_stratified" -> Queries.qSampleStratified,
