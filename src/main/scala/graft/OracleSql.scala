@@ -152,7 +152,7 @@ object OracleSql {
     "q_zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 10 AND 60
+        |WHERE l_partkey BETWEEN 10 AND 150 AND l_suppkey BETWEEN 1 AND 7
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
 
     "q_join_anti" ->
@@ -556,6 +556,33 @@ object OracleSql {
         |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
         |    AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_corpus_report" ->
+      """WITH t AS (SELECT source, lang, string_split(text, ' ') AS w,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tok
+        |  FROM documents),
+        |m AS (SELECT source, lang, n_tok, len(w) AS n_words,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dedup_ratio,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','of','and','or','to','in','is','it'], x))) AS DOUBLE)
+        |      / len(w) AS stopword_ratio
+        |  FROM t)
+        |SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+        |  SUM(CASE WHEN n_words >= 10 AND dedup_ratio >= 0.3
+        |    AND stopword_ratio <= 0.5 THEN 1 ELSE 0 END) AS n_pass
+        |FROM m GROUP BY ROLLUP(source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice, l_discount FROM lineitem WHERE l_orderkey <= 1000)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  CAST(l_quantity AS DOUBLE) AS value FROM s
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  l_extendedprice FROM s
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  l_discount FROM s
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
 
     "q_langid_eval" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w

@@ -247,9 +247,11 @@ object Queries {
       Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
         "l_partkey", "l_suppkey", "l_quantity"),
       "l_partkey", "l_suppkey", dir, numFiles = 16)
+    // key ranges sized to be nonempty at EVERY sf (sf0.001 tops out at
+    // partkey 199 / suppkey 9)
     s.read.parquet(dir)
-      .filter(col("l_partkey").between(100, 500) &&
-        col("l_suppkey").between(10, 60))
+      .filter(col("l_partkey").between(10, 150) &&
+        col("l_suppkey").between(1, 7))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity")
   }
@@ -883,6 +885,34 @@ object Queries {
   // ------------------------------------------------------------------
   // Extensions: dedup + similarity search
   // ------------------------------------------------------------------
+
+  /** Corpus curation report: source × lang ROLLUP of doc counts, token
+    * totals, and quality-gate pass rates — the dashboard a data curator
+    * reads before cutting a training mix. Composes tokenCounts +
+    * qualityMetrics under one decimal-exact aggregate. */
+  val qCorpusReport: Q = (s, d) => {
+    val m = TextOps.qualityMetrics(
+      TextOps.tokenCounts(Tables.documents(s, d)))
+    m.rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpeish_tokens")).as("total_tokens"),
+        sum(when(col("n_words") >= 10 && col("dedup_ratio") >= 0.3 &&
+          col("stopword_ratio") <= 0.5, 1L).otherwise(0L)).as("n_pass"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+  }
+
+  /** UNPIVOT/melt: lineitem measures reshaped to (measure, value) rows —
+    * the wide→long step before per-measure aggregation or plotting. */
+  val qUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure", "value")
 
   /** Language-ID EVALUATION: confusion matrix of predicted vs labeled
     * language — the model-eval step a corpus pipeline runs after any

@@ -93,6 +93,8 @@ object SparkEntry {
     "q_text_jaccard_neardup" -> Queries.qTextJaccardNeardup,
     "q_text_langid" -> Queries.qTextLangid,
     "q_langid_eval" -> Queries.qLangidEval,
+    "q_corpus_report" -> Queries.qCorpusReport,
+    "q_unpivot" -> Queries.qUnpivot,
     "q_text_normalize" -> Queries.qTextNormalize,
     "q_sample_hash" -> Queries.qSampleHash,
     "q_sample_stratified" -> Queries.qSampleStratified,
