@@ -127,6 +127,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("foreachBatch-maintained SCD2 view stays correct across micro-batches") {
+    val srcDir = tmpDir("graft-stream-scd2")
+    val ckpt = tmpDir("graft-stream-scd2-ckpt")
+    val logDir = tmpDir("graft-stream-scd2-log") + "/log"
+    val viewDir = tmpDir("graft-stream-scd2-view") + "/view"
+    writeJsonFiles(srcDir, Seq(
+      Seq(
+        """{"seq":1,"user":1,"status":"new"}""",
+        """{"seq":2,"user":1,"status":"new"}""",
+        """{"seq":1,"user":2,"status":"active"}"""),
+      Seq(
+        """{"seq":3,"user":1,"status":"active"}""",
+        """{"seq":4,"user":1,"status":"churned"}""")))
+    val schema = StructType(Seq(StructField("seq", LongType),
+      StructField("user", LongType), StructField("status", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(srcDir)
+    // the standard streaming-CDC serving pattern: append the change log,
+    // re-derive the SCD2 view per micro-batch (idempotent overwrite)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(logDir)
+        graft.operators.Temporal.scd2(spark.read.parquet(logDir),
+            Seq("user"), "seq", Seq("seq"), Seq("status"))
+          .write.mode("overwrite").parquet(viewDir)
+      }.start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(viewDir)
+      .select("user", "status", "valid_from", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // equals the batch answer over the full log: user 1 new@1 → active@3 →
+    // churned@4 (current), user 2 active@1 (current)
+    assert(got === Set(
+      (1L, "new", 1L, false), (1L, "active", 3L, false),
+      (1L, "churned", 4L, true), (2L, "active", 1L, true)))
+  }
+
   test("flatMapGroupsWithState: event-time timeout emits session close-outs") {
     val srcDir = tmpDir("graft-stream-closeout")
     writeJsonFiles(srcDir, Seq(
