@@ -333,6 +333,14 @@ object OracleSql {
         |  value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
         |FROM e ORDER BY event_id""".stripMargin,
 
+    "q_win_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id
+        |    ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS sum_1h
+        |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
+
     "q_win_frame_running_sum" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
         |SELECT event_id, user_id,

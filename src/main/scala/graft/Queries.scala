@@ -601,6 +601,19 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** RANGE (interval) window frame — the time-based sliding aggregate ROWS
+    * frames can't express: per-user sum of the trailing hour, peers (equal
+    * ts) included identically in both engines. Decimal accumulation per
+    * determinism rule 1. */
+  val qWinRangeFrame: Q = (s, d) =>
+    Tables.events(s, d).selectExpr(
+        "event_id", "user_id", "ts", "value",
+        """CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |AS DOUBLE) AS sum_1h""".stripMargin)
+      .orderBy("user_id", "ts", "event_id")
+
   // ------------------------------------------------------------------
   // Sort / limit / set operations
   // ------------------------------------------------------------------

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_topk_udaf" -> Queries.qTopkUdaf,
     "q_win_lag_delta" -> Queries.qWinLagDelta,
     "q_win_frame_running_sum" -> Queries.qWinFrameRunningSum,
+    "q_win_range_frame" -> Queries.qWinRangeFrame,
     // sort / limit / set ops
     "q_topk_orderby_limit" -> Queries.qTopkOrderbyLimit,
     "q_union_all" -> Queries.qUnionAll,
