@@ -168,6 +168,49 @@ class StreamingSpec extends SparkSpec {
       (1L, "churned", 4L, true), (2L, "active", 1L, true)))
   }
 
+  test("incremental dedup at ingest: bloom over the historical corpus gates each batch") {
+    val srcDir = tmpDir("graft-stream-incdedup")
+    val ckpt = tmpDir("graft-stream-incdedup-ckpt")
+    val newDir = tmpDir("graft-stream-incdedup-out") + "/new"
+    // the 100 TB stand-in: an existing corpus with known digests
+    val historical = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val bloom = graft.operators.BloomJoin.keyBloom(
+      historical.select(md5($"text").as("digest")), "digest", expectedItems = 1000)
+    val histDigests = historical.select(md5($"text").as("digest"))
+    writeJsonFiles(srcDir, Seq(
+      Seq(
+        """{"doc_id":10,"text":"alpha text"}""",   // dup of historical 1
+        """{"doc_id":11,"text":"delta text"}"""),  // new
+      Seq(
+        """{"doc_id":12,"text":"beta text"}""",    // dup of historical 2
+        """{"doc_id":13,"text":"epsilon text"}"""))) // new
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // bloom-negatives are DEFINITELY new (no false negatives) and skip
+        // the join entirely; only bloom-positives — true dups plus ~1% false
+        // positives — pay the exact anti-join against the historical table
+        val batch = df.withColumn("digest", md5($"text"))
+        val mc = graft.operators.BloomJoin.mightContain(bloom, $"digest")
+        val definitelyNew = batch.filter(!mc)
+        val confirmedNew = batch.filter(mc)
+          .join(histDigests, Seq("digest"), "left_anti")
+        definitelyNew.unionByName(confirmedNew)
+          .select("doc_id", "text")
+          .write.mode("append").parquet(newDir)
+      }.start()
+    q.awaitTermination(120000)
+    val kept = spark.read.parquet(newDir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(11L, 13L), s"only genuinely-new docs survive: $kept")
+  }
+
   test("flatMapGroupsWithState: event-time timeout emits session close-outs") {
     val srcDir = tmpDir("graft-stream-closeout")
     writeJsonFiles(srcDir, Seq(
