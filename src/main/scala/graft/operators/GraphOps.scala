@@ -149,6 +149,28 @@ object GraphOps {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into an
+    * existing labeling without re-reading edge history. The previous labels
+    * ARE a star edge set (id → component) with the same components as the
+    * full history, so CC over (stars ∪ newEdges) equals CC over every edge
+    * ever seen — the standard incremental trick. Per-batch cost is linear
+    * in |labels| + |newEdges| and the stars collapse old components in one
+    * round, so this is what a streaming dedup pipeline runs per micro-batch
+    * (see StreamingSpec) while the corpus itself stays at rest.
+    *
+    * @param prevLabels (id, component) from a prior run (empty ok)
+    * @param newEdges   (src, dst) new pairs
+    * @return updated (id, component) covering all previously-labeled nodes
+    *         plus every node in `newEdges`; labels = min id per component.
+    */
+  def incrementalComponents(prevLabels: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val stars = prevLabels.select(col("id").as("src"),
+      col("component").as("dst"))
+    connectedComponents(
+      stars.unionByName(newEdges.select(col("src"), col("dst"))))
+  }
+
   /** Dedup clustering: pairs → transitive clusters over ALL rows of `docs`.
     * Rows never appearing in a pair are singleton clusters of themselves.
     * Output: (idCol, cluster_id = min id in cluster, cluster_size). */

@@ -64,6 +64,27 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents equals full-history CC after every batch") {
+    val batches = Seq(
+      Seq((1L, 2L), (3L, 4L)),
+      Seq((2L, 3L)),             // merges {1,2} and {3,4}
+      Seq((5L, 5L)),             // singleton arrives
+      Seq((4L, 5L), (6L, 7L)))   // extends the big cluster + a new pair
+    var labels = spark.emptyDataset[(Long, Long)].toDF("id", "component")
+    var history = Seq.empty[(Long, Long)]
+    for ((batch, i) <- batches.zipWithIndex) {
+      labels = GraphOps.incrementalComponents(labels, batch.toDF("src", "dst"))
+        .localCheckpoint()
+      history ++= batch
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFindLabels(history), s"after batch $i")
+    }
+    // final state: {1..5} rooted at 1, {6,7} rooted at 6
+    val fin = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L))
+  }
+
   test("keyedPairs emits within-group pairs, prefilters hot keys") {
     val df = Seq(
       (10L, "a"), (11L, "a"), (12L, "a"),    // group of 3 → 3 pairs

@@ -211,6 +211,39 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(11L, 13L), s"only genuinely-new docs survive: $kept")
   }
 
+  test("streaming dedup clustering: incremental CC maintained per micro-batch") {
+    val srcDir = tmpDir("graft-stream-cc")
+    val ckpt = tmpDir("graft-stream-cc-ckpt")
+    val lblDir = tmpDir("graft-stream-cc-lbl") + "/labels"
+    writeJsonFiles(srcDir, Seq(
+      Seq("""{"src":1,"dst":2}""", """{"src":3,"dst":4}"""),
+      Seq("""{"src":2,"dst":3}"""),          // merges the two clusters
+      Seq("""{"src":10,"dst":11}""")))       // unrelated new cluster
+    val schema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (edges: org.apache.spark.sql.DataFrame, _: Long) =>
+        val prev =
+          try spark.read.parquet(lblDir)
+          catch { case _: Exception =>
+            Seq.empty[(Long, Long)].toDF("id", "component") }
+        // labels table is node-linear state; CC over (stars ∪ new edges)
+        // equals CC over the full edge history
+        val next = graft.operators.GraphOps
+          .incrementalComponents(prev, edges).localCheckpoint()
+        next.write.mode("overwrite").parquet(lblDir)
+      }.start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(lblDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("flatMapGroupsWithState: event-time timeout emits session close-outs") {
     val srcDir = tmpDir("graft-stream-closeout")
     writeJsonFiles(srcDir, Seq(
