@@ -565,6 +565,17 @@ object OracleSql {
         |    AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
 
+    "q_sample_weighted" ->
+      """WITH t AS (SELECT doc_id, n_chars AS weight,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT doc_id, weight,
+        |    SUM(weight) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS cum
+        |  FROM t)
+        |SELECT doc_id, weight, cum FROM c
+        |WHERE cum // 5000 > (cum - weight) // 5000
+        |ORDER BY doc_id""".stripMargin,
+
     "q_corpus_report" ->
       """WITH t AS (SELECT source, lang, string_split(text, ' ') AS w,
         |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tok

@@ -899,6 +899,16 @@ object Queries {
   // Extensions: dedup + similarity search
   // ------------------------------------------------------------------
 
+  /** Weighted systematic sampling: documents sampled ∝ n_chars along a
+    * hash-defined global order ([[operators.Sampling.weightedSystematic]]
+    * — scalable two-pass prefix sum, integer-only ⇒ full oracle; the
+    * single-window oracle formulation is the semantic spec, the Spark side
+    * is the distributed evaluation of exactly that). */
+  val qSampleWeighted: Q = (s, d) =>
+    operators.Sampling.weightedSystematic(
+        Tables.documents(s, d), "doc_id", "n_chars", stride = 5000L)
+      .orderBy("doc_id")
+
   /** Corpus curation report: source × lang ROLLUP of doc counts, token
     * totals, and quality-gate pass rates — the dashboard a data curator
     * reads before cutting a training mix. Composes tokenCounts +

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_unpivot" -> Queries.qUnpivot,
     "q_text_normalize" -> Queries.qTextNormalize,
     "q_sample_hash" -> Queries.qSampleHash,
+    "q_sample_weighted" -> Queries.qSampleWeighted,
     "q_sample_stratified" -> Queries.qSampleStratified,
     "q_pack_sequences" -> Queries.qPackSequences,
     "q_shuffle_deterministic" -> Queries.qShuffleDeterministic,

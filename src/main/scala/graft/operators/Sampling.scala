@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Weighted systematic sampling over a deterministic global order — the
+  * "sample documents proportional to length/quality" primitive of a
+  * training-data mix, reproducible across engines, runs, and
+  * partitionings (no RNG state, integer arithmetic only).
+  *
+  * A row is selected when its weight interval crosses a stride boundary of
+  * the GLOBAL running weight sum, so selection probability ∝ weight and
+  * the sample pace is exactly one row per `stride` weight units.
+  *
+  * The global running sum is the scalable two-pass shape, not a
+  * single-partition window: rows order by (md5 bucket-prefix, md5, id) —
+  * a hash order, which also decorrelates the sample from insertion order —
+  * so the 256 md5-prefix buckets are contiguous ranges of the global
+  * order. Pass 1 computes per-bucket totals (256 rows — metadata scale at
+  * ANY corpus size) and turns them into bucket offsets on the driver;
+  * pass 2 adds a within-bucket window cumsum to the broadcast offset.
+  * No global sort, no single-partition shuffle. */
+object Sampling {
+
+  def weightedSystematic(df: DataFrame, idCol: String, weightCol: String,
+                         stride: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol),
+        col(weightCol).cast(LongType).as("__w"),
+        md5(col(idCol).cast(StringType)).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val totals = base.groupBy("__b").agg(sum(col("__w")).as("__t"))
+      .orderBy("__b").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var acc = 0L
+    val offsets = totals.toSeq.map { case (b, t) =>
+      val o = (b, acc); acc += t; o
+    }
+    val offDf = broadcast(offsets.toDF("__b", "__off"))
+    val w = Window.partitionBy("__b").orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer DIV, not double division: cum grows with the corpus and
+    // double-rounded boundaries would misplace selections past 2^53
+    base.join(offDf, Seq("__b"))
+      .withColumn("cum", sum(col("__w")).over(w) + col("__off"))
+      .filter(expr(s"cum DIV ${stride}L") >
+        expr(s"(cum - __w) DIV ${stride}L"))
+      .select(col(idCol), col("__w").as("weight"), col("cum"))
+  }
+}
