@@ -909,6 +909,19 @@ object Queries {
         Tables.documents(s, d), "doc_id", "n_chars", stride = 5000L)
       .orderBy("doc_id")
 
+  /** BPE merge-table training over the corpus ([[operators.TextOps
+    * .bpeTrainMerges]]) — tokenizer induction, the canonical LLM-pipeline
+    * corpus job. Iterative argmax + stateful fold ⇒ genuinely not
+    * ANSI-expressible (rows-only); determinism is spec-proven against
+    * hand-computed merges (BpeSpec). */
+  val qBpeMerges: Q = (s, d) => {
+    import s.implicits._
+    operators.TextOps.bpeTrainMerges(Tables.documents(s, d), "text",
+        nMerges = 16)
+      .toDF("rank", "left", "right", "weight")
+      .orderBy("rank")
+  }
+
   /** Corpus curation report: source × lang ROLLUP of doc counts, token
     * totals, and quality-gate pass rates — the dashboard a data curator
     * reads before cutting a training mix. Composes tokenCounts +

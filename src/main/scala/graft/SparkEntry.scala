@@ -105,6 +105,7 @@ object SparkEntry {
     "q_quality_filter" -> Queries.qQualityFilter,
     "q_text_ngrams" -> Queries.qTextNgrams,
     "q_text_tfidf" -> Queries.qTextTfidf,
+    "q_bpe_merges" -> Queries.qBpeMerges,
     "q_inverted_index" -> Queries.qInvertedIndex,
     "q_chunk_tokens" -> Queries.qChunkTokens,
     "q_pii_redact" -> Queries.qPiiRedact,

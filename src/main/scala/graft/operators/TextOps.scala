@@ -157,6 +157,80 @@ object TextOps {
     regexp_replace(regexp_replace(c, lit(EmailPattern), lit("<EMAIL>")),
       lit(LongNumPattern), lit("<NUM>"))
 
+  /** Greedy left-to-right merge of adjacent symbol pair (a, b) in a symbol
+    * array — one BPE merge application as a pure `aggregate` fold (no UDF):
+    * a just-merged symbol is never reused as the left side of the same
+    * merge in the same position (standard BPE semantics). */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE merge-table training — the tokenizer-induction job of an LLM
+    * pipeline. Trains on the (word, count) table (the standard BPE setup:
+    * corpus-size work happens ONCE in the word count; every merge round
+    * then runs over the distinct-word table, which is vocabulary-scale).
+    * Each round: count adjacent symbol pairs weighted by word frequency
+    * (one map-side-combined hash agg), pick the argmax with a
+    * deterministic (count desc, pair asc) tie-break, and apply the merge
+    * with [[mergePair]]. Iterative + stateful fold ⇒ genuinely not
+    * ANSI-expressible (rows-only in the declared set); determinism is
+    * spec-tested against hand-computed merges.
+    *
+    * Words = lowercase letter runs; `</w>` marks word end so merges can't
+    * cross words and final symbols distinguish suffixes from prefixes.
+    *
+    * @return (rank, left, right, weight) — weight = summed word frequency
+    *         of the merged pair at selection time. */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+                     nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var wc = docs.select(explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
+        col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      // fully-merged single-symbol words have no pairs left — and
+      // sequence(1, 0) would DESCEND, indexing past the array under ANSI
+      val best = wc.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            j => struct(element_at(col("syms"), j).as("a"),
+              element_at(col("syms"), j + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getAs[Long]("cnt") < 2) done = true
+      else {
+        val (a, b, cnt) = (best.head.getAs[String]("a"),
+          best.head.getAs[String]("b"), best.head.getAs[Long]("cnt"))
+        merges += ((rank, a, b, cnt))
+        val prev = wc
+        wc = wc.select(mergePair(col("syms"), a, b).as("syms"), col("n"))
+          .localCheckpoint()
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table in rank order to a symbol array —
+    * BPE-encode. Expression depth grows with the merge count; fine for the
+    * tens of merges this trains, and a real deployment bakes the table
+    * into a tokenizer anyway. */
+  def bpeEncode(syms: Column, merges: Seq[(Int, String, String, Long)]): Column =
+    merges.sortBy(_._1).foldLeft(syms) { case (c, (_, a, b, _)) =>
+      mergePair(c, a, b)
+    }
+
   /** Default marker sets for the synthetic corpus's language codes. */
   val defaultMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in"),
