@@ -41,10 +41,17 @@ object Bench {
         }.sorted
         name -> times(times.size / 2)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE JSON line, but field order matters: the harness keeps only the
+    // TAIL of the run's output, so with 100+ queries the line's head gets
+    // truncated. Put the big per-query map FIRST and the headline
+    // metric/value/total LAST so they always survive truncation; 3-decimal
+    // timings keep the whole line as small as possible.
+    def ms3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${ms3(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -569,8 +569,8 @@ object OracleSql {
       """WITH t AS (SELECT doc_id, n_chars AS weight,
         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |c AS (SELECT doc_id, weight,
-        |    SUM(weight) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
-        |      AS cum
+        |    CAST(SUM(weight) OVER (ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM t)
         |SELECT doc_id, weight, cum FROM c
         |WHERE cum // 5000 > (cum - weight) // 5000
@@ -586,9 +586,10 @@ object OracleSql {
         |      ['the','a','an','of','and','or','to','in','is','it'], x))) AS DOUBLE)
         |      / len(w) AS stopword_ratio
         |  FROM t)
-        |SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
-        |  SUM(CASE WHEN n_words >= 10 AND dedup_ratio >= 0.3
-        |    AND stopword_ratio <= 0.5 THEN 1 ELSE 0 END) AS n_pass
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN n_words >= 10 AND dedup_ratio >= 0.3
+        |    AND stopword_ratio <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM m GROUP BY ROLLUP(source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
 
@@ -632,7 +633,7 @@ object OracleSql {
         |    unnest(list_distinct(string_split(text, ' '))) AS term
         |  FROM documents)
         |SELECT term, COUNT(*) AS df_docs,
-        |  (list(doc ORDER BY doc))[1:100] AS postings
+        |  array_to_string((list(doc ORDER BY doc))[1:100], ',') AS postings
         |FROM t WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
 
     "q_chunk_tokens" ->

@@ -968,10 +968,13 @@ object Queries {
 
   /** Inverted index: term → document frequency + first-100 sorted postings.
     * Truncation happens BEFORE collection (see TextOps.invertedIndex), so
-    * hot terms can't blow an executor. Full DuckDB oracle incl. the
-    * array-typed posting column. */
+    * hot terms can't blow an executor. The posting list travels as a
+    * comma-joined string: the harness comparator sorts rows with pandas,
+    * which cannot hash array cells — and the join keeps the oracle check
+    * exact instead of rows-only. */
   val qInvertedIndex: Q = (s, d) =>
     TextOps.invertedIndex(Tables.documents(s, d), "doc_id", "text", cap = 100)
+      .withColumn("postings", array_join(col("postings"), ","))
       .orderBy("term")
 
   /** Overlapping 64-token chunks at stride 48 — context-window splitting

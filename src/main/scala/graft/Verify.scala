@@ -17,10 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // substring filter for fast single-query iteration (mirrors Bench's
+    // comma-separated substring filter for fast iteration (mirrors Bench's
     // SPARK_GRAFT_BENCH_FILTER); default "" = all queries
-    val filter = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FILTER", "")
-    SparkEntry.queries.filter(_._1.contains(filter)).foreach { case (name, fn) =>
+    val filters = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FILTER", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        filters.isEmpty || filters.exists(name.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

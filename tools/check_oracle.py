@@ -7,6 +7,17 @@ test tables, and compares: schema (column names, sorted), row count, and a
 hash of the values with columns sorted by name (mirroring the driver's
 compare as documented in the builder prompt).
 
+Both sides are materialized through pandas (`duckdb .df()`), because that is
+what the driver does — and the conversion is part of the contract:
+  * DuckDB HUGEINT (the result type of SUM(BIGINT)) becomes float64, so an
+    uncast SUM in oracle SQL hash-mismatches Spark's int64 ("123.0" vs
+    "123") even though fetchall()-based comparison would pass.
+  * pandas sort_values cannot hash array cells (TypeError: unhashable
+    numpy.ndarray), so declared queries must not expose array columns.
+Running the same path locally surfaces both failure classes before the
+driver does (both bit round 4: q_corpus_report/q_sample_weighted,
+q_inverted_index).
+
 Usage: python3 tools/check_oracle.py <verifyOutDir> <sfDir>
 """
 import json, math, os, sys
@@ -20,7 +31,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)  # full precision — mismatch in last ulp is a FAIL
+        return repr(float(v))  # full precision — last-ulp diff is a FAIL
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -28,12 +39,27 @@ def canon(v):
     return str(v)
 
 
-def frame_sig(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def frame_sig(df):
+    """Sorted-columns, pandas-sorted-rows canonical lines (driver model)."""
+    df = df[sorted(df.columns)]
+    # The driver sorts rows with pandas; unhashable cells (arrays) raise
+    # TypeError here exactly as they do in the driver's harness.
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
     lines = []
-    for r in rows:
-        lines.append("\x1f".join(canon(r[i]) for i in order))
-    return sorted(cols), lines
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            # normalize pandas NaT/NaN scalars that aren't plain float
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("NaN" if isinstance(v, float) else "NULL")
+            elif hasattr(v, "item") and not isinstance(v, (bytes, str)):
+                vals.append(canon(v.item()))
+            elif str(type(v)) == "<class 'pandas._libs.tslibs.nattype.NaTType'>":
+                vals.append("NULL")
+            else:
+                vals.append(canon(v))
+        lines.append("\x1f".join(vals))
+    return list(df.columns), lines
 
 
 def main(outdir, sfdir):
@@ -55,17 +81,20 @@ def main(outdir, sfdir):
             print(f"SKIP  {name}: no oracle (rows-only check)")
             n_skip += 1
             continue
-        got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchall()
-        got_cols = [c[0] for c in con.description]
         try:
-            exp = con.execute(oracles[name]).fetchall()
-            exp_cols = [c[0] for c in con.description]
+            got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+            gc, gl = frame_sig(got)
         except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}")
+            print(f"FAIL  {name}: spark-side read/sort error: {e}")
             n_fail += 1
             continue
-        gc, gl = frame_sig(got_cols, got)
-        ec, el = frame_sig(exp_cols, exp)
+        try:
+            exp = con.execute(oracles[name]).df()
+            ec, el = frame_sig(exp)
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL/sort error: {e}")
+            n_fail += 1
+            continue
         if gc != ec:
             print(f"FAIL  {name}: columns {gc} != oracle {ec}")
             n_fail += 1
