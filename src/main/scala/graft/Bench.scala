@@ -50,7 +50,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // headline = sum of the ROUNDED per-query values, so the printed total
+    // always equals the sum of the printed entries exactly (ADVICE r5)
+    val total = results.map(r => ms3(r._2).toDouble).sum
     println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${ms3(total)},"unit":"sec"}""")
     spark.stop()
   }

@@ -708,6 +708,91 @@ object OracleSql {
         |      FROM sc)
         |SELECT doc_id, lang, pred_lang FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 8, 0) + 2),
+        |    i -> array_to_string(w[i:i+7], ' ')))) AS gram FROM t),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |ov AS (SELECT g.doc_id, COUNT(*) AS n_overlap
+        |       FROM g JOIN ev USING (gram)
+        |       WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id)
+        |SELECT t.doc_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM t LEFT JOIN ov USING (doc_id)
+        |WHERE t.doc_id % 20 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_span" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, (len(w) - 1) // 10 + 1)) AS i, w FROM t),
+        |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+        |    array_to_string(w[i*10+1:i*10+10], ' ') AS span FROM s),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM sp)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+        |    ORDER BY span_idx), '') AS text_dedup
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS word_chars,
+        |    list_transform(range(1, greatest(len(w) - 2, 0) + 2),
+        |      i -> array_to_string(w[i:i+1], ' ')) AS g2 FROM t),
+        |b AS (SELECT doc_id, n_words, word_chars,
+        |    CAST(len(g2) AS BIGINT) AS n2,
+        |    CAST(len(list_distinct(g2)) AS BIGINT) AS d2 FROM g),
+        |u AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top1 FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM
+        |      (SELECT doc_id, unnest(w) AS wd FROM t) GROUP BY doc_id, wd)
+        |  GROUP BY doc_id),
+        |m AS (SELECT b.doc_id, n_words,
+        |    word_chars * 1000000 // n_words AS mwl_ppm,
+        |    (n2 - d2) * 1000000 // n2 AS dup2_ppm,
+        |    top1 * 1000000 // n_words AS top1_ppm
+        |  FROM b JOIN u ON b.doc_id = u.doc_id)
+        |SELECT doc_id, n_words, mwl_ppm, dup2_ppm, top1_ppm,
+        |  n_words BETWEEN 25 AND 1000 AS pass_len,
+        |  mwl_ppm BETWEEN 4000000 AND 5000000 AS pass_mwl,
+        |  dup2_ppm <= 50000 AS pass_rep2,
+        |  top1_ppm <= 120000 AS pass_top1,
+        |  (n_words BETWEEN 25 AND 1000) AND (mwl_ppm BETWEEN 4000000 AND 5000000)
+        |    AND dup2_ppm <= 50000 AND top1_ppm <= 120000 AS pass_all
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS wt FROM c),
+        |t AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum,
+        |             CAST(SUM(n) AS BIGINT) AS total FROM w),
+        |thr AS (SELECT lang, n AS n_group,
+        |    CAST(least(16777216, ((total * 1 // 2) * wt * 16777216) // (wsum * n))
+        |      AS BIGINT) AS thr
+        |  FROM w, t)
+        |SELECT d.doc_id, d.lang, thr.n_group, thr.thr
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE thr.thr >= 16777216
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+        |      < lpad(lower(to_hex(thr.thr)), 6, '0')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_classifier" ->
+      """WITH wt(wd, weight) AS (VALUES
+        |    ('fast', 3), ('slow', -3), ('big', 2), ('small', -2),
+        |    ('query', 1), ('table', -1), ('vector', 2), ('stream', 1),
+        |    ('filter', -1), ('merge', 1)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |        FROM documents),
+        |sc AS (SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS wsum
+        |       FROM tok JOIN wt USING (wd) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(sc.wsum, 0) - 1 AS BIGINT) AS score,
+        |  COALESCE(sc.wsum, 0) - 1 > 0 AS label
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

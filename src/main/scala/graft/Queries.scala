@@ -886,6 +886,49 @@ object Queries {
       .select("doc_id", "n_words", "dedup_ratio", "stopword_ratio")
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: training docs sharing any word 8-gram with
+    * the eval split (doc_id ≡ 0 mod 20 — standing in for a held-out
+    * benchmark) are flagged; every surviving train doc appears with its
+    * overlap count. Exact, deterministic, fully oracle-checked. */
+  val qDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    TextOps.decontaminate(
+        train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        evalSet = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide span-level exact dedup (CCNet line-dedup shape): 10-token
+    * spans, first corpus occurrence survives, docs reconstructed from
+    * surviving spans. Exact ⇒ full oracle. */
+  val qDedupSpan: Q = (s, d) =>
+    TextOps.spanDedup(Tables.documents(s, d), "doc_id", "text", spanTokens = 10)
+      .orderBy("doc_id")
+
+  /** Gopher-style repetition/quality rules: integer-ppm signals + per-rule
+    * flags + composed gate, thresholds calibrated to this corpus's
+    * distribution so both pass and fail populations are non-trivial. */
+  val qGopherQuality: Q = (s, d) =>
+    TextOps.gopherSignals(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Temperature-flattened mixture resampling over the language dimension
+    * (α = 0.5, target half the corpus): over-represented languages are
+    * down-sampled toward the flattened mix. Integer thresholds on md5
+    * prefixes ⇒ fully oracle-checked. */
+  val qSampleTemperature: Q = (s, d) =>
+    operators.Sampling.temperatureSample(
+        Tables.documents(s, d), "doc_id", "lang", num = 1L, den = 2L)
+      .orderBy("doc_id")
+
+  /** Linear text-classifier scoring (fastText-style quality classifier):
+    * broadcast weight table, integer score + sign label. */
+  val qTextClassifier: Q = (s, d) =>
+    TextOps.classifierScore(Tables.documents(s, d), "doc_id", "text",
+        TextOps.defaultClassifierWeights, bias = -1L)
+      .orderBy("doc_id")
+
   /** Heuristic language ID — deterministic marker-intersection argmax, so it
     * carries a full DuckDB oracle (same scoring, same (score desc, lang asc)
     * tie-break). */
@@ -1077,6 +1120,17 @@ object Queries {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKPq(emb, emb.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 10, m = 8, ksub = 16, refine = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ ANN — the composed billion-scale layout (coarse inverted lists
+    * + product-quantized residuals + ADC scan + exact re-rank). Rows-only
+    * (approximate); recall floor in AnnRecallSpec. */
+  val qVecAnnIvfPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineTopKIvfPq(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nCentroids = 16, nProbe = 4, m = 8, ksub = 16,
+        refine = 8)
       .orderBy("query_id", "rank")
   }
 

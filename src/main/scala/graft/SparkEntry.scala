@@ -107,6 +107,11 @@ object SparkEntry {
     "q_text_tfidf" -> Queries.qTextTfidf,
     "q_bpe_merges" -> Queries.qBpeMerges,
     "q_inverted_index" -> Queries.qInvertedIndex,
+    "q_decontaminate" -> Queries.qDecontaminate,
+    "q_dedup_span" -> Queries.qDedupSpan,
+    "q_gopher_quality" -> Queries.qGopherQuality,
+    "q_sample_temperature" -> Queries.qSampleTemperature,
+    "q_text_classifier" -> Queries.qTextClassifier,
     "q_chunk_tokens" -> Queries.qChunkTokens,
     "q_pii_redact" -> Queries.qPiiRedact,
     // dedup + similarity extensions
@@ -119,6 +124,7 @@ object SparkEntry {
     "q_vec_ann_lsh" -> Queries.qVecAnnLsh,
     "q_vec_ann_ivf" -> Queries.qVecAnnIvf,
     "q_vec_ann_pq" -> Queries.qVecAnnPq,
+    "q_vec_ann_ivfpq" -> Queries.qVecAnnIvfPq,
     "q_dedup_embedding" -> Queries.qDedupEmbedding,
     "q_dedup_embedding_cluster" -> Queries.qDedupEmbeddingCluster,
     "q_multimodal_decode" -> Queries.qMultimodalDecode,

@@ -50,4 +50,40 @@ object Sampling {
         expr(s"(cum - __w) DIV ${stride}L"))
       .select(col(idCol), col("__w").as("weight"), col("cum"))
   }
+
+  /** Temperature-based mixture resampling — the "flatten the source/language
+    * mix" step of a training-data recipe (sample group g at rate ∝
+    * count(g)^α / count(g), α = 0.5): over-represented groups are
+    * down-sampled toward the temperature-flattened mixture, scaled so the
+    * expected kept total is `num/den` of the corpus.
+    *
+    * Determinism (no RNG state, identical across engines/runs/
+    * partitionings): α is pinned at 0.5 because IEEE sqrt is correctly
+    * rounded in every engine (pow is not); weights floor onto a 1e3 integer
+    * grid; the keep rate becomes an integer threshold on the 24-bit md5
+    * prefix of the id (fixed-width lowercase hex compares lexicographically
+    * = numerically). Rates ≥ 1 keep the whole group (the `thr >= 16^6`
+    * disjunct — a capped threshold's hex would be 7 chars wide and break
+    * the string compare).
+    *
+    * Scale: group stats are metadata-scale (one hash agg + broadcast back);
+    * the per-row decision is one codegen'd expression — no extra shuffle of
+    * the corpus. Integer headroom: (total·num/den)·wt·16^6 must stay below
+    * 2^63 — holds to ~10^8 docs per run at the 1e3 weight grid; beyond
+    * that, drop the weight grid to 1e2 or accumulate in DECIMAL(38,0). */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        num: Long = 1L, den: Long = 2L): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .withColumn("wt", floor(sqrt(col("n")) * lit(1000)).cast(LongType))
+    val tot = counts.agg(sum(col("wt")).as("wsum"), sum(col("n")).as("total"))
+    val thr = broadcast(counts.crossJoin(broadcast(tot))
+      .withColumn("thr", least(lit(16777216L),
+        expr(s"((total * ${num}L DIV ${den}L) * wt * 16777216L) DIV (wsum * n)")))
+      .select(col(groupCol), col("n").as("n_group"), col("thr")))
+    df.join(thr, Seq(groupCol))
+      .filter(col("thr") >= lit(16777216L) ||
+        substring(md5(col(idCol).cast(StringType)), 1, 6) <
+          lpad(lower(hex(col("thr"))), 6, "0"))
+      .select(col(idCol), col(groupCol), col("n_group"), col("thr"))
+  }
 }

@@ -231,6 +231,122 @@ object TextOps {
       mergePair(c, a, b)
     }
 
+  /** Benchmark decontamination — the test-set-overlap removal every LLM
+    * training pipeline runs before a corpus ships: a training doc is
+    * contaminated when it shares ANY word `k`-gram with the evaluation set.
+    * Eval-side distinct grams are bounded (eval sets are thousands of docs,
+    * not billions) and broadcast; the per-doc overlap count is one
+    * broadcast left-semi equi-join + one map-side-combined hash agg —
+    * linear in corpus size, no shuffle of the corpus text. Every train doc
+    * is kept in the output with its overlap count so the caller decides
+    * filter vs audit. At 100 TB the gram would travel as xxhash64; kept
+    * verbatim here so the DuckDB oracle shares the exact join key. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    val grams = array_distinct(ngrams(col(textCol), k))
+    val evalGrams = broadcast(
+      evalSet.select(explode(grams).as("gram")).distinct())
+    val overlap = train
+      .select(col(idCol), explode(grams).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Corpus-wide span-level exact dedup — the CCNet line-dedup shape
+    * adapted to unstructured text: each doc splits into non-overlapping
+    * `spanTokens`-token spans; a span survives only at its FIRST corpus
+    * occurrence (global (doc, span_idx) order); docs reconstruct from
+    * surviving spans. One shuffle hash-partitioned on the span content
+    * (the window never sees more rows per partition than the duplicate
+    * multiplicity of one span) + one groupBy doc for reconstruction. At
+    * 100 TB the span would be keyed by xxhash64 through the exchange with
+    * the text re-attached by id afterwards; kept verbatim here so the
+    * DuckDB oracle shares the exact grouping. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    val w = tokens(col(textCol))
+    // ⌈n/spanTokens⌉ spans: last index (n-1) div spanTokens (ints — the
+    // double division is exact for any corpus-plausible token count)
+    val spanArr = transform(
+      sequence(lit(0), floor((size(w) - 1) / lit(spanTokens)).cast(IntegerType)),
+      i => array_join(slice(w, i * spanTokens + 1, lit(spanTokens)), " "))
+    val spans = docs.select(col(idCol), posexplode(spanArr))
+      .select(col(idCol), col("pos").cast(LongType).as("span_idx"),
+        col("col").as("span"))
+    val firstWin = Window.partitionBy("span").orderBy(col(idCol), col("span_idx"))
+    spans.withColumn("rn", row_number().over(firstWin))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls of dropped spans; struct sort
+        // restores span order before the join
+        array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("text_dedup"))
+  }
+
+  /** Gopher-style repetition/quality rule signals (Rae et al. 2021 §A1.1:
+    * word-count bounds, mean word length, duplicate-2-gram fraction, top
+    * unigram fraction) with per-rule flags and the composed gate. All
+    * integer ppm arithmetic ⇒ cross-engine exact. Shapes: one per-doc
+    * expression pass for the array metrics + one exploded hash-agg argmax
+    * for the top unigram + one narrow id join. */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val g2 = ngrams(col(textCol), 2)
+    val base = docs.select(col(idCol),
+      size(w).cast(LongType).as("n_words"),
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("word_chars"),
+      size(g2).cast(LongType).as("n_2grams"),
+      size(array_distinct(g2)).cast(LongType).as("d_2grams"))
+    val top1 = docs.select(col(idCol), explode(w).as("wd"))
+      .groupBy(col(idCol), col("wd")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top1_count"))
+    base.join(top1, Seq(idCol))
+      .withColumn("mwl_ppm", expr("word_chars * 1000000 DIV n_words"))
+      .withColumn("dup2_ppm", expr("(n_2grams - d_2grams) * 1000000 DIV n_2grams"))
+      .withColumn("top1_ppm", expr("top1_count * 1000000 DIV n_words"))
+      .withColumn("pass_len", col("n_words").between(25L, 1000L))
+      .withColumn("pass_mwl", col("mwl_ppm").between(4000000L, 5000000L))
+      .withColumn("pass_rep2", col("dup2_ppm") <= 50000L)
+      .withColumn("pass_top1", col("top1_ppm") <= 120000L)
+      .withColumn("pass_all",
+        col("pass_len") && col("pass_mwl") && col("pass_rep2") && col("pass_top1"))
+      .select(idCol, "n_words", "mwl_ppm", "dup2_ppm", "top1_ppm",
+        "pass_len", "pass_mwl", "pass_rep2", "pass_top1", "pass_all")
+  }
+
+  /** Linear text-classifier scoring — the fastText-style quality-classifier
+    * pattern: score = bias + Σ tf(token)·weight over a broadcast weight
+    * table, label = score > 0. A real deployment loads trained weights
+    * (still metadata-scale, still broadcast); a literal table here keeps
+    * the operator oracle-checkable. Integer weights ⇒ exact. */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+                      weights: Seq[(String, Long)], bias: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toDF("wd", "weight"))
+    val scores = docs.select(col(idCol), explode(tokens(col(textCol))).as("wd"))
+      .join(wdf, Seq("wd"))
+      .groupBy(idCol).agg(sum(col("weight")).as("wsum"))
+    docs.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("wsum"), lit(0L)) + lit(bias)).as("score"))
+      .withColumn("label", col("score") > 0)
+  }
+
+  /** Default classifier weights over the synthetic corpus vocabulary. */
+  val defaultClassifierWeights: Seq[(String, Long)] = Seq(
+    "fast" -> 3L, "slow" -> -3L, "big" -> 2L, "small" -> -2L,
+    "query" -> 1L, "table" -> -1L, "vector" -> 2L, "stream" -> 1L,
+    "filter" -> -1L, "merge" -> 1L)
+
   /** Default marker sets for the synthetic corpus's language codes. */
   val defaultMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in"),

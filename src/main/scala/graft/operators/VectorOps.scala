@@ -372,6 +372,112 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-PQ approximate top-k — the full canonical billion-scale ANN layout
+    * (Jégou et al. 2011), composing the two halves this module already has:
+    *
+    *  1. COARSE: a Lloyd-trained codebook ([[lloydCodebook]]) partitions the
+    *     corpus into `nCentroids` inverted lists; every vector stores its
+    *     cell + the RESIDUAL v − c(cell) (residuals are what PQ quantizes —
+    *     they're smaller than raw vectors, so the same code budget loses
+    *     less signal);
+    *  2. PQ: per-subspace codebooks train on the residuals
+    *     ([[pqCodebook]]), the corpus encodes to m codes/vector
+    *     ([[pqEncode]]) — the floats never travel during the scan;
+    *  3. SCAN: a query probes its `nProbe` nearest cells; per (query, cell)
+    *     the ADC lookup table carries q·c(cell), the per-(sub,code) dots of
+    *     the query RESIDUAL with the PQ centroids, plus the c·r̂ cross
+    *     terms — so approx cosine is exact for the reconstructed vector
+    *     ĉ+r̂: (q·c + Σ qr·r̂) / (|q|·√(|c|² + 2Σ c·r̂ + Σ|r̂|²));
+    *  4. exact re-rank of the top k·`refine` on the true vectors.
+    *
+    * All LUTs are metadata-scale broadcasts (queries × nProbe × m × ksub);
+    * the scan is one equi-join on (cell, sub, code) + a hash agg — the
+    * inverted-file shape whose cost is nProbe/nCentroids of the corpus.
+    * Approximate ⇒ rows-only; recall floors live in AnnRecallSpec. */
+  def cosineTopKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nCentroids: Int = 16,
+                      nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+                      dims: Int = 64, refine: Int = 4,
+                      iters: Int = 1): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val dsub = dims / m
+    require(m * dsub == dims, s"dims=$dims must divide by m=$m")
+    val coarse = lloydCodebook(corpus, idCol, vecCol, nCentroids, iters)
+      .withColumnRenamed("cv", "ccv")
+    val bcCoarse = broadcast(coarse
+      .withColumn("cnorm", norm(col("ccv")))
+      .withColumn("csq_c", dot(col("ccv"), col("ccv"))))
+    // corpus → (id, cell, residual); checkpointed: feeds BOTH book training
+    // and encoding, and Lloyd must not re-run per consumer
+    val wAssign = Window.partitionBy("id").orderBy(col("__sim").desc, col("cent_id").asc)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vn", norm(col("v")))
+      .crossJoin(bcCoarse)
+      .withColumn("__sim", dot(col("v"), col("ccv")) / (col("vn") * col("cnorm")))
+      .withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("cent_id").as("cell"),
+        zip_with(col("v"), col("ccv"), (x, y) => x - y).as("rv"))
+      .localCheckpoint()
+    val books = pqCodebook(assigned, "id", "rv", m, ksub, dims, iters)
+      .withColumnRenamed("cv", "bcv")
+      .localCheckpoint()
+    // (cell, sub, code) → c·r̂ cross-term: tiny (nCentroids·m·ksub)
+    val crossDots = coarse.crossJoin(books)
+      .select(col("cent_id").as("cell"), col("sub"), col("code"),
+        dot(slice(col("ccv"), col("sub") * dsub + 1, lit(dsub)), col("bcv"))
+          .as("cdot"))
+    val codes = pqEncode(assigned, "id", "rv",
+        books.withColumnRenamed("bcv", "cv"), m, dims)
+      .join(assigned.select("id", "cell"), Seq("id"))
+    // queries probe nProbe cells; per probed cell the residual differs
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("cent_id").asc)
+    val qcells = q.crossJoin(bcCoarse)
+      .withColumn("__sim", dot(col("qv"), col("ccv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("qnorm"), col("cent_id").as("cell"),
+        col("csq_c"), dot(col("qv"), col("ccv")).as("qc"),
+        zip_with(col("qv"), col("ccv"), (x, y) => x - y).as("qr"))
+    val lut = broadcast(qcells.crossJoin(broadcast(books))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        col("qnorm"), col("qc"), col("csq_c"),
+        dot(slice(col("qr"), col("sub") * dsub + 1, lit(dsub)), col("bcv"))
+          .as("qdot"),
+        col("csq"))
+      .join(broadcast(crossDots), Seq("cell", "sub", "code")))
+    val approx = codes.join(lut, Seq("cell", "sub", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(first(col("qnorm")).as("qnorm"),
+        first(col("qc")).as("qc"), first(col("csq_c")).as("csq_c"),
+        sum(col("qdot")).as("rdot"), sum(col("cdot")).as("crdot"),
+        sum(col("csq")).as("rsq"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", (col("qc") + col("rdot")) /
+        (col("qnorm") * sqrt(greatest(
+          col("csq_c") + lit(2.0) * col("crdot") + col("rsq"), lit(1e-12)))))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val side = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+    val scored = cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(side, Seq("neighbor_id"))
+      .withColumn("cosine", round(
+        dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs (the vector analog of Jaccard dedup),
     * LSH-bucketed: candidate pairs come from shared (table, bucket) cells of
     * `tables` independent random-hyperplane hash tables (OR-construction,

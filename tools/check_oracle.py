@@ -23,6 +23,7 @@ Usage: python3 tools/check_oracle.py <verifyOutDir> <sfDir>
 import json, math, os, sys
 
 import duckdb
+import pandas as pd
 
 
 def canon(v):
@@ -52,14 +53,18 @@ def frame_sig(df):
             # normalize pandas NaT/NaN scalars that aren't plain float
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 vals.append("NaN" if isinstance(v, float) else "NULL")
+            elif v is pd.NaT:
+                vals.append("NULL")
             elif hasattr(v, "item") and not isinstance(v, (bytes, str)):
                 vals.append(canon(v.item()))
-            elif str(type(v)) == "<class 'pandas._libs.tslibs.nattype.NaTType'>":
-                vals.append("NULL")
             else:
                 vals.append(canon(v))
         lines.append("\x1f".join(vals))
-    return list(df.columns), lines
+    # Sort the CANONICAL lines: values that compare equal on raw sort but
+    # canonicalize differently (-0.0 vs 0.0, int 1 vs float 1.0 in object
+    # columns) would otherwise land in engine-dependent order under the
+    # stable mergesort, flipping the positional compare.
+    return list(df.columns), sorted(lines)
 
 
 def main(outdir, sfdir):
