@@ -791,7 +791,7 @@ object OracleSql {
         |SELECT d.doc_id, CAST(COALESCE(sc.wsum, 0) - 1 AS BIGINT) AS score,
         |  COALESCE(sc.wsum, 0) - 1 > 0 AS label
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
