@@ -148,84 +148,100 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic Lloyd-iteration k-means codebook for IVF partitioning:
+  /** A trained centroid: (cent_id, vector). Codebooks are metadata-scale
+    * (k·dims floats) and live driver-side between training rounds — exactly
+    * like any trained codebook a real deployment would broadcast. */
+  type Centroid = (Long, Array[Float])
+
+  /** Top-`nProbe` centroids by (sim DESC, cent_id ASC) as an array of
+    * struct(sim, cid, cv) — the multi-probe counterpart of the native
+    * [[graft.plans.CodebookExpressions.nearestCell]] kernel: one per-row
+    * comparator sort of the literal-centroid scores. The comparator is an
+    * interpreted HOF, so this is for the QUERY side only (benchmark/query
+    * sets are small); corpus-scale assignment stays on the native
+    * kernels. */
+  private def probeCells(v: Column, vn: Column, cents: Seq[Centroid],
+                         nProbe: Int): Column = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val cands = array(cents.map { case (cid, cv) =>
+      val cl = typedlit(cv)
+      struct((dot(v, cl) / (vn * norm(cl))).as("sim"),
+        lit(cid).as("cid"), cl.as("cv"))
+    }: _*)
+    slice(array_sort(cands, (a, b) =>
+      when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1)
+        .when(a.getField("cid") < b.getField("cid"), -1)
+        .when(a.getField("cid") > b.getField("cid"), 1)
+        .otherwise(0)), 1, nProbe)
+  }
+
+  /** Deterministic Lloyd-iteration k-means centroids for IVF partitioning:
     * seeds from the `k` lowest-id corpus vectors, then `iters` rounds of
     * (assign to nearest centroid by cosine → element-wise mean per cell).
-    * Assignment is one broadcast-crossJoin pass (N·k dot products, fully
-    * distributed); the mean uses DECIMAL-exact accumulation so the codebook
-    * is bit-identical across partitionings, and the k×dims result is
-    * collected driver-side — metadata scale, exactly like any trained
-    * codebook a real deployment would broadcast. Empty cells keep their
-    * previous centroid. */
-  def lloydCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int = 2): DataFrame = {
-    import graft.plans.FloatVectorExpressions.{dot, norm}
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    * Assignment is a pure projection through the native codebook kernel
+    * ([[graft.plans.CodebookExpressions.nearestCell]] — N·k dot products,
+    * fully distributed, no shuffle, one plan node); the only exchange per
+    * round is the map-side-combined mean aggregate, DECIMAL-exact so the
+    * codebook is bit-identical across partitionings. Empty cells keep
+    * their previous centroid. */
+  def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 2): Seq[Centroid] = {
     // cent_id = xxhash64 of the id rendered as string: deterministic and
     // type-agnostic (a plain cast-to-long would null out string ids and
     // crash the collect below)
-    var cents: DataFrame = corpus.orderBy(col(idCol)).limit(k)
+    var cents: Seq[Centroid] = corpus.orderBy(col(idCol)).limit(k)
       .select(xxhash64(col(idCol).cast(StringType)).as("cent_id"),
         col(vecCol).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val bc = broadcast(cents.withColumn("cnorm", norm(col("cv"))))
-      val w = Window.partitionBy("__vid").orderBy(col("__sim").desc, col("cent_id").asc)
-      val assigned = corpus.select(col(idCol).as("__vid"), col(vecCol).as("v"))
-        .withColumn("vn", norm(col("v")))
-        .crossJoin(bc)
-        .withColumn("__sim", dot(col("v"), col("cv")) / (col("vn") * col("cnorm")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("v")))
+      val means = corpus.select(col(vecCol).as("v"))
+        .select(graft.plans.CodebookExpressions.nearestCell(col("v"), cents)
+          .as("cent_id"), posexplode(col("v")))
         .groupBy("cent_id", "pos")
         .agg((sum(col("col").cast(Dec)).cast(DoubleType) / count(lit(1))).as("m"))
         .collect()
       val byCell: Map[Long, Array[Float]] = means.groupBy(_.getLong(0)).map {
         case (c, rows) => c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
       }
-      val prev: Seq[(Long, Array[Float])] = cents.collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      cents = prev.map { case (c, v) => (c, byCell.getOrElse(c, v)) }
-        .sortBy(_._1).toDF("cent_id", "cv")
+      cents = cents.map { case (c, v) => (c, byCell.getOrElse(c, v)) }
+        .sortBy(_._1)
     }
     cents
   }
 
-  /** IVF-style approximate top-k over a Lloyd-trained coarse codebook
-    * ([[lloydCodebook]]): every vector assigned to its nearest centroid,
-    * queries probe `nProbe` nearest cells only. Candidate generation is one
-    * broadcast-join on cell id — the inverted-file shape that scales: list
-    * size ~N/nCentroids. */
+  /** [[lloydCentroids]] rendered as a (cent_id, cv) DataFrame — for callers
+    * that persist or join the codebook as a table. */
+  def lloydCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    lloydCentroids(corpus, idCol, vecCol, k, iters).toDF("cent_id", "cv")
+  }
+
+  /** IVF-style approximate top-k over Lloyd-trained coarse centroids
+    * ([[lloydCentroids]]): every vector assigned to its nearest centroid,
+    * queries probe `nProbe` nearest cells only. Cell assignment is a pure
+    * projection over the literal codebook (no shuffle); candidate
+    * generation is one broadcast-join on cell id — the inverted-file shape
+    * that scales: list size ~N/nCentroids. */
   def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nCentroids: Int = 16,
                     nProbe: Int = 6, kmeansIters: Int = 1): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    val cents = broadcast(
-      lloydCodebook(corpus, idCol, vecCol, nCentroids, kmeansIters)
-        .withColumn("cnorm", norm(col("cv"))))
+    val cents = lloydCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
 
-    def cellsFor(df: DataFrame, vec: String, probe: Int): DataFrame = {
-      val w = Window.partitionBy("__vid").orderBy(
-        col("__sim").desc, col("cent_id").asc)
-      df.withColumn("__vid", col(idCol))
-        .crossJoin(cents)
-        .withColumn("__sim", dot(col(vec), col("cv")) / (norm(col(vec)) * col("cnorm")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= probe)
-        .drop("cv", "cnorm", "__sim", "__r", "__vid")
-        .withColumnRenamed("cent_id", "cell")
-    }
-
-    val q = broadcast(cellsFor(
-        queries.select(col(idCol), col(vecCol).as("qv"))
-          .withColumn("qnorm", norm(col("qv"))), "qv", nProbe)
-      .withColumnRenamed(idCol, "query_id"))
-    val c = cellsFor(
-      corpus.select(col(idCol), col(vecCol).as("nv"))
-        .withColumn("nnorm", norm(col("nv"))), "nv", 1)
-      .withColumnRenamed(idCol, "neighbor_id")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qnorm", norm(col("qv")))
+        .withColumn("cell", explode(transform(
+          probeCells(col("qv"), col("qnorm"), cents, nProbe),
+          c => c.getField("cid")))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+      .withColumn("cell",
+        graft.plans.CodebookExpressions.nearestCell(col("nv"), cents))
 
     val scored = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -239,44 +255,39 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** A trained PQ codebook entry: (sub, code, centroid). */
+  type BookEntry = (Int, Long, Array[Float])
+
   /** Per-subspace L2 codebooks for product quantization: the vector is cut
     * into `m` contiguous subvectors of dims/m floats; each subspace trains
     * its own `ksub`-centroid codebook with deterministic Lloyd rounds
     * (lowest-id seeds, L2 assignment with (dist², code) tie-break,
-    * DECIMAL-exact means — bit-identical across partitionings). Result is
-    * m·ksub rows (sub, code, cv, csq=|c|²) — metadata scale, broadcastable.
-    */
-  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-                 m: Int = 4, ksub: Int = 16, dims: Int = 64,
-                 iters: Int = 1): DataFrame = {
-    import graft.plans.FloatVectorExpressions.dot
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    * DECIMAL-exact means — bit-identical across partitionings). Assignment
+    * is a pure projection through the native PQ kernel
+    * ([[graft.plans.CodebookExpressions.pqCodes]]); the only exchange per
+    * round is the map-side-combined mean aggregate. Result is m·ksub
+    * entries — metadata scale, broadcastable. */
+  def pqBooks(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 4, ksub: Int = 16, dims: Int = 64,
+              iters: Int = 1): Seq[BookEntry] = {
     val dsub = dims / m
     require(m * dsub == dims, s"dims=$dims must divide by m=$m")
-    val subs = corpus.select(col(idCol).as("__vid"),
-      posexplode(array((0 until m).map(s =>
-        slice(col(vecCol), s * dsub + 1, dsub)): _*)))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
     // seeds: the ksub lowest-id vectors' subvectors, per subspace
-    var books: DataFrame = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(idCol).as("__sid"),
-        posexplode(array((0 until m).map(s =>
-          slice(col(vecCol), s * dsub + 1, dsub)): _*)))
-      .select(col("pos").as("sub"),
-        xxhash64(col("__sid").cast(StringType)).as("code"),
-        col("col").as("cv"))
+    var books: Seq[BookEntry] = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(xxhash64(col(idCol).cast(StringType)).as("code"),
+        col(vecCol).as("v"))
+      .collect().flatMap { r =>
+        val code = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        (0 until m).map(s => (s, code, v.slice(s * dsub, (s + 1) * dsub)))
+      }.toSeq.sortBy(t => (t._1, t._2))
     for (_ <- 0 until iters) {
-      val bc = broadcast(books.withColumn("csq", dot(col("cv"), col("cv"))))
-      val w = Window.partitionBy("__vid", "sub")
-        .orderBy(col("__d2").asc, col("code").asc)
-      // argmin_c |sv - c|² = argmin_c (|c|² - 2 sv·c); |sv|² is constant
-      val assigned = subs.join(bc, Seq("sub"))
-        .withColumn("__d2", col("csq") - lit(2.0) * dot(col("sv"), col("cv")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-      val means = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")))
+      val means = corpus
+        .select(col(vecCol).as("v"),
+          posexplode(graft.plans.CodebookExpressions
+            .pqCodes(col(vecCol), books, m, dims)).as(Seq("sub", "code")))
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("v"), col("sub") * lit(dsub) + lit(1), lit(dsub))))
         .groupBy("sub", "code", "pos")
         .agg((sum(col("col").cast(Dec)).cast(DoubleType) / count(lit(1))).as("mv"))
         .collect()
@@ -284,33 +295,36 @@ object VectorOps {
         case (k0, rows) =>
           k0 -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat)
       }
-      val prev = books.collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
-      books = prev.map { case (s, c, v) => (s, c, byCell.getOrElse((s, c), v)) }
-        .sortBy(t => (t._1, t._2)).toSeq.toDF("sub", "code", "cv")
+      books = books.map { case (s, c, v) => (s, c, byCell.getOrElse((s, c), v)) }
+        .sortBy(t => (t._1, t._2))
     }
-    books.withColumn("csq", dot(col("cv"), col("cv")))
+    books
+  }
+
+  /** [[pqBooks]] rendered as a (sub, code, cv, csq) DataFrame — the
+    * broadcastable lookup-table side of ADC scoring. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 m: Int = 4, ksub: Int = 16, dims: Int = 64,
+                 iters: Int = 1): DataFrame = {
+    import graft.plans.FloatVectorExpressions.dot
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pqBooks(corpus, idCol, vecCol, m, ksub, dims, iters)
+      .toDF("sub", "code", "cv")
+      .withColumn("csq", dot(col("cv"), col("cv")))
   }
 
   /** PQ-encode the corpus: one (id, sub, code) row per subvector — the
     * compressed representation (m codes instead of dims floats) that a
-    * billion-scale index scans. One broadcast join + per-(id,sub) argmin. */
+    * billion-scale index scans. A pure projection through the native PQ
+    * kernel ([[graft.plans.CodebookExpressions.pqCodes]]) + one explode;
+    * no join, no shuffle. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               books: DataFrame, m: Int, dims: Int): DataFrame = {
-    import graft.plans.FloatVectorExpressions.dot
-    val dsub = dims / m
-    val subs = corpus.select(col(idCol).as("id"),
-      posexplode(array((0 until m).map(s =>
-        slice(col(vecCol), s * dsub + 1, dsub)): _*)))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
-    val w = Window.partitionBy("id", "sub")
-      .orderBy(col("__d2").asc, col("code").asc)
-    subs.join(broadcast(books), Seq("sub"))
-      .withColumn("__d2", col("csq") - lit(2.0) * dot(col("sv"), col("cv")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+               books: Seq[BookEntry], m: Int, dims: Int): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        posexplode(graft.plans.CodebookExpressions
+          .pqCodes(col(vecCol), books, m, dims)).as(Seq("sub", "code")))
       .select("id", "sub", "code")
-  }
 
   /** PQ approximate top-k with ADC scoring + exact re-rank — the
     * compressed-domain half of the canonical IVF-PQ billion-scale layout:
@@ -334,13 +348,18 @@ object VectorOps {
                    dims: Int = 64, refine: Int = 4,
                    iters: Int = 1): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dsub = dims / m
-    val books = pqCodebook(corpus, idCol, vecCol, m, ksub, dims, iters)
-      .localCheckpoint() // tiny; stops every consumer re-running Lloyd
+    // books train driver-side (Lloyd collects each round anyway) — nothing
+    // to checkpoint; every consumer reads the same literal entries
+    val books = pqBooks(corpus, idCol, vecCol, m, ksub, dims, iters)
+    val booksDf = books.toDF("sub", "code", "cv")
+      .withColumn("csq", dot(col("cv"), col("cv")))
     val codes = pqEncode(corpus, idCol, vecCol, books, m, dims)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", norm(col("qv")))
-    val lut = broadcast(q.crossJoin(broadcast(books))
+    val lut = broadcast(q.crossJoin(broadcast(booksDf))
       .select(col("query_id"), col("qnorm"), col("sub"), col("code"),
         dot(slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("cv"))
           .as("pdot"),
@@ -400,49 +419,45 @@ object VectorOps {
                       dims: Int = 64, refine: Int = 4,
                       iters: Int = 1): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dsub = dims / m
     require(m * dsub == dims, s"dims=$dims must divide by m=$m")
-    val coarse = lloydCodebook(corpus, idCol, vecCol, nCentroids, iters)
-      .withColumnRenamed("cv", "ccv")
-    val bcCoarse = broadcast(coarse
-      .withColumn("cnorm", norm(col("ccv")))
-      .withColumn("csq_c", dot(col("ccv"), col("ccv"))))
-    // corpus → (id, cell, residual); checkpointed: feeds BOTH book training
-    // and encoding, and Lloyd must not re-run per consumer
-    val wAssign = Window.partitionBy("id").orderBy(col("__sim").desc, col("cent_id").asc)
-    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("vn", norm(col("v")))
-      .crossJoin(bcCoarse)
-      .withColumn("__sim", dot(col("v"), col("ccv")) / (col("vn") * col("cnorm")))
-      .withColumn("__r", row_number().over(wAssign))
-      .filter(col("__r") === 1)
-      .select(col("id"), col("cent_id").as("cell"),
-        zip_with(col("v"), col("ccv"), (x, y) => x - y).as("rv"))
+    val coarse = lloydCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    // corpus → (id, cell, residual) in ONE projection through the native
+    // assign kernel ([[graft.plans.CodebookExpressions.assignResidual]] —
+    // no crossJoin, no window shuffle); checkpointed: feeds BOTH book
+    // training and encoding
+    val assigned = corpus.select(col(idCol).as("id"),
+        graft.plans.CodebookExpressions
+          .assignResidual(col(vecCol), coarse).as("a"))
+      .select(col("id"), col("a.cell").as("cell"), col("a.rv").as("rv"))
       .localCheckpoint()
-    val books = pqCodebook(assigned, "id", "rv", m, ksub, dims, iters)
-      .withColumnRenamed("cv", "bcv")
-      .localCheckpoint()
+    val books = pqBooks(assigned, "id", "rv", m, ksub, dims, iters)
+    val booksDf = books.toDF("sub", "code", "bcv")
+      .withColumn("csq", dot(col("bcv"), col("bcv")))
+    val coarseDf = coarse.toDF("cell", "ccv")
     // (cell, sub, code) → c·r̂ cross-term: tiny (nCentroids·m·ksub)
-    val crossDots = coarse.crossJoin(books)
-      .select(col("cent_id").as("cell"), col("sub"), col("code"),
+    val crossDots = coarseDf.crossJoin(booksDf)
+      .select(col("cell"), col("sub"), col("code"),
         dot(slice(col("ccv"), col("sub") * dsub + 1, lit(dsub)), col("bcv"))
           .as("cdot"))
-    val codes = pqEncode(assigned, "id", "rv",
-        books.withColumnRenamed("bcv", "cv"), m, dims)
-      .join(assigned.select("id", "cell"), Seq("id"))
-    // queries probe nProbe cells; per probed cell the residual differs
+    // encode carries the cell along — no id-self-join to re-attach it
+    val codes = assigned.select(col("id"), col("cell"),
+        posexplode(graft.plans.CodebookExpressions
+          .pqCodes(col("rv"), books, m, dims)).as(Seq("sub", "code")))
+      .select("id", "cell", "sub", "code")
+    // queries probe nProbe cells ([[probeCells]] — per-row sort, no
+    // shuffle); per probed cell the residual differs
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", norm(col("qv")))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("__sim").desc, col("cent_id").asc)
-    val qcells = q.crossJoin(bcCoarse)
-      .withColumn("__sim", dot(col("qv"), col("ccv")) / (col("qnorm") * col("cnorm")))
-      .withColumn("__r", row_number().over(wProbe))
-      .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("qnorm"), col("cent_id").as("cell"),
-        col("csq_c"), dot(col("qv"), col("ccv")).as("qc"),
-        zip_with(col("qv"), col("ccv"), (x, y) => x - y).as("qr"))
-    val lut = broadcast(qcells.crossJoin(broadcast(books))
+    val qcells = q
+      .withColumn("p", explode(probeCells(col("qv"), col("qnorm"), coarse, nProbe)))
+      .select(col("query_id"), col("qnorm"), col("p").getField("cid").as("cell"),
+        dot(col("p").getField("cv"), col("p").getField("cv")).as("csq_c"),
+        dot(col("qv"), col("p").getField("cv")).as("qc"),
+        zip_with(col("qv"), col("p").getField("cv"), (x, y) => x - y).as("qr"))
+    val lut = broadcast(qcells.crossJoin(broadcast(booksDf))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
         col("qnorm"), col("qc"), col("csq_c"),
         dot(slice(col("qr"), col("sub") * dsub + 1, lit(dsub)), col("bcv"))

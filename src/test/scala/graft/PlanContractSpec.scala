@@ -55,7 +55,12 @@ class PlanContractSpec extends SparkSpec {
       "q_vec_cosine_topk", // broadcast queries × corpus, non-equi by design
       "q_vec_ann_ivf",     // crossJoin against the broadcast 16-row codebook
       "q_vec_ann_lsh",     // broadcast query buckets, non-equi residual
-      "q_vec_ann_pq")      // crossJoin against the broadcast m·ksub codebook
+      "q_vec_ann_pq",      // crossJoin against the broadcast m·ksub codebook
+      "q_vec_ann_ivfpq",   // LUT crossJoins: queries × books × cross-terms,
+                           // all broadcast metadata-scale; the corpus scan
+                           // itself is an equi-join on (cell, sub, code)
+      "q_sample_temperature") // per-group counts × 1-row total — both
+                              // metadata-scale; the corpus join is equi
     val engineQueries = Set("q_engine_ingest", "q_engine_point_lookup",
       "q_merge_into") // merge is full-outer SMJ; engine queries execute on build
     val offenders = SparkEntry.queries.keys.toSeq.sorted
