@@ -88,12 +88,12 @@ object TextOps {
   /** All word k-grams of a text, in order, NON-distinct — the counting
     * variant of [[DedupOps.shingles]] (which wraps this in array_distinct
     * for set semantics). A doc shorter than k yields its whole token run
-    * as the single gram. */
-  def ngrams(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(k)), " "))
-  }
+    * as the single gram. One pass through the native
+    * [[graft.plans.WordNgrams]] kernel — the HOF chain it replaces
+    * (transform+sequence+slice+array_join, all interpreted) cost ~5 µs per
+    * gram and dominated every n-gram query. */
+  def ngrams(text: Column, k: Int): Column =
+    graft.plans.TextExpressions.wordNgrams(text, k)
 
   /** Corpus-wide top n-grams by frequency: one explode + one map-side-
     * combined hash aggregate; ties broken on the gram itself. */
