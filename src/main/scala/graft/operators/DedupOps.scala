@@ -130,25 +130,16 @@ object DedupOps {
       .select("id_a", "id_b", "jac")
   }
 
-  /** Per-document 64-bit SimHash signatures: explode tokens, hash each ONCE,
-    * and majority-vote all 64 bits in a single vectorized hash aggregate
-    * (64 conditional sums). One shuffle, map-side combined; the expression
-    * stays small enough for whole-stage codegen — the naive "64 aggregate
-    * lambdas" formulation re-hashes every token 64× and blows up codegen. */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(split(col(textCol), " "))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val voteCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$b"))
-    tok.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
-  }
+  /** Per-document 64-bit SimHash signatures through the native
+    * [[graft.plans.SimHash64]] kernel: distinct tokens hashed once (XXH64
+    * seed 42, bit-identical to `xxhash64`), all 64 bit-votes in one
+    * per-row pass — a pure projection, NO shuffle (the explode +
+    * 64-conditional-sum hash aggregate it replaces shuffled every token).
+    * At corpus scale the signature is computed inside the scan stage and
+    * only the 8-byte sig travels. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.plans.TextExpressions.simhash64(col(textCol)).as("sig"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -70,8 +70,70 @@ case class WordNgrams(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash over a text column: distinct whitespace tokens,
+  * each hashed once with Catalyst's XXH64 (seed 42 — bit-identical to
+  * `xxhash64(token)`), all 64 bit-votes accumulated in one pass. Replaces
+  * an explode + 64-conditional-sum hash aggregate — the signature needs NO
+  * shuffle at all: it is a pure per-row function, which is also the shape
+  * that survives a 100 TB corpus (signatures computed in the scan stage,
+  * only the 8-byte sig ever travels). Vote semantics match the aggregate
+  * formulation exactly: +1 per distinct token with bit b set, −1
+  * otherwise; bit b of the signature set iff the vote sum is > 0. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires a string input, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  def compute(s: UTF8String): Long = {
+    val parts = s.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < parts.length) {
+      if (seen.add(parts(i))) {
+        val t = UTF8String.fromString(parts(i))
+        val h = XXH64.hashUnsafeBytes(
+          t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API over the native n-gram kernel. */
   def wordNgrams(text: Column, k: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(text), k))
+
+  /** Column API over the native SimHash kernel. */
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
 }
