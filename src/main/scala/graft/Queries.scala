@@ -1108,7 +1108,7 @@ object Queries {
   val qVecAnnLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 10, nPlanes = 4, tables = 4, probes = 2)
+        "embedding", k = 10, nPlanes = 4, tables = 4, probes = 4)
       .orderBy("query_id", "rank")
   }
 

@@ -41,17 +41,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(rIvf >= 0.95, s"IVF recall regressed: $rIvf")
     assert(rLsh >= 0.6, s"LSH recall regressed: $rLsh")
 
-    // multiprobe: 4 tables + 2 flipped-bit probes per table should recover
-    // most of what 8 tables buy, at HALF the corpus index size
+    // multiprobe: 4 tables + flipped-bit probes per table should recover
+    // most of what 8 tables buy, at HALF the corpus index size; probes=4
+    // (all single-bit flips at 4 planes) is the declared query's config
     val mp = topkSets(VectorOps.cosineTopKLsh(emb, queries, "vec_id", "embedding", 10,
       nPlanes = 4, tables = 4, probes = 2))
+    val mp4 = topkSets(VectorOps.cosineTopKLsh(emb, queries, "vec_id", "embedding", 10,
+      nPlanes = 4, tables = 4, probes = 4))
     val base4 = topkSets(VectorOps.cosineTopKLsh(emb, queries, "vec_id", "embedding", 10,
       nPlanes = 4, tables = 4))
     val rMp = recall(mp)
+    val rMp4 = recall(mp4)
     val rBase = recall(base4)
-    info(f"LSH multiprobe — 4 tables plain: $rBase%.2f, +2 probes: $rMp%.2f")
+    info(f"LSH multiprobe — 4 tables plain: $rBase%.2f, +2 probes: $rMp%.2f, " +
+      f"+4 probes: $rMp4%.2f")
     assert(rMp >= rBase, "multiprobe candidates are a superset — recall cannot drop")
+    assert(rMp4 >= rMp, "more probes are a superset — recall cannot drop")
     assert(rMp >= 0.5, s"multiprobe recall collapsed: $rMp")
+    assert(rMp4 >= 0.75, s"declared-config (probes=4) recall regressed: $rMp4")
 
     // PQ/ADC with exact re-rank: compressed-domain scan (4 codes instead of
     // 64 floats) + refine×k exact re-rank
