@@ -169,57 +169,71 @@ object TextOps {
         .otherwise(concat(acc, array(x))))
 
   /** BPE merge-table training — the tokenizer-induction job of an LLM
-    * pipeline. Trains on the (word, count) table (the standard BPE setup:
-    * corpus-size work happens ONCE in the word count; every merge round
-    * then runs over the distinct-word table, which is vocabulary-scale).
-    * Each round: count adjacent symbol pairs weighted by word frequency
-    * (one map-side-combined hash agg), pick the argmax with a
-    * deterministic (count desc, pair asc) tie-break, and apply the merge
-    * with [[mergePair]]. Iterative + stateful fold ⇒ genuinely not
+    * pipeline. The corpus-scale work happens ONCE in the distributed word
+    * count; the (word, count) table is vocabulary-scale and collects to
+    * the driver, where the inherently-sequential merge rounds run in
+    * memory — the architecture every production BPE trainer uses (a
+    * 100 TB corpus grows the word count's INPUT, not the vocabulary, and
+    * per-round Spark jobs over a vocab-sized table buy only scheduler
+    * overhead). Each round: count adjacent symbol pairs weighted by word
+    * frequency, pick the argmax with a deterministic (count desc, pair
+    * asc) tie-break, and apply the merge greedily left-to-right (same
+    * semantics as [[mergePair]]). Iterative + stateful ⇒ genuinely not
     * ANSI-expressible (rows-only in the declared set); determinism is
     * spec-tested against hand-computed merges.
     *
     * Words = lowercase letter runs; `</w>` marks word end so merges can't
     * cross words and final symbols distinguish suffixes from prefixes.
+    * Symbols stay ASCII, so the driver's string order equals the UTF8
+    * binary order the previous all-Spark formulation sorted by.
     *
     * @return (rank, left, right, weight) — weight = summed word frequency
     *         of the merged pair at selection time. */
   def bpeTrainMerges(docs: DataFrame, textCol: String,
                      nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var wc = docs.select(explode(
+    var words: Array[(Array[String], Long)] = docs.select(explode(
         regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
-        col("n"))
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.getString(0).split("") :+ "</w>", r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rank = 1
     var done = false
     while (rank <= nMerges && !done) {
-      // fully-merged single-symbol words have no pairs left — and
-      // sequence(1, 0) would DESCEND, indexing past the array under ANSI
-      val best = wc.filter(size(col("syms")) >= 2)
-        .select(col("n"), explode(
-          transform(sequence(lit(1), size(col("syms")) - 1),
-            j => struct(element_at(col("syms"), j).as("a"),
-              element_at(col("syms"), j + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getAs[Long]("cnt") < 2) done = true
-      else {
-        val (a, b, cnt) = (best.head.getAs[String]("a"),
-          best.head.getAs[String]("b"), best.head.getAs[Long]("cnt"))
-        merges += ((rank, a, b, cnt))
-        val prev = wc
-        wc = wc.select(mergePair(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint()
-        prev.unpersist()
-        rank += 1
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- words) {
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), cnt)) if cnt >= 2 =>
+          merges += ((rank, a, b, cnt))
+          words = words.map { case (syms, n) => (mergePairLocal(syms, a, b), n) }
+          rank += 1
+        case _ => done = true
       }
     }
     merges.toSeq
+  }
+
+  /** Driver twin of [[mergePair]]: greedy left-to-right, a just-merged
+    * symbol is never reused as the left side in the same position. */
+  private def mergePairLocal(syms: Array[String], a: String,
+                             b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
   }
 
   /** Apply a learned merge table in rank order to a symbol array —
