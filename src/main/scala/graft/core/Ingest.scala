@@ -190,7 +190,13 @@ object Ingest {
         // table lock: an append racing a compaction's listing→swap window
         // would otherwise be renamed aside and deleted with the old copy
         registry.withTableLock(typeId) {
-          written.write.mode("append").partitionBy("_part")
+          // cluster rows by bucket before the partitioned write: ONE file
+          // per bucket per append instead of (shuffle partitions × buckets)
+          // tiny files — the small-files problem that otherwise eats a
+          // table alive at 100 TB append rates (compaction still collapses
+          // the per-append log over time)
+          written.repartition(NumIdBuckets, col("_part"))
+            .write.mode("append").partitionBy("_part")
             .parquet(registry.tablePath(typeId))
         }
       (n, nQuarantine + nCorrupt)
