@@ -138,6 +138,13 @@ object OracleSql {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
 
+    "q_join_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_orderkey % 2 = 0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+
     "q_join_semi" ->
       """SELECT c.* FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -312,6 +319,12 @@ object OracleSql {
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q_histogram" ->
+      s"""WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+         |SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+         |  COUNT(*) AS n, ${dsum("value")} AS sum_value
+         |FROM events, s GROUP BY 1 ORDER BY bin""".stripMargin,
+
     // --- Window functions -------------------------------------------
     "q_win_rank_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -340,6 +353,15 @@ object OracleSql {
         |    ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS sum_1h
         |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_win_distribution" ->
+      """SELECT event_id, event_type, value,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  FIRST_VALUE(value) OVER w AS first_value,
+        |  NTH_VALUE(value, 3) OVER w AS third_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id""".stripMargin,
 
     "q_win_frame_running_sum" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
@@ -407,6 +429,15 @@ object OracleSql {
         |  len(list_filter(embedding, x -> x > CAST(0.4 AS FLOAT))) > 0 AS any_big,
         |  ROUND(CAST(embedding[1] AS DOUBLE) * 2.0, 6) AS e0_doubled
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_explode_lateral" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp
+        |  FROM documents WHERE doc_id < 100),
+        |u AS (SELECT doc_id, unnest(sp) AS word,
+        |    CAST(generate_subscripts(sp, 1) - 1 AS INT) AS word_pos FROM t)
+        |SELECT doc_id, word_pos, word FROM u
+        |WHERE length(word) > 0
+        |ORDER BY doc_id, word_pos""".stripMargin,
 
     "q_date_cond_funcs" ->
       """SELECT o_orderkey,

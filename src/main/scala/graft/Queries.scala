@@ -284,6 +284,18 @@ object Queries {
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
   }
 
+  /** Full-outer join with unmatched rows on BOTH sides (customers filtered
+    * to a keyspace slice, orders to even keys), so left-only, right-only and
+    * matched rows all appear. Shuffled sort-merge on the key — full outer
+    * cannot broadcast (both sides must surface unmatched rows). */
+  val qJoinFullOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+    val o = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
   val qJoinSemi: Q = (s, d) => {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -521,6 +533,23 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Equi-width histogram: 20 bins over the observed [min, max] of
+    * events.value. The 1-row min/max aggregate broadcasts onto the corpus
+    * scan (metadata-scale BNLJ — the scalar-subquery idiom), then binning
+    * is a pure projection + one hash agg. Both engines evaluate the
+    * identical IEEE expression tree, so bin edges agree bit-for-bit. */
+  val qHistogram: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val stats = e.agg(min("value").as("lo"), max("value").as("hi"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("bin", least(
+        floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20)).cast(LongType),
+        lit(19L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy("bin")
+  }
+
   /** Salted two-phase aggregation ([[operators.Skew.saltedCount]]) under
     * the oracle gate: the hot-key mitigation must produce EXACTLY the plain
     * GROUP BY result — the oracle is that plain SQL. */
@@ -614,6 +643,21 @@ object Queries {
           |AS DOUBLE) AS sum_1h""".stripMargin)
       .orderBy("user_id", "ts", "event_id")
 
+  /** Distribution window functions — percent_rank / first_value /
+    * nth_value over a total (tie-free) per-type order. percent_rank is
+    * (rank-1)/(n-1): both engines divide the same small integers, so the
+    * doubles are bit-identical without fixed-point help; nth_value uses the
+    * default running frame in both engines. */
+  val qWinDistribution: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        first(col("value")).over(w).as("first_value"),
+        nth_value(col("value"), 3).over(w).as("third_value"))
+      .orderBy("event_type", "value", "event_id")
+  }
+
   // ------------------------------------------------------------------
   // Sort / limit / set operations
   // ------------------------------------------------------------------
@@ -700,6 +744,19 @@ object Queries {
       round(element_at(transform(col("embedding"),
         x => x.cast(DoubleType) * 2.0), 1), 6).as("e0_doubled"))
       .orderBy("vec_id")
+
+  /** Lateral explode (Generate): documents flattened to one row per word
+    * with its position — the table-function / UNNEST shape. Generate runs
+    * inside the scan stage (no shuffle, no driver collection); the oracle
+    * reproduces the positions with a generate_series lateral join. */
+  val qExplodeLateral: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "word_pos")
+      .withColumnRenamed("col", "word")
+      .filter(length(col("word")) > 0)
+      .orderBy("doc_id", "word_pos")
 
   /** Date-part + conditional scalar battery. */
   val qDateCondFuncs: Q = (s, d) =>

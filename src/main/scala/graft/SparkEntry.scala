@@ -36,6 +36,7 @@ object SparkEntry {
     "q_join_inner_broadcast" -> Queries.qJoinInnerBroadcast,
     "q_join_sortmerge" -> Queries.qJoinSortmerge,
     "q_join_left" -> Queries.qJoinLeft,
+    "q_join_full_outer" -> Queries.qJoinFullOuter,
     "q_join_semi" -> Queries.qJoinSemi,
     "q_bloom_semi" -> Queries.qBloomSemi,
     "q_join_anti" -> Queries.qJoinAnti,
@@ -58,6 +59,7 @@ object SparkEntry {
     "q_rollup" -> Queries.qRollup,
     "q_cube" -> Queries.qCube,
     "q_grouping_sets" -> Queries.qGroupingSets,
+    "q_histogram" -> Queries.qHistogram,
     "q_skew_salted_agg" -> Queries.qSkewSaltedAgg,
     "q_skew_salted_join" -> Queries.qSkewSaltedJoin,
     // window functions
@@ -66,6 +68,7 @@ object SparkEntry {
     "q_win_lag_delta" -> Queries.qWinLagDelta,
     "q_win_frame_running_sum" -> Queries.qWinFrameRunningSum,
     "q_win_range_frame" -> Queries.qWinRangeFrame,
+    "q_win_distribution" -> Queries.qWinDistribution,
     // sort / limit / set ops
     "q_topk_orderby_limit" -> Queries.qTopkOrderbyLimit,
     "q_union_all" -> Queries.qUnionAll,
@@ -77,6 +80,7 @@ object SparkEntry {
     "q_math_funcs" -> Queries.qMathFuncs,
     "q_array_funcs" -> Queries.qArrayFuncs,
     "q_hof_funcs" -> Queries.qHofFuncs,
+    "q_explode_lateral" -> Queries.qExplodeLateral,
     "q_json_get" -> Queries.qJsonGet,
     "q_map_funcs" -> Queries.qMapFuncs,
     "q_date_cond_funcs" -> Queries.qDateCondFuncs,

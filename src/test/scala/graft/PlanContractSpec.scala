@@ -59,6 +59,8 @@ class PlanContractSpec extends SparkSpec {
       "q_vec_ann_ivfpq",   // LUT crossJoins: queries × books × cross-terms,
                            // all broadcast metadata-scale; the corpus scan
                            // itself is an equi-join on (cell, sub, code)
+      "q_histogram",       // corpus × broadcast 1-row min/max — the
+                           // scalar-subquery idiom, metadata-scale
       "q_sample_temperature") // per-group counts × 1-row total — both
                               // metadata-scale; the corpus join is equi
     val engineQueries = Set("q_engine_ingest", "q_engine_point_lookup",
