@@ -470,6 +470,26 @@ object OracleSql {
          |  event_type, COUNT(*) AS n, ${dsum("value")} AS sum_value
          |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
+    // Streaming declared queries: outputs are micro-batch-invariant, so the
+    // oracles are the equivalent one-shot batch SQL.
+    "q_stream_tumbling" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+         |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         |  event_type, COUNT(*) AS n, ${dsum("value")} AS sum_value
+         |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_lww" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_window_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |w AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM e

@@ -826,6 +826,26 @@ object Queries {
         col("user_id"), col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** DECLARED Structured-Streaming queries ([[streaming.Declared]]): real
+    * readStream→writeStream jobs run to completion (AvailableNow over a
+    * multi-file source, several micro-batches), with outputs constructed to
+    * be micro-batch-invariant so the batch oracle checks them exactly. */
+  val qStreamTumbling: Q = (s, d) =>
+    streaming.Declared.tumblingAgg(s, Tables.events(s, d),
+        scratchDir("stream-tumb"))
+      .orderBy("window_start", "event_type")
+
+  val qStreamDedup: Q = (s, d) =>
+    streaming.Declared.dedupKeys(s, Tables.events(s, d),
+        scratchDir("stream-dedup"))
+      .orderBy("user_id", "event_type")
+
+  val qStreamLww: Q = (s, d) =>
+    streaming.Declared.lwwServe(s, Tables.events(s, d),
+        scratchDir("stream-lww"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+
   val qDedupExact: Q = (s, d) =>
     DedupOps.exact(Tables.documents(s, d), "text", "doc_id")
       .orderBy("digest")

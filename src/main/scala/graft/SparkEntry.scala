@@ -89,6 +89,9 @@ object SparkEntry {
     "q_window_sliding" -> Queries.qWindowSliding,
     "q_session_window" -> Queries.qSessionWindow,
     "q_dedup_exact" -> Queries.qDedupExact,
+    "q_stream_tumbling" -> Queries.qStreamTumbling,
+    "q_stream_dedup" -> Queries.qStreamDedup,
+    "q_stream_lww" -> Queries.qStreamLww,
     "q_scd2_history" -> Queries.qScd2History,
     // text analysis extensions
     "q_text_wordcount" -> Queries.qTextWordcount,

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Structured-Streaming implementations behind DECLARED (oracle-gated)
+  * queries: each runs a real `readStream → writeStream` job to completion
+  * with `Trigger.AvailableNow` over the test table split into several files
+  * (`maxFilesPerTrigger` forces multiple micro-batches), then returns the
+  * final result as a batch frame. The outputs are constructed to be
+  * micro-batch-boundary INVARIANT — equal to the one-shot batch query — so
+  * the DuckDB oracle checks streaming execution exactly:
+  *
+  *  - tumbling agg: per-batch PARTIAL aggregates (count + exact decimal
+  *    sums) appended to the sink, merged by a final re-aggregation. Partials
+  *    are associative, so any batching yields the batch answer — the
+  *    incremental-materialization shape a production streaming agg uses.
+  *  - dedup: `dropDuplicates` keyed state emits each key's first occurrence
+  *    only; the surviving KEY SET equals batch `SELECT DISTINCT` for every
+  *    batch split. (Bounded input here; at 100 TB one bounds the state with
+  *    `dropDuplicatesWithinWatermark`.)
+  *  - LWW upsert: `foreachBatch` folds each micro-batch into a compacted
+  *    serving table (union → LWW window → rewrite), the Cassandra-style
+  *    upsert loop of the reference (consumer.py:69-70) — max-by-(ts,id) per
+  *    key is order-invariant, so the final state is batching-independent.
+  */
+object Declared {
+
+  private val Dec = DecimalType(25, 6)
+
+  /** Split `df` into `nFiles` parquet files under `dir`/src and open a
+    * file-source stream over them, `filesPerTrigger` per micro-batch. */
+  private def fileStream(s: SparkSession, df: DataFrame, dir: String,
+                         nFiles: Int, filesPerTrigger: Int): DataFrame = {
+    val src = dir + "/src"
+    df.repartition(nFiles).write.mode("overwrite").parquet(src)
+    s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(src)
+  }
+
+  /** Streaming tumbling-window count+sum via appended per-batch partials. */
+  def tumblingAgg(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val out = dir + "/out"
+    val stream = fileStream(s,
+      events.select("event_id", "ts", "event_type", "value"),
+      dir, nFiles = 4, filesPerTrigger = 1)
+    stream.writeStream
+      .queryName("graft-stream-tumbling")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(Dec)).cast(Dec).as("sv"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"), col("event_type"),
+            col("n"), col("sv"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start().awaitTermination()
+    s.read.parquet(out)
+      .groupBy("window_start", "window_end", "event_type")
+      .agg(sum("n").as("n"), sum("sv").cast(DoubleType).as("sum_value"))
+      .withColumn("n", col("n").cast(LongType))
+  }
+
+  /** Streaming exact dedup: keyed state keeps first occurrence per key. */
+  def dedupKeys(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val out = dir + "/out"
+    val stream = fileStream(s, events.select("user_id", "event_type"),
+      dir, nFiles = 4, filesPerTrigger = 1)
+    stream.dropDuplicates("user_id", "event_type")
+      .writeStream
+      .queryName("graft-stream-dedup")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** Streaming LWW serving view maintained across micro-batches: each batch
+    * is folded into the compacted state (newest row per user by (ts,
+    * event_id)) and the state is rewritten — upsert-merge compaction. The
+    * rewrite is full here for oracle-exactness; Engine.compactIfNeeded is
+    * the threshold-driven variant of the same loop. */
+  def lwwServe(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val stream = fileStream(s,
+      events.select("event_id", "ts", "user_id", "event_type", "value"),
+      dir, nFiles = 4, filesPerTrigger = 1)
+    // two alternating state dirs: read state N, write state N+1 (a parquet
+    // read can't overwrite its own input files)
+    val states = Seq(dir + "/state0", dir + "/state1")
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    stream.writeStream
+      .queryName("graft-stream-lww")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val g = gen.get()
+        val cur =
+          if (g == 0) batch
+          else batch.unionByName(s.read.parquet(states((g - 1) % 2)))
+        graft.operators.Upserts
+          .lwwView(cur, Seq("user_id"), "ts", Seq("event_id"))
+          .write.mode("overwrite").parquet(states(g % 2))
+        gen.incrementAndGet()
+        ()
+      }
+      .start().awaitTermination()
+    s.read.parquet(states((gen.get() - 1) % 2))
+  }
+}

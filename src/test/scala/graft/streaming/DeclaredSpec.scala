@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables, Queries}
+import org.apache.spark.sql.DataFrame
+
+/** The declared streaming queries must be micro-batch-boundary INVARIANT:
+  * running the stream over the file-split source yields exactly the one-shot
+  * batch answer (that invariance is what lets the DuckDB oracle gate them).
+  */
+class DeclaredSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("streaming tumbling partials merge to the batch aggregate") {
+    val streamed = Queries.qStreamTumbling(spark, sf())
+    val batch = Queries.qWindowTumbling(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("streaming dedup emits exactly the distinct key set") {
+    val streamed = Queries.qStreamDedup(spark, sf())
+    val batch = Tables.events(spark, sf())
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("streaming LWW state equals the batch LWW view") {
+    val streamed = Queries.qStreamLww(spark, sf())
+    val batch = graft.operators.Upserts.lwwView(
+        Tables.events(spark, sf()), Seq("user_id"), "ts", Seq("event_id"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+    assert(rows(streamed) == rows(batch))
+  }
+}
