@@ -14,6 +14,33 @@ object OracleSql {
   /** decimal-exact sum rendered to double. */
   private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
 
+  /** Unrolled integer PageRank (mirrors [[graft.operators.GraphOps.pageRank]]
+    * at scale 1e9 / damping 0.85): r0 = S//N, then `iters` rounds of
+    * teleport + Σ⌊0.85·r/deg⌋ over the symmetrized part↔supplier graph.
+    * DuckDB `//` (floor) == Spark `div` (trunc) on the all-positive ranks. */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_partkey % 100 AS src,
+        |    100 + l_suppkey % 100 AS dst FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        |nodes AS (SELECT DISTINCT src AS node FROM
+        |  (SELECT src FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |p AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS r FROM nodes, p)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, SUM((85 * r.r) // (100 * d.deg)) AS rc
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$k AS (SELECT nodes.node,
+         |    CAST((15000000000 // (100 * p.n)) + COALESCE(c$k.rc, 0) AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN p LEFT JOIN c$k ON c$k.node = nodes.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, r FROM r$iters ORDER BY node"
+  }
+
   val sql: Map[String, String] = Map(
     // --- CRUD / engine semantics -----------------------------------
     "q_point_lookup" ->
@@ -719,6 +746,23 @@ object OracleSql {
         |        ORDER BY score_ppm DESC, term) AS rn FROM sc)
         |SELECT doc_id, rn, term, tf, df_docs, score_ppm FROM r
         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_graph_pagerank" -> pagerankSql(5),
+
+    "q_dedup_embedding_exact" ->
+      """WITH side AS (
+        |  SELECT vec_id AS id, embedding AS v,
+        |    SQRT(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13) AS nrm
+        |  FROM embeddings WHERE vec_id % 16 = 0),
+        |scored AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    ROUND((CAST(list_sum(list_transform(list_zip(a.v, b.v),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |      / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM side a, side b WHERE a.id < b.id)
+        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_cluster" ->
       """WITH RECURSIVE

@@ -1168,6 +1168,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** EXACT embedding near-dup pairs under the hash gate
+    * ([[VectorOps.cosineNearDupsFixed]]): all-pairs over a deterministic
+    * 1/16 sample, fixed-point cosine ≥ 0.25. Complements rows-only
+    * `q_dedup_embedding` (the LSH scale path) with an oracle-checked
+    * ground-truth variant. */
+  val qDedupEmbeddingExact: Q = (s, d) =>
+    VectorOps.cosineNearDupsFixed(
+        Tables.embeddings(s, d).filter(col("vec_id") % 16 === 0),
+        "vec_id", "embedding", threshold = 0.25)
+      .orderBy("id_a", "id_b")
+
+  /** Integer-scaled PageRank ([[operators.GraphOps.pageRank]]) over the
+    * symmetrized part↔supplier co-occurrence graph. 5 fixed rounds, all
+    * arithmetic in truncating BIGINT — the oracle replays the identical
+    * recurrence as 5 unrolled SQL CTEs, so a GRAPH ITERATION goes through
+    * the exact-hash gate (float PageRank never would). */
+  val qGraphPagerank: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 100).cast(LongType).as("src"),
+        (lit(100L) + col("l_suppkey") % 100).cast(LongType).as("dst"))
+      .distinct()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    operators.GraphOps.pageRank(sym, iterations = 5)
+      .orderBy("node")
+  }
+
   val qVecCosineTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

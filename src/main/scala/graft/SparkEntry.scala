@@ -125,6 +125,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> Queries.qDedupMinhashLsh,
     "q_dedup_simhash" -> Queries.qDedupSimhash,
     "q_dedup_cluster" -> Queries.qDedupCluster,
+    "q_graph_pagerank" -> Queries.qGraphPagerank,
     "q_vec_cosine_topk" -> Queries.qVecCosineTopk,
     "q_vec_normalize" -> Queries.qVecNormalize,
     "q_vec_centroids" -> Queries.qVecCentroids,
@@ -133,6 +134,7 @@ object SparkEntry {
     "q_vec_ann_pq" -> Queries.qVecAnnPq,
     "q_vec_ann_ivfpq" -> Queries.qVecAnnIvfPq,
     "q_dedup_embedding" -> Queries.qDedupEmbedding,
+    "q_dedup_embedding_exact" -> Queries.qDedupEmbeddingExact,
     "q_dedup_embedding_cluster" -> Queries.qDedupEmbeddingCluster,
     "q_multimodal_decode" -> Queries.qMultimodalDecode,
     "q_multimodal_meta" -> Queries.qMultimodalMeta,

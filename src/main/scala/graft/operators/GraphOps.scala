@@ -171,6 +171,55 @@ object GraphOps {
       stars.unionByName(newEdges.select(col("src"), col("dst"))))
   }
 
+  /** Integer-scaled PageRank over a directed edge list — fixed iteration
+    * count, ALL arithmetic in scaled BIGINT (truncating division), so ranks
+    * are bit-identical across engines and partition orders: the variant an
+    * oracle can replay in ANSI SQL (floating PageRank never hashes equal
+    * across engines).
+    *
+    * rank₀(v) = S/N;  rankₜ₊₁(v) = ⌊0.15·S/N⌋ + Σ_{u→v} ⌊0.85·rankₜ(u)/deg(u)⌋
+    *
+    * Per iteration: one equi-join of edges onto ranks + one hash agg —
+    * linear in |E|, the standard distributed PageRank step. Ranks are
+    * localCheckpoint'ed each round so the plan does not grow with the
+    * iteration count (the same lineage-cut the CC rounds use). Dangling
+    * mass is dropped (not redistributed), the common simplification — every
+    * node still receives the teleport term via the right join on nodes.
+    *
+    * @param edges (src, dst) directed; dedup beforehand if multiplicity
+    *              should not weight the walk
+    * @param iterations fixed round count (convergence is geometric; 5-10
+    *                   rounds ranks stably for analytics use)
+    * @param scale S — rank mass per node at scale 1e9 keeps 85·r within
+    *              int64 for graphs up to ~10⁸ nodes
+    * @return (node, rank) — rank sums to ≤ N·S/N = S modulo truncation loss
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("src").cast(LongType), col("dst").cast(LongType))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    val teleport = (15L * scale) / (100L * n)
+    var rank = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(rank, e("src") === rank("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("(85 * r) div (100 * deg)").as("c"))
+      rank = contrib.groupBy("node").agg(sum("c").as("rc"))
+        // right join: sink-less nodes (no in-edges) still hold teleport mass
+        .join(nodes, Seq("node"), "right")
+        .na.fill(0L, Seq("rc"))
+        .select(col("node"), (lit(teleport) + col("rc")).as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** Dedup clustering: pairs → transitive clusters over ALL rows of `docs`.
     * Rows never appearing in a pair are singleton clusters of themselves.
     * Output: (idCol, cluster_id = min id in cluster, cluster_size). */

@@ -549,6 +549,31 @@ object VectorOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** All-pairs exact near-dup on the cross-engine fixed-point grid — the
+    * oracle-shareable ground truth ([[dotFixed]] + ROUND(·,6), replayable in
+    * ANSI SQL). Two-phase: the codegen'd double kernel prefilters the n²
+    * pair space (its cosine differs from the fixed-point one by ≪1e-6, so a
+    * 2e-6 margin never drops a true pair), and only the thin boundary shell
+    * pays the exact fixed-point re-score. O(n²) by construction — bound the
+    * input (sampling, blocking) and use [[cosineNearDups]] as the scale
+    * path; this exists to put EXACT embedding dedup under the hash gate. */
+  def cosineNearDupsFixed(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fnrm", norm(col("v")))
+      .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
+    val a = side.alias("a")
+    val b = side.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .filter(dot(col("a.v"), col("b.v")) / (col("a.fnrm") * col("b.fnrm"))
+        >= threshold - 2e-6)
+      .withColumn("cosine", round(
+        dotFixed(col("a.v"), col("b.v")) / (col("a.xnrm") * col("b.xnrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
   /** All-pairs exact variant of [[cosineNearDups]] — O(n²); the ground truth
     * for recall measurement and the right tool only for small corpora. */
   def cosineNearDupsExact(corpus: DataFrame, idCol: String, vecCol: String,

@@ -72,8 +72,11 @@ object Declared {
   /** Streaming exact dedup: keyed state keeps first occurrence per key. */
   def dedupKeys(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
+    // 2 micro-batches, not 4: the cross-batch keyed state is exercised by
+    // the second batch either way, and each extra batch pays a full
+    // state-store commit across every shuffle partition
     val stream = fileStream(s, events.select("user_id", "event_type"),
-      dir, nFiles = 4, filesPerTrigger = 1)
+      dir, nFiles = 2, filesPerTrigger = 1)
     stream.dropDuplicates("user_id", "event_type")
       .writeStream
       .queryName("graft-stream-dedup")

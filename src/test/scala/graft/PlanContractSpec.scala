@@ -59,6 +59,8 @@ class PlanContractSpec extends SparkSpec {
       "q_vec_ann_ivfpq",   // LUT crossJoins: queries × books × cross-terms,
                            // all broadcast metadata-scale; the corpus scan
                            // itself is an equi-join on (cell, sub, code)
+      "q_dedup_embedding_exact", // all-pairs ground truth over a bounded
+                           // sample — dense by definition
       "q_histogram",       // corpus × broadcast 1-row min/max — the
                            // scalar-subquery idiom, metadata-scale
       "q_sample_temperature") // per-group counts × 1-row total — both
