@@ -192,12 +192,36 @@ object GraphOps {
     *                   rounds ranks stably for analytics use)
     * @param scale S — rank mass per node at scale 1e9 keeps 85·r within
     *              int64 for graphs up to ~10⁸ nodes
+    * @param driverFastPathEdges same adaptive cutover as
+    *              [[connectedComponents]]: a graph this small pays more in
+    *              per-round scheduler overhead than the whole computation
+    *              costs on the driver (identical integer recurrence either
+    *              way); 0 forces the distributed rounds
     * @return (node, rank) — rank sums to ≤ N·S/N = S modulo truncation loss
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               driverFastPathEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("src").cast(LongType), col("dst").cast(LongType))
       .localCheckpoint()
+
+    if (driverFastPathEdges > 0 && e.count() <= driverFastPathEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val teleport = (15L * scale) / (100L * ns.length)
+      val deg = es.groupBy(_._1).map { case (u, out) => u -> out.length.toLong }
+      var r = ns.map(_ -> scale / ns.length).toMap
+      for (_ <- 1 to iterations) {
+        val rc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => rc(v) += (85L * r(u)) / (100L * deg(u)) }
+        r = ns.map(v => v -> (teleport + rc(v))).toMap
+      }
+      e.unpersist()
+      return ns.map(v => (v, r(v))).toSeq.toDF("node", "r")
+    }
+
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()

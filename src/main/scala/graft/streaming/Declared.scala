@@ -45,9 +45,11 @@ object Declared {
   /** Streaming tumbling-window count+sum via appended per-batch partials. */
   def tumblingAgg(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
+    // 3 micro-batches: enough that the final merge folds >2 partial
+    // appends; each extra batch is ~0.3s of trigger overhead
     val stream = fileStream(s,
       events.select("event_id", "ts", "event_type", "value"),
-      dir, nFiles = 4, filesPerTrigger = 1)
+      dir, nFiles = 3, filesPerTrigger = 1)
     stream.writeStream
       .queryName("graft-stream-tumbling")
       .option("checkpointLocation", dir + "/ckpt")
@@ -94,9 +96,12 @@ object Declared {
     * rewrite is full here for oracle-exactness; Engine.compactIfNeeded is
     * the threshold-driven variant of the same loop. */
   def lwwServe(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    // 2 micro-batches: batch 1 bootstraps the state, batch 2 proves the
+    // cross-batch fold (union -> LWW -> rewrite); more batches only re-pay
+    // the full-state rewrite
     val stream = fileStream(s,
       events.select("event_id", "ts", "user_id", "event_type", "value"),
-      dir, nFiles = 4, filesPerTrigger = 1)
+      dir, nFiles = 2, filesPerTrigger = 1)
     // two alternating state dirs: read state N, write state N+1 (a parquet
     // read can't overwrite its own input files)
     val states = Seq(dir + "/state0", dir + "/state1")

@@ -98,22 +98,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
   }
 
-  test("pageRank reproduces the hand-computed integer recurrence") {
-    // directed triangle plus a sink: 1→2, 2→3, 3→1, 1→4
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
-    val got = GraphOps.pageRank(edges, iterations = 2, scale = 1000L)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // replay the recurrence in plain Scala (same trunc-div integer math)
-    val out = Map(1L -> Seq(2L, 4L), 2L -> Seq(3L), 3L -> Seq(1L))
-    val nodes = Seq(1L, 2L, 3L, 4L)
-    val teleport = (15L * 1000L) / (100L * nodes.size)
-    var r = nodes.map(_ -> (1000L / nodes.size)).toMap
-    for (_ <- 1 to 2)
-      r = nodes.map(v => v -> (teleport + out.toSeq.collect {
-        case (u, vs) if vs.contains(v) => (85L * r(u)) / (100L * vs.size)
-      }.sum)).toMap
-    assert(got === r)
-  }
+  for ((label, cutover) <- Seq(("driver fast path", 1000000L),
+                               ("distributed rounds", 0L)))
+    test(s"pageRank [$label] reproduces the hand-computed integer recurrence") {
+      // directed triangle plus a sink: 1→2, 2→3, 3→1, 1→4
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+      val got = GraphOps.pageRank(edges, iterations = 2, scale = 1000L,
+          driverFastPathEdges = cutover)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // replay the recurrence in plain Scala (same trunc-div integer math)
+      val out = Map(1L -> Seq(2L, 4L), 2L -> Seq(3L), 3L -> Seq(1L))
+      val nodes = Seq(1L, 2L, 3L, 4L)
+      val teleport = (15L * 1000L) / (100L * nodes.size)
+      var r = nodes.map(_ -> (1000L / nodes.size)).toMap
+      for (_ <- 1 to 2)
+        r = nodes.map(v => v -> (teleport + out.toSeq.collect {
+          case (u, vs) if vs.contains(v) => (85L * r(u)) / (100L * vs.size)
+        }.sum)).toMap
+      assert(got === r)
+    }
 
   test("dedupClusters labels every doc; singletons are their own cluster") {
     val docs = (1L to 10L).toDF("doc_id")
