@@ -99,6 +99,22 @@ object OracleSql {
         |  CAST(ts AS TIMESTAMP) AS ts
         |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
 
+    // compaction must not change the serving answer — same oracle as ingest
+    "q_engine_compact" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |      FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM e)
+        |SELECT cohort_week, activity_week, COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_merge_into" ->
       """WITH s0 AS (SELECT o_custkey AS c_custkey,
         |        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS c_acctbal,

@@ -137,6 +137,42 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** The COMPACTION rewrite under the oracle gate: ingest the signup slice
+    * in two halves (two append generations), force-compact the table
+    * (LWW-collapse + crash-safe dir swap), then serve. The oracle is the
+    * same plain SQL as q_engine_ingest — compaction must never change the
+    * serving answer, only the file layout. */
+  val qEngineCompact: Q = (s, d) => {
+    val wh = scratchDir("qc-wh")
+    val events = Tables.events(s, d).filter(col("event_type") === "signup")
+    val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
+    h.ingest(Flagship.envelopesFrom(s, events.filter(col("event_id") % 2 === 0)))
+    h.ingest(Flagship.envelopesFrom(s, events.filter(col("event_id") % 2 =!= 0)))
+    h.compact("signup")
+    h.table("signup").select(
+      col("id").cast(LongType).as("event_id"),
+      col("user_id"), col("value"),
+      col("props__k").as("k"),
+      col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
+  /** Retention cohorts: users bucketed by first-seen week, activity counted
+    * as distinct (user, week) pairs per cohort — the standard triangle
+    * matrix. Two hash aggs + one broadcastable join on user_id; fully
+    * ANSI-expressible. */
+  val qRetentionCohort: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val cohorts = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = e.select(col("user_id"),
+      date_trunc("week", col("ts")).as("activity_week")).distinct()
+    activity.join(cohorts, "user_id")
+      .groupBy("cohort_week", "activity_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "activity_week")
+  }
+
   /** S12+ Delta-style MERGE INTO ([[Upserts.mergeInto]]): per-customer
     * order totals merged into customer — matched rows update `c_acctbal`
     * to the decimal-exact spend, heavy customers (n > 15 orders) DELETE,

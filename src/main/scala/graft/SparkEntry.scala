@@ -26,6 +26,7 @@ object SparkEntry {
     "q_schema_union_evolve" -> Queries.qSchemaUnionEvolve,
     "q_engine_ingest" -> Queries.qEngineIngest,
     "q_engine_point_lookup" -> Queries.qEnginePointLookup,
+    "q_engine_compact" -> Queries.qEngineCompact,
     "q_sink_roundtrip" -> Queries.qSinkRoundtrip,
     "q_zorder_scan" -> Queries.qZorderScan,
     "q_merge_into" -> Queries.qMergeInto,
@@ -54,6 +55,7 @@ object SparkEntry {
     "q_agg_percentile" -> Queries.qAggPercentile,
     "q_agg_stats" -> Queries.qAggStats,
     "q_funnel" -> Queries.qFunnel,
+    "q_retention_cohort" -> Queries.qRetentionCohort,
     "q_agg_approx_distinct" -> Queries.qAggApproxDistinct,
     "q_agg_minmax" -> Queries.qAggMinmax,
     "q_rollup" -> Queries.qRollup,
