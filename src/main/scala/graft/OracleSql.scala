@@ -104,7 +104,8 @@ object OracleSql {
       """SELECT event_id, user_id, value,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(ts AS TIMESTAMP) AS ts
-        |FROM events WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+        |FROM events WHERE event_type = 'signup' AND event_id <= 2000
+        |ORDER BY event_id""".stripMargin,
 
     "q_retention_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -180,6 +181,12 @@ object OracleSql {
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q_join_bucketed" ->
+      s"""SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_spend
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
 
     "q_join_full_outer" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice

@@ -144,7 +144,11 @@ object Queries {
     * serving answer, only the file layout. */
   val qEngineCompact: Q = (s, d) => {
     val wh = scratchDir("qc-wh")
-    val events = Tables.events(s, d).filter(col("event_type") === "signup")
+    // a bounded slice: the gate is about the rewrite's SEMANTICS (two
+    // generations collapse to the same serving answer), not volume —
+    // q_engine_ingest already prices the full-slice pipeline
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 2000)
     val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
     h.ingest(Flagship.envelopesFrom(s, events.filter(col("event_id") % 2 === 0)))
     h.ingest(Flagship.envelopesFrom(s, events.filter(col("event_id") % 2 =!= 0)))
@@ -330,6 +334,30 @@ object Queries {
     c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
       .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
       .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Shuffle-free bucketed join + aggregation ([[operators.Bucketing]]):
+    * both sides written ONCE as bucketed+sorted tables on the join key, so
+    * the sort-merge join AND the downstream per-key aggregation run with no
+    * hash exchange at all (PlanContractSpec asserts it) — the pay-the-
+    * shuffle-once-at-write-time layout a daily-joined 100 TB fact table
+    * needs. The oracle is the plain join+agg SQL: layout never changes
+    * answers. */
+  val qJoinBucketed: Q = (s, d) => {
+    operators.Bucketing.writeBucketed(
+      Tables.customer(s, d).select("c_custkey", "c_name"),
+      "graft_bkt_customer", "c_custkey", buckets = 8)
+    operators.Bucketing.writeBucketed(
+      Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
+        col("o_totalprice")),
+      "graft_bkt_orders", "c_custkey", buckets = 8)
+    operators.Bucketing.bucketedJoin(s, "graft_bkt_customer",
+        "graft_bkt_orders", "c_custkey")
+      .groupBy("c_custkey")
+      .agg(first(col("c_name")).as("c_name"),
+        count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_custkey")
   }
 
   val qJoinSemi: Q = (s, d) => {

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_join_sortmerge" -> Queries.qJoinSortmerge,
     "q_join_left" -> Queries.qJoinLeft,
     "q_join_full_outer" -> Queries.qJoinFullOuter,
+    "q_join_bucketed" -> Queries.qJoinBucketed,
     "q_join_semi" -> Queries.qJoinSemi,
     "q_bloom_semi" -> Queries.qBloomSemi,
     "q_join_anti" -> Queries.qJoinAnti,

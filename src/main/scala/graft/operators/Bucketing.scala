@@ -15,21 +15,36 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table on `key`. */
+  /** Write `df` as a bucketed+sorted managed table on `key`. Drops any
+    * previous incarnation first — including a STALE LOCATION left by an
+    * earlier JVM whose catalog entry died with the session (overwrite alone
+    * refuses to reuse such a location). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(loc)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two tables bucketed on the same key with the same bucket count —
-    * planner produces a shuffle-free sort-merge join. */
+    * planner produces a shuffle-free sort-merge join. The MERGE hint pins
+    * the strategy Catalyst would pick anyway once both sides exceed the
+    * broadcast threshold (the 100 TB regime this layout exists for) — at
+    * test scale the tiny side would otherwise broadcast and hide the
+    * exchange-free bucket plan the contract spec asserts. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), key)
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable), key)
 
   /** True when the executed plan contains no shuffle exchange — the
     * assertion that the bucket layout actually co-located the join. */

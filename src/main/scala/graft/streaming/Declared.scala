@@ -79,14 +79,24 @@ object Declared {
     // state-store commit across every shuffle partition
     val stream = fileStream(s, events.select("user_id", "event_type"),
       dir, nFiles = 2, filesPerTrigger = 1)
-    stream.dropDuplicates("user_id", "event_type")
-      .writeStream
-      .queryName("graft-stream-dedup")
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .option("path", out)
-      .start().awaitTermination()
+    // pin the STATE partition count to 8 for the duration of the run: a
+    // streaming query fixes its state layout from the conf at first start,
+    // and per-partition store commits (delta file + maintenance) dominate
+    // this small-key-space dedup — 32 stores would quadruple the fixed
+    // cost for zero parallelism gain. Sized to the key cardinality, as a
+    // production job would be; results are partition-count invariant.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try
+      stream.dropDuplicates("user_id", "event_type")
+        .writeStream
+        .queryName("graft-stream-dedup")
+        .option("checkpointLocation", dir + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .start().awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.parquet(out)
   }
 

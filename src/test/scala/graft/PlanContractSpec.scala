@@ -47,6 +47,13 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q_topk_orderby_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed join + agg run with no hash exchange (layout co-location)") {
+    val p = plan("q_join_bucketed")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucket layout failed to co-locate the join/agg:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected bucket-side SMJ:\n$p")
+  }
+
   test("nested-loop joins appear ONLY where the pair space is intentionally dense") {
     // brute-force/pairwise similarity shapes broadcast a tiny side by design;
     // everything else must stay hash/sort-merge — a BNLJ over two large
