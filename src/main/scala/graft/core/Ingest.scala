@@ -61,11 +61,14 @@ object Ingest {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = Ingest.ingestPool
+      val subTotals = typeCounts.filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       val futures = types.toSeq.map { typeId =>
         Future {
           val payloads: Dataset[String] =
             cached.filter($"type_id" === typeId).select("data_json").as[String]
-          typeId -> ingestType(spark, registry, typeId, payloads, ingestTime)
+          typeId -> ingestType(spark, registry, typeId, payloads, ingestTime,
+            subTotal = Some(subTotals(typeId)))
         }
       }
       val results = Await.result(Future.sequence(futures), Duration.Inf)
@@ -106,10 +109,18 @@ object Ingest {
   def idBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(id), lit(NumIdBuckets))
 
-  /** One type's sub-batch: returns (written, quarantined). */
+  /** One type's sub-batch: returns (written, quarantined).
+    *
+    * @param subTotal the sub-batch's row count when the caller already has
+    *        it (the type fan-out agg does) — lets the quarantine COUNT be
+    *        derived arithmetically (total − corrupt − written; validate is
+    *        an exact two-way split with never-null predicates) instead of
+    *        paying a second full parse→flatten→validate pass per batch.
+    *        The quarantine WRITE still runs, but only when that count > 0. */
   def ingestType(spark: SparkSession, registry: SchemaRegistry, typeId: String,
                  payloads: Dataset[String],
-                 ingestTime: Option[java.sql.Timestamp]): (Long, Long) = {
+                 ingestTime: Option[java.sql.Timestamp],
+                 subTotal: Option[Long] = None): (Long, Long) = {
     // 1. Parse + infer (schema-on-read): Spark's JSON inference plays the
     //    role of DescriptorFieldType.from_value over the whole sub-batch
     //    (reference models.py:91-96 per message; batching is the idiomatic
@@ -151,15 +162,16 @@ object Ingest {
     // 4. Validate/coerce against the registered schema; incompatible rows
     //    are quarantined, not widened (tests/test_models.py:65-83).
     val v = Validation.validate(flat, target)
-    val nQuarantine = v.quarantined.count()
-    if (nQuarantine > 0) {
+    // quarantine count: arithmetic when the caller supplied the sub-batch
+    // total (no second pipeline pass); counted only as the fallback
+    lazy val nQuarantineCounted = v.quarantined.count()
+    def quarantineWrite(): Unit =
       // per-type quarantine path: concurrent type ingests must not share a
       // FileOutputCommitter staging directory
       Validation.quarantineRecords(v.quarantined)
         .withColumn("type_id", lit(typeId))
         .write.mode("append")
         .parquet(registry.quarantinePath(typeId))
-    }
 
     // 5. Defaults: id (uuid1-hex analog; deterministic content hash also
     //    supported via conf) and last_modified=now (models.py:53-56).
@@ -186,6 +198,11 @@ object Ingest {
     val written = withDefaults.withColumn("_part", idBucket(col("id"))).cache()
     try {
       val n = written.count()
+      val nQuarantine = subTotal match {
+        case Some(total) => total - nCorrupt - n
+        case None => nQuarantineCounted
+      }
+      if (nQuarantine > 0) quarantineWrite()
       if (n > 0)
         // table lock: an append racing a compaction's listing→swap window
         // would otherwise be renamed aside and deleted with the old copy
