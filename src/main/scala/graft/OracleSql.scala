@@ -369,6 +369,44 @@ object OracleSql {
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q_profile_table" ->
+      s"""WITH s AS (SELECT
+         |  CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         |  CAST(COUNT(value) AS DOUBLE) AS value_non_null,
+         |  CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS user_id_distinct,
+         |  CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS event_type_distinct,
+         |  MIN(value) AS value_min, MAX(value) AS value_max,
+         |  ${dsum("value")} AS value_sum,
+         |  CAST(MIN(event_id) AS DOUBLE) AS event_id_min,
+         |  CAST(MAX(event_id) AS DOUBLE) AS event_id_max
+         |  FROM events)
+         |SELECT 'n_rows' AS metric, n_rows AS value FROM s
+         |UNION ALL SELECT 'value_non_null', value_non_null FROM s
+         |UNION ALL SELECT 'user_id_distinct', user_id_distinct FROM s
+         |UNION ALL SELECT 'event_type_distinct', event_type_distinct FROM s
+         |UNION ALL SELECT 'value_min', value_min FROM s
+         |UNION ALL SELECT 'value_max', value_max FROM s
+         |UNION ALL SELECT 'value_sum', value_sum FROM s
+         |UNION ALL SELECT 'event_id_min', event_id_min FROM s
+         |UNION ALL SELECT 'event_id_max', event_id_max FROM s
+         |ORDER BY metric""".stripMargin,
+
+    "q_outliers_zscore" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean,
+        |    SQRT((CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+        |      - CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        |        * CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE))
+        |      / (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  ROUND((value - mean) / sd, 6) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE ABS(value - mean) > 3.0 * sd
+        |ORDER BY event_id""".stripMargin,
+
     "q_histogram" ->
       s"""WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
          |SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,

@@ -614,6 +614,46 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** One-pass data-profiling report: row/null/distinct counts and numeric
+    * min/max/exact-sum for the events table, unpivoted to (metric, value)
+    * rows — the per-batch schema-quality summary an ingestion pipeline
+    * emits. Every metric rides ONE aggregation job. */
+  val qProfileTable: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val stats = e.agg(
+      count(lit(1)).cast(DoubleType).as("n_rows"),
+      count(col("value")).cast(DoubleType).as("value_non_null"),
+      countDistinct(col("user_id")).cast(DoubleType).as("user_id_distinct"),
+      countDistinct(col("event_type")).cast(DoubleType).as("event_type_distinct"),
+      min(col("value")).as("value_min"),
+      max(col("value")).as("value_max"),
+      decSum(col("value")).as("value_sum"),
+      min(col("event_id")).cast(DoubleType).as("event_id_min"),
+      max(col("event_id")).cast(DoubleType).as("event_id_max"))
+    stats.unpivot(Array.empty, stats.columns.map(col), "metric", "value")
+      .orderBy("metric")
+  }
+
+  /** Per-type z-score outliers: rows with |value − mean| > 3σ, moments
+    * decimal-exact (identical doubles cross-engine), the 1-row-per-type
+    * stats broadcast back onto the scan — the anomaly-flagging pass of a
+    * data-quality pipeline. */
+  val qOutliersZscore: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(col("value").cast(Dec)).cast(DoubleType)
+    val sxx = sum((col("value") * col("value")).cast(DecimalType(38, 12)))
+      .cast(DoubleType)
+    val st = e.groupBy("event_type").agg(
+      (sx / n).as("mean"),
+      sqrt((sxx - sx * sx / n) / (n - 1.0)).as("sd"))
+    e.join(broadcast(st), "event_type")
+      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
   /** Salted two-phase aggregation ([[operators.Skew.saltedCount]]) under
     * the oracle gate: the hot-key mitigation must produce EXACTLY the plain
     * GROUP BY result — the oracle is that plain SQL. */

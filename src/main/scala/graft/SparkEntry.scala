@@ -63,6 +63,8 @@ object SparkEntry {
     "q_cube" -> Queries.qCube,
     "q_grouping_sets" -> Queries.qGroupingSets,
     "q_histogram" -> Queries.qHistogram,
+    "q_profile_table" -> Queries.qProfileTable,
+    "q_outliers_zscore" -> Queries.qOutliersZscore,
     "q_skew_salted_agg" -> Queries.qSkewSaltedAgg,
     "q_skew_salted_join" -> Queries.qSkewSaltedJoin,
     // window functions
