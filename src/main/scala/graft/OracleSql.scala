@@ -188,6 +188,16 @@ object OracleSql {
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
 
+    // replicates the cogroup's integer-grid arithmetic: ROUND(p*1e6) is
+    // half-up for positives in BOTH java's math.round and DuckDB's ROUND
+    "q_cogroup_stats" ->
+      """SELECT c_custkey, c_name, COUNT(o_custkey) AS n_orders,
+        |  COALESCE(MAX(o_totalprice), 0.0) AS max_price,
+        |  COALESCE(SUM(CAST(ROUND(o_totalprice * 1e6, 0) AS BIGINT)), 0) / 1e6
+        |    AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
     "q_join_full_outer" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
         |FROM (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c

@@ -360,6 +360,36 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** Typed-Dataset COGROUP under the oracle gate: per-customer arbitrary
+    * Scala logic over both groups at once (the escape hatch when per-group
+    * logic outgrows SQL — custom reconciliation, sessionization, model
+    * featurization). The logic here is deliberately order-invariant
+    * (count/sum-exact/max over unordered group iterators) so the plain
+    * join+agg oracle hash-checks the API path. One co-partitioned shuffle
+    * per side — the same exchanges a join would pay. */
+  val qCogroupStats: Q = (s, d) => {
+    import s.implicits._
+    val custs = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+    custs.groupByKey(_._1).cogroup(orders.groupByKey(_._1)) {
+      (key, cs, os) =>
+        cs.toSeq.headOption.iterator.map { case (_, name) =>
+          var n = 0L
+          var maxP = Double.NegativeInfinity
+          // exact associative sum on the 1e-6 grid (prices have 2dp)
+          var sumMicros = 0L
+          os.foreach { case (_, p) =>
+            n += 1; maxP = math.max(maxP, p)
+            sumMicros += math.round(p * 1e6)
+          }
+          (key, name, n, if (n == 0) 0.0 else maxP, sumMicros / 1e6)
+        }
+    }.toDF("c_custkey", "c_name", "n_orders", "max_price", "total_spend")
+      .orderBy("c_custkey")
+  }
+
   val qJoinSemi: Q = (s, d) => {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))

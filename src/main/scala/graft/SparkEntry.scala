@@ -39,6 +39,7 @@ object SparkEntry {
     "q_join_left" -> Queries.qJoinLeft,
     "q_join_full_outer" -> Queries.qJoinFullOuter,
     "q_join_bucketed" -> Queries.qJoinBucketed,
+    "q_cogroup_stats" -> Queries.qCogroupStats,
     "q_join_semi" -> Queries.qJoinSemi,
     "q_bloom_semi" -> Queries.qBloomSemi,
     "q_join_anti" -> Queries.qJoinAnti,
