@@ -120,4 +120,26 @@ class AnnRecallSpec extends SparkSpec {
     info(s"planted-duplicate recall at threshold 0.99: $found/50")
     assert(found >= 45, s"strong near-dup recall too low: $found/50")
   }
+
+  test("cosineNearDupsFixed: kernel prefilter drops no pair vs unfiltered fixed-point truth") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf()).filter(col("vec_id") < 300)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    // unfiltered truth: the same fixed-point score over ALL pairs
+    val side = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("xnrm", sqrt(VectorOps.dotFixed(col("v"), col("v"))))
+    val a = side.alias("a"); val b = side.alias("b")
+    for (thr <- Seq(0.15, 0.25, 0.4)) {
+      val truth = pairs(a.join(b, col("a.id") < col("b.id"))
+        .withColumn("cosine", round(
+          VectorOps.dotFixed(col("a.v"), col("b.v")) /
+            (col("a.xnrm") * col("b.xnrm")), 6))
+        .filter(col("cosine") >= thr)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine")))
+      val got = pairs(VectorOps.cosineNearDupsFixed(emb, "vec_id", "embedding", thr))
+      assert(got === truth, s"prefiltered != truth at threshold $thr")
+    }
+  }
 }

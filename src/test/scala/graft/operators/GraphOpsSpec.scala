@@ -118,6 +118,25 @@ class GraphOpsSpec extends SparkSpec {
       assert(got === r)
     }
 
+  test("pageRank: distributed rounds equal the driver fast path on random graphs") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 5) {
+      val n = 3 + rnd.nextInt(12)
+      val edges = Seq.fill(6 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val fast = GraphOps.pageRank(df, iterations = 3, scale = 1000000L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val dist = GraphOps.pageRank(df, iterations = 3, scale = 1000000L,
+            driverFastPathEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(dist === fast, s"paths diverged on edges=$edges")
+      }
+    }
+  }
+
   test("dedupClusters labels every doc; singletons are their own cluster") {
     val docs = (1L to 10L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
