@@ -820,6 +820,15 @@ object OracleSql {
 
     "q_graph_pagerank" -> pagerankSql(5),
 
+    "q_sql_native_funcs" ->
+      """SELECT vec_id,
+        |  ROUND(list_sum(list_transform(list_zip(embedding, embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS self_dot,
+        |  ROUND(SQRT(list_sum(list_transform(list_zip(embedding, embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))), 6) AS norm,
+        |  LEAST(vec_id % 8, 4) + 1 AS isect
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "q_dedup_embedding_exact" ->
       """WITH side AS (
         |  SELECT vec_id AS id, embedding AS v,

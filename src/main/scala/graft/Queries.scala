@@ -1302,6 +1302,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The SparkSessionExtensions surface under the oracle gate: this query
+    * is SQL TEXT over the natively-registered codegen'd kernels (parser →
+    * FunctionRegistry → doGenCode), not the Column DSL. Dot/norm fold
+    * double products sequentially — any cross-engine summation-order drift
+    * is ≤1e-13 over 64 terms, so ROUND(·,6) pins the hash; the sorted-
+    * intersect kernel is integer-exact (oracle: LEAST(…)+1 closed form). */
+  val qSqlNativeFuncs: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_emb")
+    s.sql("""
+      SELECT vec_id,
+             ROUND(graft_dot(embedding, embedding), 6) AS self_dot,
+             ROUND(graft_norm(embedding), 6) AS norm,
+             graft_sorted_intersect_count(
+               sequence(CAST(0 AS LONG), vec_id % 8L),
+               sequence(CAST(0 AS LONG), CAST(4 AS LONG))) AS isect
+      FROM graft_emb ORDER BY vec_id""")
+  }
+
   /** EXACT embedding near-dup pairs under the hash gate
     * ([[VectorOps.cosineNearDupsFixed]]): all-pairs over a deterministic
     * 1/16 sample, fixed-point cosine ≥ 0.25. Complements rows-only

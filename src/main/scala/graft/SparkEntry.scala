@@ -134,6 +134,7 @@ object SparkEntry {
     "q_graph_pagerank" -> Queries.qGraphPagerank,
     "q_vec_cosine_topk" -> Queries.qVecCosineTopk,
     "q_vec_normalize" -> Queries.qVecNormalize,
+    "q_sql_native_funcs" -> Queries.qSqlNativeFuncs,
     "q_vec_centroids" -> Queries.qVecCentroids,
     "q_vec_ann_lsh" -> Queries.qVecAnnLsh,
     "q_vec_ann_ivf" -> Queries.qVecAnnIvf,
