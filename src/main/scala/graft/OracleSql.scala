@@ -818,6 +818,20 @@ object OracleSql {
         |SELECT doc_id, rn, term, tf, df_docs, score_ppm FROM r
         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
+    "q_union_distinct" ->
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
+        |UNION
+        |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_text_editdist" ->
+      """WITH p AS (SELECT doc_id, lang, LOWER(SUBSTRING(text, 1, 40)) AS pfx
+        |  FROM documents),
+        |l AS (SELECT doc_id, lang, pfx,
+        |    LAG(pfx) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_pfx FROM p)
+        |SELECT doc_id, lang, CAST(levenshtein(pfx, prev_pfx) AS INT) AS edit_dist
+        |FROM l WHERE prev_pfx IS NOT NULL ORDER BY doc_id""".stripMargin,
+
     "q_graph_pagerank" -> pagerankSql(5),
 
     "q_sql_native_funcs" ->

@@ -802,6 +802,30 @@ object Queries {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(100)
 
+  /** UNION DISTINCT (bag → set union): overlapping slices collapse — the
+    * dedup-on-merge shape. union + one hash-distinct shuffle. */
+  val qUnionDistinct: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 150000.0).select("o_orderkey")
+    val b = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    a.union(b).distinct().orderBy("o_orderkey")
+  }
+
+  /** Edit distance over an ordered window: levenshtein between each doc's
+    * normalized 40-char prefix and its predecessor's within a language —
+    * the short-string fuzzy-dedup signal (exact integer, shared by both
+    * engines). */
+  val qTextEditDist: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("pfx", lower(substring(col("text"), 1, 40)))
+      .withColumn("prev_pfx", lag(col("pfx"), 1).over(w))
+      .filter(col("prev_pfx").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        levenshtein(col("pfx"), col("prev_pfx")).as("edit_dist"))
+      .orderBy("doc_id")
+  }
+
   val qUnionAll: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val a = o.filter(col("o_orderstatus") === "F")

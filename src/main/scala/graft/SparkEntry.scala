@@ -78,6 +78,7 @@ object SparkEntry {
     // sort / limit / set ops
     "q_topk_orderby_limit" -> Queries.qTopkOrderbyLimit,
     "q_union_all" -> Queries.qUnionAll,
+    "q_union_distinct" -> Queries.qUnionDistinct,
     "q_intersect" -> Queries.qIntersect,
     "q_except" -> Queries.qExcept,
     // scalar functions
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_corpus_report" -> Queries.qCorpusReport,
     "q_unpivot" -> Queries.qUnpivot,
     "q_text_normalize" -> Queries.qTextNormalize,
+    "q_text_editdist" -> Queries.qTextEditDist,
     "q_sample_hash" -> Queries.qSampleHash,
     "q_sample_weighted" -> Queries.qSampleWeighted,
     "q_sample_stratified" -> Queries.qSampleStratified,
