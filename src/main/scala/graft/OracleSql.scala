@@ -568,6 +568,18 @@ object OracleSql {
          |  event_type, COUNT(*) AS n, ${dsum("value")} AS sum_value
          |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
+    "q_session_islands" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN us - LAG(us) OVER w > 1800000000
+        |           OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        |  CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM b ORDER BY user_id, ts, event_id""".stripMargin,
+
     // Streaming declared queries: outputs are micro-batch-invariant, so the
     // oracles are the equivalent one-shot batch SQL.
     "q_stream_tumbling" ->

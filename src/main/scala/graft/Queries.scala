@@ -1004,6 +1004,24 @@ object Queries {
       .select("user_id", "event_id", "ts", "event_type", "value")
       .orderBy("user_id")
 
+  /** Sessionization as gaps-and-islands: a per-user running count of
+    * gap>30min boundaries labels every event with its session number —
+    * the portable per-EVENT session id (session_window only yields the
+    * aggregate), two stacked windows on one user_id shuffle. Gap compare
+    * runs on integer µs — exact in both engines. */
+  val qSessionIslands: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("boundary",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("boundary")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val qDedupExact: Q = (s, d) =>
     DedupOps.exact(Tables.documents(s, d), "text", "doc_id")
       .orderBy("digest")

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_window_tumbling" -> Queries.qWindowTumbling,
     "q_window_sliding" -> Queries.qWindowSliding,
     "q_session_window" -> Queries.qSessionWindow,
+    "q_session_islands" -> Queries.qSessionIslands,
     "q_dedup_exact" -> Queries.qDedupExact,
     "q_stream_tumbling" -> Queries.qStreamTumbling,
     "q_stream_dedup" -> Queries.qStreamDedup,

@@ -18,6 +18,18 @@ class QueriesContractSpec extends SparkSpec {
     assert(undeclared.isEmpty, s"oracle SQL without a query: $undeclared")
   }
 
+  test("gaps-and-islands sessionization agrees with session_window per user") {
+    import org.apache.spark.sql.functions._
+    val islands = Queries.qSessionIslands(spark, sf())
+      .groupBy("user_id").agg(max("session_seq").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val windows = Queries.qSessionWindow(spark, sf())
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(islands === windows,
+      "per-user session counts diverge between the two formulations")
+  }
+
   test("every declared query executes nonempty at sf0.001 and is ordered") {
     val dir = sf()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
