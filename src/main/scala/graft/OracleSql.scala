@@ -589,6 +589,13 @@ object OracleSql {
          |  event_type, COUNT(*) AS n, ${dsum("value")} AS sum_value
          |FROM e GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
+    "q_stream_engine_ingest" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'signup' AND event_id <= 1500
+        |ORDER BY event_id""".stripMargin,
+
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

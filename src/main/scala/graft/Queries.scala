@@ -993,6 +993,24 @@ object Queries {
         scratchDir("stream-tumb"))
       .orderBy("window_start", "event_type")
 
+  /** The reference's consumer→engine main loop as a streaming run under
+    * the oracle gate ([[streaming.Declared.engineIngest]]): a bounded
+    * signup slice arrives in 2 micro-batches, each folded through
+    * decode→flatten→infer→evolve→append; LWW serving makes the answer
+    * batching-independent, so the oracle is plain SQL over the raw rows. */
+  val qStreamEngineIngest: Q = (s, d) => {
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1500)
+    streaming.Declared.engineIngest(s, Flagship.envelopesFrom(s, events),
+        scratchDir("stream-engine"), serveType = "signup")
+      .select(
+        col("id").cast(LongType).as("event_id"),
+        col("user_id"), col("value"),
+        col("props__k").as("k"),
+        col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
   val qStreamDedup: Q = (s, d) =>
     streaming.Declared.dedupKeys(s, Tables.events(s, d),
         scratchDir("stream-dedup"))

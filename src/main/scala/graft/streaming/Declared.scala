@@ -100,6 +100,27 @@ object Declared {
     s.read.parquet(out)
   }
 
+  /** The reference's MAIN LOOP — consumer → decode → engine ingest
+    * (consumer.py:57-83) — as a real streaming run: envelopes arrive in
+    * micro-batches, each folded through the full engine pipeline
+    * ([[StreamingIngest.start]]'s foreachBatch), and the final LWW serving
+    * view is returned. Per-batch appends + read-side LWW make the result
+    * independent of batching (and of at-least-once replays), which is what
+    * lets the batch oracle hash-check the streaming ingest path. */
+  def engineIngest(s: SparkSession, envelopes: DataFrame, dir: String,
+                   serveType: String): DataFrame = {
+    val src = dir + "/src"
+    envelopes.repartition(2).write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val h = graft.core.Engine.bootstrap(s, dir + "/wh",
+      overrideWarehouse = true)
+    StreamingIngest.start(h, stream, dir + "/ckpt").awaitTermination()
+    h.table(serveType)
+  }
+
   /** Streaming LWW serving view maintained across micro-batches: each batch
     * is folded into the compacted state (newest row per user by (ts,
     * event_id)) and the state is rewritten — upsert-merge compaction. The
