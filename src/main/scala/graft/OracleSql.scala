@@ -417,6 +417,15 @@ object OracleSql {
         |WHERE ABS(value - mean) > 3.0 * sd
         |ORDER BY event_id""".stripMargin,
 
+    "q_agg_argmax" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, arg_max(o_orderkey, rnk) AS top_orderkey,
+        |  MAX(o_totalprice) AS top_price,
+        |  arg_min(o_orderkey, rnk) AS bottom_orderkey
+        |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "q_histogram" ->
       s"""WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
          |SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,

@@ -644,6 +644,24 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** arg-max aggregation (max_by): each customer's most expensive order.
+    * Prices have 2dp, so price·100 is integer-exact as a double and the
+    * composite BIGINT (price·100)·10⁷ + orderkey is a UNIQUE total order —
+    * ties can never make the picked row engine-dependent. */
+  val qAggArgmax: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    // ROUND before the long cast: price·100 can land one ulp below the
+    // integer (2dp values aren't binary-exact) and Spark's double→long
+    // cast truncates where DuckDB's rounds
+    val rank = round(col("o_totalprice") * 100, 0).cast(LongType) *
+      lit(10000000L) + col("o_orderkey")
+    o.groupBy("o_custkey")
+      .agg(max_by(col("o_orderkey"), rank).as("top_orderkey"),
+        max(col("o_totalprice")).as("top_price"),
+        min_by(col("o_orderkey"), rank).as("bottom_orderkey"))
+      .orderBy("o_custkey")
+  }
+
   /** One-pass data-profiling report: row/null/distinct counts and numeric
     * min/max/exact-sum for the events table, unpivoted to (metric, value)
     * rows — the per-batch schema-quality summary an ingestion pipeline

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_retention_cohort" -> Queries.qRetentionCohort,
     "q_agg_approx_distinct" -> Queries.qAggApproxDistinct,
     "q_agg_minmax" -> Queries.qAggMinmax,
+    "q_agg_argmax" -> Queries.qAggArgmax,
     "q_rollup" -> Queries.qRollup,
     "q_cube" -> Queries.qCube,
     "q_grouping_sets" -> Queries.qGroupingSets,
