@@ -419,7 +419,8 @@ object OracleSql {
 
     "q_agg_argmax" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
-        |  CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey AS rnk
+        |  lpad(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 12, '0')
+        |    || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS rnk
         |  FROM orders)
         |SELECT o_custkey, arg_max(o_orderkey, rnk) AS top_orderkey,
         |  MAX(o_totalprice) AS top_price,

@@ -645,16 +645,19 @@ object Queries {
   }
 
   /** arg-max aggregation (max_by): each customer's most expensive order.
-    * Prices have 2dp, so price·100 is integer-exact as a double and the
-    * composite BIGINT (price·100)·10⁷ + orderkey is a UNIQUE total order —
-    * ties can never make the picked row engine-dependent. */
+    * The ordering key is the zero-padded `(price-cents, orderkey)` STRING —
+    * injective at any scale factor (a packed BIGINT would collide once
+    * orderkeys outgrow the pad factor) and lexicographically identical in
+    * both engines, so ties can never make the picked row engine-dependent. */
   val qAggArgmax: Q = (s, d) => {
     val o = Tables.orders(s, d)
     // ROUND before the long cast: price·100 can land one ulp below the
     // integer (2dp values aren't binary-exact) and Spark's double→long
     // cast truncates where DuckDB's rounds
-    val rank = round(col("o_totalprice") * 100, 0).cast(LongType) *
-      lit(10000000L) + col("o_orderkey")
+    val rank = concat(
+      lpad(round(col("o_totalprice") * 100, 0).cast(LongType).cast(StringType),
+        12, "0"),
+      lpad(col("o_orderkey").cast(StringType), 12, "0"))
     o.groupBy("o_custkey")
       .agg(max_by(col("o_orderkey"), rank).as("top_orderkey"),
         max(col("o_totalprice")).as("top_price"),

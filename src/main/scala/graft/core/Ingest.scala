@@ -51,7 +51,14 @@ object Ingest {
     val cached = Codecs.unwrapAll(envelopes, messageCol)
       .select("type_id", "data_json").cache()
     try {
-      val typeCounts = cached.groupBy("type_id").count().collect()
+      // the fan-out agg also flags ARRAY payloads per type: a top-level
+      // JSON-array `data` parses to one row PER ELEMENT downstream, which
+      // breaks the row-preserving assumption the arithmetic quarantine
+      // count rests on — such types take the counted fallback
+      val typeCounts = cached.groupBy("type_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(ltrim($"data_json").startsWith("["), 1L).otherwise(0L))
+          .as("n_array")).collect()
       val deadLetters = typeCounts.filter(_.isNullAt(0)).map(_.getLong(1)).sum
       val types = typeCounts.filter(!_.isNullAt(0)).map(_.getString(0)).sorted
       // Types are independent (separate tables, separate registry rows with
@@ -62,13 +69,14 @@ object Ingest {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = Ingest.ingestPool
       val subTotals = typeCounts.filter(!_.isNullAt(0))
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => r.getString(0) ->
+          (if (r.getLong(2) == 0L) Some(r.getLong(1)) else None)).toMap
       val futures = types.toSeq.map { typeId =>
         Future {
           val payloads: Dataset[String] =
             cached.filter($"type_id" === typeId).select("data_json").as[String]
           typeId -> ingestType(spark, registry, typeId, payloads, ingestTime,
-            subTotal = Some(subTotals(typeId)))
+            subTotal = subTotals(typeId))
         }
       }
       val results = Await.result(Future.sequence(futures), Duration.Inf)
@@ -116,7 +124,10 @@ object Ingest {
     *        derived arithmetically (total − corrupt − written; validate is
     *        an exact two-way split with never-null predicates) instead of
     *        paying a second full parse→flatten→validate pass per batch.
-    *        The quarantine WRITE still runs, but only when that count > 0. */
+    *        The quarantine WRITE still runs, but only when that count > 0.
+    *        MUST be None when any payload is a top-level JSON array — the
+    *        parse then yields one row per ELEMENT and the arithmetic no
+    *        longer holds (the caller's fan-out agg detects this). */
   def ingestType(spark: SparkSession, registry: SchemaRegistry, typeId: String,
                  payloads: Dataset[String],
                  ingestTime: Option[java.sql.Timestamp],

@@ -23,10 +23,13 @@ object Bucketing {
                     buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists())
-      org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    // warehouse IO goes through the Hadoop FileSystem of the path (file:,
+    // hdfs:, s3a:, ...), same rule as SchemaRegistry — java.io.File would
+    // silently no-op on any non-local warehouse
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

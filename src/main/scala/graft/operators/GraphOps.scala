@@ -229,18 +229,24 @@ object GraphOps {
     val n = nodes.count()
     val teleport = (15L * scale) / (100L * n)
     var rank = nodes.withColumn("r", lit(scale / n))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contrib = e.join(rank, e("src") === rank("node"))
         .join(deg, "src")
         .select(col("dst").as("node"),
           expr("(85 * r) div (100 * deg)").as("c"))
-      rank = contrib.groupBy("node").agg(sum("c").as("rc"))
+      val next = contrib.groupBy("node").agg(sum("c").as("rc"))
         // right join: sink-less nodes (no in-edges) still hold teleport mass
         .join(nodes, Seq("node"), "right")
         .na.fill(0L, Seq("rc"))
         .select(col("node"), (lit(teleport) + col("rc")).as("r"))
         .localCheckpoint()
+      // drop the superseded round's pinned blocks (the CC rounds do the
+      // same) — at |V| rows per round the leak would outlive the call
+      if (it > 1) rank.unpersist()
+      rank = next
     }
+    e.unpersist()
+    nodes.unpersist()
     rank
   }
 

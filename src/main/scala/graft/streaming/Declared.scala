@@ -153,6 +153,9 @@ object Declared {
         ()
       }
       .start().awaitTermination()
-    s.read.parquet(states((gen.get() - 1) % 2))
+    // zero micro-batches (empty source) ⇒ no state dir was ever written —
+    // return the empty frame in the source's shape
+    if (gen.get() == 0) s.read.parquet(dir + "/src").limit(0)
+    else s.read.parquet(states((gen.get() - 1) % 2))
   }
 }

@@ -26,6 +26,25 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming engine ingest serves the same view as one batch ingest") {
+    val streamed = Queries.qStreamEngineIngest(spark, sf())
+    // batch twin: the SAME slice through one h.ingest call
+    val events = Tables.events(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup" &&
+        org.apache.spark.sql.functions.col("event_id") <= 1500)
+    val wh = tmpDir("declared-engine-batch")
+    val h = graft.core.Engine.bootstrap(spark, wh, overrideWarehouse = true)
+    h.ingest(graft.Flagship.envelopesFrom(spark, events))
+    val batch = h.table("signup").select(
+        org.apache.spark.sql.functions.col("id").cast("long").as("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("props__k").as("k"),
+        org.apache.spark.sql.functions.col("last_modified").as("ts"))
+      .orderBy("event_id")
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming LWW state equals the batch LWW view") {
     val streamed = Queries.qStreamLww(spark, sf())
     val batch = graft.operators.Upserts.lwwView(
