@@ -88,11 +88,26 @@ object DedupOps {
       .distinct()
   }
 
+  /** Hot-bucket guard for the banded self-joins: every (band, bucket) cell
+    * with more than `maxBucket` members is dropped BEFORE the join can
+    * materialize its pairs. A degenerate population — thousands of empty or
+    * near-identical docs collapsing to one signature — otherwise turns a
+    * single bucket quadratic (10⁶ members ⇒ 10¹² candidate pairs) at data
+    * scale; mass-identical docs are [[exact]] dedup's job, not the near-dup
+    * pair stream's. Same count-prefilter shape as [[keyedPairs]]: the
+    * windowed count partitions on exactly the join keys, so the exchange is
+    * computed once and reused by the join itself. */
+  private def capHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+
   /** MinHash + LSH banding near-dup candidates: signatures are cut into
     * `bands` bands of `rowsPerBand`; docs sharing any band land in the same
     * bucket; candidate pairs are verified with exact Jaccard on (hashed)
     * shingles. The only shuffle is the bucket self-join — linear in bucket
-    * sizes.
+    * sizes, with [[capHotBuckets]] bounding the worst cell at `maxBucket`.
     *
     * The signature frame is locally checkpointed: the self-join would
     * otherwise evaluate the whole shingle+minhash pipeline on BOTH sides
@@ -100,7 +115,8 @@ object DedupOps {
     * for the same reason. */
   def minhashLshNearDups(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                         threshold: Double = 0.7): DataFrame = {
+                         threshold: Double = 0.7,
+                         maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // fused signature kernel: all k minima in one pass over the shingle
     // hashes (graft.plans.MinHashSignatures) — the k-lambda built-in
@@ -117,8 +133,9 @@ object DedupOps {
           i => element_at(col("sig"), i).cast(StringType)), ",")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val capped = capHotBuckets(banded, maxBucket)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -144,18 +161,60 @@ object DedupOps {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: block on 16-bit signature bands (4 bands;
-    * near-dups differing in ≤3 bits must share ≥1 band), verify by Hamming
-    * distance ≤ maxDist. */
-  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
-    val sigd = simhashSignatures(docs, idCol, textCol).localCheckpoint()
-    val banded = sigd.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+  /** Block-combination SimHash band keys (the permuted-table construction
+    * of Manku, Jain & Das Sarma, WWW 2007): the 64-bit signature is split
+    * into `blocks` contiguous blocks and ONE band is emitted per
+    * (blocks − maxDist)-subset of blocks, keyed on the concatenation of
+    * that subset's bits. A pair at Hamming distance ≤ maxDist flips bits in
+    * at most maxDist blocks, so the subset made of untouched blocks is one
+    * of the enumerated bands — the pair is GUARANTEED to share a band key.
+    *
+    * `blocks = maxDist + 1` is the classic contiguous banding (for
+    * maxDist=3: 4 tables keyed on 16 bits — bucket space 65,536/band, fine
+    * to ~10⁷ docs). Raising `blocks` widens the key — blocks=6 ⇒ C(6,3)=20
+    * bands on ~32-bit keys (~10⁹ docs), blocks=8 ⇒ C(8,3)=56 bands on
+    * ~40-bit keys — trading band count (CPU + shuffle width, linear) for
+    * bucket-collision mass (quadratic). [[simhashBlocksFor]] picks the
+    * smallest config whose key space keeps expected bucket size ~1. */
+  private[operators] def simhashBandKeys(sig: Column, blocks: Int,
+                                         maxDist: Int): Seq[Column] = {
+    require(maxDist >= 1 && blocks > maxDist && blocks <= 16,
+      s"need 1 <= maxDist < blocks <= 16, got maxDist=$maxDist blocks=$blocks")
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    val widths = (0 until blocks).map(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(sig, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    (0 until blocks).combinations(blocks - maxDist).toSeq.map { subset =>
+      subset.foldLeft(lit(0L): Column) { (k, b) =>
+        shiftleft(k, widths(b)).bitwiseOR(block(b))
+      }
+    }
+  }
+
+  /** Smallest `blocks` whose per-band key space keeps expected bucket size
+    * bounded for an `n`-doc corpus: key width ≈ 64·(blocks−maxDist)/blocks
+    * must cover log₂(n) plus ~8 bits of headroom. Capped at 8 blocks
+    * (C(8,3)=56 bands, ~40-bit keys — the Manku web-scale operating point);
+    * past that, hot buckets are [[capHotBuckets]]'s job. */
+  def simhashBlocksFor(n: Long, maxDist: Int = 3): Int = {
+    val need = math.log(math.max(n, 1L).toDouble) / math.log(2.0) + 8.0
+    (maxDist + 1 to 8).find(m => 64.0 * (m - maxDist) / m >= need).getOrElse(8)
+  }
+
+  /** SimHash near-dup candidates over pre-computed (id, sig) signatures:
+    * band on [[simhashBandKeys]] (any ≤ maxDist pair shares a band), cap
+    * hot buckets, verify candidates by exact Hamming distance. */
+  def simhashNearDupsFromSigs(sigs: DataFrame, maxDist: Int = 3,
+                              blocks: Int = 4,
+                              maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(simhashBandKeys(col("sig"), blocks, maxDist): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val capped = capHotBuckets(banded, maxBucket)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -165,4 +224,16 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup candidates from raw text: signature kernel →
+    * [[simhashNearDupsFromSigs]]. `blocks = 4` is the classic 4×16-bit
+    * banding; size it with [[simhashBlocksFor]] when the corpus outgrows
+    * ~10⁷ docs. The signature frame is locally checkpointed so the
+    * self-join doesn't recompute signatures on both sides. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3, blocks: Int = 4,
+                      maxBucket: Int = 1000): DataFrame =
+    simhashNearDupsFromSigs(
+      simhashSignatures(docs, idCol, textCol).localCheckpoint(),
+      maxDist, blocks, maxBucket)
 }

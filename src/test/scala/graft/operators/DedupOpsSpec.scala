@@ -63,6 +63,66 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hot-bucket cap bounds degenerate mass-duplicate buckets") {
+    // 1500 copies of the same boilerplate collapse to ONE signature: without
+    // the (band, bucket) cap the band self-join would materialize ~1.1M
+    // pairs from that single bucket. With the cap, the hot bucket is dropped
+    // (mass-identical docs are exact-dedup's job) and the planted distinct
+    // near-dup pairs are still found.
+    val boiler =
+      "lorem ipsum dolor sit amet the same boilerplate footer text every time"
+    val degenerate = (100L until 1600L).map(i => (i, boiler, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val all = docs.union(degenerate)
+    val mh = DedupOps.minhashLshNearDups(all, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 4L)) && mh.contains((1L, 2L)))
+    assert(!mh.exists { case (a, b) => a >= 100L || b >= 100L })
+    assert(mh.size < 10) // bounded: no quadratic bucket ever materialized
+    val sh = DedupOps.simhashNearDups(all, "doc_id", "text",
+        maxDist = 3, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((1L, 4L)))
+    assert(!sh.exists { case (a, b) => a >= 100L || b >= 100L })
+  }
+
+  test("simhash banding recovers every ≤3-bit pair at multiple block configs") {
+    // planted signatures with known Hamming distances; the ≤maxDist
+    // guarantee must hold at the classic 4-block config AND the wider
+    // 6-block (C(6,3)=20 bands, ~32-bit keys) scale config
+    val base = 0x0123456789abcdefL
+    def flip(s: Long, bits: Int*): Long =
+      bits.foldLeft(s)((x, b) => x ^ (1L << b))
+    val sigs = Seq(
+      10L -> base,
+      11L -> flip(base, 5),          // d=1
+      12L -> flip(base, 3, 40),      // d=2, bits in different blocks
+      13L -> flip(base, 0, 21, 63),  // d=3, three distinct blocks (worst case)
+      14L -> flip(base, 17, 18, 19), // d=3, bits within one block
+      20L -> 0x7777000011112222L     // far (hamming >> 3)
+    ).toDF("id", "sig")
+    for (blocks <- Seq(4, 6)) {
+      val pairs = DedupOps.simhashNearDupsFromSigs(sigs,
+          maxDist = 3, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (b <- Seq(11L, 12L, 13L, 14L))
+        assert(pairs.contains((10L, b)), s"blocks=$blocks missed pair 10-$b")
+      assert(!pairs.exists { case (a, b) => a == 20L || b == 20L },
+        s"blocks=$blocks produced a false ≤3 pair with the far doc")
+    }
+  }
+
+  test("simhashBlocksFor widens the key space as the corpus grows") {
+    assert(DedupOps.simhashBlocksFor(100L) === 4) // 16-bit keys suffice
+    assert(DedupOps.simhashBlocksFor(100000000L) >= 6) // 10⁸ needs wider keys
+    assert(DedupOps.simhashBlocksFor(2000000000L) <= 8) // capped at 8 blocks
+    // monotone: more docs never narrows the key
+    val ns = Seq(1L, 1000L, 1000000L, 1000000000L, 100000000000L)
+    val bs = ns.map(DedupOps.simhashBlocksFor(_))
+    assert(bs === bs.sorted)
+  }
+
   test("shingles produce k-grams with set semantics") {
     val sh = docs.filter($"doc_id" === 1L)
       .select(DedupOps.shingles(col("text"), 3).as("sh"))
