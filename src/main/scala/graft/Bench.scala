@@ -53,7 +53,15 @@ object Bench {
     // headline = sum of the ROUNDED per-query values, so the printed total
     // always equals the sum of the printed entries exactly (ADVICE r5)
     val total = results.map(r => ms3(r._2).toDouble).sum
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${ms3(total)},"unit":"sec"}""")
+    val line = s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${ms3(total)},"unit":"sec"}"""
+    println(line)
+    // companion file with the FULL per-query map: the harness keeps only
+    // the tail of stdout, so with 130+ queries the printed map's head is
+    // truncated — the file lets every key be diffed round-over-round
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -428,8 +428,11 @@ object OracleSql {
         |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_histogram" ->
+      // CASE hi=lo guard mirrors the Spark side: constant-valued data would
+      // otherwise make the bin NaN (DuckDB errors on CAST(NaN AS BIGINT))
       s"""WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
-         |SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+         |SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+         |  ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) END AS bin,
          |  COUNT(*) AS n, ${dsum("value")} AS sum_value
          |FROM events, s GROUP BY 1 ORDER BY bin""".stripMargin,
 
@@ -607,6 +610,12 @@ object OracleSql {
         |ORDER BY event_id""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // watermarked variant: horizon spans the fixture, so bounded-state
+    // execution must still produce exactly the distinct key set
+    "q_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 

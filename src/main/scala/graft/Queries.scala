@@ -636,9 +636,13 @@ object Queries {
     val e = Tables.events(s, d)
     val stats = e.agg(min("value").as("lo"), max("value").as("hi"))
     e.crossJoin(broadcast(stats))
-      .withColumn("bin", least(
+      // hi=lo guard: constant-valued data makes the bin width 0 and the
+      // division NaN — Spark's least(null, 19) would yield 19 while DuckDB
+      // errors on CAST(NaN AS BIGINT); both sides pin the degenerate case
+      // to bin 0
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0L)).otherwise(least(
         floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20)).cast(LongType),
-        lit(19L)))
+        lit(19L))))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
       .orderBy("bin")
@@ -1035,6 +1039,14 @@ object Queries {
   val qStreamDedup: Q = (s, d) =>
     streaming.Declared.dedupKeys(s, Tables.events(s, d),
         scratchDir("stream-dedup"))
+      .orderBy("user_id", "event_type")
+
+  /** Bounded-state streaming dedup (dropDuplicatesWithinWatermark) — the
+    * watermark-evicted production shape; output batch-invariant because the
+    * horizon spans the fixture (see [[streaming.Declared.dedupKeysWatermarked]]). */
+  val qStreamDedupWatermark: Q = (s, d) =>
+    streaming.Declared.dedupKeysWatermarked(s, Tables.events(s, d),
+        scratchDir("stream-dedup-wm"))
       .orderBy("user_id", "event_type")
 
   val qStreamLww: Q = (s, d) =>

@@ -210,7 +210,21 @@ object Ingest {
     try {
       val n = written.count()
       val nQuarantine = subTotal match {
-        case Some(total) => total - nCorrupt - n
+        case Some(total) =>
+          val arith = total - nCorrupt - n
+          // the arithmetic rests on parser invariants (row-preserving JSON
+          // parse, no top-level arrays — the caller's fan-out agg screens
+          // those); a NEGATIVE result means an invariant broke, so fall
+          // back to the counted path instead of silently skipping the
+          // quarantine write with a wrong Report
+          if (arith >= 0) arith
+          else {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"arithmetic quarantine count $arith < 0 for type '$typeId' " +
+                s"(total=$total corrupt=$nCorrupt written=$n); " +
+                "falling back to counted quarantine")
+            nQuarantineCounted
+          }
         case None => nQuarantineCounted
       }
       if (nQuarantine > 0) quarantineWrite()

@@ -31,23 +31,31 @@ object Auth {
       java.util.List.of(Row(json)),
       StructType(Seq(StructField("message", StringType))))
 
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Create or overwrite a user (LWW upsert through the engine). Returns
     * the api_key in effect. */
   def upsertUser(h: Engine.Handle, id: String, role: String, password: String,
                  apiKey: Option[String] = None): String = {
-    // every interpolated field is identifier/hex-constrained — a quote or
-    // backslash in `role` would otherwise break the JSON (silent dead-letter
-    // while still returning a key) or inject a duplicate "role" key that
-    // Spark's last-wins JSON parse would honor (privilege escalation)
+    // the guards enforce SEMANTIC shape (identifier ids, known roles, hex
+    // keys); structural JSON safety does NOT rest on them — the envelope is
+    // emitted through a JSON writer, so a quote/backslash in any future
+    // field is escaped data, never markup (no silent dead-letter, no
+    // duplicate-key injection for Spark's last-wins parse to honor)
     require(id.matches("^[A-Za-z0-9_-]+$"), s"invalid user id: '$id'")
     require(role == "admin" || role == "user", s"invalid role: '$role'")
     apiKey.foreach(k => require(k.matches("^[A-Za-z0-9_-]+$"),
       s"invalid api key format"))
     val key = apiKey.getOrElse(
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    val report = h.ingest(envelope(h.spark,
-      s"""{"type_id":"$UsersType","data":{"id":"$id","role":"$role",""" +
-        s""""api_key":"$key","password_hash":"${sha256(password)}"}}"""))
+    val root = jsonMapper.createObjectNode()
+    root.put("type_id", UsersType)
+    val data = root.putObject("data")
+    data.put("id", id)
+    data.put("role", role)
+    data.put("api_key", key)
+    data.put("password_hash", sha256(password))
+    val report = h.ingest(envelope(h.spark, jsonMapper.writeValueAsString(root)))
     require(report.perType.getOrElse(UsersType, 0L) == 1L,
       s"user row for '$id' was not written (dead-lettered or quarantined)")
     key

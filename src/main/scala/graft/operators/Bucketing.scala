@@ -22,12 +22,21 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
+    // resolve the REAL location before dropping: a live catalog entry knows
+    // it (non-default databases live at <warehouse>/<db>.db/<table>); only
+    // for a dead entry from an earlier JVM fall back to where the upcoming
+    // saveAsTable will put it — defaultTablePath resolves the current
+    // database, so the cleanup never guesses <warehouse>/<table> for a
+    // table that actually lives under a .db dir (or vice versa)
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // warehouse IO goes through the Hadoop FileSystem of the path (file:,
     // hdfs:, s3a:, ...), same rule as SchemaRegistry — java.io.File would
     // silently no-op on any non-local warehouse
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -197,7 +197,14 @@ object GraphOps {
     *              per-round scheduler overhead than the whole computation
     *              costs on the driver (identical integer recurrence either
     *              way); 0 forces the distributed rounds
-    * @return (node, rank) — rank sums to ≤ N·S/N = S modulo truncation loss
+    * @return (node, rank) — rank sums to ≤ N·S/N = S modulo truncation loss.
+    *   The distributed path returns a frame backed by the final round's
+    *   localCheckpoint'ed blocks: the CALLER owns that storage and should
+    *   release it once consumed (unpersist via
+    *   `sparkContext.getPersistentRDDs`, as Bench does between queries) —
+    *   pageRank itself unpersists every superseded round, but the result's
+    *   blocks must outlive the call because the checkpoint truncated their
+    *   lineage (no recompute path exists).
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000000L,

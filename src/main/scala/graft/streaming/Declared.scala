@@ -85,18 +85,60 @@ object Declared {
     // this small-key-space dedup — 32 stores would quadruple the fixed
     // cost for zero parallelism gain. Sized to the key cardinality, as a
     // production job would be; results are partition-count invariant.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try
-      stream.dropDuplicates("user_id", "event_type")
-        .writeStream
-        .queryName("graft-stream-dedup")
-        .option("checkpointLocation", dir + "/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .format("parquet")
-        .option("path", out)
-        .start().awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // The override lives on an ISOLATED child session (same SparkContext,
+    // own SQL conf), so queries planned concurrently on the caller's
+    // session never see the 8-partition setting.
+    val s8 = s.newSession()
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    s8.readStream
+      .schema(stream.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir + "/src")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .queryName("graft-stream-dedup")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** Streaming dedup with BOUNDED state — the production variant of
+    * [[dedupKeys]]: `dropDuplicatesWithinWatermark` evicts a key's state
+    * once the watermark passes its event time + delay, so state size tracks
+    * the watermark horizon instead of growing forever (the 100 TB shape;
+    * plain `dropDuplicates` state is unbounded). The output stays
+    * micro-batch-invariant because the delay spans the fixture's whole
+    * event-time range: the watermark never overtakes any key, so nothing is
+    * evicted or dropped as late and the surviving KEY SET equals batch
+    * `SELECT DISTINCT` for every batch split — which is what lets the batch
+    * oracle hash-check the watermarked streaming execution exactly. */
+  def dedupKeysWatermarked(s: SparkSession, events: DataFrame,
+                           dir: String): DataFrame = {
+    val out = dir + "/out"
+    // ts rides along as the watermark column; the projection back to the
+    // key pair happens AFTER the stateful dedup
+    val stream = fileStream(s, events.select("user_id", "event_type", "ts"),
+      dir, nFiles = 2, filesPerTrigger = 1)
+    // same isolated-session 8-partition state sizing as dedupKeys
+    val s8 = s.newSession()
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    s8.readStream
+      .schema(stream.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir + "/src")
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream
+      .queryName("graft-stream-dedup-wm")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
     s.read.parquet(out)
   }
 

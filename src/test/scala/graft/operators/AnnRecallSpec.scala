@@ -121,6 +121,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(found >= 45, s"strong near-dup recall too low: $found/50")
   }
 
+  test("cosineNearDups recall floor at the declared 0.9 near-dup regime") {
+    // the scaladoc claims "cosine ≥ 0.9 ⇒ ~0.96 recall at 4 planes × 4
+    // tables" — this measures it against cosineNearDupsExact ground truth
+    // instead of leaving it prose. Planted near-dups: v' = v + 0.35·rot(v)
+    // puts pair cosine ≈ 0.94 (direction change, not a scale — scaling is
+    // cosine-invariant), inside the ≥0.9 dedup regime.
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf())
+    val base = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val rot = transform(col("embedding"), (x, i) =>
+      x + lit(0.35f) * element_at(col("embedding"), (i + lit(1)) % lit(64) + lit(1)))
+    val dup = base.select((col("vec_id") + 100000L).as("vec_id"),
+      rot.as("embedding"))
+    val both = base.unionByName(dup).localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val truth = pairs(VectorOps.cosineNearDupsExact(both, "vec_id", "embedding", 0.9))
+    assert(truth.size >= 30, s"fixture planted too few ≥0.9 pairs: ${truth.size}")
+    val got = pairs(VectorOps.cosineNearDups(both, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 4, tables = 4))
+    // every candidate is exact-cosine verified ⇒ false positives impossible
+    assert((got -- truth).isEmpty, "near-dup pairs below the 0.9 threshold")
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"near-dup recall at threshold 0.9 (4 planes × 4 tables): " +
+      f"$recall%.2f over ${truth.size} true pairs")
+    assert(recall >= 0.9, s"declared-regime near-dup recall regressed: $recall")
+  }
+
   test("cosineNearDupsFixed: kernel prefilter drops no pair vs unfiltered fixed-point truth") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf()).filter(col("vec_id") < 300)

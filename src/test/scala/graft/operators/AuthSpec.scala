@@ -45,4 +45,31 @@ class AuthSpec extends SparkSpec {
     assert(Auth.authenticate(h, "my_user", rotated) === Some("user"))
     assert(Auth.authenticate(h, "my_user", userKey) === None)
   }
+
+  test("quote/backslash injection attempts in id or role are rejected outright") {
+    val h = freshEngine()
+    // a role carrying JSON markup can never reach the envelope: the shape
+    // guard rejects it before any serialization happens (and the envelope
+    // itself is built by a JSON writer, so even a guard regression would
+    // yield escaped data, not a duplicate "role" key)
+    for (bad <- Seq("""user","role":"admin""", "user\"", "user\\", "ad\"min"))
+      intercept[IllegalArgumentException] {
+        Auth.upsertUser(h, "my_user", bad, password = "pw")
+      }
+    for (badId <- Seq("""x","role":"admin""", "x\"y", "a\\b", "x\ny"))
+      intercept[IllegalArgumentException] {
+        Auth.upsertUser(h, badId, "user", password = "pw")
+      }
+    // passwords are unconstrained user input — markup in them must ride as
+    // DATA through the writer and still authenticate end-to-end
+    val key = Auth.upsertUser(h, "quoted_pw_user", "user",
+      password = """p"w\{}:,"role":"admin"""")
+    assert(Auth.authenticate(h, "quoted_pw_user", key) === Some("user"))
+    val row = h.table(Auth.UsersType)
+      .filter(org.apache.spark.sql.functions.col("id") === "quoted_pw_user")
+      .collect().head
+    assert(row.getAs[String]("role") === "user")
+    assert(row.getAs[String]("password_hash") ===
+      Auth.sha256("""p"w\{}:,"role":"admin""""))
+  }
 }

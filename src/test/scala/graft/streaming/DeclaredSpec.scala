@@ -26,6 +26,16 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("watermarked streaming dedup emits exactly the distinct key set") {
+    // bounded-state variant: dropDuplicatesWithinWatermark with a horizon
+    // spanning the fixture must still equal batch DISTINCT for every split
+    val streamed = Queries.qStreamDedupWatermark(spark, sf())
+    val batch = Tables.events(spark, sf())
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming engine ingest serves the same view as one batch ingest") {
     val streamed = Queries.qStreamEngineIngest(spark, sf())
     // batch twin: the SAME slice through one h.ingest call
