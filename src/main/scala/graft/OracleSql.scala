@@ -919,6 +919,31 @@ object OracleSql {
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM fl ORDER BY doc_id""".stripMargin,
 
+    // streaming incremental-CC twin: same edge definition, same labeling —
+    // the streaming fold is batching-invariant so one oracle serves both
+    "q_stream_dedup_cluster" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 8, 0) + 2),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS s FROM t)),
+        |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 10),
+        |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |      FROM sh a JOIN ok USING (s) JOIN sh b USING (s)
+        |      WHERE a.doc_id < b.doc_id),
+        |und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT und.b AS id, reach.r FROM reach JOIN und ON und.a = reach.id),
+        |lbl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |fl AS (SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS cluster_id
+        |       FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM fl ORDER BY doc_id""".stripMargin,
+
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
         |           FROM documents),

@@ -1395,6 +1395,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING dedup-cluster maintenance under the oracle gate: the same
+    * deterministic shingle edges as q_dedup_cluster arrive in 3
+    * micro-batches; labels fold forward per batch via
+    * [[streaming.Declared.incrementalClusters]] (stars ∪ new edges). The
+    * final labeling is batching-invariant, so the recursive-CTE oracle
+    * checks the incremental streaming run exactly. */
+  val qStreamDedupCluster: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+      explode(transform(DedupOps.shingles(col("text"), 8),
+        x => xxhash64(x))).as("sh"))
+    val pairs = DedupOps.keyedPairs(sh, "sh", "doc_id", minN = 2, maxN = 10)
+    streaming.Declared.incrementalClusters(s, docs, "doc_id", pairs,
+        scratchDir("stream-cc"))
+      .orderBy("doc_id")
+  }
+
   /** The SparkSessionExtensions surface under the oracle gate: this query
     * is SQL TEXT over the natively-registered codegen'd kernels (parser →
     * FunctionRegistry → doGenCode), not the Column DSL. Dot/norm fold

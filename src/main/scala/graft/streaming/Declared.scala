@@ -163,6 +163,60 @@ object Declared {
     h.table(serveType)
   }
 
+  /** Streaming dedup-CLUSTER maintenance: near-dup edges arrive in
+    * micro-batches and the (id, component) labeling is folded forward with
+    * [[graft.operators.GraphOps.incrementalComponents]] — the previous
+    * labels are themselves a star edge set with the same components as the
+    * full history, so after EVERY batch the labeling equals batch CC over
+    * all edges seen. That replay-invariance is what lets the recursive-CTE
+    * oracle hash-check the streaming run. Per batch the cost is linear in
+    * |labels| + |newEdges| (the corpus itself stays at rest) — the
+    * maintenance loop a production incremental dedup pipeline runs.
+    * Returns every doc labeled (singletons = own cluster) with sizes,
+    * matching [[graft.operators.GraphOps.dedupClusters]]'s shape. */
+  def incrementalClusters(s: SparkSession, docs: DataFrame, idCol: String,
+                          pairs: DataFrame, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val stream = fileStream(s,
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      dir, nFiles = 3, filesPerTrigger = 1)
+    // alternating state dirs, same reason as lwwServe: a parquet read
+    // cannot overwrite its own input files
+    val states = Seq(dir + "/state0", dir + "/state1")
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    stream.writeStream
+      .queryName("graft-stream-cc")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val g = gen.get()
+        val prev =
+          if (g == 0) s.createDataFrame(java.util.List.of[Row](),
+            StructType(Seq(StructField("id", LongType),
+              StructField("component", LongType))))
+          else s.read.parquet(states((g - 1) % 2))
+        graft.operators.GraphOps.incrementalComponents(prev, batch)
+          .write.mode("overwrite").parquet(states(g % 2))
+        gen.incrementAndGet()
+        ()
+      }
+      .start().awaitTermination()
+    val labels =
+      if (gen.get() == 0) s.createDataFrame(java.util.List.of[Row](),
+        StructType(Seq(StructField("id", LongType),
+          StructField("component", LongType))))
+      else s.read.parquet(states((gen.get() - 1) % 2))
+    val withLbl = docs.select(col(idCol))
+      .join(labels, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol).cast(LongType)).as("cluster_id"))
+    val sizes = withLbl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    withLbl.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Streaming LWW serving view maintained across micro-batches: each batch
     * is folded into the compacted state (newest row per user by (ts,
     * event_id)) and the state is rewritten — upsert-merge compaction. The

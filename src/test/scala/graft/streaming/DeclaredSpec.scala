@@ -55,6 +55,14 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming incremental clusters equal the one-shot batch clustering") {
+    // incremental fold over 3 edge micro-batches must land on exactly the
+    // batch CC labeling (stars ∪ new edges ≡ full history)
+    val streamed = Queries.qStreamDedupCluster(spark, sf())
+    val batch = Queries.qDedupCluster(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming LWW state equals the batch LWW view") {
     val streamed = Queries.qStreamLww(spark, sf())
     val batch = graft.operators.Upserts.lwwView(
