@@ -205,12 +205,16 @@ object DedupOps {
 
   /** SimHash near-dup candidates over pre-computed (id, sig) signatures:
     * band on [[simhashBandKeys]] (any ≤ maxDist pair shares a band), cap
-    * hot buckets, verify candidates by exact Hamming distance. */
+    * hot buckets, verify candidates by exact Hamming distance.
+    * `blocks <= 0` auto-sizes via [[simhashBlocksFor]] (one count over
+    * `sigs` — pass a materialized frame), the [[graft.operators.VectorOps]]
+    * `planesFor` analog. */
   def simhashNearDupsFromSigs(sigs: DataFrame, maxDist: Int = 3,
                               blocks: Int = 4,
                               maxBucket: Int = 1000): DataFrame = {
+    val m = if (blocks > 0) blocks else simhashBlocksFor(sigs.count(), maxDist)
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array(simhashBandKeys(col("sig"), blocks, maxDist): _*)))
+      posexplode(array(simhashBandKeys(col("sig"), m, maxDist): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val capped = capHotBuckets(banded, maxBucket)
     val a = capped.alias("a")
@@ -227,9 +231,10 @@ object DedupOps {
 
   /** SimHash near-dup candidates from raw text: signature kernel →
     * [[simhashNearDupsFromSigs]]. `blocks = 4` is the classic 4×16-bit
-    * banding; size it with [[simhashBlocksFor]] when the corpus outgrows
-    * ~10⁷ docs. The signature frame is locally checkpointed so the
-    * self-join doesn't recompute signatures on both sides. */
+    * banding; pass `blocks <= 0` to auto-size from the corpus count
+    * (declared queries pin 4 for reproducibility). The signature frame is
+    * locally checkpointed so the self-join doesn't recompute signatures on
+    * both sides (and so the auto-size count is cheap). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3, blocks: Int = 4,
                       maxBucket: Int = 1000): DataFrame =

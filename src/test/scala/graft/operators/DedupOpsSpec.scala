@@ -102,7 +102,8 @@ class DedupOpsSpec extends SparkSpec {
       14L -> flip(base, 17, 18, 19), // d=3, bits within one block
       20L -> 0x7777000011112222L     // far (hamming >> 3)
     ).toDF("id", "sig")
-    for (blocks <- Seq(4, 6)) {
+    // -1 exercises the auto-size path (tiny corpus resolves to 4 blocks)
+    for (blocks <- Seq(4, 6, -1)) {
       val pairs = DedupOps.simhashNearDupsFromSigs(sigs,
           maxDist = 3, blocks = blocks)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
