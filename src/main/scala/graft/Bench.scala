@@ -57,11 +57,14 @@ object Bench {
     println(line)
     // companion file with the FULL per-query map: the harness keeps only
     // the tail of stdout, so with 130+ queries the printed map's head is
-    // truncated — the file lets every key be diffed round-over-round
+    // truncated — the file lets every key be diffed round-over-round.
+    // Filtered runs skip the write: a partial map would silently replace
+    // the full artifact the diff depends on.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    if (filter.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
     spark.stop()
   }
 }

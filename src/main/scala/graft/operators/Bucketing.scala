@@ -32,8 +32,15 @@ object Bucketing {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
       if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
-      else catalog.defaultTablePath(ident))
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      // defaultTablePath throws on a not-yet-created database — in that
+      // case there is no stale dir to clean (saveAsTable would fail too)
+      else scala.util.Try(catalog.defaultTablePath(ident)).getOrElse(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table).toUri))
+    // drop via the PARSED identifier: quoting the raw string as one
+    // identifier would resolve a qualified "db.tbl" to default.`db.tbl`,
+    // deleting db.db/tbl's files above but dropping a different table
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     // warehouse IO goes through the Hadoop FileSystem of the path (file:,
     // hdfs:, s3a:, ...), same rule as SchemaRegistry — java.io.File would
     // silently no-op on any non-local warehouse

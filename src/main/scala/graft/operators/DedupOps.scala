@@ -195,12 +195,16 @@ object DedupOps {
 
   /** Smallest `blocks` whose per-band key space keeps expected bucket size
     * bounded for an `n`-doc corpus: key width ≈ 64·(blocks−maxDist)/blocks
-    * must cover log₂(n) plus ~8 bits of headroom. Capped at 8 blocks
-    * (C(8,3)=56 bands, ~40-bit keys — the Manku web-scale operating point);
-    * past that, hot buckets are [[capHotBuckets]]'s job. */
+    * must cover log₂(n) plus ~8 bits of headroom. Capped at
+    * max(8, maxDist+1) blocks (8 ⇒ C(8,3)=56 bands, ~40-bit keys — the
+    * Manku web-scale operating point; large maxDist floors at maxDist+1 so
+    * the result is always a valid [[simhashBandKeys]] config); past the
+    * cap, hot buckets are [[capHotBuckets]]'s job. */
   def simhashBlocksFor(n: Long, maxDist: Int = 3): Int = {
+    require(maxDist >= 1 && maxDist < 16, s"need 1 <= maxDist < 16, got $maxDist")
     val need = math.log(math.max(n, 1L).toDouble) / math.log(2.0) + 8.0
-    (maxDist + 1 to 8).find(m => 64.0 * (m - maxDist) / m >= need).getOrElse(8)
+    val hi = math.max(8, maxDist + 1)
+    (maxDist + 1 to hi).find(m => 64.0 * (m - maxDist) / m >= need).getOrElse(hi)
   }
 
   /** SimHash near-dup candidates over pre-computed (id, sig) signatures:

@@ -257,15 +257,15 @@ object GraphOps {
     rank
   }
 
-  /** Dedup clustering: pairs → transitive clusters over ALL rows of `docs`.
-    * Rows never appearing in a pair are singleton clusters of themselves.
-    * Output: (idCol, cluster_id = min id in cluster, cluster_size). */
-  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+  /** Label every row of `docs` with its cluster from a (id, component)
+    * frame: unlabeled rows become singleton clusters of themselves; sizes
+    * attached. Shared tail of [[dedupClusters]] and the streaming
+    * incremental path. Output: (idCol, cluster_id, cluster_size). */
+  def labelWithClusters(docs: DataFrame, idCol: String,
+                        componentLabels: DataFrame): DataFrame = {
     // rename label columns before the join so an idCol literally named
     // "id" can't collide
-    val labels = connectedComponents(
-        pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val labels = componentLabels
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     val withLbl = docs.select(col(idCol))
       .join(labels, col(idCol) === col("__cc_id"), "left")
@@ -276,4 +276,12 @@ object GraphOps {
     withLbl.join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Dedup clustering: pairs → transitive clusters over ALL rows of `docs`.
+    * Rows never appearing in a pair are singleton clusters of themselves.
+    * Output: (idCol, cluster_id = min id in cluster, cluster_size). */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    labelWithClusters(docs, idCol, connectedComponents(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))))
 }

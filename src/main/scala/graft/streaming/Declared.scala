@@ -31,7 +31,9 @@ object Declared {
   private val Dec = DecimalType(25, 6)
 
   /** Split `df` into `nFiles` parquet files under `dir`/src and open a
-    * file-source stream over them, `filesPerTrigger` per micro-batch. */
+    * file-source stream over them, `filesPerTrigger` per micro-batch. The
+    * reader is built on `s` — pass an isolated child session (newSession)
+    * when the streaming run needs its own SQL conf (state sizing). */
   private def fileStream(s: SparkSession, df: DataFrame, dir: String,
                          nFiles: Int, filesPerTrigger: Int): DataFrame = {
     val src = dir + "/src"
@@ -74,11 +76,6 @@ object Declared {
   /** Streaming exact dedup: keyed state keeps first occurrence per key. */
   def dedupKeys(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
-    // 2 micro-batches, not 4: the cross-batch keyed state is exercised by
-    // the second batch either way, and each extra batch pays a full
-    // state-store commit across every shuffle partition
-    val stream = fileStream(s, events.select("user_id", "event_type"),
-      dir, nFiles = 2, filesPerTrigger = 1)
     // pin the STATE partition count to 8 for the duration of the run: a
     // streaming query fixes its state layout from the conf at first start,
     // and per-partition store commits (delta file + maintenance) dominate
@@ -90,10 +87,11 @@ object Declared {
     // session never see the 8-partition setting.
     val s8 = s.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
-    s8.readStream
-      .schema(stream.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir + "/src")
+    // 2 micro-batches, not 4: the cross-batch keyed state is exercised by
+    // the second batch either way, and each extra batch pays a full
+    // state-store commit across every shuffle partition
+    fileStream(s8, events.select("user_id", "event_type"),
+        dir, nFiles = 2, filesPerTrigger = 1)
       .dropDuplicates("user_id", "event_type")
       .writeStream
       .queryName("graft-stream-dedup")
@@ -118,17 +116,13 @@ object Declared {
   def dedupKeysWatermarked(s: SparkSession, events: DataFrame,
                            dir: String): DataFrame = {
     val out = dir + "/out"
-    // ts rides along as the watermark column; the projection back to the
-    // key pair happens AFTER the stateful dedup
-    val stream = fileStream(s, events.select("user_id", "event_type", "ts"),
-      dir, nFiles = 2, filesPerTrigger = 1)
     // same isolated-session 8-partition state sizing as dedupKeys
     val s8 = s.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
-    s8.readStream
-      .schema(stream.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir + "/src")
+    // ts rides along as the watermark column; the projection back to the
+    // key pair happens AFTER the stateful dedup
+    fileStream(s8, events.select("user_id", "event_type", "ts"),
+        dir, nFiles = 2, filesPerTrigger = 1)
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
@@ -207,14 +201,7 @@ object Declared {
         StructType(Seq(StructField("id", LongType),
           StructField("component", LongType))))
       else s.read.parquet(states((gen.get() - 1) % 2))
-    val withLbl = docs.select(col(idCol))
-      .join(labels, col(idCol) === col("id"), "left")
-      .select(col(idCol),
-        coalesce(col("component"), col(idCol).cast(LongType)).as("cluster_id"))
-    val sizes = withLbl.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    withLbl.join(sizes, "cluster_id")
-      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+    graft.operators.GraphOps.labelWithClusters(docs, idCol, labels)
   }
 
   /** Streaming LWW serving view maintained across micro-batches: each batch

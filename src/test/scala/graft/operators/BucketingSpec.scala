@@ -30,4 +30,22 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
   }
+
+  test("writeBucketed handles qualified table names in non-default databases") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS bspec_db")
+    val o = graft.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_totalprice")
+    // write twice: the second run resolves the LIVE entry's location from
+    // the catalog (<warehouse>/bspec_db.db/t) and must drop THAT table,
+    // not default.`bspec_db.t`
+    Bucketing.writeBucketed(o, "bspec_db.t", "o_orderkey", 4)
+    Bucketing.writeBucketed(o, "bspec_db.t", "o_orderkey", 4)
+    assert(spark.table("bspec_db.t").count() === o.count())
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("bspec_db.t")).location
+    assert(loc.toString.contains("bspec_db.db"),
+      s"qualified table not under its database dir: $loc")
+    spark.sql("DROP TABLE IF EXISTS bspec_db.t")
+    spark.sql("DROP DATABASE IF EXISTS bspec_db")
+  }
 }

@@ -122,6 +122,11 @@ class DedupOpsSpec extends SparkSpec {
     val ns = Seq(1L, 1000L, 1000000L, 1000000000L, 100000000000L)
     val bs = ns.map(DedupOps.simhashBlocksFor(_))
     assert(bs === bs.sorted)
+    // large maxDist floors at maxDist+1 — always a valid banding config
+    assert(DedupOps.simhashBlocksFor(1000L, maxDist = 8) === 9)
+    val wide = Seq(1L -> 0L, 2L -> 255L).toDF("id", "sig") // hamming 8
+    assert(DedupOps.simhashNearDupsFromSigs(wide, maxDist = 8, blocks = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
   test("shingles produce k-grams with set semantics") {

@@ -145,8 +145,18 @@ class GraphOpsSpec extends SparkSpec {
     val expect = Set(
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (4L, 4L, 1L), (5L, 5L, 1L), (6L, 6L, 1L),
-      (7L, 7L, 2L), (9L, 7L, 2L),
-      (8L, 8L, 1L), (10L, 10L, 1L))
+      (7L, 7L, 2L), (8L, 8L, 1L), (9L, 7L, 2L), (10L, 10L, 1L))
     assert(got === expect)
+  }
+
+  test("labelWithClusters survives an idCol literally named \"id\"") {
+    // the labels frame carries its own "id" column — the rename guard must
+    // keep the join unambiguous for docs whose id column is also "id"
+    val docs = (1L to 5L).toDF("id")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val got = GraphOps.labelWithClusters(docs, "id", labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L),
+      (3L, 3L, 1L), (4L, 4L, 1L), (5L, 5L, 1L)))
   }
 }
