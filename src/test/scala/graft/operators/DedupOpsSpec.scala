@@ -129,6 +129,24 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("hot-bucket cap adds no extra shuffle to the band self-join") {
+    // with broadcast disabled (the at-scale shape), the capped pipeline
+    // should show exactly: one hashpartitioning exchange per join side on
+    // (band, bucket) — shared by the windowed count and the join — plus
+    // one for the cross-band pair dedup. A 4th exchange would mean the
+    // cap introduced its own shuffle.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      pairs.count()
+      val plan = pairs.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 3,
+        s"capped band join gained a shuffle ($exchanges exchanges):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("shingles produce k-grams with set semantics") {
     val sh = docs.filter($"doc_id" === 1L)
       .select(DedupOps.shingles(col("text"), 3).as("sh"))

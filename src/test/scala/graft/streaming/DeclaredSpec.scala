@@ -63,6 +63,16 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("incremental clusters with an empty edge stream: every doc a singleton") {
+    import spark.implicits._
+    val docs = (1L to 4L).toDF("doc_id")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    val got = graft.streaming.Declared.incrementalClusters(spark, docs,
+        "doc_id", pairs, tmpDir("declared-cc-empty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === (1L to 4L).map(i => (i, i, 1L)).toSet)
+  }
+
   test("streaming LWW state equals the batch LWW view") {
     val streamed = Queries.qStreamLww(spark, sf())
     val batch = graft.operators.Upserts.lwwView(
