@@ -36,6 +36,14 @@ object DedupOps {
     * `blockCols` bound the quadratic pair space (e.g. lang+source); emits
     * (idA < idB, jaccard ≥ threshold).
     *
+    * `maxBlock` is the hot-block guard (the [[capHotBuckets]] analog for
+    * caller-chosen blocking keys): any block larger than the cap is
+    * skipped entirely before the self-join can materialize its O(block²)
+    * pairs. The default keeps every block — exact-within-blocks is this
+    * operator's contract — but at corpus scale pick blocks fine enough to
+    * bound the quadratic term and set the cap as the backstop; past that
+    * regime, [[minhashLshNearDups]] is the scale path.
+    *
     * Shingles are compared as xxhash64 values, not strings: set sizes are
     * identical as long as the hash is injective on the observed shingle
     * universe (collision odds ~|shingles|²/2⁶⁴ ≈ 1e-8 here; verified
@@ -44,14 +52,22 @@ object DedupOps {
     * pair space. */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], k: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      maxBlock: Int = Int.MaxValue): DataFrame = {
     // localCheckpoint for the same reason as minhash below: the self-join
     // would otherwise evaluate the shingle pipeline on BOTH sides
-    val withSh = docs.select(
+    val withSh0 = docs.select(
       (col(idCol).as("id") +: blockCols.map(c => col(c))) :+
         array_sort(array_distinct(
           transform(shingles(col(textCol), k), s => xxhash64(s)))).as("sh"): _*)
       .localCheckpoint()
+    val withSh =
+      if (maxBlock == Int.MaxValue || blockCols.isEmpty) withSh0
+      else withSh0
+        .withColumn("_bn", count(lit(1))
+          .over(Window.partitionBy(blockCols.map(col): _*)))
+        .filter(col("_bn") <= maxBlock)
+        .drop("_bn")
     val a = withSh.alias("a")
     val b = withSh.alias("b")
     val blockCond = blockCols.map(c => col(s"a.`$c`") === col(s"b.`$c`"))

@@ -129,6 +129,41 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("banding guarantee holds on random signatures at every block config") {
+    // property sweep: 120 random (base, ≤maxDist-flipped) pairs per config
+    // — every planted pair MUST surface (the pigeonhole guarantee is
+    // absolute, not probabilistic), at the classic and both wide configs
+    val rnd = new scala.util.Random(42)
+    for (blocks <- Seq(4, 6, 8)) {
+      val rows = (0 until 120).flatMap { i =>
+        val base = rnd.nextLong()
+        val d = 1 + rnd.nextInt(3)
+        val bits = rnd.shuffle((0 until 64).toList).take(d)
+        val flipped = bits.foldLeft(base)((s, b) => s ^ (1L << b))
+        Seq((2L * i, base), (2L * i + 1, flipped))
+      }
+      val pairs = DedupOps.simhashNearDupsFromSigs(
+          rows.toDF("id", "sig"), maxDist = 3, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missed = (0 until 120).filter(i => !pairs.contains((2L * i, 2L * i + 1)))
+      assert(missed.isEmpty,
+        s"blocks=$blocks missed planted pairs at indices $missed")
+    }
+  }
+
+  test("jaccard hot-block guard skips oversized blocks, keeps small ones") {
+    val boiler = (1 to 20).map(_ => "same boilerplate words repeated here often").mkString(" ")
+    val flood = (100L until 200L).map(i => (i, boiler, "xx", "s9"))
+      .toDF("doc_id", "text", "lang", "source")
+    val all = docs.union(flood)
+    val pairs = DedupOps.jaccardNearDups(all, "doc_id", "text",
+        Seq("lang", "source"), k = 3, threshold = 0.5, maxBlock = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L))) // small block intact
+    assert(!pairs.exists { case (a, b) => a >= 100L || b >= 100L },
+      "oversized block leaked pairs past the cap")
+  }
+
   test("hot-bucket cap adds no extra shuffle to the band self-join") {
     // with broadcast disabled (the at-scale shape), the capped pipeline
     // should show exactly: one hashpartitioning exchange per join side on
