@@ -17,3 +17,27 @@ python3 tools/check_oracle.py /tmp/graft-gates /root/testdata/sf0.01 | tail -1
 echo "== 4/4 bench (sf0.1)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>&1 | grep -oE '"value":[0-9.]+' | tail -1
+
+# Contention self-check: the bench stamps BENCH_full.json with a fixed
+# single-thread CPU probe timed before and after the sweep. If the two
+# probes disagree >1.3x (or either is far above the probe's quiet-host
+# time), the host was contended during the sweep and the medians above are
+# not comparable round-over-round — rerun on a quiet host before judging.
+python3 - <<'EOF'
+import json
+try:
+    b = json.load(open("BENCH_full.json"))
+except Exception as e:
+    raise SystemExit(f"[gates] no BENCH_full.json to check: {e}")
+cb, ca = b.get("calib_before_sec"), b.get("calib_after_sec")
+if cb and ca:
+    ratio = max(cb, ca) / min(cb, ca)
+    msg = f"[gates] calibration probes: before={cb}s after={ca}s ratio={ratio:.2f}"
+    if ratio > 1.3:
+        print(msg + "  ** WARNING: >1.3x disagreement — host contended during sweep, medians unreliable **")
+    else:
+        print(msg + "  (steady)")
+    med, mn = b.get("value"), b.get("total_min")
+    if med and mn and med / mn > 1.3:
+        print(f"[gates] ** WARNING: total median {med}s is {med/mn:.2f}x total min {mn}s — sustained contention likely **")
+EOF
