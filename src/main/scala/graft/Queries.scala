@@ -1365,15 +1365,18 @@ object Queries {
       .orderBy("doc_id", "rn")
   }
 
-  /** MinHash+LSH near-dups — hash functions are engine-specific ⇒ rows-only. */
+  /** MinHash+LSH near-dups — hash functions are engine-specific ⇒ rows-only.
+    * maxBucket=1000 opts into the hot-bucket backstop (the cap is opt-in
+    * since r9 — it drops whole cells, see DedupOps scaladoc). */
   val qDedupMinhashLsh: Q = (s, d) =>
     DedupOps.minhashLshNearDups(Tables.documents(s, d), "doc_id", "text",
-        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dups — rows-only for the same reason. */
+  /** SimHash near-dups — rows-only for the same reason; same opt-in cap. */
   val qDedupSimhash: Q = (s, d) =>
-    DedupOps.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+    DedupOps.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 3, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
   /** Dedup CLUSTERING — the transitive-closure step after pair generation:
@@ -1396,7 +1399,7 @@ object Queries {
   }
 
   /** STREAMING dedup-cluster maintenance under the oracle gate: the same
-    * deterministic shingle edges as q_dedup_cluster arrive in 3
+    * deterministic shingle edges as q_dedup_cluster arrive in 2
     * micro-batches; labels fold forward per batch via
     * [[streaming.Declared.incrementalClusters]] (stars ∪ new edges). The
     * final labeling is batching-invariant, so the recursive-CTE oracle

@@ -30,13 +30,25 @@ object Bucketing {
     // table that actually lives under a .db dir (or vice versa)
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val loc = new org.apache.hadoop.fs.Path(
-      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+    // only a MANAGED table's data is ours to reclaim: if the name matches
+    // an EXTERNAL table, its location is user-owned data that DROP must
+    // leave in place (deleting it would destroy a directory this writer
+    // never created). For a dead entry from an earlier JVM, the stale dir
+    // is the managed defaultTablePath by construction, so it is fair game.
+    val loc: Option[org.apache.hadoop.fs.Path] =
+      if (catalog.tableExists(ident)) {
+        val meta = catalog.getTableMetadata(ident)
+        if (meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          Some(new org.apache.hadoop.fs.Path(meta.location))
+        else None
+      }
       // defaultTablePath throws on a not-yet-created database — in that
       // case there is no stale dir to clean (saveAsTable would fail too)
-      else scala.util.Try(catalog.defaultTablePath(ident)).getOrElse(
-        new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), table).toUri))
+      else Some(new org.apache.hadoop.fs.Path(
+        scala.util.Try(catalog.defaultTablePath(ident)).getOrElse(
+          new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), table).toUri)))
     // drop via the PARSED identifier: quoting the raw string as one
     // identifier would resolve a qualified "db.tbl" to default.`db.tbl`,
     // deleting db.db/tbl's files above but dropping a different table
@@ -44,8 +56,10 @@ object Bucketing {
     // warehouse IO goes through the Hadoop FileSystem of the path (file:,
     // hdfs:, s3a:, ...), same rule as SchemaRegistry — java.io.File would
     // silently no-op on any non-local warehouse
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    loc.foreach { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

@@ -54,6 +54,12 @@ object DedupOps {
                       blockCols: Seq[String], k: Int,
                       threshold: Double,
                       maxBlock: Int = Int.MaxValue): DataFrame = {
+    // a cap without blocking keys would be a silent no-op: there is no
+    // block to count, so the unblocked self-join would run fully unguarded
+    // while the caller believes the quadratic term is bounded
+    require(blockCols.nonEmpty || maxBlock == Int.MaxValue,
+      "maxBlock requires blockCols: with no blocking keys there is no block" +
+        " to cap — the whole corpus self-joins")
     // localCheckpoint for the same reason as minhash below: the self-join
     // would otherwise evaluate the shingle pipeline on BOTH sides
     val withSh0 = docs.select(
@@ -114,7 +120,8 @@ object DedupOps {
     * windowed count partitions on exactly the join keys, so the exchange is
     * computed once and reused by the join itself. */
   private def capHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
-    banded
+    if (maxBucket == Int.MaxValue) banded // uncapped: skip the count pass
+    else banded
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("_bn") <= maxBucket)
       .drop("_bn")
@@ -125,6 +132,13 @@ object DedupOps {
     * shingles. The only shuffle is the bucket self-join — linear in bucket
     * sizes, with [[capHotBuckets]] bounding the worst cell at `maxBucket`.
     *
+    * `maxBucket` is OPT-IN (default keeps every bucket): the cap DROPS a
+    * whole (band, bucket) cell, so every pair touching it — including >cap
+    * legitimately-near docs sharing a band — silently disappears from the
+    * output. Set it (declared queries use 1000) when degenerate
+    * mass-duplicates would otherwise go quadratic, and run [[exact]] dedup
+    * first so identical docs never reach the banded join at all.
+    *
     * The signature frame is locally checkpointed: the self-join would
     * otherwise evaluate the whole shingle+minhash pipeline on BOTH sides
     * (2× the dominant cost) — at cluster scale one materializes signatures
@@ -132,7 +146,7 @@ object DedupOps {
   def minhashLshNearDups(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                          threshold: Double = 0.7,
-                         maxBucket: Int = 1000): DataFrame = {
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     // fused signature kernel: all k minima in one pass over the shingle
     // hashes (graft.plans.MinHashSignatures) — the k-lambda built-in
@@ -228,10 +242,11 @@ object DedupOps {
     * hot buckets, verify candidates by exact Hamming distance.
     * `blocks <= 0` auto-sizes via [[simhashBlocksFor]] (one count over
     * `sigs` — pass a materialized frame), the [[graft.operators.VectorOps]]
-    * `planesFor` analog. */
+    * `planesFor` analog. `maxBucket` is opt-in — see [[minhashLshNearDups]]
+    * for what capping costs in recall. */
   def simhashNearDupsFromSigs(sigs: DataFrame, maxDist: Int = 3,
                               blocks: Int = 4,
-                              maxBucket: Int = 1000): DataFrame = {
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
     val m = if (blocks > 0) blocks else simhashBlocksFor(sigs.count(), maxDist)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array(simhashBandKeys(col("sig"), m, maxDist): _*)))
@@ -257,7 +272,7 @@ object DedupOps {
     * both sides (and so the auto-size count is cheap). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3, blocks: Int = 4,
-                      maxBucket: Int = 1000): DataFrame =
+                      maxBucket: Int = Int.MaxValue): DataFrame =
     simhashNearDupsFromSigs(
       simhashSignatures(docs, idCol, textCol).localCheckpoint(),
       maxDist, blocks, maxBucket)

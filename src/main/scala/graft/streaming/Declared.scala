@@ -181,31 +181,36 @@ object Declared {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       dir, nFiles = 2, filesPerTrigger = 1)
     // alternating state dirs, same reason as lwwServe: a parquet read
-    // cannot overwrite its own input files
+    // cannot overwrite its own input files. Generation = the BATCH ID the
+    // framework hands foreachBatch, not a local counter: on a checkpoint
+    // restart (or an at-least-once batch replay) the source skips committed
+    // batches but batchId keeps counting, so batch N always folds onto
+    // state N−1 — a local counter would reset to 0 and silently rebootstrap
+    // the labeling from empty, dropping every earlier edge. Replaying batch
+    // N is idempotent: it rewrites state N%2 from the same prev + same rows.
     val states = Seq(dir + "/state0", dir + "/state1")
-    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .queryName("graft-stream-cc")
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val g = gen.get()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prev =
-          if (g == 0) s.createDataFrame(java.util.List.of[Row](),
+          if (batchId == 0L) s.createDataFrame(java.util.List.of[Row](),
             StructType(Seq(StructField("id", LongType),
               StructField("component", LongType))))
-          else s.read.parquet(states((g - 1) % 2))
+          else s.read.parquet(states(((batchId - 1) % 2).toInt))
         graft.operators.GraphOps.incrementalComponents(prev, batch)
-          .write.mode("overwrite").parquet(states(g % 2))
-        gen.incrementAndGet()
+          .write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
       .start().awaitTermination()
     val labels =
-      if (gen.get() == 0) s.createDataFrame(java.util.List.of[Row](),
+      if (lastBatch.get() < 0L) s.createDataFrame(java.util.List.of[Row](),
         StructType(Seq(StructField("id", LongType),
           StructField("component", LongType))))
-      else s.read.parquet(states((gen.get() - 1) % 2))
+      else s.read.parquet(states((lastBatch.get() % 2).toInt))
     graft.operators.GraphOps.labelWithClusters(docs, idCol, labels)
   }
 
@@ -222,28 +227,30 @@ object Declared {
       events.select("event_id", "ts", "user_id", "event_type", "value"),
       dir, nFiles = 2, filesPerTrigger = 1)
     // two alternating state dirs: read state N, write state N+1 (a parquet
-    // read can't overwrite its own input files)
+    // read can't overwrite its own input files). Generation = the batchId
+    // argument, same reasoning as incrementalClusters above: restarts and
+    // replays must fold onto the RIGHT previous state, and LWW's
+    // max-by-(ts,id) makes the replayed rewrite idempotent.
     val states = Seq(dir + "/state0", dir + "/state1")
-    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .queryName("graft-stream-lww")
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val g = gen.get()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cur =
-          if (g == 0) batch
-          else batch.unionByName(s.read.parquet(states((g - 1) % 2)))
+          if (batchId == 0L) batch
+          else batch.unionByName(s.read.parquet(states(((batchId - 1) % 2).toInt)))
         graft.operators.Upserts
           .lwwView(cur, Seq("user_id"), "ts", Seq("event_id"))
-          .write.mode("overwrite").parquet(states(g % 2))
-        gen.incrementAndGet()
+          .write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
       .start().awaitTermination()
     // zero micro-batches (empty source) ⇒ no state dir was ever written —
     // return the empty frame in the source's shape
-    if (gen.get() == 0) s.read.parquet(dir + "/src").limit(0)
-    else s.read.parquet(states((gen.get() - 1) % 2))
+    if (lastBatch.get() < 0L) s.read.parquet(dir + "/src").limit(0)
+    else s.read.parquet(states((lastBatch.get() % 2).toInt))
   }
 }

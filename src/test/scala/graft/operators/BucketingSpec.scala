@@ -48,4 +48,21 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bspec_db.t")
     spark.sql("DROP DATABASE IF EXISTS bspec_db")
   }
+
+  test("writeBucketed never deletes an EXTERNAL table's data directory") {
+    // an external table's location is user-owned: overwriting the NAME may
+    // drop the catalog entry, but the underlying files must survive
+    val dir = java.nio.file.Files.createTempDirectory("bspec-ext").toString
+    val o = graft.Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    o.write.mode("overwrite").parquet(dir)
+    spark.sql(s"CREATE TABLE bspec_ext (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      s"USING parquet LOCATION '$dir'")
+    Bucketing.writeBucketed(o, "bspec_ext", "o_orderkey", 4)
+    // the managed replacement works...
+    assert(spark.table("bspec_ext").count() === o.count())
+    // ...and the external directory's files are untouched
+    assert(spark.read.parquet(dir).count() === o.count(),
+      s"external data at $dir was deleted by writeBucketed")
+    spark.sql("DROP TABLE IF EXISTS bspec_ext")
+  }
 }

@@ -164,6 +164,16 @@ class DedupOpsSpec extends SparkSpec {
       "oversized block leaked pairs past the cap")
   }
 
+  test("jaccard maxBlock without blockCols is rejected, not silently ignored") {
+    // with no blocking keys there is no block to cap — the old behavior ran
+    // the whole-corpus self-join unguarded while the caller believed the
+    // quadratic term was bounded
+    intercept[IllegalArgumentException] {
+      DedupOps.jaccardNearDups(docs, "doc_id", "text", Seq.empty,
+        k = 3, threshold = 0.5, maxBlock = 50)
+    }
+  }
+
   test("hot-bucket cap adds no extra shuffle to the band self-join") {
     // with broadcast disabled (the at-scale shape), the capped pipeline
     // should show exactly: one hashpartitioning exchange per join side on
@@ -173,7 +183,8 @@ class DedupOpsSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val pairs = DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      val pairs = DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 3,
+        maxBucket = 1000) // cap opted in: this test asserts the CAPPED plan
       pairs.count()
       val plan = pairs.queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -56,7 +56,7 @@ class DeclaredSpec extends SparkSpec {
   }
 
   test("streaming incremental clusters equal the one-shot batch clustering") {
-    // incremental fold over 3 edge micro-batches must land on exactly the
+    // incremental fold over 2 edge micro-batches must land on exactly the
     // batch CC labeling (stars ∪ new edges ≡ full history)
     val streamed = Queries.qStreamDedupCluster(spark, sf())
     val batch = Queries.qDedupCluster(spark, sf())
