@@ -30,6 +30,31 @@ class QueriesContractSpec extends SparkSpec {
       "per-user session counts diverge between the two formulations")
   }
 
+  test("approx_count_distinct stays within the HLL rsd envelope per group") {
+    // q_agg_approx_distinct is rows-only (HLL estimates are engine-specific,
+    // no cross-engine oracle exists) — but rows-only alone would accept a
+    // broken sketch returning 3 arbitrary numbers. This bounds the estimate
+    // against exact count_distinct at the declared query's default rsd
+    // (0.05): deterministic data + deterministic HLL++ ⇒ no flake.
+    import org.apache.spark.sql.functions._
+    val errs = Tables.lineitem(spark, sf())
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect().map { r =>
+        val a = r.getAs[Long]("approx")
+        val e = r.getAs[Long]("exact")
+        (r.getAs[String]("l_returnflag"), a, e, math.abs(a - e).toDouble / e)
+      }
+    assert(errs.length >= 3, "lineitem fixture lost its return-flag groups")
+    errs.foreach { case (g, a, e, rel) =>
+      info(f"group $g: approx=$a exact=$e rel_err=$rel%.4f")
+      assert(rel <= 0.05,
+        f"approx_count_distinct drifted past the rsd envelope for group $g: " +
+          f"approx=$a exact=$e rel_err=$rel%.4f")
+    }
+  }
+
   test("every declared query executes nonempty at sf0.001 and is ordered") {
     val dir = sf()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

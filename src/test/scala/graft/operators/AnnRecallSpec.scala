@@ -76,6 +76,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(rPq8 >= 0.65, s"PQ m=8 recall regressed: $rPq8")
     // the declared query's pinned config
     assert(rPq8r8 >= 0.85, s"PQ m=8 refine=8 recall regressed: $rPq8r8")
+
+    // IVF-PQ at the declared q_vec_ann_ivfpq config — the most intricate
+    // path (residual PQ + ADC cross-terms + exact re-rank) and the one a
+    // silent sign bug in the cross-term would NOT crash: it would just
+    // return 50 plausible rows, which the rows-only gate can't catch. The
+    // quantitative floor is the check. Measured 0.91 on this fixture.
+    val ivfpq = topkSets(VectorOps.cosineTopKIvfPq(emb, queries, "vec_id", "embedding", 10,
+      nCentroids = 16, nProbe = 4, m = 8, ksub = 16, refine = 8))
+    val rIvfPq = recall(ivfpq)
+    info(f"IVF-PQ recall@10 (16 cells, probe 4, m=8, refine=8): $rIvfPq%.2f")
+    assert(rIvfPq >= 0.85, s"IVF-PQ declared-config recall regressed: $rIvfPq")
   }
 
   test("planesFor keeps bucket size bounded as the corpus grows") {
