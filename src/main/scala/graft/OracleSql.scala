@@ -14,6 +14,21 @@ object OracleSql {
   /** decimal-exact sum rendered to double. */
   private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
 
+  /** Gaps-and-islands sessionization — shared by q_session_window and its
+    * streaming twin q_stream_session.
+    * <= not <: Spark's session_window MERGES an event arriving exactly
+    * gap after the previous one (verified empirically on 4.1.2). */
+  private val sessionWindowSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      |s AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+      |        THEN 0 ELSE 1 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM s)
+      |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, COUNT(*) AS n_events
+      |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
+
   /** Unrolled integer PageRank (mirrors [[graft.operators.GraphOps.pageRank]]
     * at scale 1e9 / damping 0.85): r0 = S//N, then `iters` rounds of
     * teleport + Σ⌊0.85·r/deg⌋ over the symmetrized part↔supplier graph.
@@ -635,18 +650,11 @@ object OracleSql {
         |  event_type, COUNT(*) AS n
         |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
-    "q_session_window" ->
-      // <= not <: Spark's session_window MERGES an event arriving exactly
-      // gap after the previous one (verified empirically on 4.1.2)
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-        |s AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
-        |        THEN 0 ELSE 1 END AS is_new
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |g AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM s)
-        |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  user_id, COUNT(*) AS n_events
-        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+    "q_session_window" -> sessionWindowSql,
+
+    // streaming sessionization is constructed to equal batch session_window
+    // exactly (Declared.sessionWindows), so it shares the oracle verbatim
+    "q_stream_session" -> sessionWindowSql,
 
     "q_scd2_history" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -1055,6 +1055,18 @@ object Queries {
       .select("user_id", "event_id", "ts", "event_type", "value")
       .orderBy("user_id")
 
+  /** STREAMING sessionization under the oracle gate: flatMapGroupsWithState
+    * with event-time timeout over time-ordered micro-batches; a far-future
+    * sentinel closes every open session at end-of-stream (and is filtered
+    * from the output), so the emitted set equals batch
+    * `session_window(ts, 30 min)` and q_session_window's gaps-and-islands
+    * oracle hashes the streaming run exactly
+    * ([[streaming.Declared.sessionWindows]]). */
+  val qStreamSession: Q = (s, d) =>
+    streaming.Declared.sessionWindows(s, Tables.events(s, d),
+        scratchDir("stream-session"), gapMinutes = 30)
+      .orderBy("user_id", "session_start")
+
   /** Sessionization as gaps-and-islands: a per-user running count of
     * gap>30min boundaries labels every event with its session number —
     * the portable per-EVENT session id (session_window only yields the

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_stream_dedup_watermark" -> Queries.qStreamDedupWatermark,
     "q_stream_dedup_cluster" -> Queries.qStreamDedupCluster,
     "q_stream_lww" -> Queries.qStreamLww,
+    "q_stream_session" -> Queries.qStreamSession,
     "q_stream_engine_ingest" -> Queries.qStreamEngineIngest,
     "q_scd2_history" -> Queries.qScd2History,
     // text analysis extensions

@@ -44,6 +44,34 @@ object Declared {
       .parquet(src)
   }
 
+  /** Write `parts` as ONE parquet file each under `dir`/src with strictly
+    * increasing modification times: the file source orders files by mtime,
+    * so with `maxFilesPerTrigger=1` part i IS micro-batch i — the
+    * deterministic arrival order the event-time declared queries (session
+    * close, late-drop) are constructed around. */
+  private def orderedFileStream(s: SparkSession, parts: Seq[DataFrame],
+                                dir: String): DataFrame = {
+    val src = dir + "/src"
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(srcPath, true)
+    fs.mkdirs(srcPath)
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new org.apache.hadoop.fs.Path(src + s"/_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(srcPath, f"b$i%03d.parquet")
+      fs.rename(part, dest)
+      fs.delete(tmp, true)
+      fs.setTimes(dest, 1700000000000L + i * 60000L, -1)
+    }
+    s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+  }
+
   /** Streaming tumbling-window count+sum via appended per-batch partials. */
   def tumblingAgg(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
@@ -134,6 +162,67 @@ object Declared {
       .option("path", out)
       .start().awaitTermination()
     s.read.parquet(out)
+  }
+
+  /** Streaming sessionization under the oracle gate — the last major
+    * stateful-streaming API ([[Stateful.sessionize]]:
+    * flatMapGroupsWithState + event-time timeout) as a declared run.
+    *
+    * Construction that makes the output batch-checkable:
+    *  - the source is split into two EVENT-TIME-ORDERED files (ts below /
+    *    above the range midpoint) — cross-batch order is the premise
+    *    watermarking rests on, and it makes the per-key fold monotone;
+    *  - a third far-future SENTINEL file (user_id = −1, ts past every
+    *    timeout + delay) arrives last: its watermark advance times out
+    *    every open session, so end-of-stream closes everything — the
+    *    final no-data micro-batch emits the remaining sessions;
+    *  - the sentinel's own row is filtered from the output.
+    * Mid-stream sessions close genuinely incrementally (arrival-driven
+    * closure + timeouts as the watermark passes); state stays bounded at
+    * one open session per active user. The emitted set equals batch
+    * `session_window(ts, gap)`, so the gaps-and-islands oracle hashes the
+    * streaming run exactly. */
+  def sessionWindows(s: SparkSession, events: DataFrame, dir: String,
+                     gapMinutes: Int): DataFrame = {
+    val out = dir + "/out"
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ev = events.select(col("user_id"), col("ts"))
+    // range midpoint: one 1-row aggregate (metadata-scale collect)
+    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
+    val cut = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    // sentinel: past every possible timeout (hi + gap) PLUS the watermark
+    // delay, with margin — its arrival pushes the watermark beyond every
+    // open session's close
+    val sentinel = new java.sql.Timestamp(
+      hi.getTime + 31L * 24 * 3600 * 1000 + gapMinutes * 60L * 1000)
+    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    import s8.implicits._
+    val sentinelDf = Seq((-1L, sentinel)).toDF("user_id", "ts")
+    val stream = orderedFileStream(s8, Seq(
+        ev.filter(col("ts") < lit(cut)),
+        ev.filter(col("ts") >= lit(cut)),
+        sentinelDf),
+      dir)
+    // delay 1 day: with time-ordered files nothing real is ever late (each
+    // batch's min ts ≥ the prior watermark already), and the sentinel
+    // clears it by a month
+    Stateful.sessionize(s8,
+        stream.withWatermark("ts", "1 day").as[Stateful.SessionEvent],
+        gapUs)
+      .filter(col("user_id") >= 0L)
+      .writeStream
+      .queryName("graft-stream-session")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out).select(
+      timestamp_micros(col("start_us")).as("session_start"),
+      timestamp_micros(col("end_us")).as("session_end"),
+      col("user_id"), col("n_events"))
   }
 
   /** The reference's MAIN LOOP — consumer → decode → engine ingest

@@ -36,6 +36,15 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming sessionization equals batch session_window exactly") {
+    // flatMapGroupsWithState sessions (arrival-closed mid-stream + sentinel
+    // timeout flush) must reproduce the session_window aggregate: same
+    // starts, same last+gap ends, same per-session event counts
+    val streamed = Queries.qStreamSession(spark, sf())
+    val batch = Queries.qSessionWindow(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming engine ingest serves the same view as one batch ingest") {
     val streamed = Queries.qStreamEngineIngest(spark, sf())
     // batch twin: the SAME slice through one h.ingest call
