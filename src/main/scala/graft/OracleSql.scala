@@ -634,6 +634,13 @@ object OracleSql {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // the Spark side streams events PLUS a planted late marker row (user
+    // −99, ts below the watermark horizon) that must be dropped; the oracle
+    // covers the real events only — the implicit anti-filter IS the gate
+    "q_stream_late_drop" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "q_stream_lww" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,

@@ -1055,6 +1055,17 @@ object Queries {
       .select("user_id", "event_id", "ts", "event_type", "value")
       .orderBy("user_id")
 
+  /** Watermark LATE-DATA DROP under the oracle gate: a planted marker row
+    * (user −99, event time below the 3650-day watermark horizon) arrives
+    * after the real time-ordered files and must be dropped by the filter;
+    * the oracle is batch DISTINCT over the real events only — a leaked
+    * row fails the hash, putting the drop path itself under the gate
+    * ([[streaming.Declared.dedupDropLate]]). */
+  val qStreamLateDrop: Q = (s, d) =>
+    streaming.Declared.dedupDropLate(s, Tables.events(s, d),
+        scratchDir("stream-late-drop"))
+      .orderBy("user_id", "event_type")
+
   /** STREAMING sessionization under the oracle gate: flatMapGroupsWithState
     * with event-time timeout over time-ordered micro-batches; a far-future
     * sentinel closes every open session at end-of-stream (and is filtered

@@ -164,6 +164,54 @@ object Declared {
     s.read.parquet(out)
   }
 
+  /** LATE-DATA DROP under the oracle gate: the watermark's actual
+    * drop-late-rows path, not just bounded state. The source is two
+    * event-time-ordered files of real events followed by a PLANTED row
+    * whose event time sits ~10 years before the corpus — below even the
+    * 3650-day watermark the real files established — with a marker key no
+    * real row carries. `dropDuplicatesWithinWatermark` must filter it
+    * before the stateful op (plain `dropDuplicates` verifiably does NOT
+    * drop late rows when the time column isn't a key — that leak is what
+    * this query exists to pin); the oracle is batch DISTINCT over the
+    * REAL events only, so a leaked row is a hash failure, not a spec-only
+    * assertion. The 3650-day delay spans the corpus, so no real key is
+    * ever late or evicted (the q_stream_dedup_watermark argument) and the
+    * real output is exactly the distinct key set. File order is
+    * deterministic ([[orderedFileStream]] mtimes + maxFilesPerTrigger=1),
+    * so no batch-invariance argument is needed — the drop itself is the
+    * test. */
+  def dedupDropLate(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val out = dir + "/out"
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
+    val cut = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    // watermark when the planted file arrives = max(real) − 3650 d; the
+    // planted time must sit below it: hi − 3800 d does (corpus spans days)
+    val planted = new java.sql.Timestamp(hi.getTime - 3800L * 24 * 3600 * 1000)
+    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    import s8.implicits._
+    val plantedDf = Seq((-99L, "late_sentinel", planted))
+      .toDF("user_id", "event_type", "ts")
+    orderedFileStream(s8, Seq(
+        ev.filter(col("ts") < lit(cut)),
+        ev.filter(col("ts") >= lit(cut)),
+        plantedDf),
+      dir)
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream
+      .queryName("graft-stream-late-drop")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out)
+  }
+
   /** Streaming sessionization under the oracle gate — the last major
     * stateful-streaming API ([[Stateful.sessionize]]:
     * flatMapGroupsWithState + event-time timeout) as a declared run.

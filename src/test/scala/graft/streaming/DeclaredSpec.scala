@@ -36,6 +36,19 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("late-drop stream drops the planted row and keeps every real key") {
+    val streamed = Queries.qStreamLateDrop(spark, sf())
+    // the planted marker must have been dropped by the watermark filter...
+    assert(streamed.filter(
+      org.apache.spark.sql.functions.col("user_id") < 0L).count() === 0L,
+      "planted late row leaked past the watermark")
+    // ...and no real key was lost (no eviction: ts is not a dedup key)
+    val batch = Tables.events(spark, sf())
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming sessionization equals batch session_window exactly") {
     // flatMapGroupsWithState sessions (arrival-closed mid-stream + sentinel
     // timeout flush) must reproduce the session_window aggregate: same
