@@ -624,6 +624,15 @@ object OracleSql {
         |FROM events WHERE event_type = 'signup' AND event_id <= 1500
         |ORDER BY event_id""".stripMargin,
 
+    // mid-stream compaction maintenance must never change the serving
+    // answer, only the file layout — same oracle shape, smaller slice
+    "q_stream_compact" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'signup' AND event_id <= 1000
+        |ORDER BY event_id""".stripMargin,
+
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

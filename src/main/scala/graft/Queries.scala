@@ -1036,6 +1036,28 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** STREAMING COMPACTION MAINTENANCE under the oracle gate: the same
+    * consumer→engine loop as q_stream_engine_ingest but through
+    * [[streaming.Declared.engineIngestCompacting]] — after each
+    * micro-batch, types over the file threshold are compacted
+    * (Engine.compactIfNeeded), so the post-batch maintenance rewrite runs
+    * mid-stream. Compaction must never change the serving answer, only
+    * the layout — the plain-SQL oracle is the gate (the streaming analog
+    * of q_engine_compact's ruling). */
+  val qStreamCompact: Q = (s, d) => {
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1000)
+    streaming.Declared.engineIngestCompacting(s,
+        Flagship.envelopesFrom(s, events), scratchDir("stream-compact"),
+        serveType = "signup", maxFilesPerType = 16)
+      .select(
+        col("id").cast(LongType).as("event_id"),
+        col("user_id"), col("value"),
+        col("props__k").as("k"),
+        col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
   val qStreamDedup: Q = (s, d) =>
     streaming.Declared.dedupKeys(s, Tables.events(s, d),
         scratchDir("stream-dedup"))

@@ -294,6 +294,31 @@ object Declared {
     h.table(serveType)
   }
 
+  /** [[engineIngest]] through [[StreamingIngest.startWithMaintenance]]:
+    * the post-batch COMPACTION maintenance loop under the oracle gate.
+    * After each micro-batch's ingest, any type whose physical file count
+    * crossed `maxFilesPerType` is compacted (LWW-collapse + crash-safe dir
+    * swap) — the small-files control loop a long-running streaming ingest
+    * runs. Sized so the threshold crosses on the SECOND batch (each append
+    * writes ≤16 bucket files, compaction collapses back to ≤16), so a real
+    * mid-stream compaction happens; maintenance changes layout, never the
+    * serving answer, so the q_engine_ingest-shaped oracle hashes the run. */
+  def engineIngestCompacting(s: SparkSession, envelopes: DataFrame,
+                             dir: String, serveType: String,
+                             maxFilesPerType: Int): DataFrame = {
+    val src = dir + "/src"
+    envelopes.repartition(2).write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val h = graft.core.Engine.bootstrap(s, dir + "/wh",
+      overrideWarehouse = true)
+    StreamingIngest.startWithMaintenance(h, stream, dir + "/ckpt",
+      maxFilesPerType).awaitTermination()
+    h.table(serveType)
+  }
+
   /** Streaming dedup-CLUSTER maintenance: near-dup edges arrive in
     * micro-batches and the (id, component) labeling is folded forward with
     * [[graft.operators.GraphOps.incrementalComponents]] — the previous

@@ -77,6 +77,28 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("mid-stream compaction maintenance: layout collapsed, answer unchanged") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf())
+      .filter(col("event_type") === "signup" && col("event_id") <= 1000)
+    val dir = tmpDir("declared-stream-compact")
+    val streamed = graft.streaming.Declared.engineIngestCompacting(spark,
+      graft.Flagship.envelopesFrom(spark, events), dir,
+      serveType = "signup", maxFilesPerType = 16)
+    // the maintenance loop really compacted: two ~16-file appends would
+    // leave ~32 files, the post-batch rewrite collapses to <= threshold
+    val h = graft.core.Engine.bootstrap(spark, dir + "/wh")
+    val nFiles = h.registry.dataFileCount("signup")
+    assert(nFiles <= 16, s"maintenance never compacted: $nFiles files")
+    // ...and the serving answer equals one batch ingest of the same slice
+    val wh = tmpDir("declared-stream-compact-batch")
+    val hb = graft.core.Engine.bootstrap(spark, wh, overrideWarehouse = true)
+    hb.ingest(graft.Flagship.envelopesFrom(spark, events))
+    val cols = Seq("id", "user_id", "value", "props__k", "last_modified")
+    assert(rows(streamed.selectExpr(cols: _*).orderBy("id")) ==
+      rows(hb.table("signup").selectExpr(cols: _*).orderBy("id")))
+  }
+
   test("streaming incremental clusters equal the one-shot batch clustering") {
     // incremental fold over 2 edge micro-batches must land on exactly the
     // batch CC labeling (stars ∪ new edges ≡ full history)
