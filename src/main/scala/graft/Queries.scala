@@ -1314,6 +1314,19 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** BPE ENCODE — apply the trained merge table per document
+    * ([[operators.TextOps.bpeEncodeDocs]]): vocabulary encoded once,
+    * per-doc token counts via broadcast join + hash agg. Rows-only for
+    * the same reason as q_bpe_merges (the greedy merge fold is not
+    * ANSI-expressible); the encode↔train round-trip is property-proven in
+    * BpeSpec against a driver twin. */
+  val qBpeEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = operators.TextOps.bpeTrainMerges(docs, "text", nMerges = 16)
+    operators.TextOps.bpeEncodeDocs(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** Corpus curation report: source × lang ROLLUP of doc counts, token
     * totals, and quality-gate pass rates — the dashboard a data curator
     * reads before cutting a training mix. Composes tokenCounts +

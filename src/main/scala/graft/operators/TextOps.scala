@@ -245,6 +245,33 @@ object TextOps {
       mergePair(c, a, b)
     }
 
+  /** BPE-encode every document with a trained merge table — the missing
+    * half of the tokenizer-training story ([[bpeTrainMerges]] → encode).
+    * The merge folds run once per DISTINCT word (vocabulary-scale, same
+    * argument as training: a 100 TB corpus grows occurrences, not the
+    * vocabulary), then each document aggregates its words' token counts
+    * through a broadcast join — the corpus-scale pass is one explode +
+    * one map-side-combined agg, no text shuffle. Words are the training
+    * tokenization (lowercase letter runs, `</w>` terminated); docs with no
+    * words keep a zero-count row. */
+  def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val words = docs.select(col(idCol), explode(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
+    val vocab = words.select("w").distinct()
+      // split(w, "", 0): limit 0 drops the trailing empty string Java's
+      // default -1 keeps — symbols must be exactly the word's characters
+      .withColumn("toks",
+        bpeEncode(concat(split(col("w"), "", 0), array(lit("</w>"))), merges))
+      .select(col("w"), size(col("toks")).cast(LongType).as("n_tok"))
+    val counts = words.join(broadcast(vocab), "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_words", "n_bpe_tokens"))
+  }
+
   /** Benchmark decontamination — the test-set-overlap removal every LLM
     * training pipeline runs before a corpus ships: a training doc is
     * contaminated when it shares ANY word `k`-gram with the evaluation set.

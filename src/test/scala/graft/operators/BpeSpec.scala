@@ -44,4 +44,44 @@ class BpeSpec extends SparkSpec {
     val docs = Seq("ab").toDF("text") // every pair count = 1
     assert(TextOps.bpeTrainMerges(docs, "text", 5).isEmpty)
   }
+
+  test("bpeEncodeDocs: hand-computed counts on the classic fixture") {
+    // same corpus as the training fixture; merges (a,a),(b,</w>),(a,b</w>)
+    // encode aaab → [aa,ab</w>] (2 toks), aab → [aa,b</w>] (2 toks)
+    val docs = ((1 to 5).map(i => (i.toLong, "aaab")) ++
+      (6 to 8).map(i => (i.toLong, "aab"))).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMerges(docs, "text", nMerges = 3)
+    val got = TextOps.bpeEncodeDocs(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.length === 8)
+    assert(got.forall { case (_, nw, nb) => nw == 1L && nb == 2L })
+  }
+
+  test("bpeEncodeDocs: vocab-join path matches direct per-occurrence encode") {
+    val docs = Seq(
+      (1L, "aaab aab the aaab quick"),
+      (2L, "Mixed CASE aab, aab!! 123 the the"),
+      (3L, ""), // no words: must keep a (0, 0) row, not drop the doc
+      (4L, "zzz aaab")
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMerges(docs, "text", nMerges = 4)
+    val got = TextOps.bpeEncodeDocs(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // independent path: encode EVERY word occurrence (no distinct-vocab
+    // join), then aggregate — must agree with the vocabulary-scale path
+    val direct = docs
+      .select($"doc_id", explode(regexp_extract_all(
+        lower($"text"), lit("[a-z]+"), lit(0))).as("w"))
+      .select($"doc_id", size(TextOps.bpeEncode(
+        concat(split($"w", "", 0), array(lit("</w>"))), merges)).as("n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), sum($"n".cast("long")).as("nb"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    for ((id, nw, nb) <- got) {
+      val (enw, enb) = direct.getOrElse(id, (0L, 0L))
+      assert(nw === enw, s"doc $id n_words")
+      assert(nb === enb, s"doc $id n_bpe_tokens")
+    }
+    assert(got.find(_._1 == 3L).contains((3L, 0L, 0L)))
+  }
 }
