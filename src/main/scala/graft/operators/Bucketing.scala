@@ -33,8 +33,14 @@ object Bucketing {
     // only a MANAGED table's data is ours to reclaim: if the name matches
     // an EXTERNAL table, its location is user-owned data that DROP must
     // leave in place (deleting it would destroy a directory this writer
-    // never created). For a dead entry from an earlier JVM, the stale dir
-    // is the managed defaultTablePath by construction, so it is fair game.
+    // never created). When NO catalog entry holds the name, the stale dir
+    // at the managed defaultTablePath (a dead JVM's leftover) is fair
+    // game. The one unhandled corner: an EXTERNAL occupant PLUS a stale
+    // managed dir from a dead JVM — nothing is deleted (the external
+    // table's location could be that very path, so cleanup would risk
+    // user data) and the saveAsTable below fails loudly with
+    // "location already exists"; deliberate trade-off, safety over
+    // self-healing.
     val loc: Option[org.apache.hadoop.fs.Path] =
       if (catalog.tableExists(ident)) {
         val meta = catalog.getTableMetadata(ident)

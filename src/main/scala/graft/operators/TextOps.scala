@@ -250,23 +250,29 @@ object TextOps {
     * The merge folds run once per DISTINCT word (vocabulary-scale, same
     * argument as training: a 100 TB corpus grows occurrences, not the
     * vocabulary), then each document aggregates its words' token counts
-    * through a broadcast join — the corpus-scale pass is one explode +
-    * one map-side-combined agg, no text shuffle. Words are the training
-    * tokenization (lowercase letter runs, `</w>` terminated); docs with no
-    * words keep a zero-count row. */
+    * through a broadcast join. The corpus text is scanned ONCE: the
+    * explode aggregates straight into the (doc, word, count) matrix —
+    * far smaller than the text — which is localCheckpointed (same
+    * two-consumer reuse pattern as the banded dedup self-joins) so the
+    * vocabulary derivation and the count join don't each rescan the
+    * corpus. Words are the training tokenization (lowercase letter runs,
+    * `</w>` terminated); docs with no words keep a zero-count row. */
   def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String,
                     merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    val words = docs.select(col(idCol), explode(
-      regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
-    val vocab = words.select("w").distinct()
+    val docWords = docs.select(col(idCol), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = docWords.select("w").distinct()
       // split(w, "", 0): limit 0 drops the trailing empty string Java's
       // default -1 keeps — symbols must be exactly the word's characters
       .withColumn("toks",
         bpeEncode(concat(split(col("w"), "", 0), array(lit("</w>"))), merges))
       .select(col("w"), size(col("toks")).cast(LongType).as("n_tok"))
-    val counts = words.join(broadcast(vocab), "w")
+    val counts = docWords.join(broadcast(vocab), "w")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_tok")).as("n_bpe_tokens"))
     docs.select(col(idCol))
       .join(counts, Seq(idCol), "left")
       .na.fill(0L, Seq("n_words", "n_bpe_tokens"))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Structured-Streaming implementations behind DECLARED (oracle-gated)
@@ -180,25 +180,43 @@ object Declared {
     * deterministic ([[orderedFileStream]] mtimes + maxFilesPerTrigger=1),
     * so no batch-invariance argument is needed — the drop itself is the
     * test. */
-  def dedupDropLate(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
-    val out = dir + "/out"
-    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+  /** The shared construction both watermark-sensitive declared streams
+    * rest on: split `ev` into two EVENT-TIME-ORDERED files on the range
+    * midpoint of `ts` (one 1-row aggregate, metadata-scale collect;
+    * cross-batch event-time order is the premise the watermark arguments
+    * use), append `mkTrailer`'s planted row as the LAST file, and open the
+    * ordered stream on an isolated 8-partition child session (state
+    * sizing, same as dedupKeys). The trailer builder receives the child
+    * session (for its implicits) and the corpus (lo, hi) timestamps. */
+  private def orderedHalvesStream(s: SparkSession, ev: DataFrame, dir: String)
+      (mkTrailer: (SparkSession, java.sql.Timestamp,
+                   java.sql.Timestamp) => DataFrame)
+      : (SparkSession, DataFrame) = {
     val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
     val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
     val cut = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
-    // watermark when the planted file arrives = max(real) − 3650 d; the
-    // planted time must sit below it: hi − 3800 d does (corpus spans days)
-    val planted = new java.sql.Timestamp(hi.getTime - 3800L * 24 * 3600 * 1000)
-    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
+    val s8 = s.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
-    import s8.implicits._
-    val plantedDf = Seq((-99L, "late_sentinel", planted))
-      .toDF("user_id", "event_type", "ts")
-    orderedFileStream(s8, Seq(
+    val stream = orderedFileStream(s8, Seq(
         ev.filter(col("ts") < lit(cut)),
         ev.filter(col("ts") >= lit(cut)),
-        plantedDf),
+        mkTrailer(s8, lo, hi)),
       dir)
+    (s8, stream)
+  }
+
+  def dedupDropLate(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val out = dir + "/out"
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val (_, stream) = orderedHalvesStream(s, ev, dir) { (s8, _, hi) =>
+      // watermark when the planted file arrives = max(real) − 3650 d; the
+      // planted time must sit below it: hi − 3800 d does (corpus spans days)
+      val planted = new java.sql.Timestamp(hi.getTime - 3800L * 24 * 3600 * 1000)
+      import s8.implicits._
+      Seq((-99L, "late_sentinel", planted))
+        .toDF("user_id", "event_type", "ts")
+    }
+    stream
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
@@ -235,24 +253,16 @@ object Declared {
     val out = dir + "/out"
     val gapUs = gapMinutes * 60L * 1000000L
     val ev = events.select(col("user_id"), col("ts"))
-    // range midpoint: one 1-row aggregate (metadata-scale collect)
-    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
-    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
-    val cut = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
-    // sentinel: past every possible timeout (hi + gap) PLUS the watermark
-    // delay, with margin — its arrival pushes the watermark beyond every
-    // open session's close
-    val sentinel = new java.sql.Timestamp(
-      hi.getTime + 31L * 24 * 3600 * 1000 + gapMinutes * 60L * 1000)
-    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
-    import s8.implicits._
-    val sentinelDf = Seq((-1L, sentinel)).toDF("user_id", "ts")
-    val stream = orderedFileStream(s8, Seq(
-        ev.filter(col("ts") < lit(cut)),
-        ev.filter(col("ts") >= lit(cut)),
-        sentinelDf),
-      dir)
+    val (s8, stream) = orderedHalvesStream(s, ev, dir) { (s8, _, hi) =>
+      // sentinel: past every possible timeout (hi + gap) PLUS the watermark
+      // delay, with margin — its arrival pushes the watermark beyond every
+      // open session's close
+      val sentinel = new java.sql.Timestamp(
+        hi.getTime + 31L * 24 * 3600 * 1000 + gapMinutes * 60L * 1000)
+      import s8.implicits._
+      Seq((-1L, sentinel)).toDF("user_id", "ts")
+    }
+    import s8.implicits._ // SessionEvent encoder for .as[] below
     // delay 1 day: with time-ordered files nothing real is ever late (each
     // batch's min ts ≥ the prior watermark already), and the sentinel
     // clears it by a month
@@ -280,8 +290,14 @@ object Declared {
     * view is returned. Per-batch appends + read-side LWW make the result
     * independent of batching (and of at-least-once replays), which is what
     * lets the batch oracle hash-check the streaming ingest path. */
-  def engineIngest(s: SparkSession, envelopes: DataFrame, dir: String,
-                   serveType: String): DataFrame = {
+  /** Shared setup for the declared consumer→engine runs: envelope files,
+    * the micro-batched stream over them, a fresh bootstrapped warehouse —
+    * then hand (handle, stream, checkpointDir) to the caller's starter
+    * (plain ingest or ingest+maintenance) and return the serving view. */
+  private def ingestEnvelopes(s: SparkSession, envelopes: DataFrame,
+      dir: String, serveType: String)(
+      start: (graft.core.Engine.Handle, DataFrame, String) => StreamingQuery)
+      : DataFrame = {
     val src = dir + "/src"
     envelopes.repartition(2).write.mode("overwrite").parquet(src)
     val stream = s.readStream
@@ -290,9 +306,14 @@ object Declared {
       .parquet(src)
     val h = graft.core.Engine.bootstrap(s, dir + "/wh",
       overrideWarehouse = true)
-    StreamingIngest.start(h, stream, dir + "/ckpt").awaitTermination()
+    start(h, stream, dir + "/ckpt").awaitTermination()
     h.table(serveType)
   }
+
+  def engineIngest(s: SparkSession, envelopes: DataFrame, dir: String,
+                   serveType: String): DataFrame =
+    ingestEnvelopes(s, envelopes, dir, serveType)(
+      StreamingIngest.start(_, _, _))
 
   /** [[engineIngest]] through [[StreamingIngest.startWithMaintenance]]:
     * the post-batch COMPACTION maintenance loop under the oracle gate.
@@ -305,19 +326,9 @@ object Declared {
     * serving answer, so the q_engine_ingest-shaped oracle hashes the run. */
   def engineIngestCompacting(s: SparkSession, envelopes: DataFrame,
                              dir: String, serveType: String,
-                             maxFilesPerType: Int): DataFrame = {
-    val src = dir + "/src"
-    envelopes.repartition(2).write.mode("overwrite").parquet(src)
-    val stream = s.readStream
-      .schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-    val h = graft.core.Engine.bootstrap(s, dir + "/wh",
-      overrideWarehouse = true)
-    StreamingIngest.startWithMaintenance(h, stream, dir + "/ckpt",
-      maxFilesPerType).awaitTermination()
-    h.table(serveType)
-  }
+                             maxFilesPerType: Int): DataFrame =
+    ingestEnvelopes(s, envelopes, dir, serveType)(
+      StreamingIngest.startWithMaintenance(_, _, _, maxFilesPerType))
 
   /** Streaming dedup-CLUSTER maintenance: near-dup edges arrive in
     * micro-batches and the (id, component) labeling is folded forward with
