@@ -650,6 +650,21 @@ object OracleSql {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // append-mode stream-stream inner join emits each matched pair exactly
+    // once, so the one-shot batch interval join hashes the streaming run
+    "q_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_ts, p.buy_id, p.buy_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.buy_ts >= c.click_ts
+        |  AND p.buy_ts <= c.click_ts + INTERVAL 24 HOUR
+        |ORDER BY c.user_id, click_id, buy_id""".stripMargin,
+
     "q_stream_lww" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,

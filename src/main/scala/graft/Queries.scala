@@ -1088,6 +1088,18 @@ object Queries {
         scratchDir("stream-late-drop"))
       .orderBy("user_id", "event_type")
 
+  /** STREAM-STREAM inner join under the oracle gate: clicks and purchases
+    * stream through two independent micro-batched readers, watermarked on
+    * both sides, joined on user within a 24 h event-time range — the
+    * funnel-attribution shape (click → purchase within a day). Append-mode
+    * inner join emits each matched pair exactly once, so the match set
+    * equals DuckDB's batch interval join regardless of how the two sides'
+    * micro-batches interleave ([[streaming.Declared.streamStreamJoin]]). */
+  val qStreamStreamJoin: Q = (s, d) =>
+    streaming.Declared.streamStreamJoin(s, Tables.events(s, d),
+        scratchDir("stream-ss-join"))
+      .orderBy("user_id", "click_id", "buy_id")
+
   /** STREAMING sessionization under the oracle gate: flatMapGroupsWithState
     * with event-time timeout over time-ordered micro-batches; a far-future
     * sentinel closes every open session at end-of-stream (and is filtered
@@ -1326,6 +1338,18 @@ object Queries {
     operators.TextOps.bpeEncodeDocs(docs, "doc_id", "text", merges)
       .orderBy("doc_id")
   }
+
+  /** Unigram LM perplexity scoring
+    * ([[operators.TextOps.unigramPerplexity]]): corpus-trained add-one
+    * unigram model, per-doc cross-entropy in integer micro-nats — the
+    * LM-fit quality gate (CCNet-style) over the documents table.
+    * Rows-only: cross-engine ln/summation-order ulp drift makes rounded
+    * digits oracle-unsafe; the exact formula is driver-twin-proven in
+    * LmPerplexitySpec. */
+  val qLmPerplexity: Q = (s, d) =>
+    operators.TextOps.unigramPerplexity(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy("doc_id")
 
   /** Corpus curation report: source × lang ROLLUP of doc counts, token
     * totals, and quality-gate pass rates — the dashboard a data curator

@@ -259,10 +259,7 @@ object TextOps {
     * `</w>` terminated); docs with no words keep a zero-count row. */
   def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String,
                     merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    val docWords = docs.select(col(idCol), explode(
-        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val docWords = docWordMatrix(docs, idCol, textCol)
     val vocab = docWords.select("w").distinct()
       // split(w, "", 0): limit 0 drops the trailing empty string Java's
       // default -1 keeps — symbols must be exactly the word's characters
@@ -276,6 +273,52 @@ object TextOps {
     docs.select(col(idCol))
       .join(counts, Seq(idCol), "left")
       .na.fill(0L, Seq("n_words", "n_bpe_tokens"))
+  }
+
+  /** ONE corpus text scan aggregated straight into the localCheckpointed
+    * (doc, word, count) matrix — far smaller than the text — that every
+    * vocabulary-scale consumer (BPE encode, LM scoring) reuses without
+    * rescanning the corpus. Words = the training tokenization (lowercase
+    * letter runs). */
+  private def docWordMatrix(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+
+  /** Unigram language-model scoring — train an add-one-smoothed unigram
+    * model ON the corpus and score every document's cross-entropy against
+    * it: the classic LM-fit quality signal (gibberish, boilerplate, and
+    * non-language docs sit far above the corpus's own entropy; FastText/
+    * CCNet-era pipelines gate on exactly this number from a KenLM).
+    * One corpus text scan ([[docWordMatrix]]); the unigram table is
+    * vocabulary-scale and joins back for scoring (corpus grows N, not V).
+    * Cross-entropy is emitted in integer MICRO-NATS: `round(1e6 · H(d))`
+    * where `H(d) = (1/N_d) Σ_w c_dw · ln((N+V)/(c_w+1))` — not
+    * ANSI-oracle-safe (cross-engine `ln`/summation-order ulp drift flips
+    * rounded digits), so the declared query is rows-only with an exact
+    * driver-twin spec. Docs with no words keep a zero row. */
+  def unigramPerplexity(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val dw = docWordMatrix(docs, idCol, textCol)
+    // vocabulary-scale unigram table; two consumers (totals agg + score
+    // join) ⇒ checkpointed like its parent
+    val uni = dw.groupBy("w").agg(sum("c").as("cw")).localCheckpoint()
+    val tot = uni.agg(sum("cw"), count(lit(1))).collect()(0) // 1-row agg
+    val denom = (tot.getLong(0) + tot.getLong(1)).toDouble   // N + V
+    val scored = dw.join(uni, "w")
+      .withColumn("neglogp",
+        -log((col("cw") + lit(1)).cast(DoubleType) / lit(denom)))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_words"),
+        sum(col("c").cast(DoubleType) * col("neglogp")).as("h_sum"))
+      .select(col(idCol), col("n_words"),
+        round(col("h_sum") / col("n_words") * lit(1e6)).cast(LongType)
+          .as("xent_micronats"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_words", "xent_micronats"))
   }
 
   /** Benchmark decontamination — the test-set-overlap removal every LLM

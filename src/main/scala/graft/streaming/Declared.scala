@@ -180,6 +180,52 @@ object Declared {
     * deterministic ([[orderedFileStream]] mtimes + maxFilesPerTrigger=1),
     * so no batch-invariance argument is needed — the drop itself is the
     * test. */
+  /** Stream-STREAM inner join under the oracle gate — the last major
+    * stateful-streaming join API: two independently micro-batched readers
+    * over the same event files (clicks vs purchases), each watermarked,
+    * joined on user + a 24 h event-time range. Append-mode inner join
+    * emits each matched pair exactly ONCE, when both sides have arrived,
+    * so the match SET equals the batch interval join for EVERY
+    * interleaving of the two sides' micro-batches — batch-invariance by
+    * construction. The 3650-day delay spans the fixture so no buffered
+    * row is evicted before its partners arrive (the
+    * q_stream_dedup_watermark argument); at production horizons the same
+    * range condition is what lets Spark clip each side's buffer by the
+    * other side's watermark, which is the reason this shape stays bounded
+    * on an unbounded stream. */
+  def streamStreamJoin(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val out = dir + "/out"
+    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = dir + "/src"
+    events.select("event_id", "user_id", "event_type", "ts")
+      .repartition(2).write.mode("overwrite").parquet(src)
+    // two READERS, not one: each side tracks its own file progress, so the
+    // join's state machine sees genuinely independent micro-batches
+    def side(tpe: String, uAlias: String, idAlias: String, tsAlias: String) =
+      s8.readStream.schema(s8.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(uAlias), col("event_id").as(idAlias),
+          col("ts").as(tsAlias))
+        .withWatermark(tsAlias, "3650 days")
+    side("click", "c_user", "click_id", "click_ts")
+      .join(side("purchase", "b_user", "buy_id", "buy_ts"),
+        col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("buy_id"), col("buy_ts"))
+      .writeStream
+      .queryName("graft-stream-stream-join")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out)
+  }
+
   /** The shared construction both watermark-sensitive declared streams
     * rest on: split `ev` into two EVENT-TIME-ORDERED files on the range
     * midpoint of `ts` (one 1-row aggregate, metadata-scale collect;
