@@ -586,6 +586,22 @@ object Queries {
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentile — the sketch companion to the exact
+    * q_agg_percentile, the same pairing as exact/approx distinct: GK/KLL
+    * quantile sketches are mergeable map-side, so at 100 TB this is one
+    * map-side-combined pass where exact percentile must shuffle values.
+    * Rows-only (sketch results are engine-specific); the rank-error bound
+    * (accuracy 10000 ⇒ ±n/10000 ranks) is asserted against the exact
+    * neighborhood in QueriesContractSpec. */
+  val qAggApproxPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("approx_median_price"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)")
+          .as("approx_p99_price"))
+      .orderBy("l_returnflag")
+
   val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
@@ -1098,6 +1114,18 @@ object Queries {
   val qStreamStreamJoin: Q = (s, d) =>
     streaming.Declared.streamStreamJoin(s, Tables.events(s, d),
         scratchDir("stream-ss-join"))
+      .orderBy("user_id", "click_id", "buy_id")
+
+  /** Stream-stream LEFT OUTER join under the oracle gate: unlike the
+    * inner variant, the null-extended rows here are produced by the
+    * WATERMARK/STATE-EVICTION machinery (an unmatched click emits only
+    * when both watermarks pass its join window), so this puts the
+    * eviction path itself under the hash gate — per-side sentinels close
+    * every window at end-of-stream and are filtered from the output
+    * ([[streaming.Declared.streamStreamJoinOuter]]). */
+  val qStreamStreamJoinOuter: Q = (s, d) =>
+    streaming.Declared.streamStreamJoinOuter(s, Tables.events(s, d),
+        scratchDir("stream-ss-join-outer"))
       .orderBy("user_id", "click_id", "buy_id")
 
   /** STREAMING sessionization under the oracle gate: flatMapGroupsWithState

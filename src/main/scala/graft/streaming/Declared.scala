@@ -226,6 +226,74 @@ object Declared {
     s.read.parquet(out)
   }
 
+  /** Stream-stream LEFT OUTER join — the watermark/state-EVICTION path
+    * the inner join never exercises: an unmatched click can only surface
+    * (with null buy columns) once both watermarks pass its join window,
+    * so append-mode outer rows are emitted by eviction, not by matching.
+    * Construction: per-side EVENT-TIME-ORDERED halves (global midpoint),
+    * so at a 1-day delay no real row is ever late AND no click's state is
+    * evicted before its last possible partner arrives (files are
+    * ts-ordered, so every purchase below the current watermark+delay has
+    * already been delivered); TWO far-future sentinel files per side
+    * (user −1 at hi + 30 d, then hi + 60 d) finish the job: the first
+    * pushes both watermarks past every real row's window, and the second
+    * is the data batch that APPLIES it — join eviction/emission uses the
+    * watermark computed from the PREVIOUS batch, and AvailableNow does
+    * not reliably run a no-data batch after the last file (verified: with
+    * one sentinel, the final 2 days of unmatched clicks never flush).
+    * Sentinels are filtered AFTER the run, in the batch read-back — a
+    * post-join `c_user >= 0` INSIDE the streaming query gets pushed below
+    * the EventTimeWatermark node (it doesn't reference the event-time
+    * column), silently dropping the sentinels before they can advance the
+    * watermark (verified: the watermark stays at max-real-click − delay
+    * and the last day's unmatched clicks never evict). The emitted real
+    * set equals the batch LEFT join — the oracle. */
+  def streamStreamJoinOuter(s: SparkSession, events: DataFrame,
+                            dir: String): DataFrame = {
+    val out = dir + "/out"
+    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = events.select("event_id", "user_id", "event_type", "ts")
+    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
+    val cut = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    def sentinelAt(days: Long) =
+      new java.sql.Timestamp(hi.getTime + days * 24 * 3600 * 1000)
+    import s8.implicits._
+    def side(tpe: String, uAlias: String, idAlias: String, tsAlias: String,
+             sub: String): DataFrame = {
+      val sd = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      def sentinel(id: Long, days: Long) =
+        Seq((-1L, id, sentinelAt(days))).toDF("user_id", "event_id", "ts")
+      orderedFileStream(s8, Seq(
+          sd.filter(col("ts") < lit(cut)),
+          sd.filter(col("ts") >= lit(cut)),
+          sentinel(-1L, 30),
+          sentinel(-2L, 60)),
+        dir + sub)
+        .select(col("user_id").as(uAlias), col("event_id").as(idAlias),
+          col("ts").as(tsAlias))
+        .withWatermark(tsAlias, "1 day")
+    }
+    side("click", "c_user", "click_id", "click_ts", "/clicks")
+      .join(side("purchase", "b_user", "buy_id", "buy_ts", "/buys"),
+        col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("buy_id"), col("buy_ts"))
+      .writeStream
+      .queryName("graft-stream-stream-join-outer")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out).filter(col("user_id") >= 0L)
+  }
+
   /** The shared construction both watermark-sensitive declared streams
     * rest on: split `ev` into two EVENT-TIME-ORDERED files on the range
     * midpoint of `ts` (one 1-row aggregate, metadata-scale collect;

@@ -55,6 +55,40 @@ class QueriesContractSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within its rank-error bound per group") {
+    // q_agg_approx_percentile is rows-only (quantile sketches are
+    // engine-specific) — this bounds it instead, in RANK space, which is
+    // what the sketch actually guarantees: accuracy 10000 ⇒ rank error
+    // ≤ ⌈n/10000⌉, plus one rank of slack because approx_percentile
+    // returns a real data value while the target rank p·n is fractional.
+    import org.apache.spark.sql.functions._
+    val approx = Tables.lineitem(spark, sf())
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("a99"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("a50"), r.getAs[Double]("a99"))).toMap
+    assert(approx.size >= 3, "lineitem fixture lost its return-flag groups")
+    // exact per-group sorted values (fixture-scale collect, spec only)
+    val exact = Tables.lineitem(spark, sf())
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    approx.foreach { case (g, (a50, a99)) =>
+      val vs = exact(g); val n = vs.length
+      val m = n / 10000 + 2 // sketch rank error + value-vs-rank slack
+      def sandwich(a: Double, p: Double, label: String): Unit = {
+        val r = (p * (n - 1)).toInt
+        val lo = vs(math.max(0, r - m)); val hi = vs(math.min(n - 1, r + m))
+        info(f"group $g $label: approx=$a in [$lo, $hi] (n=$n, ±$m ranks)")
+        assert(a >= lo && a <= hi,
+          s"$label estimate outside ±$m ranks for group $g: $a not in [$lo, $hi]")
+      }
+      sandwich(a50, 0.5, "median")
+      sandwich(a99, 0.99, "p99")
+    }
+  }
+
   test("every declared query executes nonempty at sf0.001 and is ordered") {
     val dir = sf()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

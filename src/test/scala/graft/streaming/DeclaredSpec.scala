@@ -71,6 +71,30 @@ class DeclaredSpec extends SparkSpec {
     assert(streamed.count() > 0) // the window must actually match pairs
   }
 
+  test("outer stream-stream join: eviction emits exactly the batch left join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Queries.qStreamStreamJoinOuter(spark, sf())
+    val ev = Tables.events(spark, sf())
+      .select("event_id", "user_id", "event_type", "ts")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val batch = c.join(p,
+        c("user_id") === p("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("buy_id"), col("buy_ts"))
+      .orderBy("user_id", "click_id", "buy_id")
+    assert(rows(streamed) == rows(batch))
+    // the eviction path must actually fire: some clicks have no purchase
+    assert(streamed.filter(col("buy_id").isNull).count() > 0)
+  }
+
   test("streaming sessionization equals batch session_window exactly") {
     // flatMapGroupsWithState sessions (arrival-closed mid-stream + sentinel
     // timeout flush) must reproduce the session_window aggregate: same
