@@ -650,6 +650,18 @@ object OracleSql {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // stateless stream-static broadcast join: append output trivially
+    // equals the batch join
+    "q_stream_static_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |p AS (SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS n_events
+        |      FROM e GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.ts, p.first_ts, p.n_events,
+        |  e.ts = p.first_ts AS is_first
+        |FROM e JOIN p USING (user_id)
+        |ORDER BY event_id""".stripMargin,
+
     // append-mode stream-stream inner join emits each matched pair exactly
     // once, so the one-shot batch interval join hashes the streaming run
     "q_stream_stream_join" ->

@@ -1116,6 +1116,16 @@ object Queries {
         scratchDir("stream-ss-join"))
       .orderBy("user_id", "click_id", "buy_id")
 
+  /** Stream-STATIC broadcast join under the oracle gate: per-event
+    * profile enrichment — every arriving event joins a batch-computed
+    * per-user profile broadcast into each micro-batch; stateless, so the
+    * append output trivially equals the batch join
+    * ([[streaming.Declared.streamStaticJoin]]). */
+  val qStreamStaticJoin: Q = (s, d) =>
+    streaming.Declared.streamStaticJoin(s, Tables.events(s, d),
+        scratchDir("stream-static-join"))
+      .orderBy("event_id")
+
   /** Stream-stream LEFT OUTER join under the oracle gate: unlike the
     * inner variant, the null-extended rows here are produced by the
     * WATERMARK/STATE-EVICTION machinery (an unmatched click emits only

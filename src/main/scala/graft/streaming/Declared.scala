@@ -196,7 +196,11 @@ object Declared {
   def streamStreamJoin(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
     val s8 = s.newSession() // isolated state sizing, same as dedupKeys
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4, not 8: a stream-stream join commits FOUR state stores per
+    // partition per batch (keyToNumValues + keyWithIndexToValue, each
+    // side), so the fixed commit cost is double every other stateful
+    // shape's — and the user_id key space is small
+    s8.conf.set("spark.sql.shuffle.partitions", "4")
     val src = dir + "/src"
     events.select("event_id", "user_id", "event_type", "ts")
       .repartition(2).write.mode("overwrite").parquet(src)
@@ -218,6 +222,38 @@ object Declared {
         col("buy_id"), col("buy_ts"))
       .writeStream
       .queryName("graft-stream-stream-join")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** Stream-STATIC join — the per-event enrichment shape of a production
+    * pipeline (profile lookup on every arriving event): the static side
+    * is a batch-computed per-user profile (first event time + lifetime
+    * count) BROADCAST into every micro-batch, so the join is stateless —
+    * no watermark, no state store — and the append output is trivially
+    * micro-batch invariant. The static frame is built on the same child
+    * session as the stream (frames from different sessions must not mix
+    * in one plan). */
+  def streamStaticJoin(s: SparkSession, events: DataFrame,
+                       dir: String): DataFrame = {
+    val out = dir + "/out"
+    val s8 = s.newSession()
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = fileStream(s8, events.select("event_id", "user_id", "ts"),
+      dir, nFiles = 2, filesPerTrigger = 1)
+    val profile = s8.read.parquet(dir + "/src")
+      .groupBy("user_id")
+      .agg(min("ts").as("first_ts"), count(lit(1)).as("n_events"))
+    stream.join(broadcast(profile), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("first_ts"), col("n_events"),
+        (col("ts") === col("first_ts")).as("is_first"))
+      .writeStream
+      .queryName("graft-stream-static-join")
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -252,7 +288,9 @@ object Declared {
                             dir: String): DataFrame = {
     val out = dir + "/out"
     val s8 = s.newSession() // isolated state sizing, same as dedupKeys
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions — same 4-stores-per-partition argument as the
+    // inner variant, and this one runs 4 micro-batches (2 sentinels)
+    s8.conf.set("spark.sql.shuffle.partitions", "4")
     val ev = events.select("event_id", "user_id", "event_type", "ts")
     val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
     val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)

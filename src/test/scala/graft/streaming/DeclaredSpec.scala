@@ -71,6 +71,22 @@ class DeclaredSpec extends SparkSpec {
     assert(streamed.count() > 0) // the window must actually match pairs
   }
 
+  test("stream-static join enriches every event with the batch profile") {
+    import org.apache.spark.sql.functions._
+    val streamed = Queries.qStreamStaticJoin(spark, sf())
+    val ev = Tables.events(spark, sf()).select("event_id", "user_id", "ts")
+    val profile = ev.groupBy("user_id")
+      .agg(min("ts").as("first_ts"), count(lit(1)).as("n_events"))
+    val batch = ev.join(profile, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("first_ts"), col("n_events"),
+        (col("ts") === col("first_ts")).as("is_first"))
+      .orderBy("event_id")
+    assert(rows(streamed) == rows(batch))
+    // ≥: ties on a user's min ts (us precision) can mark two firsts
+    assert(streamed.filter(col("is_first")).count() >= profile.count())
+  }
+
   test("outer stream-stream join: eviction emits exactly the batch left join") {
     import org.apache.spark.sql.functions._
     val streamed = Queries.qStreamStreamJoinOuter(spark, sf())
