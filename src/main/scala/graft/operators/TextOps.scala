@@ -306,7 +306,11 @@ object TextOps {
     // join) ⇒ checkpointed like its parent
     val uni = dw.groupBy("w").agg(sum("c").as("cw")).localCheckpoint()
     val tot = uni.agg(sum("cw"), count(lit(1))).collect()(0) // 1-row agg
-    val denom = (tot.getLong(0) + tot.getLong(1)).toDouble   // N + V
+    // sum is NULL on an all-empty corpus (no extractable words anywhere);
+    // denom's value is then irrelevant — `scored` has no rows — but the
+    // read must not NPE, and every doc still gets its (0, 0) row below
+    val denom =
+      ((if (tot.isNullAt(0)) 0L else tot.getLong(0)) + tot.getLong(1)).toDouble
     val scored = dw.join(uni, "w")
       .withColumn("neglogp",
         -log((col("cw") + lit(1)).cast(DoubleType) / lit(denom)))

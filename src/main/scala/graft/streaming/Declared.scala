@@ -30,19 +30,31 @@ object Declared {
 
   private val Dec = DecimalType(25, 6)
 
-  /** Split `df` into `nFiles` parquet files under `dir`/src and open a
-    * file-source stream over them, `filesPerTrigger` per micro-batch. The
-    * reader is built on `s` — pass an isolated child session (newSession)
-    * when the streaming run needs its own SQL conf (state sizing). */
-  private def fileStream(s: SparkSession, df: DataFrame, dir: String,
-                         nFiles: Int, filesPerTrigger: Int): DataFrame = {
+  /** Write `df` as `nFiles` parquet files under `dir`/src; returns the
+    * src path. Split from the reader so multi-reader queries (the
+    * stream-stream joins) and static-side reads share one layout. */
+  private def writeSrc(df: DataFrame, dir: String, nFiles: Int): String = {
     val src = dir + "/src"
     df.repartition(nFiles).write.mode("overwrite").parquet(src)
+    src
+  }
+
+  /** File-source stream over `src`, `filesPerTrigger` files per
+    * micro-batch. The reader is built on `s` — pass an isolated child
+    * session (newSession) when the run needs its own SQL conf (state
+    * sizing). Each call is an INDEPENDENT reader with its own progress. */
+  private def srcReader(s: SparkSession, src: String,
+                        filesPerTrigger: Int): DataFrame =
     s.readStream
       .schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(src)
-  }
+
+  /** Split `df` into `nFiles` parquet files under `dir`/src and open a
+    * file-source stream over them, `filesPerTrigger` per micro-batch. */
+  private def fileStream(s: SparkSession, df: DataFrame, dir: String,
+                         nFiles: Int, filesPerTrigger: Int): DataFrame =
+    srcReader(s, writeSrc(df, dir, nFiles), filesPerTrigger)
 
   /** Write `parts` as ONE parquet file each under `dir`/src with strictly
     * increasing modification times: the file source orders files by mtime,
@@ -164,22 +176,6 @@ object Declared {
     s.read.parquet(out)
   }
 
-  /** LATE-DATA DROP under the oracle gate: the watermark's actual
-    * drop-late-rows path, not just bounded state. The source is two
-    * event-time-ordered files of real events followed by a PLANTED row
-    * whose event time sits ~10 years before the corpus — below even the
-    * 3650-day watermark the real files established — with a marker key no
-    * real row carries. `dropDuplicatesWithinWatermark` must filter it
-    * before the stateful op (plain `dropDuplicates` verifiably does NOT
-    * drop late rows when the time column isn't a key — that leak is what
-    * this query exists to pin); the oracle is batch DISTINCT over the
-    * REAL events only, so a leaked row is a hash failure, not a spec-only
-    * assertion. The 3650-day delay spans the corpus, so no real key is
-    * ever late or evicted (the q_stream_dedup_watermark argument) and the
-    * real output is exactly the distinct key set. File order is
-    * deterministic ([[orderedFileStream]] mtimes + maxFilesPerTrigger=1),
-    * so no batch-invariance argument is needed — the drop itself is the
-    * test. */
   /** Stream-STREAM inner join under the oracle gate — the last major
     * stateful-streaming join API: two independently micro-batched readers
     * over the same event files (clicks vs purchases), each watermarked,
@@ -201,14 +197,12 @@ object Declared {
     // side), so the fixed commit cost is double every other stateful
     // shape's — and the user_id key space is small
     s8.conf.set("spark.sql.shuffle.partitions", "4")
-    val src = dir + "/src"
-    events.select("event_id", "user_id", "event_type", "ts")
-      .repartition(2).write.mode("overwrite").parquet(src)
+    val src = writeSrc(
+      events.select("event_id", "user_id", "event_type", "ts"), dir, 2)
     // two READERS, not one: each side tracks its own file progress, so the
     // join's state machine sees genuinely independent micro-batches
     def side(tpe: String, uAlias: String, idAlias: String, tsAlias: String) =
-      s8.readStream.schema(s8.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
+      srcReader(s8, src, 1)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(uAlias), col("event_id").as(idAlias),
           col("ts").as(tsAlias))
@@ -243,9 +237,9 @@ object Declared {
     val out = dir + "/out"
     val s8 = s.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = fileStream(s8, events.select("event_id", "user_id", "ts"),
-      dir, nFiles = 2, filesPerTrigger = 1)
-    val profile = s8.read.parquet(dir + "/src")
+    val src = writeSrc(events.select("event_id", "user_id", "ts"), dir, 2)
+    val stream = srcReader(s8, src, filesPerTrigger = 1)
+    val profile = s8.read.parquet(src)
       .groupBy("user_id")
       .agg(min("ts").as("first_ts"), count(lit(1)).as("n_events"))
     stream.join(broadcast(profile), Seq("user_id"))
@@ -292,23 +286,18 @@ object Declared {
     // inner variant, and this one runs 4 micro-batches (2 sentinels)
     s8.conf.set("spark.sql.shuffle.partitions", "4")
     val ev = events.select("event_id", "user_id", "event_type", "ts")
-    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
-    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
-    val cut = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
-    def sentinelAt(days: Long) =
-      new java.sql.Timestamp(hi.getTime + days * 24 * 3600 * 1000)
+    val (_, hi, cut) = tsMidpoint(ev)
     import s8.implicits._
     def side(tpe: String, uAlias: String, idAlias: String, tsAlias: String,
              sub: String): DataFrame = {
       val sd = ev.filter(col("event_type") === tpe)
         .select(col("user_id"), col("event_id"), col("ts"))
       def sentinel(id: Long, days: Long) =
-        Seq((-1L, id, sentinelAt(days))).toDF("user_id", "event_id", "ts")
-      orderedFileStream(s8, Seq(
-          sd.filter(col("ts") < lit(cut)),
-          sd.filter(col("ts") >= lit(cut)),
-          sentinel(-1L, 30),
-          sentinel(-2L, 60)),
+        Seq((-1L, id, new java.sql.Timestamp(
+          hi.getTime + days * 24 * 3600 * 1000)))
+          .toDF("user_id", "event_id", "ts")
+      orderedFileStream(s8,
+        orderedHalves(sd, cut) ++ Seq(sentinel(-1L, 30), sentinel(-2L, 60)),
         dir + sub)
         .select(col("user_id").as(uAlias), col("event_id").as(idAlias),
           col("ts").as(tsAlias))
@@ -340,23 +329,50 @@ object Declared {
     * ordered stream on an isolated 8-partition child session (state
     * sizing, same as dedupKeys). The trailer builder receives the child
     * session (for its implicits) and the corpus (lo, hi) timestamps. */
+  /** Range midpoint of `ev.ts`: one 1-row aggregate (metadata-scale
+    * collect). Returns (lo, hi, cut). */
+  private def tsMidpoint(ev: DataFrame)
+      : (java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp) = {
+    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
+    (lo, hi, new java.sql.Timestamp((lo.getTime + hi.getTime) / 2))
+  }
+
+  /** The two EVENT-TIME-ORDERED halves of `sd` split on `cut` — the
+    * cross-batch event-time-order premise every watermark-sensitive
+    * declared stream's correctness argument rests on, in one place. */
+  private def orderedHalves(sd: DataFrame,
+                            cut: java.sql.Timestamp): Seq[DataFrame] =
+    Seq(sd.filter(col("ts") < lit(cut)), sd.filter(col("ts") >= lit(cut)))
+
   private def orderedHalvesStream(s: SparkSession, ev: DataFrame, dir: String)
       (mkTrailer: (SparkSession, java.sql.Timestamp,
                    java.sql.Timestamp) => DataFrame)
       : (SparkSession, DataFrame) = {
-    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
-    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
-    val cut = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    val (lo, hi, cut) = tsMidpoint(ev)
     val s8 = s.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = orderedFileStream(s8, Seq(
-        ev.filter(col("ts") < lit(cut)),
-        ev.filter(col("ts") >= lit(cut)),
-        mkTrailer(s8, lo, hi)),
-      dir)
+    val stream = orderedFileStream(s8,
+      orderedHalves(ev, cut) :+ mkTrailer(s8, lo, hi), dir)
     (s8, stream)
   }
 
+  /** LATE-DATA DROP under the oracle gate: the watermark's actual
+    * drop-late-rows path, not just bounded state. The source is two
+    * event-time-ordered files of real events followed by a PLANTED row
+    * whose event time sits ~10 years before the corpus — below even the
+    * 3650-day watermark the real files established — with a marker key no
+    * real row carries. `dropDuplicatesWithinWatermark` must filter it
+    * before the stateful op (plain `dropDuplicates` verifiably does NOT
+    * drop late rows when the time column isn't a key — that leak is what
+    * this query exists to pin); the oracle is batch DISTINCT over the
+    * REAL events only, so a leaked row is a hash failure, not a spec-only
+    * assertion. The 3650-day delay spans the corpus, so no real key is
+    * ever late or evicted (the q_stream_dedup_watermark argument) and the
+    * real output is exactly the distinct key set. File order is
+    * deterministic ([[orderedFileStream]] mtimes + maxFilesPerTrigger=1),
+    * so no batch-invariance argument is needed — the drop itself is the
+    * test. */
   def dedupDropLate(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))

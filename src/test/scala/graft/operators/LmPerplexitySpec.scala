@@ -53,4 +53,13 @@ class LmPerplexitySpec extends SparkSpec {
     assert(got(1) === ((2L, 0L, 0L)))
     assert(got(0)._2 === 2L)
   }
+
+  test("an all-empty corpus yields all-zero rows, not a crash") {
+    // degenerate case: NO document has an extractable word — the unigram
+    // total comes back NULL and must not NPE
+    val docs = Seq((1L, "12345"), (2L, "!!!")).toDF("doc_id", "text")
+    val got = TextOps.unigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
 }
