@@ -29,6 +29,18 @@ object OracleSql {
       |  user_id, COUNT(*) AS n_events
       |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 
+  /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
+    * its streaming twin q_stream_sliding: each event lands in the two
+    * half-hour-aligned windows covering it. */
+  private val slidingWindowSql =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |w AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM e
+      |      UNION ALL
+      |      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM e)
+      |SELECT ws AS window_start, ws + INTERVAL 60 MINUTE AS window_end,
+      |  event_type, COUNT(*) AS n
+      |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
+
   /** Unrolled integer PageRank (mirrors [[graft.operators.GraphOps.pageRank]]
     * at scale 1e9 / damping 0.85): r0 = S//N, then `iters` rounds of
     * teleport + Σ⌊0.85·r/deg⌋ over the symmetrized part↔supplier graph.
@@ -377,6 +389,15 @@ object OracleSql {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // exact heavy hitters: the Spark side's MG-candidates + exact-count
+    // two-pass must equal the straight group-count-having
+    "q_agg_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |t AS (SELECT COUNT(*) AS n_total FROM w WHERE word <> '')
+        |SELECT word, COUNT(*) AS n FROM w, t WHERE word <> ''
+        |GROUP BY word, t.n_total HAVING COUNT(*) > t.n_total / 200.0
+        |ORDER BY word""".stripMargin,
+
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |  ${dsum("l_quantity")} AS sum_qty
@@ -699,14 +720,12 @@ object OracleSql {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
-    "q_window_sliding" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
-        |w AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM e
-        |      UNION ALL
-        |      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM e)
-        |SELECT ws AS window_start, ws + INTERVAL 60 MINUTE AS window_end,
-        |  event_type, COUNT(*) AS n
-        |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+    "q_window_sliding" -> slidingWindowSql,
+
+    // the streaming run (stateful append-mode windowed agg, watermark-
+    // flushed by sentinels) is constructed to equal the batch sliding
+    // aggregate exactly, so it shares the oracle verbatim
+    "q_stream_sliding" -> slidingWindowSql,
 
     "q_session_window" -> sessionWindowSql,
 

@@ -602,6 +602,22 @@ object Queries {
           .as("approx_p99_price"))
       .orderBy("l_returnflag")
 
+  /** EXACT heavy hitters over the token stream at sketch cost
+    * ([[operators.HeavyHitters]]): per-partition Misra–Gries candidates
+    * (the shuffle is k·partitions counters, never vocabulary-sized), then
+    * one exact count pass over the broadcast candidate set. The answer is
+    * exact — same rows+counts as a full group-count-having — so unlike
+    * freqItems/count-min it sits under the hash gate. Tokens are the
+    * Zipf-headed key a training pipeline actually sketches (vocabulary /
+    * domain dominance); threshold n/200 keeps the head stable across SF. */
+  val qAggHeavyHitters: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    operators.HeavyHitters.exact(words, "word", k = 200)
+      .orderBy("word")
+  }
+
   val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
@@ -1032,6 +1048,16 @@ object Queries {
   val qStreamTumbling: Q = (s, d) =>
     streaming.Declared.tumblingAgg(s, Tables.events(s, d),
         scratchDir("stream-tumb"))
+      .orderBy("window_start", "event_type")
+
+  /** Streaming SLIDING-window aggregation: the built-in STATEFUL
+    * append-mode windowed aggregate ([[streaming.Declared.slidingAgg]] —
+    * state-store-backed, watermark-finalized), vs q_stream_tumbling's
+    * foreachBatch-partials pattern; the overlap (1 h / 30 min hop) puts
+    * each row in two window states. Shares q_window_sliding's oracle. */
+  val qStreamSliding: Q = (s, d) =>
+    streaming.Declared.slidingAgg(s, Tables.events(s, d),
+        scratchDir("stream-slide"))
       .orderBy("window_start", "event_type")
 
   /** The reference's consumer→engine main loop as a streaming run under

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EXACT heavy hitters (keys with frequency > n/k) at sketch cost — the
+  * "which tokens/domains/urls dominate the corpus" primitive of a
+  * training-data pipeline, where the distinct-key space (vocabulary,
+  * hosts) is far too large to group-count outright but the answer set is
+  * tiny and Zipf-headed.
+  *
+  * Two passes, both distributed:
+  *  1. CANDIDATES — per-partition Misra–Gries with k counters
+  *     (`mapPartitions`: genuinely imperative per-partition state, the
+  *     documented last-resort case). MG's undercount error is bounded by
+  *     n_p/(k+1), so any key with partition frequency > n_p/k survives its
+  *     partition; and any key with GLOBAL frequency > n/k must exceed
+  *     n_p/k in at least one partition (averaging argument) — the union of
+  *     per-partition survivors is therefore a guaranteed superset of every
+  *     true heavy hitter. At most k·partitions candidate rows ever leave
+  *     the executors: the shuffle is sketch-sized, not vocabulary-sized.
+  *  2. EXACT — one more corpus scan counts ONLY rows whose key is in the
+  *     broadcast candidate set (map-side semi-filter, then a hash
+  *     aggregate over ≤ k·partitions distinct keys), filtered to
+  *     count > n/k.
+  *
+  * The result is EXACT — same rows and counts as the full group-count —
+  * which is what lets the DuckDB oracle hash it; freqItems / count-min
+  * return approximate counts and could not sit under the hash gate.
+  * At 100 TB: two scans + two sketch-sized shuffles vs one
+  * vocabulary-sized shuffle; the scans are column-pruned to the key. */
+object HeavyHitters {
+
+  /** Distinct candidate keys from per-partition Misra–Gries sketches:
+    * a superset of every key with global frequency > n/k. */
+  def candidates(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys: Dataset[String] =
+      df.select(col(keyCol).cast(StringType)).as[String]
+    keys.mapPartitions { it =>
+      // classic Misra–Gries: k counters; a miss with a full table
+      // decrements every counter (amortized O(1): each decrement round
+      // cancels k prior increments, so rounds ≤ n_p/k)
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { key =>
+        counters.get(key) match {
+          case Some(c) => counters.update(key, c + 1)
+          case None if counters.size < k => counters.update(key, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.foreach { case (w, c) =>
+              if (c == 1L) dead += w else counters.update(w, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF(keyCol).distinct()
+  }
+
+  /** Exact keys + counts with frequency strictly greater than n/k.
+    * Output: (keyCol, n). */
+  def exact(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val keyed = df.select(col(keyCol).cast(StringType).as(keyCol))
+    // parquet-footer-cheap count; the threshold is a plain double on both
+    // engines (IEEE division of exact integers — cross-engine identical)
+    val total = keyed.count()
+    keyed
+      .join(broadcast(candidates(keyed, keyCol, k)), Seq(keyCol), "left_semi")
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").cast(DoubleType) > lit(total.toDouble / k))
+  }
+}

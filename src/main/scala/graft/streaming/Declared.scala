@@ -113,6 +113,54 @@ object Declared {
       .withColumn("n", col("n").cast(LongType))
   }
 
+  /** Streaming SLIDING-window aggregation via the built-in STATEFUL
+    * windowed aggregate in APPEND mode — the canonical Structured
+    * Streaming aggregation API (state-store-backed, finalized windows
+    * emitted when the watermark passes their end), deliberately a
+    * different surface than [[tumblingAgg]]'s foreachBatch-partials
+    * pattern. Sliding windows (1 h / 30 min hop) put each row in two
+    * window states — the overlap bookkeeping tumbling never exercises.
+    *
+    * Batch-checkability: the source is two event-time-ordered halves, so
+    * nothing real is ever late under the 1-day delay and mid-stream
+    * watermark advances close windows genuinely incrementally; then TWO
+    * far-future sentinel files — the first advances the watermark past
+    * every real window, the second triggers the micro-batch in which that
+    * advance is APPLIED (eviction uses the PREVIOUS batch's watermark and
+    * AvailableNow runs no trailing no-data batch — NOTES r9). Sentinels
+    * are NOT filtered inside the streaming query (the filter would push
+    * below EventTimeWatermark and the watermark would never advance);
+    * their own windows stay unflushed in final state, and the batch
+    * read-back drops the marker type as a safety net. Every real window
+    * closes exactly once ⇒ the emitted set equals the batch sliding
+    * aggregate and the q_window_sliding oracle hashes the run. */
+  def slidingAgg(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val out = dir + "/out"
+    val ev = events.select(col("ts"), col("event_type"))
+    val (s8, stream) = orderedHalvesStream(s, ev, dir) { (s8, _, hi) =>
+      import s8.implicits._
+      def sentinel(days: Long) =
+        Seq((new java.sql.Timestamp(hi.getTime + days * 24 * 3600 * 1000L),
+          "wm_sentinel")).toDF("ts", "event_type")
+      Seq(sentinel(30), sentinel(60))
+    }
+    stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"))
+      .writeStream
+      .queryName("graft-stream-sliding")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out).filter(col("event_type") =!= "wm_sentinel")
+  }
+
   /** Streaming exact dedup: keyed state keeps first occurrence per key. */
   def dedupKeys(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
@@ -346,14 +394,14 @@ object Declared {
     Seq(sd.filter(col("ts") < lit(cut)), sd.filter(col("ts") >= lit(cut)))
 
   private def orderedHalvesStream(s: SparkSession, ev: DataFrame, dir: String)
-      (mkTrailer: (SparkSession, java.sql.Timestamp,
-                   java.sql.Timestamp) => DataFrame)
+      (mkTrailers: (SparkSession, java.sql.Timestamp,
+                    java.sql.Timestamp) => Seq[DataFrame])
       : (SparkSession, DataFrame) = {
     val (lo, hi, cut) = tsMidpoint(ev)
     val s8 = s.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
     val stream = orderedFileStream(s8,
-      orderedHalves(ev, cut) :+ mkTrailer(s8, lo, hi), dir)
+      orderedHalves(ev, cut) ++ mkTrailers(s8, lo, hi), dir)
     (s8, stream)
   }
 
@@ -381,8 +429,8 @@ object Declared {
       // planted time must sit below it: hi − 3800 d does (corpus spans days)
       val planted = new java.sql.Timestamp(hi.getTime - 3800L * 24 * 3600 * 1000)
       import s8.implicits._
-      Seq((-99L, "late_sentinel", planted))
-        .toDF("user_id", "event_type", "ts")
+      Seq(Seq((-99L, "late_sentinel", planted))
+        .toDF("user_id", "event_type", "ts"))
     }
     stream
       .withWatermark("ts", "3650 days")
@@ -428,7 +476,7 @@ object Declared {
       val sentinel = new java.sql.Timestamp(
         hi.getTime + 31L * 24 * 3600 * 1000 + gapMinutes * 60L * 1000)
       import s8.implicits._
-      Seq((-1L, sentinel)).toDF("user_id", "ts")
+      Seq(Seq((-1L, sentinel)).toDF("user_id", "ts"))
     }
     import s8.implicits._ // SessionEvent encoder for .as[] below
     // delay 1 day: with time-ordered files nothing real is ever late (each

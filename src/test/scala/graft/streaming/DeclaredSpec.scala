@@ -18,6 +18,15 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("stateful sliding-window stream equals the batch sliding aggregate") {
+    // append-mode windowed agg: every real window must be flushed exactly
+    // once by the sentinel-driven watermark advance, none dropped, no
+    // sentinel window leaked
+    val streamed = Queries.qStreamSliding(spark, sf())
+    val batch = Queries.qWindowSliding(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = Queries.qStreamDedup(spark, sf())
     val batch = Tables.events(spark, sf())
