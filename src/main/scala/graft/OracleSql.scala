@@ -29,6 +29,23 @@ object OracleSql {
       |  user_id, COUNT(*) AS n_events
       |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 
+  /** SCD2 validity intervals from per-user event_type changes — shared by
+    * q_scd2_history and its streaming-maintenance twin q_stream_scd2. */
+  private val scd2Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (SELECT *, LAG(event_type) OVER w AS prev FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ch AS (SELECT user_id, event_id, event_type, ts FROM c
+      |       WHERE prev IS DISTINCT FROM event_type),
+      |s AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+      |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |          AS valid_to
+      |      FROM ch)
+      |SELECT user_id, event_id, event_type, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM s ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
     * its streaming twin q_stream_sliding: each event lands in the two
     * half-hour-aligned windows covering it. */
@@ -733,20 +750,11 @@ object OracleSql {
     // exactly (Declared.sessionWindows), so it shares the oracle verbatim
     "q_stream_session" -> sessionWindowSql,
 
-    "q_scd2_history" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |c AS (SELECT *, LAG(event_type) OVER w AS prev FROM e
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |ch AS (SELECT user_id, event_id, event_type, ts FROM c
-        |       WHERE prev IS DISTINCT FROM event_type),
-        |s AS (SELECT user_id, event_id, event_type, ts AS valid_from,
-        |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |          AS valid_to
-        |      FROM ch)
-        |SELECT user_id, event_id, event_type, valid_from, valid_to,
-        |  valid_to IS NULL AS is_current
-        |FROM s ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q_scd2_history" -> scd2Sql,
+
+    // the incremental fold is constructed to equal batch scd2 after every
+    // micro-batch, so the streaming run shares the oracle verbatim
+    "q_stream_scd2" -> scd2Sql,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies

@@ -1210,6 +1210,18 @@ object Queries {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** STREAMING SCD2 maintenance ([[streaming.Declared.scd2Maintain]]):
+    * the CDC history table folded forward micro-batch by micro-batch via
+    * [[operators.Temporal.scd2Fold]] — after every batch the state equals
+    * batch scd2 over all events seen, so q_scd2_history's oracle hashes
+    * the streaming run. */
+  val qStreamScd2: Q = (s, d) =>
+    streaming.Declared.scd2Maintain(s, Tables.events(s, d),
+        scratchDir("stream-scd2"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+
   // ------------------------------------------------------------------
   // Extensions: text analysis
   // ------------------------------------------------------------------

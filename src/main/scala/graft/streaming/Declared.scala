@@ -642,4 +642,52 @@ object Declared {
     if (lastBatch.get() < 0L) s.read.parquet(dir + "/src").limit(0)
     else s.read.parquet(states((lastBatch.get() % 2).toInt))
   }
+
+  /** Streaming SCD2 maintenance — the CDC "state over time" serving table
+    * kept incrementally: each micro-batch of events is folded into the
+    * standing history with [[graft.operators.Temporal.scd2Fold]] (seeded
+    * change capture + close-open-interval + chain new validity), and after
+    * EVERY batch the state equals batch [[graft.operators.Temporal.scd2]]
+    * over all events seen — which is what lets q_scd2_history's oracle
+    * hash the streaming run. The fold's premise (each key's new events
+    * come after its history — what a CDC log provides) holds by
+    * construction here: the source is the two event-time-ordered halves.
+    * Alternating state dirs + batchId-derived generation, same
+    * restart/replay reasoning as incrementalClusters above. Per batch the
+    * cost is one window over the batch + one key-join against state; the
+    * full-state rewrite is the parquet-only stand-in for a merge-capable
+    * sink where only touched keys would rewrite. */
+  def scd2Maintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val ev = events.select("user_id", "event_id", "event_type", "ts")
+    val (_, _, cut) = tsMidpoint(ev)
+    val s8 = s.newSession()
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = orderedFileStream(s8, orderedHalves(ev, cut), dir)
+    val states = Seq(dir + "/state0", dir + "/state1")
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def fold(prev: DataFrame, batch: DataFrame): DataFrame =
+      graft.operators.Temporal.scd2Fold(prev, batch, keyCols = Seq("user_id"),
+        tsCol = "ts", orderCols = Seq("ts", "event_id"),
+        attrCols = Seq("event_type"))
+    stream.writeStream
+      .queryName("graft-stream-scd2")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev =
+          if (batchId == 0L) // zero-row bootstrap in the scd2 shape
+            graft.operators.Temporal.scd2(batch.limit(0), Seq("user_id"),
+              "ts", Seq("ts", "event_id"), Seq("event_type"))
+          else s8.read.parquet(states(((batchId - 1) % 2).toInt))
+        fold(prev, batch)
+          .write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    if (lastBatch.get() < 0L)
+      graft.operators.Temporal.scd2(ev.limit(0), Seq("user_id"), "ts",
+        Seq("ts", "event_id"), Seq("event_type"))
+    else s.read.parquet(states((lastBatch.get() % 2).toInt))
+  }
 }

@@ -37,4 +37,42 @@ class TemporalSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(current === Set(1L))
   }
+
+  test("scd2Fold over ordered slices equals one-shot scd2 (random 120-case sweep)") {
+    // randomized keys/attrs with repeats and nulls, folded in 1..4
+    // time-ordered slices — every fold sequence must land on batch scd2
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 20 + rnd.nextInt(40)
+      val rows = (1 to n).map { seq =>
+        val key = (1 + rnd.nextInt(4)).toLong
+        val status = rnd.nextInt(4) match {
+          case 0 => null.asInstanceOf[String]
+          case s => s"s$s"
+        }
+        (key, seq.toLong, status)
+      }
+      val all = rows.toDF("user_id", "seq", "status")
+      val expected = Temporal.scd2(all, Seq("user_id"), "seq", Seq("seq"),
+        Seq("status")).collect().map(_.toString).sorted.toSeq
+      val nSlices = 1 + rnd.nextInt(4)
+      val bounds = (Seq(0, n) ++ Seq.fill(nSlices - 1)(rnd.nextInt(n + 1)))
+        .sorted.distinct
+      val slices = bounds.zip(bounds.tail).map { case (a, b) =>
+        rows.slice(a, b).toDF("user_id", "seq", "status")
+      }
+      val folded = slices.foldLeft(
+        Temporal.scd2(all.limit(0), Seq("user_id"), "seq", Seq("seq"),
+          Seq("status"))) { (prev, slice) =>
+        // localCheckpoint stands in for the state-dir write/read between
+        // micro-batches (and keeps the fold-of-fold plans small)
+        Temporal.scd2Fold(prev, slice, Seq("user_id"), "seq", Seq("seq"),
+          Seq("status")).localCheckpoint()
+      }
+      val got = folded.collect().map(_.toString).sorted.toSeq
+      assert(got === expected, s"trial=$trial slices=${bounds.mkString(",")}")
+    }
+  }
 }
+
+

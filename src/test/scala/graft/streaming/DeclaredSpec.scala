@@ -27,6 +27,12 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming SCD2 maintenance equals the one-shot batch history") {
+    val streamed = Queries.qStreamScd2(spark, sf())
+    val batch = Queries.qScd2History(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val streamed = Queries.qStreamDedup(spark, sf())
     val batch = Tables.events(spark, sf())
