@@ -123,11 +123,11 @@ object Declared {
     *
     * Batch-checkability: the source is two event-time-ordered halves, so
     * nothing real is ever late under the 1-day delay and mid-stream
-    * watermark advances close windows genuinely incrementally; then TWO
-    * far-future sentinel files — the first advances the watermark past
-    * every real window, the second triggers the micro-batch in which that
-    * advance is APPLIED (eviction uses the PREVIOUS batch's watermark and
-    * AvailableNow runs no trailing no-data batch — NOTES r9). Sentinels
+    * watermark advances close windows genuinely incrementally; then ONE
+    * far-future sentinel file advances the watermark past every real
+    * window, and the trailing NO-DATA micro-batch (`noDataMicroBatches`,
+    * default on — AvailableNow runs it when the watermark advanced)
+    * applies the advance and flushes the remaining windows. Sentinels
     * are NOT filtered inside the streaming query (the filter would push
     * below EventTimeWatermark and the watermark would never advance);
     * their own windows stay unflushed in final state, and the batch
@@ -142,7 +142,7 @@ object Declared {
       def sentinel(days: Long) =
         Seq((new java.sql.Timestamp(hi.getTime + days * 24 * 3600 * 1000L),
           "wm_sentinel")).toDF("ts", "event_type")
-      Seq(sentinel(30), sentinel(60))
+      Seq(sentinel(30))
     }
     stream
       .withWatermark("ts", "1 day")
@@ -312,13 +312,15 @@ object Declared {
     * so at a 1-day delay no real row is ever late AND no click's state is
     * evicted before its last possible partner arrives (files are
     * ts-ordered, so every purchase below the current watermark+delay has
-    * already been delivered); TWO far-future sentinel files per side
-    * (user −1 at hi + 30 d, then hi + 60 d) finish the job: the first
-    * pushes both watermarks past every real row's window, and the second
-    * is the data batch that APPLIES it — join eviction/emission uses the
-    * watermark computed from the PREVIOUS batch, and AvailableNow does
-    * not reliably run a no-data batch after the last file (verified: with
-    * one sentinel, the final 2 days of unmatched clicks never flush).
+    * already been delivered); ONE far-future sentinel file per side
+    * (user −1 at hi + 30 d) finishes the job: it pushes both watermarks
+    * past every real row's window, and the trailing NO-DATA micro-batch
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, default on —
+    * AvailableNow runs it when the watermark advanced; re-verified
+    * deterministically 3×, r9) applies the advance and evicts/emits the
+    * remaining unmatched clicks. (The earlier two-sentinel shape dated
+    * from the filter-pushdown bug below — with the sentinel silently
+    * dropped, no second file could save it either.)
     * Sentinels are filtered AFTER the run, in the batch read-back — a
     * post-join `c_user >= 0` INSIDE the streaming query gets pushed below
     * the EventTimeWatermark node (it doesn't reference the event-time
@@ -331,7 +333,8 @@ object Declared {
     val out = dir + "/out"
     val s8 = s.newSession() // isolated state sizing, same as dedupKeys
     // 4 state partitions — same 4-stores-per-partition argument as the
-    // inner variant, and this one runs 4 micro-batches (2 sentinels)
+    // inner variant, and this one runs 3 micro-batches (1 sentinel)
+    // plus the watermark-applying no-data batch
     s8.conf.set("spark.sql.shuffle.partitions", "4")
     val ev = events.select("event_id", "user_id", "event_type", "ts")
     val (_, hi, cut) = tsMidpoint(ev)
@@ -345,7 +348,7 @@ object Declared {
           hi.getTime + days * 24 * 3600 * 1000)))
           .toDF("user_id", "event_id", "ts")
       orderedFileStream(s8,
-        orderedHalves(sd, cut) ++ Seq(sentinel(-1L, 30), sentinel(-2L, 60)),
+        orderedHalves(sd, cut) ++ Seq(sentinel(-1L, 30)),
         dir + sub)
         .select(col("user_id").as(uAlias), col("event_id").as(idAlias),
           col("ts").as(tsAlias))

@@ -52,6 +52,17 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 502L)))
   }
 
+  test("null keys are excluded from both the total and the output") {
+    // 600 nulls + 400 "a": with nulls excluded n=400, so "a" (400 > 200)
+    // is a heavy hitter at k=2 — counting nulls into n would wrongly
+    // report nothing (threshold 500)
+    val rows: Seq[Option[String]] =
+      Seq.fill(600)(None) ++ Seq.fill(400)(Some("a"))
+    val df = rows.toDF("key").repartition(4)
+    val got = HeavyHitters.exact(df, "key", 2).as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("a", 400L)))
+  }
+
   test("declared-config run over document tokens matches group-count") {
     val docs = graft.Tables.documents(spark, sf())
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
