@@ -28,6 +28,30 @@ object Bench {
     */
   def calibrateMin(): Double = (1 to 3).map(_ => calibrate()).min
 
+  /** ALL-CORES probe: the single-thread probe's blind spot (found r9) is
+    * a co-tenant stealing PARALLELISM — min-of-3 on one thread still
+    * finds a quiet core while 32-way query stages run 1.3–1.7× slow
+    * across the board. This times `host_cores` concurrent copies of the
+    * same register loop (each 1/8 the single-thread length): on a quiet
+    * host wall time ≈ the scaled single-thread time; under co-tenant
+    * load it inflates roughly with the stolen share.
+    */
+  def calibrateParallel(): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var j = 0
+        while (j < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
+        if (x == 42L) System.err.println("[bench] impossible")
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +75,8 @@ object Bench {
     // the measured probes aren't paying JIT warmup of the probe loop)
     calibrate()
     val calibBefore = calibrateMin()
+    calibrateParallel() // JIT warmup for the parallel loop body
+    val calibParBefore = calibrateParallel()
     // 3 runs per query; report the MEDIAN as the headline (robust to one
     // GC/codegen spike) AND keep the MIN per query (robust to sustained
     // host contention, which inflates median and min differently — a
@@ -76,6 +102,7 @@ object Bench {
         (name, times(times.size / 2), times.head)
       }
     val calibAfter = calibrateMin()
+    val calibParAfter = calibrateParallel()
     // ONE JSON line, but field order matters: the harness keeps only the
     // TAIL of the run's output, so with 100+ queries the line's head gets
     // truncated. Put the big per-query map FIRST and the headline
@@ -94,7 +121,8 @@ object Bench {
     val stamp =
       s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""ts":"${java.time.Instant.now()}",""" +
-      s""""calib_before_sec":${ms3(calibBefore)},"calib_after_sec":${ms3(calibAfter)}"""
+      s""""calib_before_sec":${ms3(calibBefore)},"calib_after_sec":${ms3(calibAfter)},""" +
+      s""""calib_par_before_sec":${ms3(calibParBefore)},"calib_par_after_sec":${ms3(calibParAfter)}"""
     val line = s"""{"queries":${qmap(_._2)},"sf":"$sfDir",""" +
       s""""n_queries":${results.size},$stamp,"total_min":${ms3(totalMin)},""" +
       s""""metric":"total","value":${ms3(total)},"unit":"sec"}"""

@@ -47,6 +47,15 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q_topk_orderby_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("heavy-hitters exact pass is a broadcast semi-join, never a key shuffle") {
+    // the candidate set must reach the corpus scan as a broadcast
+    // left-semi (map-side filter); a hash-exchange on the token column
+    // would be the vocabulary-sized shuffle the sketch exists to avoid
+    val p = plan("q_agg_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi candidate filter:\n$p")
+  }
+
   test("bucketed join + agg run with no hash exchange (layout co-location)") {
     val p = plan("q_join_bucketed")
     assert(!p.contains("Exchange hashpartitioning"),

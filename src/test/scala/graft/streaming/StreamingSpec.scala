@@ -127,6 +127,51 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("RocksDB state store runs the stateful dedup bit-identically") {
+    // the 100 TB state story: when keyed state outgrows executor heap, the
+    // same stateful pipeline runs on the bundled RocksDB provider
+    // (off-heap, spilling to local disk) with IDENTICAL output — state
+    // sizing is an ops decision, not a semantics change. The provider is
+    // fixed at stream start from the session conf; an isolated child
+    // session scopes it (newSession does NOT inherit runtime conf, which
+    // is also why this drives the stream directly rather than through
+    // Declared's own-session wrappers).
+    val sR = spark.newSession()
+    sR.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = tmpDir("graft-rocks-src")
+    val ckpt = tmpDir("graft-rocks-ckpt")
+    val outDir = tmpDir("graft-rocks-out")
+    writeJsonFiles(srcDir, Seq(
+      Seq("""{"ts":"2024-01-01T00:05:00.000Z","id":1}""",
+          """{"ts":"2024-01-01T00:06:00.000Z","id":1}"""),
+      Seq("""{"ts":"2024-01-01T00:07:00.000Z","id":2}""",
+          """{"ts":"2024-01-01T00:08:00.000Z","id":1}""")))
+    val stream = sR.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("id", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .json(srcDir)
+    val q = EventTime.dedupStream(stream, "ts", Seq("id"), "1 hour")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // cross-batch dedup held on the RocksDB-backed state
+    assert(sR.read.parquet(outDir).collect().map(_.getLong(1)).sorted.toSeq
+      === Seq(1L, 2L))
+    // filesystem evidence the provider actually ran: RocksDB commits are
+    // zip/changelog uploads, never the HDFS provider's .delta files
+    import scala.jdk.CollectionConverters._
+    val stateFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(ckpt, "state"))
+      .iterator().asScala.map(_.toString).toSeq
+    assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB state artifacts under $ckpt/state:\n${stateFiles.mkString("\n")}")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      "HDFS-provider .delta files present — RocksDB conf did not take effect")
+  }
+
   test("foreachBatch-maintained SCD2 view stays correct across micro-batches") {
     val srcDir = tmpDir("graft-stream-scd2")
     val ckpt = tmpDir("graft-stream-scd2-ckpt")

@@ -39,6 +39,23 @@ if cb and ca:
         print(msg + "  (steady)")
 else:
     print("[gates] ** WARNING: BENCH_full.json carries no calibration probes — stale/foreign artifact? **")
+# the single-thread probe's blind spot (r9): a co-tenant can steal
+# PARALLELISM while one core stays quiet — observed as x1.3-1.7 on the
+# parallel-heavy dedup/engine keys with a steady 1-thread probe, and
+# reproduced by isolated re-runs. The all-cores probe times host_cores
+# concurrent 1/8-length loops. Quiet estimate: cb/8 x2 for SMT (32
+# hyperthreads on 16 physical cores halve per-thread throughput when all
+# run at once). Flag when either probe blows 2x past that, or when the
+# probe degraded >=1.5x across the sweep.
+pb, pa = b.get("calib_par_before_sec"), b.get("calib_par_after_sec")
+if pb and pa and cb:
+    quiet_smt = cb / 8.0 * 2.0
+    worst = max(pb, pa)
+    msg = f"[gates] all-cores probes: before={pb}s after={pa}s (SMT quiet est ~{quiet_smt:.2f}s)"
+    if worst > 2 * quiet_smt or max(pb, pa) / min(pb, pa) > 1.5:
+        print(msg + "  ** WARNING: parallelism contended during sweep — parallel-heavy medians inflated **")
+    else:
+        print(msg + "  (steady)")
 # independent of the probe fields: a contended sweep also shows total
 # median >> total min across many queries at once
 med, mn = b.get("value"), b.get("total_min")
