@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the async listener bus so listener-collected metrics are
+    * complete before a test reads them (`listenerBus` is private[spark]). */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+                           timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

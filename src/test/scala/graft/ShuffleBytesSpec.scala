@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** MEASURED shuffle-volume contracts — the scale claims as numbers, not
+  * plan shapes: PlanContractSpec pins WHAT the plans do; this spec pins
+  * HOW MUCH actually moves. A stage listener sums shuffle-write bytes
+  * across every job an action triggers, so the assertions hold whatever
+  * Catalyst does to the plan. Relative bounds (sketch vs full shuffle on
+  * the SAME data) keep them robust to fixture size. */
+class ShuffleBytesSpec extends SparkSpec {
+
+  /** Total shuffle-write bytes across all stages triggered by `act`. */
+  private def shuffleWrite(act: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      act
+      // listener events are posted asynchronously; drain before reading
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(l)
+    bytes.get()
+  }
+
+  test("heavy-hitters shuffles a sketch, not the key space") {
+    // high-cardinality fixture — the regime the sketch exists for
+    // (key space >> answer): 5 heavy keys at 20k rows each interleaved
+    // with 100k singletons, fully deterministic
+    val df = spark.range(200000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN concat('h', id % 10) " +
+        "ELSE concat('u', id) END AS word")
+    // full group-count: all ~100k distinct keys cross the wire (map-side
+    // combined, but still key-space-sized); noop sink forces the full
+    // result without a count-only plan rewrite
+    val full = shuffleWrite {
+      df.groupBy("word").count()
+        .write.format("noop").mode("overwrite").save()
+    }
+    // sketch path: MG candidates (≤ (k+1)·partitions rows) + the exact
+    // recount restricted to the broadcast candidate set
+    val sketch = shuffleWrite {
+      operators.HeavyHitters.exact(df, "word", 20)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // and the answer itself stays exact on this fixture
+    assert(operators.HeavyHitters.exact(df, "word", 20).count() === 5)
+    assert(full > 0, "expected the baseline group-count to shuffle")
+    assert(sketch < full / 4,
+      s"sketch path shuffled $sketch B vs full group-count $full B — " +
+        "expected < 25%: the candidate filter is not cutting the shuffle")
+  }
+
+  test("bloom semi-join moves less than the unfiltered fact side") {
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val urgent = Tables.orders(spark, sf("sf0.01"))
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    // plain shuffled semi-join: the whole fact side crosses the wire
+    // (broadcast disabled so both paths must shuffle to join)
+    def noBroadcast(act: => Unit): Unit = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try act finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    var plain = 0L; var bloomed = 0L
+    noBroadcast { plain = shuffleWrite {
+      li.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .count()
+    }}
+    noBroadcast { bloomed = shuffleWrite {
+      operators.BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey")
+        .count()
+    }}
+    assert(plain > 0, "expected the plain semi-join to shuffle")
+    // the sketch prunes ~21% of lineitem scan-side here (1-URGENT ≈ 1/5 of
+    // orders); the contract is directional — the bloom path must move
+    // LESS fact data than the unfiltered join, on top of identical output
+    assert(bloomed < plain,
+      s"bloom semi shuffled $bloomed B vs plain $plain B — " +
+        "scan-side pre-filter is not reducing the exchange")
+  }
+}
