@@ -1154,6 +1154,21 @@ object OracleSql {
         |FROM n, generate_series(1, 64) AS gs(i)
         |ORDER BY vec_id, pos""".stripMargin,
 
+    // int8 quantization: max is order-free, scale one IEEE divide,
+    // trunc-toward-zero == Spark's double->int cast — exact both engines
+    "q_vec_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, gs.i AS pos,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(trunc(CAST(embedding[gs.i] AS DOUBLE) / scale)
+        |              AS INTEGER) END AS q,
+        |  scale
+        |FROM s, generate_series(1, 64) AS gs(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+
     "q_vec_centroids" ->
       """WITH a AS (SELECT label, gs.i AS pos,
         |    SUM(CAST(FLOOR(CAST(embedding[gs.i] AS DOUBLE) * 1e6) AS BIGINT)) AS s,

@@ -1683,6 +1683,15 @@ object Queries {
       .orderBy("vec_id", "pos")
   }
 
+  /** INT8 embedding quantization ([[operators.VectorOps.quantizeInt8]]):
+    * per-vector symmetric scale, trunc-toward-zero codes — the 4× storage
+    * compression step of an embedding pipeline, exact under the hash gate
+    * (max + one IEEE divide + trunc are all cross-engine identical). */
+  val qVecQuantizeInt8: Q = (s, d) =>
+    operators.VectorOps.quantizeInt8(Tables.embeddings(s, d),
+        idCol = "vec_id", vecCol = "embedding")
+      .orderBy("vec_id", "pos")
+
   /** Per-label embedding centroids — the class-prototype aggregation
     * (label → element-wise mean). Accumulates each element on a 1e-6
     * fixed-point grid (floor is exact on identical doubles) so the sums are

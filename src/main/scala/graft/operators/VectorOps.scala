@@ -574,6 +574,30 @@ object VectorOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** Symmetric per-vector INT8 quantization — the 4× embedding-storage
+    * compression every large vector corpus ships with (float32 → int8 +
+    * one float scale per vector): scale = max|x|/127, q_i = trunc(x_i /
+    * scale) ∈ [−127, 127]. Deterministic and cross-engine exact: the max
+    * is order-free, the scale is one IEEE divide of an exact float, and
+    * trunc-toward-zero is Spark's double→int cast == DuckDB's trunc() —
+    * no rounding ties to argue about (unlike round(), whose half-away
+    * cases differ per engine). All-zero vectors quantize to zeros
+    * (scale 0 guard). Output exploded to (id, pos 1-based, q, scale)
+    * scalars so the driver can hash it; one narrow projection, no
+    * shuffle at any corpus size. */
+  def quantizeInt8(corpus: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x)))
+      .cast(DoubleType) / lit(127.0)
+    corpus
+      .select(col(idCol), scale.as("scale"), posexplode(col(vecCol)))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        when(col("scale") === 0d, lit(0))
+          .otherwise((col("col").cast(DoubleType) / col("scale"))
+            .cast(IntegerType)).as("q"),
+        col("scale"))
+  }
+
   /** All-pairs exact variant of [[cosineNearDups]] — O(n²); the ground truth
     * for recall measurement and the right tool only for small corpora. */
   def cosineNearDupsExact(corpus: DataFrame, idCol: String, vecCol: String,

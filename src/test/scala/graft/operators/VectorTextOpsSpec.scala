@@ -53,6 +53,26 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(dups === Set((1L, 2L)))
   }
 
+  test("int8 quantization: codes in range, reconstruction within one scale unit") {
+    val mixed = vecs.union(
+      Seq((4L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")) // zero vec
+    val q = VectorOps.quantizeInt8(mixed, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val src = mixed.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(q.length === 5 * 3)
+    q.foreach { case (id, pos, code, scale) =>
+      assert(code >= -127 && code <= 127, s"code $code out of range")
+      val x = src(id)(pos.toInt - 1).toDouble
+      if (scale == 0.0) assert(code === 0)
+      else assert(math.abs(x - code * scale) < scale,
+        s"vec $id pos $pos: |$x - $code*$scale| >= scale")
+    }
+    // the max element hits ±127 exactly
+    assert(q.filter(_._1 == 0L).map(_._3).max === 127)
+    assert(q.filter(_._1 == 3L).map(_._3).min === -127)
+  }
+
   test("quality metrics compute exact ratios") {
     val docs = Seq((1L, "the cat the cat runs", 20L)).toDF("doc_id", "text", "n_chars")
     val m = TextOps.qualityMetrics(docs).collect().head
