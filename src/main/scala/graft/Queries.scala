@@ -1683,6 +1683,18 @@ object Queries {
       .orderBy("vec_id", "pos")
   }
 
+  /** INT8-quantized retrieval ([[operators.VectorOps.cosineTopKInt8]]) —
+    * the read half of q_vec_quantize_int8: integer-dot candidate ranking
+    * over the 4×-smaller codes (exact integer arithmetic, deterministic
+    * at any parallelism), exact float re-rank of the top k·5. Rows-only
+    * (approximate); recall floor in AnnRecallSpec. */
+  val qVecAnnInt8: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    operators.VectorOps.cosineTopKInt8(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, refine = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** INT8 embedding quantization ([[operators.VectorOps.quantizeInt8]]):
     * per-vector symmetric scale, trunc-toward-zero codes — the 4× storage
     * compression step of an embedding pipeline, exact under the hash gate

@@ -574,6 +574,55 @@ object VectorOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** INT8-quantized brute-force top-k — the retrieval half of
+    * [[quantizeInt8]]: the corpus scan reads int8 codes + one scale per
+    * vector (4× less bandwidth than floats), the approximate score is the
+    * INTEGER dot of the code arrays (64 dims × 127² keeps every partial
+    * inside 32 bits; the fold accumulates in long — exact, associative,
+    * deterministic at any parallelism) times qscale·cscale, and the top
+    * k·`refine` candidates per query re-rank on the true floats fetched
+    * by an equi-join on id (the floats never travel during the scan).
+    * Broadcast queries, one corpus pass, the only shuffles the per-query
+    * top-k windows over candidate-sized frames. Approximate ⇒ rows-only;
+    * recall floor lives in AnnRecallSpec. */
+  def cosineTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, refine: Int = 5): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    def codes(df: DataFrame, outId: String, p: String): DataFrame = {
+      val scale = array_max(transform(col(vecCol), x => abs(x)))
+        .cast(DoubleType) / lit(127.0)
+      df.select(col(idCol).as(outId), scale.as(p + "scale"),
+        when(scale === 0d, transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => (x.cast(DoubleType) / scale).cast(IntegerType)))
+          .as(p + "codes"))
+    }
+    val q = broadcast(codes(queries, "query_id", "q"))
+    val approx = codes(corpus, "neighbor_id", "c")
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("qcodes"), col("ccodes"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) * col("qscale") * col("cscale"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val qf = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", norm(col("qv"))))
+    val side = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+    val scored = cand.join(qf, Seq("query_id")).join(side, Seq("neighbor_id"))
+      .withColumn("cosine", round(
+        dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Symmetric per-vector INT8 quantization — the 4× embedding-storage
     * compression every large vector corpus ships with (float32 → int8 +
     * one float scale per vector): scale = max|x|/127, q_i = trunc(x_i /

@@ -87,6 +87,16 @@ class AnnRecallSpec extends SparkSpec {
     val rIvfPq = recall(ivfpq)
     info(f"IVF-PQ recall@10 (16 cells, probe 4, m=8, refine=8): $rIvfPq%.2f")
     assert(rIvfPq >= 0.85, s"IVF-PQ declared-config recall regressed: $rIvfPq")
+
+    // INT8 quantized scan at the declared q_vec_ann_int8 config: 8-bit
+    // symmetric quantization loses almost none of cosine's ordering, and
+    // refine=5 re-ranks exactly — the floor sits far above every other
+    // approximate path's
+    val int8 = topkSets(VectorOps.cosineTopKInt8(emb, queries, "vec_id",
+      "embedding", 10, refine = 5))
+    val rInt8 = recall(int8)
+    info(f"INT8 recall@10 (refine=5): $rInt8%.2f")
+    assert(rInt8 >= 0.97, s"INT8 declared-config recall regressed: $rInt8")
   }
 
   test("planesFor keeps bucket size bounded as the corpus grows") {
