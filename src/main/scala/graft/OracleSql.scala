@@ -395,6 +395,19 @@ object OracleSql {
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // both engines clip against the SAME rounded bound, so the raw-double
+    // comparisons and least/greatest are IEEE-identical
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |    ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  LEAST(GREATEST(l_extendedprice, lo), hi) AS clipped,
+        |  (l_extendedprice < lo OR l_extendedprice > hi) AS was_clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps

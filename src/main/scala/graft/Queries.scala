@@ -586,6 +586,29 @@ object Queries {
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
       .orderBy("l_returnflag")
 
+  /** WINSORIZATION — the feature-prep outlier treatment (clip, don't
+    * drop): per-group p05/p95 bounds (exact interpolated percentile,
+    * rounded 6 like q_agg_percentile so both engines clip against the
+    * SAME bound), broadcast back, every row clipped + flagged. Two
+    * scans + a broadcast at any scale: bounds are groups-sized. */
+  val qWinsorize: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val bounds = li.groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+          .as("clipped"),
+        (col("l_extendedprice") < col("lo") ||
+          col("l_extendedprice") > col("hi")).as("was_clipped"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic
+      // lineitem — order by every output column
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "clipped", "was_clipped")
+  }
+
   /** Approximate percentile — the sketch companion to the exact
     * q_agg_percentile, the same pairing as exact/approx distinct: GK/KLL
     * quantile sketches are mergeable map-side, so at 100 TB this is one
@@ -1230,6 +1253,15 @@ object Queries {
     TextOps.wordCount(Tables.documents(s, d))
       .orderBy(col("n").desc, col("word"))
       .limit(100)
+
+  /** BM25 top-k search ([[operators.TextOps.bm25Search]]) over the
+    * documents corpus for a fixed 3-term query — the lexical-retrieval
+    * serving shape on top of the index family. Rows-only (ln drift, the
+    * q_lm_perplexity ruling); Bm25Spec pins the exact formula via a
+    * driver twin and the ranking invariants. */
+  val qTextBm25: Q = (s, d) =>
+    TextOps.bm25Search(Tables.documents(s, d), "doc_id", "text",
+      queryTerms = Seq("join", "hash", "scan"), k = 25)
 
   val qTextQuality: Q = (s, d) =>
     TextOps.qualityMetrics(Tables.documents(s, d))

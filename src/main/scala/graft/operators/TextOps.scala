@@ -325,6 +325,47 @@ object TextOps {
       .na.fill(0L, Seq("n_words", "xent_micronats"))
   }
 
+  /** BM25 top-k search — the canonical lexical retrieval scorer
+    * (Robertson/Spärck Jones; the Okapi tf saturation + length
+    * normalization every search engine ships):
+    *   score(d) = Σ_t idf(t) · c_td·(k1+1) / (c_td + k1·(1−b+b·len_d/avg))
+    *   idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    * One corpus scan ([[docWordMatrix]]); scoring touches only the
+    * postings of the query's terms (broadcast idf, candidate-side join to
+    * per-doc lengths), so cost tracks postings size, not corpus size.
+    * Rows-only under the driver gate: ln is not correctly-rounded IEEE
+    * (the q_lm_perplexity ruling) — the exact formula and ranking are
+    * pinned by a driver twin in spec instead. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val dw = docWordMatrix(docs, idCol, textCol)
+    val lens = dw.groupBy(idCol).agg(sum("c").as("len"))
+    val tot = lens.agg(count(lit(1)), sum("len")).collect()(0) // 1-row agg
+    val n = tot.getLong(0)
+    val avgLen = if (n == 0) 1.0 else tot.getLong(1).toDouble / n
+    // per-term document frequencies: |terms| rows — driver-side idf
+    val idf = dw.filter(col("w").isin(terms: _*))
+      .groupBy("w").agg(count(lit(1)).as("df")).collect()
+      .map(r => (r.getString(0),
+        math.log(1.0 + (n - r.getLong(1) + 0.5) / (r.getLong(1) + 0.5))))
+      .toSeq.toDF("w", "idf")
+    dw.filter(col("w").isin(terms: _*))
+      .join(broadcast(idf), Seq("w"))
+      .join(lens, Seq(idCol))
+      .withColumn("score_t", col("idf") *
+        (col("c").cast(DoubleType) * lit(k1 + 1)) /
+        (col("c").cast(DoubleType) +
+          lit(k1) * (lit(1 - b) + lit(b) * col("len") / lit(avgLen))))
+      .groupBy(col(idCol))
+      .agg(round(sum("score_t"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Benchmark decontamination — the test-set-overlap removal every LLM
     * training pipeline runs before a corpus ships: a training doc is
     * contaminated when it shares ANY word `k`-gram with the evaluation set.
