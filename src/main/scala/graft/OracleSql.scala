@@ -109,6 +109,32 @@ object OracleSql {
         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    "q_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_type, value FROM events),
+        |lb AS (SELECT user_id, event_id, ts, event_type, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_id <= 7000) WHERE rn = 1),
+        |la AS (SELECT user_id, event_id, ts, event_type, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_id > 3000) WHERE rn = 1),
+        |d AS (SELECT COALESCE(lb.user_id, la.user_id) AS user_id,
+        |  CASE WHEN lb.user_id IS NULL THEN 'insert'
+        |       WHEN la.user_id IS NULL THEN 'delete'
+        |       WHEN lb.event_id IS DISTINCT FROM la.event_id
+        |         OR lb.ts IS DISTINCT FROM la.ts
+        |         OR lb.event_type IS DISTINCT FROM la.event_type
+        |         OR lb.value IS DISTINCT FROM la.value THEN 'update'
+        |  END AS change,
+        |  lb.event_id AS event_id_before, la.event_id AS event_id_after,
+        |  lb.ts AS ts_before, la.ts AS ts_after,
+        |  lb.event_type AS event_type_before, la.event_type AS event_type_after,
+        |  lb.value AS value_before, la.value AS value_after
+        |FROM lb FULL JOIN la ON lb.user_id = la.user_id)
+        |SELECT * FROM d WHERE change IS NOT NULL ORDER BY user_id""".stripMargin,
+
     "q_patch_merge" ->
       """WITH p AS (SELECT o_custkey AS c_custkey, 0.0 AS c_acctbal
         |           FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3)

@@ -78,6 +78,22 @@ object Queries {
       Seq("user_id"), "ts", tieBreakers = Seq("event_id"))
       .orderBy("user_id")
 
+  /** SNAPSHOT DIFF ([[operators.Upserts.snapshotDiff]]): the CDC delta
+    * between two LWW serving states (two overlapping event-id epochs) —
+    * insert/update/delete per user, unchanged keys dropped. The audit
+    * inverse of the upsert loop; one full-outer shuffle on the key. */
+  val qSnapshotDiff: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    def lww(df: org.apache.spark.sql.DataFrame) =
+      Upserts.lwwView(df, Seq("user_id"), "ts", tieBreakers = Seq("event_id"))
+    Upserts.snapshotDiff(
+        lww(ev.filter(col("event_id") <= 7000)),
+        lww(ev.filter(col("event_id") > 3000)),
+        "user_id", Seq("event_id", "ts", "event_type", "value"))
+      .orderBy("user_id")
+  }
+
   /** S12 PATCH merge: field-wise coalesce of a patch set into a base. */
   val qPatchMerge: Q = (s, d) => {
     val base = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")

@@ -56,6 +56,32 @@ object Upserts {
   def deleteAnti(base: DataFrame, doomedKeys: DataFrame, key: String): DataFrame =
     base.join(doomedKeys.select(col(s"`$key`")).distinct(), Seq(key), "left_anti")
 
+  /** SNAPSHOT DIFF — the audit inverse of the upsert loop: given two
+    * states of a keyed table (before/after an ingest epoch, a compaction,
+    * a backfill), emit the CDC delta that turns one into the other:
+    * `insert` (key only in after), `delete` (key only in before), and
+    * `update` (any compared column differs, null-safely). Unchanged keys
+    * are dropped — the delta is what replication/audit consumes. One full
+    * outer join on the key (the same shuffle MERGE pays); output carries
+    * each compared column twice (`<c>_before` / `<c>_after`). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val b = before.select((key +: compareCols).map(c => col(s"`$c`")): _*).alias("b")
+    val a = after.select((key +: compareCols).map(c => col(s"`$c`")): _*).alias("a")
+    val joined = b.join(a, col(s"b.`$key`") === col(s"a.`$key`"), "full_outer")
+    val differs = compareCols
+      .map(c => !(col(s"b.`$c`") <=> col(s"a.`$c`"))).reduce(_ || _)
+    val change = when(col(s"b.`$key`").isNull, "insert")
+      .when(col(s"a.`$key`").isNull, "delete")
+      .when(differs, "update")
+    val cols: Seq[Column] =
+      coalesce(col(s"b.`$key`"), col(s"a.`$key`")).as(key) +:
+      change.as("change") +:
+      compareCols.flatMap(c => Seq(col(s"b.`$c`").as(s"${c}_before"),
+        col(s"a.`$c`").as(s"${c}_after")))
+    joined.filter(change.isNotNull).select(cols: _*)
+  }
+
   /** Delta-style MERGE INTO as one batch rewrite over a full outer join:
     *
     *   WHEN MATCHED AND deleteCondition THEN DELETE

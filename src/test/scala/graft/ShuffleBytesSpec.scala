@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
 /** MEASURED shuffle-volume contracts — the scale claims as numbers, not
@@ -11,20 +11,37 @@ import org.apache.spark.sql.functions._
   * the SAME data) keep them robust to fixture size. */
 class ShuffleBytesSpec extends SparkSpec {
 
-  /** Total shuffle-write bytes across all stages triggered by `act`. */
+  /** Total shuffle-write bytes across the stages triggered by `act` —
+    * scoped by JOB GROUP, because sbt runs suites concurrently in one
+    * JVM and a global stage sum would count other suites' shuffles
+    * (AQE's materialization jobs propagate local properties, so they
+    * carry the group too; broadcast-collect jobs may not, but broadcast
+    * stages write no shuffle). */
+  private val tagSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def shuffleWrite(act: => Unit): Long = {
+    val tag = s"graft-shuffle-bytes-${tagSeq.incrementAndGet()}"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            tag == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(id => stages.add(id))
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        if (stages.contains(sc.stageInfo.stageId))
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
     spark.sparkContext.addSparkListener(l)
     try {
+      spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
       act
       // listener events are posted asynchronously; drain before reading
       org.apache.spark.sql.graftbridge.Bridge
         .waitListenerBusEmpty(spark.sparkContext, 30000)
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
     bytes.get()
   }
 
@@ -57,27 +74,24 @@ class ShuffleBytesSpec extends SparkSpec {
   }
 
   test("bloom semi-join moves less than the unfiltered fact side") {
-    val li = Tables.lineitem(spark, sf("sf0.01"))
+    // broadcast disabled so both paths must shuffle to join — on an
+    // ISOLATED child session: suites share the JVM session concurrently,
+    // so mutating the shared conf would race other suites' plans
+    val sNB = spark.newSession()
+    sNB.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(sNB, sf("sf0.01"))
       .select("l_orderkey", "l_linenumber", "l_quantity")
-    val urgent = Tables.orders(spark, sf("sf0.01"))
+    val urgent = Tables.orders(sNB, sf("sf0.01"))
       .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
     // plain shuffled semi-join: the whole fact side crosses the wire
-    // (broadcast disabled so both paths must shuffle to join)
-    def noBroadcast(act: => Unit): Unit = {
-      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try act finally
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    }
-    var plain = 0L; var bloomed = 0L
-    noBroadcast { plain = shuffleWrite {
+    val plain = shuffleWrite {
       li.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .count()
-    }}
-    noBroadcast { bloomed = shuffleWrite {
+    }
+    val bloomed = shuffleWrite {
       operators.BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey")
         .count()
-    }}
+    }
     assert(plain > 0, "expected the plain semi-join to shuffle")
     // the sketch prunes ~21% of lineitem scan-side here (1-URGENT ≈ 1/5 of
     // orders); the contract is directional — the bloom path must move

@@ -40,4 +40,19 @@ class UpsertsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
       Seq((1L, 1.0), (9L, 9.0)))
   }
+
+  test("snapshotDiff: insert/update/delete emitted, unchanged and null-equal dropped") {
+    val before = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, Some("a"), 1.0),  // unchanged → dropped
+      (2L, Some("B"), 2.0),                // update (string differs)
+      (3L, None: Option[String], 3.0),     // null == null → dropped
+      (5L, Some("e"), 5.0))                // insert; 4 deleted
+      .toDF("k", "s", "v")
+    val out = Upserts.snapshotDiff(before, after, "k", Seq("s", "v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((2L, "update"), (4L, "delete"), (5L, "insert")))
+  }
 }
