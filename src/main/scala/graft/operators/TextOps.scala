@@ -344,9 +344,13 @@ object TextOps {
     val terms = queryTerms.map(_.toLowerCase).distinct
     val dw = docWordMatrix(docs, idCol, textCol)
     val lens = dw.groupBy(idCol).agg(sum("c").as("len"))
-    val tot = lens.agg(count(lit(1)), sum("len")).collect()(0) // 1-row agg
-    val n = tot.getLong(0)
-    val avgLen = if (n == 0) 1.0 else tot.getLong(1).toDouble / n
+    // N and avg length are over the WHOLE corpus (Robertson's N), not
+    // just docs with extractable tokens — zero-token docs count toward N
+    // and contribute length 0 to the average
+    val n = docs.count()
+    val totLen = lens.agg(sum("len")).collect()(0) // 1-row agg
+    val avgLen = if (n == 0 || totLen.isNullAt(0)) 1.0
+      else totLen.getLong(0).toDouble / n
     // per-term document frequencies: |terms| rows — driver-side idf
     val idf = dw.filter(col("w").isin(terms: _*))
       .groupBy("w").agg(count(lit(1)).as("df")).collect()

@@ -588,21 +588,25 @@ object VectorOps {
   def cosineTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, refine: Int = 5): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    def codes(df: DataFrame, outId: String, p: String): DataFrame = {
-      val scale = array_max(transform(col(vecCol), x => abs(x)))
-        .cast(DoubleType) / lit(127.0)
-      df.select(col(idCol).as(outId), scale.as(p + "scale"),
-        when(scale === 0d, transform(col(vecCol), _ => lit(0)))
-          .otherwise(transform(col(vecCol),
-            x => (x.cast(DoubleType) / scale).cast(IntegerType)))
-          .as(p + "codes"))
-    }
+    def codes(df: DataFrame, outId: String, p: String): DataFrame =
+      int8Encoded(df, idCol, vecCol)
+        .select(col(idCol).as(outId), col("scale").as(p + "scale"),
+          col("codes").as(p + "codes"))
+    def sumSq(c: Column): Column =
+      aggregate(transform(c, x => (x * x).cast(LongType)),
+        lit(0L), (acc, x) => acc + x)
     val q = broadcast(codes(queries, "query_id", "q"))
+    // rank key = intdot / √(Σ ccode²): the code-domain cosine up to the
+    // per-QUERY constant |q| (which can't reorder one query's candidates)
+    // — the corpus scale cancels between numerator and ‖c‖ ≈ cscale·√Σc²,
+    // so unlike a raw dot the ranking survives heterogeneous vector norms
+    // (the PQ path's adot/(qnorm·√vsq) correction, in integer form)
     val approx = codes(corpus, "neighbor_id", "c")
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("approx",
         aggregate(zip_with(col("qcodes"), col("ccodes"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x) * col("qscale") * col("cscale"))
+          lit(0L), (acc, x) => acc + x).cast(DoubleType) /
+          sqrt(greatest(sumSq(col("ccodes")).cast(DoubleType), lit(1d))))
     val wa = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     val cand = approx.withColumn("__r", row_number().over(wa))
@@ -634,18 +638,27 @@ object VectorOps {
     * (scale 0 guard). Output exploded to (id, pos 1-based, q, scale)
     * scalars so the driver can hash it; one narrow projection, no
     * shuffle at any corpus size. */
-  def quantizeInt8(corpus: DataFrame, idCol: String,
-                   vecCol: String): DataFrame = {
+  /** The one place the int8 quantization contract lives: per-vector
+    * symmetric scale max|x|/127 and trunc-toward-zero codes (zero vectors
+    * → zero codes). Output: (idCol, scale, codes). [[quantizeInt8]]
+    * explodes it; [[cosineTopKInt8]] scans it. */
+  private def int8Encoded(df: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
     val scale = array_max(transform(col(vecCol), x => abs(x)))
       .cast(DoubleType) / lit(127.0)
-    corpus
-      .select(col(idCol), scale.as("scale"), posexplode(col(vecCol)))
-      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
-        when(col("scale") === 0d, lit(0))
-          .otherwise((col("col").cast(DoubleType) / col("scale"))
-            .cast(IntegerType)).as("q"),
-        col("scale"))
+    df.select(col(idCol), scale.as("scale"),
+      when(scale === 0d, transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          x => (x.cast(DoubleType) / scale).cast(IntegerType)))
+        .as("codes"))
   }
+
+  def quantizeInt8(corpus: DataFrame, idCol: String,
+                   vecCol: String): DataFrame =
+    int8Encoded(corpus, idCol, vecCol)
+      .select(col(idCol), col("scale"), posexplode(col("codes")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("q"), col("scale"))
 
   /** All-pairs exact variant of [[cosineNearDups]] — O(n²); the ground truth
     * for recall measurement and the right tool only for small corpora. */

@@ -97,6 +97,23 @@ class AnnRecallSpec extends SparkSpec {
     val rInt8 = recall(int8)
     info(f"INT8 recall@10 (refine=5): $rInt8%.2f")
     assert(rInt8 >= 0.97, s"INT8 declared-config recall regressed: $rInt8")
+
+    // NORM HETEROGENEITY: cosine is scale-invariant but a raw-dot
+    // candidate ranking is not — shrink every 7th vector 20× and the
+    // norm-corrected rank key (intdot/√Σc²) must still retrieve them
+    // (a raw-dot ranking drops every shrunk vector out of the
+    // candidate set and recall collapses)
+    val het = emb.withColumn("embedding", transform(col("embedding"),
+      x => (x * when(col("vec_id") % 7 === 0, lit(0.05f))
+        .otherwise(lit(1.0f))).cast("float")))
+    val hq = het.filter(col("vec_id") < 10)
+    val exactHet = topkSets(VectorOps.cosineTopK(het, hq, "vec_id", "embedding", 10))
+    val int8Het = topkSets(VectorOps.cosineTopKInt8(het, hq, "vec_id", "embedding", 10))
+    val perHet = exactHet.map { case (q, ex) =>
+      int8Het.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0) }
+    val rHet = perHet.sum / perHet.size
+    info(f"INT8 recall@10 under 20× norm heterogeneity: $rHet%.2f")
+    assert(rHet >= 0.95, s"INT8 norm-corrected recall regressed: $rHet")
   }
 
   test("planesFor keeps bucket size bounded as the corpus grows") {

@@ -14,7 +14,8 @@ class Bm25Spec extends SparkSpec {
     (2L, "join hash scan filter sort"), // all three terms once
     (3L, "scan scan scan scan scan scan scan scan"), // long, scan-only
     (4L, "filter sort window"),         // no query terms
-    (5L, "hash")                        // shortest, one term
+    (5L, "hash"),                       // shortest, one term
+    (6L, "12345 !!!")                   // ZERO tokens — still counts in N
   ).toDF("doc_id", "text")
 
   private val terms = Seq("join", "hash", "scan")
@@ -52,8 +53,9 @@ class Bm25Spec extends SparkSpec {
   test("ranking invariants: tf saturation and length normalization") {
     val got = TextOps.bm25Search(docs, "doc_id", "text", terms, k = 10)
       .as[(Long, Double)].collect().toMap
-    // doc 4 has no query terms — absent from results
-    assert(!got.contains(4L))
+    // doc 4 has no query terms, doc 6 no tokens at all — absent from
+    // results (but both counted in N by the twin, pinning Robertson's N)
+    assert(!got.contains(4L) && !got.contains(6L))
     // doc 2 (all three terms) must outrank doc 5 (one term, same-ish len)
     assert(got(2L) > got(5L))
     // doc 1 (3×join + hash) outranks doc 3 (8×scan): idf-weighted
