@@ -1004,6 +1004,29 @@ object OracleSql {
 
     "q_graph_pagerank" -> pagerankSql(5),
 
+    // degree-oriented triangle count: all-integer, each triangle counted
+    // once from its (deg, id)-minimal vertex; wedges canonical by id
+    "q_graph_triangles" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 100 AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |       FROM po x JOIN po y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (
+        |          SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        |        GROUP BY v),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+        |         THEN a ELSE b END AS src,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+        |         THEN b ELSE a END AS dst
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |wg AS (SELECT o1.dst AS v, o2.dst AS w
+        |       FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst)
+        |SELECT CAST(COALESCE(SUM(CASE WHEN e0.a IS NULL THEN 0 ELSE 1 END), 0)
+        |         AS BIGINT) AS n_triangles,
+        |  COUNT(*) AS n_wedges
+        |FROM wg LEFT JOIN e0 ON e0.a = wg.v AND e0.b = wg.w""".stripMargin,
+
     "q_sql_native_funcs" ->
       """SELECT vec_id,
         |  ROUND(list_sum(list_transform(list_zip(embedding, embedding),

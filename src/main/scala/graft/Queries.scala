@@ -1261,6 +1261,20 @@ object Queries {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** TRIANGLE COUNT ([[operators.GraphOps.triangleCount]]) over the
+    * same-order part-co-occurrence graph (parts bucketed mod 100; an
+    * edge when two buckets share an order) — degree-oriented wedge join,
+    * each triangle counted once, all-integer under the hash gate. */
+  val qGraphTriangles: Q = (s, d) => {
+    val po = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), (col("l_partkey") % 100).as("p"))
+      .distinct()
+    val e = po.alias("x").join(po.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+    operators.GraphOps.triangleCount(e)
+  }
+
   // ------------------------------------------------------------------
   // Extensions: text analysis
   // ------------------------------------------------------------------

@@ -137,6 +137,65 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Driver brute force: distinct canonical edges → adjacency sets →
+    * count triples with all three edges present. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = canon.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    // yield the TRIPLE, not a constant: the inner generators are Sets and
+    // a constant yield would collapse every triangle into one element
+    val tris = (for {
+      i <- nodes; j <- adj(i).filter(_ > i); k <- adj(j).filter(_ > j)
+      if adj(i).contains(k)
+    } yield (i, j, k)).size.toLong
+    // wedges as the operator defines them: oriented by (deg, id), pairs
+    // of out-neighbors per source, canonical by id
+    val deg = canon.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def precedes(a: Long, b: Long) =
+      deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+    val out = canon.map { case (a, b) =>
+      if (precedes(a, b)) (a, b) else (b, a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val wedges = out.values.map(ns => ns.size.toLong * (ns.size - 1) / 2).sum
+    (tris, wedges)
+  }
+
+  test("triangleCount: fixtures — K4, star, 5-cycle, bridged triangles") {
+    def run(edges: Seq[(Long, Long)]): (Long, Long) = {
+      val r = GraphOps.triangleCount(edges.toDF("src", "dst")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // K4: C(4,3)=4 triangles; star: 0; C5: 0
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    assert(run(k4) === bruteTriangles(k4))
+    assert(run(k4)._1 === 4L)
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(run(star) === ((0L, bruteTriangles(star)._2)))
+    val c5 = (0L until 5L).map(i => (i, (i + 1) % 5))
+    assert(run(c5)._1 === 0L)
+    // two triangles sharing a bridge edge + noise: dupes/reversed/self-loops
+    val bridged = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 1L), (1L, 1L), (3L, 1L))
+    assert(run(bridged) === bruteTriangles(bridged))
+    assert(run(bridged)._1 === 2L)
+  }
+
+  test("triangleCount: random graphs match driver brute force") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(10)
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val r = GraphOps.triangleCount(edges.toDF("src", "dst")).collect()(0)
+      assert((r.getLong(0), r.getLong(1)) === bruteTriangles(edges),
+        s"trial $trial")
+    }
+  }
+
   test("dedupClusters labels every doc; singletons are their own cluster") {
     val docs = (1L to 10L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
