@@ -46,6 +46,36 @@ object OracleSql {
       |  valid_to IS NULL AS is_current
       |FROM s ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Unrolled k-core peeling (mirrors [[graft.operators.GraphOps.kCore]]
+    * at the declared pinned depth): `rounds` nested degree/keep/filter
+    * CTE triplets over the doc↔word bipartite edge set. Both engines run
+    * exactly the same number of peels, so the answers agree whether or
+    * not the fixpoint arrived early. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // every CTE MATERIALIZED: each round references the previous one 3×,
+    // so default inlining expands e_rounds into 3^rounds copies of the
+    // parquet scan ("Too many open files" — observed)
+    val head =
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT concat('d', doc_id) AS src,
+        |    concat('w', word) AS dst
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |          '[a-z]+')) AS word FROM documents)
+        |  WHERE word <> '')""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM (
+         |    SELECT src AS v FROM e$i UNION ALL SELECT dst AS v FROM e$i)
+         |  GROUP BY v),
+         |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $k),
+         |e${i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$i e
+         |  JOIN k$i ka ON ka.v = e.src JOIN k$i kb ON kb.v = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT v, COUNT(*) AS deg FROM (
+       |  SELECT src AS v FROM e$rounds UNION ALL SELECT dst AS v FROM e$rounds)
+       |GROUP BY v ORDER BY v""".stripMargin
+  }
+
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
     * its streaming twin q_stream_sliding: each event lands in the two
     * half-hour-aligned windows covering it. */
@@ -1003,6 +1033,8 @@ object OracleSql {
         |FROM l WHERE prev_pfx IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "q_graph_pagerank" -> pagerankSql(5),
+
+    "q_graph_kcore" -> kcoreSql(22, 8),
 
     // degree-oriented triangle count: all-integer, each triangle counted
     // once from its (deg, id)-minimal vertex; wedges canonical by id

@@ -1275,6 +1275,22 @@ object Queries {
     operators.GraphOps.triangleCount(e)
   }
 
+  /** K-CORE over the doc↔word bipartite graph
+    * ([[operators.GraphOps.kCore]], k=22, rounds pinned at 8): the
+    * graph-connectivity quality signal — low-vocabulary docs and rare
+    * words peel off together over 3 genuine rounds at sf0.01. Both
+    * engines run exactly 8 peels (oracle unrolls them), so the answers
+    * agree whether or not the fixpoint arrived early; GraphOpsSpec
+    * asserts the fixture converges inside the pinned depth. */
+  val qGraphKcore: Q = (s, d) => {
+    val e = Tables.documents(s, d)
+      .select(concat(lit("d"), col("doc_id")).as("src"),
+        explode(array_distinct(regexp_extract_all(
+          lower(col("text")), lit("[a-z]+"), lit(0)))).as("w"))
+      .select(col("src"), concat(lit("w"), col("w")).as("dst"))
+    operators.GraphOps.kCore(e, k = 22, rounds = 8).orderBy("v")
+  }
+
   // ------------------------------------------------------------------
   // Extensions: text analysis
   // ------------------------------------------------------------------

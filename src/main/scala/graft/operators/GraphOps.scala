@@ -206,6 +206,34 @@ object GraphOps {
     *   blocks must outlive the call because the checkpoint truncated their
     *   lineage (no recompute path exists).
     */
+  /** K-CORE decomposition by synchronous peeling — the web-graph quality
+    * signal (a page/document in a high k-core is embedded in a densely
+    * self-supporting region; spam and boilerplate peel off early). Each
+    * round removes every vertex whose degree dropped below `k`; the
+    * k-core is the unique ORDER-INDEPENDENT fixpoint, so any converged
+    * run equals it. `rounds` is PINNED (not run-to-fixpoint) so an
+    * oracle unrolling the same number of rounds computes the identical
+    * function even on inputs where the fixpoint needs fewer or more
+    * peels — the declared query's spec asserts convergence at the pinned
+    * depth on the fixture. Per round: one degree hash-agg + two
+    * broadcast-able semi-joins; edges only ever shrink. Output: the
+    * surviving (v, deg) pairs after `rounds` peels. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k)
+        .select("v").localCheckpoint() // two semi-join consumers
+      e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(e)
+  }
+
   /** TRIANGLE COUNT via degree orientation — the classic fix for the
     * "curse of the last reducer" (Suri & Vassilvitskii, WWW'11): every
     * undirected edge is oriented from its (degree, id)-smaller endpoint

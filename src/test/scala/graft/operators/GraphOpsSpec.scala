@@ -196,6 +196,57 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Driver peeling to FIXPOINT (order-independent, so this is the true
+    * k-core whatever order the distributed rounds peel in). */
+  private def bruteKCore(edges: Seq[(String, String)], k: Int): Map[String, Int] = {
+    var cur = edges.filter(e => e._1 != e._2).distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val nxt = cur.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+      changed = nxt != cur; cur = nxt
+    }
+    cur.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  test("kCore: random graphs reach the union fixpoint; extra rounds are no-ops") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(8)
+      val edges = Seq.fill(4 * n)(
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val k = 2 + rnd.nextInt(3)
+      val truth = bruteKCore(edges, k)
+      // depth n is always enough (each productive round removes ≥1 node)
+      val got = GraphOps.kCore(edges.toDF("src", "dst"), k, rounds = n)
+        .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      assert(got === truth, s"trial $trial k=$k")
+      // rounds-invariance past convergence
+      val more = GraphOps.kCore(edges.toDF("src", "dst"), k, rounds = n + 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      assert(more === truth, s"trial $trial extra rounds changed the core")
+    }
+  }
+
+  test("kCore: the declared doc-word config converges inside the pinned depth") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.documents(spark, sf())
+      .select(concat(lit("d"), col("doc_id")).as("src"),
+        explode(array_distinct(regexp_extract_all(
+          lower(col("text")), lit("[a-z]+"), lit(0)))).as("w"))
+      .select(col("src"), concat(lit("w"), col("w")).as("dst"))
+    val at8 = GraphOps.kCore(e, k = 22, rounds = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val at12 = GraphOps.kCore(e, k = 22, rounds = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(at8 === at12, "pinned depth 8 did not reach the fixpoint")
+    // converged ⇒ every survivor really is in the 22-core
+    assert(at8.forall(_._2 >= 22))
+    assert(at8.nonEmpty)
+  }
+
   test("dedupClusters labels every doc; singletons are their own cluster") {
     val docs = (1L to 10L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
