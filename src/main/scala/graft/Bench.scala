@@ -103,6 +103,11 @@ object Bench {
           // released AFTER EVERY RUN so run 1's blocks don't pressure the
           // runs being medianed (and runs×queries never accumulate)
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          // scratch dirs are no longer deleted per-tag on creation (the
+          // concurrent-suite hazard); the bench is the one context where
+          // runs×queries dirs of sf0.1 data would pile up — drop them here,
+          // after the count materialized everything that read from them
+          Queries.cleanScratch()
           t
         }.sorted
         (name, times(times.size / 2), times.head)

@@ -28,16 +28,31 @@ object Queries {
     * PREVIOUS dir for the same tag is deleted first, so repeated
     * invocations (3-run bench, gate reruns) hold at most one leftover per
     * tag per JVM instead of leaking /tmp unboundedly. The current dir must
-    * outlive the returned DataFrame (lazy reads), hence delete-on-next-call
-    * rather than delete-on-exit. */
-  private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * outlive the returned DataFrame (lazy reads). Deletion is therefore
+    * NEVER eager-per-tag: the test JVM runs suites CONCURRENTLY and four
+    * of them sweep the full inventory, so a delete-on-next-call would
+    * yank a scratch dir out from under another suite's in-flight lazy
+    * read. Instead every dir is registered and deleted either by
+    * [[cleanScratch]] (the bench loop calls it between runs — the one
+    * context where 3×150 dirs of sf0.1 data would otherwise accumulate)
+    * or by the JVM-exit hook (tests, Verify: ≤ sweeps×150 small dirs). */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => cleanScratch()))
   private def scratchDir(tag: String): String = {
     val fresh = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
-    val old = scratch.put(tag, fresh)
-    if (old != null)
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
-      catch { case _: Exception => }
+    scratchDirs.add(fresh)
     fresh
+  }
+  /** Delete every scratch dir created so far. Callers must have
+    * materialized all frames that still read from them. */
+  private[graft] def cleanScratch(): Unit = {
+    val it = scratchDirs.iterator()
+    while (it.hasNext) {
+      val d = it.next(); it.remove()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      catch { case _: Exception => }
+    }
   }
   /** Deterministic average built from decSum (both engines compute the
     * identical double division). */

@@ -11,7 +11,8 @@ package graft
   */
 class QueriesContractSpec extends SparkSpec {
 
-  private val singleRowKeys = Set("q_count")
+  private val singleRowKeys = Set("q_count",
+    "q_graph_triangles") // one aggregate row (n_triangles, n_wedges)
 
   test("oracle keys are a subset of declared query keys") {
     val undeclared = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
