@@ -12,23 +12,24 @@ import org.apache.spark.sql.types._
   * total n and from the output).
   *
   * Two corpus passes, both distributed:
-  *  1. SKETCH — per-partition Misra–Gries with k counters
+  *  1. SKETCH — per-partition Misra–Gries with 4k counters
   *     (`mapPartitions`: genuinely imperative per-partition state, the
   *     documented last-resort case), emitting each partition's surviving
-  *     candidate keys AND its row count in the same pass. MG's undercount
-  *     error is bounded by n_p/(k+1), so any key with partition frequency
-  *     > n_p/k survives its partition; and any key with GLOBAL frequency
-  *     > n/k must exceed n_p/k in at least one partition (averaging
-  *     argument) — the union of per-partition survivors is therefore a
-  *     guaranteed superset of every true heavy hitter. At most
-  *     (k+1)·partitions sketch rows ever leave the executors: the shuffle
-  *     is sketch-sized, not vocabulary-sized. The sketch is
+  *     (key, counter) pairs AND its row count in the same pass; at most
+  *     (4k+1)·partitions sketch rows ever leave the executors. The
+  *     partition sketches then TREE-MERGE through two weighted-MG folds
+  *     (mergeable summaries, Agarwal et al. PODS'12) down to ≤ 4k
+  *     candidates REGARDLESS of partition count — without the merge the
+  *     candidate union is k·partitions, which at 10⁵ partitions is no
+  *     longer broadcast-able. Undercount is additive per fold, total
+  *     < 3n/(4k+1) < n/k, so every key with global frequency > n/k keeps
+  *     a positive merged counter: the candidate set is a guaranteed
+  *     superset of every true heavy hitter. The sketch is
   *     localCheckpointed (sketch-sized, any corpus scale) so its two
-  *     consumers — the total and the candidate set — share the one scan.
+  *     consumers — the total and the candidate merge — share the one scan.
   *  2. EXACT — one more corpus scan counts ONLY rows whose key is in the
-  *     broadcast candidate set (map-side semi-filter, then a hash
-  *     aggregate over ≤ k·partitions distinct keys), filtered to
-  *     count > n/k.
+  *     broadcast ≤ 4k candidate set (map-side semi-filter, then a hash
+  *     aggregate over the candidates), filtered to count > n/k.
   *
   * The result is EXACT — same rows and counts as the full group-count —
   * which is what lets the DuckDB oracle hash it; freqItems / count-min
@@ -37,57 +38,91 @@ import org.apache.spark.sql.types._
   * vocabulary-sized shuffle; the scans are column-pruned to the key. */
 object HeavyHitters {
 
-  /** One corpus pass → (key, _np): candidate rows (key, 0) from each
-    * partition's Misra–Gries survivors, plus one (NULL, partitionRows)
-    * row per partition carrying the non-null row count. Materialized via
+  /** Weighted Misra–Gries fold over (key, weight) pairs with `k`
+    * counters — the MERGE step of the mergeable-summaries result
+    * (Agarwal et al., PODS'12): summing sketches then re-pruning keeps
+    * the undercount additive in the weight processed (≤ W/(k+1) per
+    * fold). A miss with a full table inserts, then subtracts the new
+    * minimum from every counter and drops zeros. */
+  private def mgFold(it: Iterator[(String, Long)],
+                     k: Int): Iterator[(String, Long)] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { case (key, w) =>
+      counters.get(key) match {
+        case Some(c) => counters.update(key, c + w)
+        case None if counters.size < k => counters.update(key, w)
+        case None =>
+          counters.update(key, w)
+          val m = counters.valuesIterator.min
+          val dead = List.newBuilder[String]
+          counters.foreach { case (kk, c) =>
+            if (c == m) dead += kk else counters.update(kk, c - m)
+          }
+          dead.result().foreach(counters.remove)
+      }
+    }
+    counters.iterator
+  }
+
+  /** One corpus pass → (key, _np): candidate rows carrying their MG
+    * counter value (a lower bound on partition frequency) from each
+    * partition's sketch, plus one (NULL, partitionRows) row per
+    * partition with the non-null row count. Materialized via
     * localCheckpoint — ≤ (k+1)·partitions rows at any corpus size. */
   private def sketch(keyed: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = keyed.sparkSession
     import spark.implicits._
     keyed.as[String].mapPartitions { it =>
-      // classic Misra–Gries: k counters; a miss with a full table
-      // decrements every counter (amortized O(1): each decrement round
-      // cancels k prior increments, so rounds ≤ n_p/k)
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      // amortized O(1) per row: each decrement round cancels k prior
+      // increments, so rounds ≤ n_p/k
       var rows = 0L
-      it.foreach { key =>
-        rows += 1
-        counters.get(key) match {
-          case Some(c) => counters.update(key, c + 1)
-          case None if counters.size < k => counters.update(key, 1L)
-          case None =>
-            val dead = List.newBuilder[String]
-            counters.foreach { case (w, c) =>
-              if (c == 1L) dead += w else counters.update(w, c - 1)
-            }
-            dead.result().foreach(counters.remove)
-        }
-      }
-      counters.keysIterator.map((_, 0L)) ++
-        Iterator((null.asInstanceOf[String], rows))
+      val folded = mgFold(it.map { key => rows += 1; (key, 1L) }, k)
+      folded ++ Iterator((null.asInstanceOf[String], rows))
     }.toDF(keyCol, "_np").localCheckpoint()
   }
 
-  /** Distinct candidate keys from per-partition Misra–Gries sketches:
-    * a superset of every (non-null) key with global frequency > n/k. */
-  def candidates(df: DataFrame, keyCol: String, k: Int): DataFrame =
-    sketch(df.select(col(keyCol).cast(StringType).as(keyCol))
-        .filter(col(keyCol).isNotNull), keyCol, k)
-      .filter(col(keyCol).isNotNull).select(keyCol).distinct()
+  /** Distinct candidate keys — a superset of every (non-null) key with
+    * global frequency > n/k, AT MOST 4k keys regardless of partition
+    * count: the per-partition sketches (internal size 4k) tree-merge
+    * through two weighted-MG folds (≤ 32 intermediate sketches, then
+    * one), so the total undercount is < 3n/(4k+1) < n/k and every true
+    * heavy hitter keeps a positive merged counter. Without the merge the
+    * candidate union is k·partitions — at 10⁵ partitions no longer a
+    * broadcast; with it the exact pass always broadcasts O(k) keys. */
+  def candidates(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val kk = 4 * k
+    mergeSketches(sketch(df.select(col(keyCol).cast(StringType).as(keyCol))
+      .filter(col(keyCol).isNotNull), keyCol, kk), keyCol, kk)
+  }
+
+  /** Tree-merge a [[sketch]]'s candidate rows down to ≤ kk keys: two
+    * weighted-MG folds (≤ 32 intermediate sketches, then one). */
+  private def mergeSketches(sk: DataFrame, keyCol: String,
+                            kk: Int): DataFrame = {
+    val spark = sk.sparkSession
+    import spark.implicits._
+    sk.filter(col(keyCol).isNotNull)
+      .as[(String, Long)]
+      .repartition(32).mapPartitions(mgFold(_, kk))
+      .repartition(1).mapPartitions(mgFold(_, kk))
+      .map(_._1).toDF(keyCol).distinct()
+  }
 
   /** Exact keys + counts with frequency strictly greater than n/k, where
     * n counts the non-null keys. Output: (keyCol, n). */
   def exact(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     val keyed = df.select(col(keyCol).cast(StringType).as(keyCol))
       .filter(col(keyCol).isNotNull)
-    val sk = sketch(keyed, keyCol, k)
+    val kk = 4 * k // internal sketch size: keeps the tree-merged
+    // undercount < 3n/(4k+1) < n/k, preserving the superset guarantee
+    val sk = sketch(keyed, keyCol, kk)
     // 1-row aggregate over the sketch-sized frame (sum is NULL only on a
     // zero-partition frame — then the corpus is empty and so is the join)
     val totRow = sk.filter(col(keyCol).isNull)
       .agg(sum("_np")).collect()(0)
     val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-    val cand = sk.filter(col(keyCol).isNotNull).select(keyCol).distinct()
+    val cand = mergeSketches(sk, keyCol, kk) // ≤ 4k keys at ANY partition count
     // the threshold is a plain double on both engines (IEEE division of
     // exact integers — cross-engine identical)
     keyed

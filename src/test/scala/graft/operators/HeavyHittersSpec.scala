@@ -38,8 +38,26 @@ class HeavyHittersSpec extends SparkSpec {
       val heavy = truth(rows, k).keySet
       assert(heavy.subsetOf(cand),
         s"k=$k missing ${heavy -- cand}")
-      // and the candidate set is sketch-sized, not vocabulary-sized
+      // the tree-merged candidate set is ≤ 4k at ANY partition count
       assert(cand.size <= k * 4, s"k=$k candidates=${cand.size}")
+    }
+  }
+
+  test("candidate bound and superset hold at high partition counts") {
+    // the 100 TB shape: many partitions would make the UNMERGED candidate
+    // union k·partitions; the weighted-MG tree-merge must keep it ≤ 4k
+    // while every true heavy hitter survives the merged undercount
+    val rows = new scala.util.Random(99).shuffle(zipfKeys)
+    val df = rows.toDF("key").repartition(64)
+    for (k <- Seq(3, 8)) {
+      val cand = HeavyHitters.candidates(df, "key", k)
+        .as[String].collect().toSet
+      assert(cand.size <= 4 * k, s"k=$k candidates=${cand.size} > 4k")
+      val heavy = truth(rows, k).keySet
+      assert(heavy.subsetOf(cand), s"k=$k missing ${heavy -- cand}")
+      val got = HeavyHitters.exact(df, "key", k)
+        .as[(String, Long)].collect().toMap
+      assert(got === truth(rows, k), s"k=$k exact mismatch")
     }
   }
 
