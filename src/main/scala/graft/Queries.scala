@@ -24,12 +24,9 @@ object Queries {
   /** Exact associative sum of a double column: decimal-accumulate → double. */
   private def decSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
-  /** Scratch dir for queries that materialize a warehouse/sink: the
-    * PREVIOUS dir for the same tag is deleted first, so repeated
-    * invocations (3-run bench, gate reruns) hold at most one leftover per
-    * tag per JVM instead of leaking /tmp unboundedly. The current dir must
-    * outlive the returned DataFrame (lazy reads). Deletion is therefore
-    * NEVER eager-per-tag: the test JVM runs suites CONCURRENTLY and four
+  /** Scratch dir for queries that materialize a warehouse/sink. The
+    * current dir must outlive the returned DataFrame (lazy reads), and
+    * deletion is NEVER eager-per-tag: the test JVM runs suites CONCURRENTLY and four
     * of them sweep the full inventory, so a delete-on-next-call would
     * yank a scratch dir out from under another suite's in-flight lazy
     * read. Instead every dir is registered and deleted either by
@@ -1284,9 +1281,12 @@ object Queries {
     val po = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), (col("l_partkey") % 100).as("p"))
       .distinct()
+    // no .distinct() here: triangleCount canonicalizes + dedupes its
+    // input anyway, and a caller-side distinct would just add a second
+    // full shuffle over the largest intermediate
     val e = po.alias("x").join(po.alias("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
     operators.GraphOps.triangleCount(e)
   }
 
@@ -1297,14 +1297,19 @@ object Queries {
     * engines run exactly 8 peels (oracle unrolls them), so the answers
     * agree whether or not the fixpoint arrived early; GraphOpsSpec
     * asserts the fixture converges inside the pinned depth. */
-  val qGraphKcore: Q = (s, d) => {
-    val e = Tables.documents(s, d)
+  val qGraphKcore: Q = (s, d) =>
+    operators.GraphOps.kCore(docWordEdges(s, d), k = 22, rounds = 8)
+      .orderBy("v")
+
+  /** The doc↔word bipartite edge set behind q_graph_kcore — shared with
+    * the spec's convergence guard so the guarded graph can never drift
+    * from the declared one. */
+  private[graft] def docWordEdges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(concat(lit("d"), col("doc_id")).as("src"),
         explode(array_distinct(regexp_extract_all(
           lower(col("text")), lit("[a-z]+"), lit(0)))).as("w"))
       .select(col("src"), concat(lit("w"), col("w")).as("dst"))
-    operators.GraphOps.kCore(e, k = 22, rounds = 8).orderBy("v")
-  }
 
   // ------------------------------------------------------------------
   // Extensions: text analysis

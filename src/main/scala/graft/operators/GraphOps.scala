@@ -171,41 +171,6 @@ object GraphOps {
       stars.unionByName(newEdges.select(col("src"), col("dst"))))
   }
 
-  /** Integer-scaled PageRank over a directed edge list — fixed iteration
-    * count, ALL arithmetic in scaled BIGINT (truncating division), so ranks
-    * are bit-identical across engines and partition orders: the variant an
-    * oracle can replay in ANSI SQL (floating PageRank never hashes equal
-    * across engines).
-    *
-    * rank₀(v) = S/N;  rankₜ₊₁(v) = ⌊0.15·S/N⌋ + Σ_{u→v} ⌊0.85·rankₜ(u)/deg(u)⌋
-    *
-    * Per iteration: one equi-join of edges onto ranks + one hash agg —
-    * linear in |E|, the standard distributed PageRank step. Ranks are
-    * localCheckpoint'ed each round so the plan does not grow with the
-    * iteration count (the same lineage-cut the CC rounds use). Dangling
-    * mass is dropped (not redistributed), the common simplification — every
-    * node still receives the teleport term via the right join on nodes.
-    *
-    * @param edges (src, dst) directed; dedup beforehand if multiplicity
-    *              should not weight the walk
-    * @param iterations fixed round count (convergence is geometric; 5-10
-    *                   rounds ranks stably for analytics use)
-    * @param scale S — rank mass per node at scale 1e9 keeps 85·r within
-    *              int64 for graphs up to ~10⁸ nodes
-    * @param driverFastPathEdges same adaptive cutover as
-    *              [[connectedComponents]]: a graph this small pays more in
-    *              per-round scheduler overhead than the whole computation
-    *              costs on the driver (identical integer recurrence either
-    *              way); 0 forces the distributed rounds
-    * @return (node, rank) — rank sums to ≤ N·S/N = S modulo truncation loss.
-    *   The distributed path returns a frame backed by the final round's
-    *   localCheckpoint'ed blocks: the CALLER owns that storage and should
-    *   release it once consumed (unpersist via
-    *   `sparkContext.getPersistentRDDs`, as Bench does between queries) —
-    *   pageRank itself unpersists every superseded round, but the result's
-    *   blocks must outlive the call because the checkpoint truncated their
-    *   lineage (no recompute path exists).
-    */
   /** K-CORE decomposition by synchronous peeling — the web-graph quality
     * signal (a page/document in a high k-core is embedded in a densely
     * self-supporting region; spam and boilerplate peel off early). Each
@@ -217,7 +182,10 @@ object GraphOps {
     * peels — the declared query's spec asserts convergence at the pinned
     * depth on the fixture. Per round: one degree hash-agg + two
     * broadcast-able semi-joins; edges only ever shrink. Output: the
-    * surviving (v, deg) pairs after `rounds` peels. */
+    * surviving (v, deg) pairs after `rounds` peels — backed by the final
+    * round's localCheckpoint'ed blocks, which the CALLER owns once
+    * consumed (the [[pageRank]] contract); superseded rounds' blocks are
+    * released here. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
@@ -227,9 +195,15 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k)
         .select("v").localCheckpoint() // two semi-join consumers
+      val old = e
+      // the eager checkpoint materializes the round, fully consuming
+      // keep/old — release their pinned blocks (pageRank/CC round
+      // hygiene: at 8 rounds the leak would hold ~17 edge-set copies)
       e = e.join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
+      keep.unpersist()
+      old.unpersist()
     }
     degrees(e)
   }
@@ -279,6 +253,41 @@ object GraphOps {
         count(lit(1)).as("n_wedges"))
   }
 
+  /** Integer-scaled PageRank over a directed edge list — fixed iteration
+    * count, ALL arithmetic in scaled BIGINT (truncating division), so ranks
+    * are bit-identical across engines and partition orders: the variant an
+    * oracle can replay in ANSI SQL (floating PageRank never hashes equal
+    * across engines).
+    *
+    * rank₀(v) = S/N;  rankₜ₊₁(v) = ⌊0.15·S/N⌋ + Σ_{u→v} ⌊0.85·rankₜ(u)/deg(u)⌋
+    *
+    * Per iteration: one equi-join of edges onto ranks + one hash agg —
+    * linear in |E|, the standard distributed PageRank step. Ranks are
+    * localCheckpoint'ed each round so the plan does not grow with the
+    * iteration count (the same lineage-cut the CC rounds use). Dangling
+    * mass is dropped (not redistributed), the common simplification — every
+    * node still receives the teleport term via the right join on nodes.
+    *
+    * @param edges (src, dst) directed; dedup beforehand if multiplicity
+    *              should not weight the walk
+    * @param iterations fixed round count (convergence is geometric; 5-10
+    *                   rounds ranks stably for analytics use)
+    * @param scale S — rank mass per node at scale 1e9 keeps 85·r within
+    *              int64 for graphs up to ~10⁸ nodes
+    * @param driverFastPathEdges same adaptive cutover as
+    *              [[connectedComponents]]: a graph this small pays more in
+    *              per-round scheduler overhead than the whole computation
+    *              costs on the driver (identical integer recurrence either
+    *              way); 0 forces the distributed rounds
+    * @return (node, rank) — rank sums to ≤ N·S/N = S modulo truncation loss.
+    *   The distributed path returns a frame backed by the final round's
+    *   localCheckpoint'ed blocks: the CALLER owns that storage and should
+    *   release it once consumed (unpersist via
+    *   `sparkContext.getPersistentRDDs`, as Bench does between queries) —
+    *   pageRank itself unpersists every superseded round, but the result's
+    *   blocks must outlive the call because the checkpoint truncated their
+    *   lineage (no recompute path exists).
+    */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000000L,
                driverFastPathEdges: Long = 1000000L): DataFrame = {

@@ -54,11 +54,10 @@ object HeavyHitters {
         case None =>
           counters.update(key, w)
           val m = counters.valuesIterator.min
-          val dead = List.newBuilder[String]
-          counters.foreach { case (kk, c) =>
-            if (c == m) dead += kk else counters.update(kk, c - m)
-          }
-          dead.result().foreach(counters.remove)
+          // in-place transforms (mutating inside foreach is undefined
+          // behavior for mutable.HashMap)
+          counters.mapValuesInPlace((_, c) => c - m)
+          counters.filterInPlace((_, c) => c > 0)
       }
     }
     counters.iterator

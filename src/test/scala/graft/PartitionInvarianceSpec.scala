@@ -13,10 +13,15 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   test("all declared queries are shuffle-partition invariant at sf0.001") {
     val dir = sf()
+    // AQE partition coalescing would collapse both configs to the same
+    // tiny post-shuffle fan-out at sf0.001, making the sweep vacuous —
+    // disable it so 7-vs-3 shuffles genuinely differ
     val s5 = spark.newSession()
-    s5.conf.set("spark.sql.shuffle.partitions", "5")
+    s5.conf.set("spark.sql.shuffle.partitions", "7")
+    s5.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val s4 = spark.newSession()
-    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    s4.conf.set("spark.sql.shuffle.partitions", "3")
+    s4.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val unstable = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val a = SparkEntry.queries(name)(s5, dir).collect().map(_.toString).toSeq
       val b = SparkEntry.queries(name)(s4, dir).collect().map(_.toString).toSeq

@@ -231,12 +231,9 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("kCore: the declared doc-word config converges inside the pinned depth") {
-    import org.apache.spark.sql.functions._
-    val e = graft.Tables.documents(spark, sf())
-      .select(concat(lit("d"), col("doc_id")).as("src"),
-        explode(array_distinct(regexp_extract_all(
-          lower(col("text")), lit("[a-z]+"), lit(0)))).as("w"))
-      .select(col("src"), concat(lit("w"), col("w")).as("dst"))
+    // the SAME edge builder the declared query uses — the guard can't
+    // silently drift from the declared graph
+    val e = graft.Queries.docWordEdges(spark, sf())
     val at8 = GraphOps.kCore(e, k = 22, rounds = 8)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val at12 = GraphOps.kCore(e, k = 22, rounds = 12)
