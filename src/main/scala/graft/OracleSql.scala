@@ -29,6 +29,15 @@ object OracleSql {
       |  user_id, COUNT(*) AS n_events
       |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 
+  /** Exact token heavy hitters (freq > n/200) — shared by
+    * q_agg_heavy_hitters and its streaming-maintenance twin. */
+  private val heavyHittersSql =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |t AS (SELECT COUNT(*) AS n_total FROM w WHERE word <> '')
+      |SELECT word, COUNT(*) AS n FROM w, t WHERE word <> ''
+      |GROUP BY word, t.n_total HAVING COUNT(*) > t.n_total / 200.0
+      |ORDER BY word""".stripMargin
+
   /** SCD2 validity intervals from per-user event_type changes — shared by
     * q_scd2_history and its streaming-maintenance twin q_stream_scd2. */
   private val scd2Sql =
@@ -477,12 +486,11 @@ object OracleSql {
 
     // exact heavy hitters: the Spark side's MG-candidates + exact-count
     // two-pass must equal the straight group-count-having
-    "q_agg_heavy_hitters" ->
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        |t AS (SELECT COUNT(*) AS n_total FROM w WHERE word <> '')
-        |SELECT word, COUNT(*) AS n FROM w, t WHERE word <> ''
-        |GROUP BY word, t.n_total HAVING COUNT(*) > t.n_total / 200.0
-        |ORDER BY word""".stripMargin,
+    "q_agg_heavy_hitters" -> heavyHittersSql,
+
+    // the streaming mergeable-sketch fold + exact finishing pass is
+    // constructed to equal batch exact heavy hitters — shared verbatim
+    "q_stream_heavy_hitters" -> heavyHittersSql,
 
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

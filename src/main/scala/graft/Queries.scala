@@ -669,6 +669,17 @@ object Queries {
       .orderBy("word")
   }
 
+  /** STREAMING heavy-hitters maintenance
+    * ([[streaming.Declared.heavyHittersMaintain]]): the mergeable-sketch
+    * fold per micro-batch + the exact finishing pass — output equals
+    * batch exact heavy hitters, so q_agg_heavy_hitters' oracle hashes
+    * the streaming run. */
+  val qStreamHeavyHitters: Q = (s, d) =>
+    streaming.Declared.heavyHittersMaintain(s,
+        Tables.documents(s, d).select("doc_id", "text"), "text", k = 200,
+        scratchDir("stream-hh"))
+      .orderBy("word")
+
   val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")

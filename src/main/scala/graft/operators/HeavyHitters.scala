@@ -93,19 +93,77 @@ object HeavyHitters {
     val kk = 4 * k
     mergeSketches(sketch(df.select(col(keyCol).cast(StringType).as(keyCol))
       .filter(col(keyCol).isNotNull), keyCol, kk), keyCol, kk)
+      .filter(col(keyCol).isNotNull).select(keyCol).distinct()
   }
 
-  /** Tree-merge a [[sketch]]'s candidate rows down to ≤ kk keys: two
-    * weighted-MG folds (≤ 32 intermediate sketches, then one). */
-  private def mergeSketches(sk: DataFrame, keyCol: String,
-                            kk: Int): DataFrame = {
+  /** Tree-merge a [[sketch]]'s candidate rows down to ≤ kk weighted keys
+    * (two weighted-MG folds: ≤ 32 intermediate sketches, then one),
+    * carrying the (NULL, rowCount) total rows through summed — the
+    * output is itself a mergeable sketch STATE in the same (key, _np)
+    * shape, which is what the streaming maintenance folds forward. */
+  private[graft] def mergeSketches(sk: DataFrame, keyCol: String,
+                                   kk: Int): DataFrame = {
     val spark = sk.sparkSession
     import spark.implicits._
-    sk.filter(col(keyCol).isNotNull)
+    val merged = sk.filter(col(keyCol).isNotNull)
       .as[(String, Long)]
       .repartition(32).mapPartitions(mgFold(_, kk))
       .repartition(1).mapPartitions(mgFold(_, kk))
-      .map(_._1).toDF(keyCol).distinct()
+      .toDF(keyCol, "_np")
+    val totRow = sk.filter(col(keyCol).isNull).agg(sum("_np")).collect()(0)
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    merged.unionByName(
+      Seq((null.asInstanceOf[String], total)).toDF(keyCol, "_np"))
+  }
+
+  /** Mergeable sketch STATE of a key column — ≤ 4k (key, weight) rows
+    * plus one (NULL, rowCount) total row. [[mergeStates]] folds two of
+    * these; [[exactFromState]] finishes with the exact pass. The
+    * streaming-maintenance unit: per micro-batch cost is one batch scan
+    * + sketch-sized shuffles, state is O(k) at rest. */
+  private[graft] def sketchState(df: DataFrame, keyCol: String,
+                                 k: Int): DataFrame =
+    mergeSketches(sketch(df.select(col(keyCol).cast(StringType).as(keyCol))
+      .filter(col(keyCol).isNotNull), keyCol, 4 * k), keyCol, 4 * k)
+
+  /** Fold two sketch states (each ≤ 4k+1 rows): weighted-MG over the
+    * union's candidate rows, totals summed. Each fold an element's
+    * counters pass through adds ≤ weight/(4k+1) undercount; with B
+    * micro-batches the longest path is partition→tree(2)→(B−1) state
+    * merges, so the superset guarantee (total undercount < n/k) holds
+    * for B ≤ k/(k−1)+2 ≈ 3 at internal size 4k — callers folding more
+    * batches should raise k (the declared run uses B=2). */
+  private[graft] def mergeStates(a: DataFrame, b: DataFrame, keyCol: String,
+                                 k: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val kk = 4 * k
+    val cand = a.unionByName(b).filter(col(keyCol).isNotNull)
+      .as[(String, Long)]
+      .repartition(1).mapPartitions(mgFold(_, kk))
+      .toDF(keyCol, "_np")
+    val tot = a.unionByName(b).filter(col(keyCol).isNull)
+      .agg(coalesce(sum("_np"), lit(0L))).collect()(0).getLong(0)
+    cand.unionByName(
+      Seq((null.asInstanceOf[String], tot)).toDF(keyCol, "_np"))
+  }
+
+  /** The exact finishing pass against a corpus at rest, driven by a
+    * sketch state's candidates + total: identical output to [[exact]]
+    * whenever the state's undercount budget held (see [[mergeStates]]). */
+  private[graft] def exactFromState(df: DataFrame, state: DataFrame,
+                                    keyCol: String, k: Int): DataFrame = {
+    val keyed = df.select(col(keyCol).cast(StringType).as(keyCol))
+      .filter(col(keyCol).isNotNull)
+    val totRow = state.filter(col(keyCol).isNull)
+      .agg(coalesce(sum("_np"), lit(0L))).collect()(0)
+    val total = totRow.getLong(0)
+    val cand = state.filter(col(keyCol).isNotNull).select(keyCol).distinct()
+    keyed
+      .join(broadcast(cand), Seq(keyCol), "left_semi")
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").cast(DoubleType) > lit(total.toDouble / k))
   }
 
   /** Exact keys + counts with frequency strictly greater than n/k, where
@@ -114,20 +172,10 @@ object HeavyHitters {
     val keyed = df.select(col(keyCol).cast(StringType).as(keyCol))
       .filter(col(keyCol).isNotNull)
     val kk = 4 * k // internal sketch size: keeps the tree-merged
-    // undercount < 3n/(4k+1) < n/k, preserving the superset guarantee
+    // undercount < 3n/(4k+1) < n/k, preserving the superset guarantee.
+    // (The threshold inside exactFromState is a plain double on both
+    // engines — IEEE division of exact integers, cross-engine identical.)
     val sk = sketch(keyed, keyCol, kk)
-    // 1-row aggregate over the sketch-sized frame (sum is NULL only on a
-    // zero-partition frame — then the corpus is empty and so is the join)
-    val totRow = sk.filter(col(keyCol).isNull)
-      .agg(sum("_np")).collect()(0)
-    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-    val cand = mergeSketches(sk, keyCol, kk) // ≤ 4k keys at ANY partition count
-    // the threshold is a plain double on both engines (IEEE division of
-    // exact integers — cross-engine identical)
-    keyed
-      .join(broadcast(cand), Seq(keyCol), "left_semi")
-      .groupBy(keyCol)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n").cast(DoubleType) > lit(total.toDouble / k))
+    exactFromState(keyed, mergeSketches(sk, keyCol, kk), keyCol, k)
   }
 }

@@ -646,6 +646,47 @@ object Declared {
     else s.read.parquet(states((lastBatch.get() % 2).toInt))
   }
 
+  /** Streaming HEAVY-HITTERS maintenance — the mergeable-summaries
+    * property ([[graft.operators.HeavyHitters]]'s weighted-MG sketches,
+    * Agarwal et al.) driven as a real stream: documents arrive in 2
+    * micro-batches, each batch's ≤4k-row sketch state folds into the
+    * standing state (O(k) at rest — the production shape for continuous
+    * vocabulary/domain monitoring), and end-of-stream runs the exact
+    * finishing pass over the corpus at rest. With B=2 batches the
+    * longest fold path keeps the total undercount < n/k (see
+    * [[graft.operators.HeavyHitters.mergeStates]]), so the candidate
+    * superset survives streaming and the OUTPUT EQUALS batch exact heavy
+    * hitters — q_agg_heavy_hitters' oracle hashes the streaming run.
+    * Alternating state dirs + batchId generation, as incrementalClusters. */
+  def heavyHittersMaintain(s: SparkSession, docs: DataFrame,
+                           textCol: String, k: Int, dir: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    def words(df: DataFrame) =
+      df.select(explode(split(col(textCol), " ")).as("word"))
+        .filter(col("word") =!= "")
+    val stream = fileStream(s, docs, dir, nFiles = 2, filesPerTrigger = 1)
+    val states = Seq(dir + "/state0", dir + "/state1")
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .queryName("graft-stream-heavy-hitters")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = HeavyHitters.sketchState(words(batch), "word", k)
+        val next =
+          if (batchId == 0L) bs
+          else HeavyHitters.mergeStates(
+            s.read.parquet(states(((batchId - 1) % 2).toInt)), bs, "word", k)
+        next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    val state = s.read.parquet(states((lastBatch.get() % 2).toInt))
+    HeavyHitters.exactFromState(words(s.read.parquet(dir + "/src")),
+      state, "word", k)
+  }
+
   /** Streaming SCD2 maintenance — the CDC "state over time" serving table
     * kept incrementally: each micro-batch of events is folded into the
     * standing history with [[graft.operators.Temporal.scd2Fold]] (seeded

@@ -61,6 +61,26 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("sketch-state fold over random splits equals one-shot exact") {
+    // the mergeable-summaries property behind the streaming maintenance:
+    // sketchState per slice, mergeStates fold, exactFromState finish —
+    // must equal exact() over the whole corpus for any 2-way split
+    val rnd = new scala.util.Random(21)
+    val rows = rnd.shuffle(zipfKeys)
+    val whole = rows.toDF("key").repartition(4)
+    for (trial <- 1 to 3) {
+      val cut = rnd.nextInt(rows.size)
+      val (ra, rb) = rows.splitAt(cut)
+      val k = Seq(5, 20, 50)(trial % 3)
+      val sa = HeavyHitters.sketchState(ra.toDF("key").repartition(3), "key", k)
+      val sb = HeavyHitters.sketchState(rb.toDF("key").repartition(3), "key", k)
+      val folded = HeavyHitters.mergeStates(sa, sb, "key", k)
+      val got = HeavyHitters.exactFromState(whole, folded, "key", k)
+        .as[(String, Long)].collect().toMap
+      assert(got === truth(rows, k), s"trial=$trial cut=$cut k=$k")
+    }
+  }
+
   test("k=2 majority element survives adversarial interleaving") {
     // a,b,a,c,a,d,… — every non-a arrival triggers a decrement round;
     // the majority element must still come out exactly counted

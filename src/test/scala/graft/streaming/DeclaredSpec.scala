@@ -27,6 +27,13 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming heavy-hitters maintenance equals batch exact heavy hitters") {
+    val streamed = Queries.qStreamHeavyHitters(spark, sf())
+    val batch = Queries.qAggHeavyHitters(spark, sf())
+      .orderBy("word")
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming SCD2 maintenance equals the one-shot batch history") {
     val streamed = Queries.qStreamScd2(spark, sf())
     val batch = Queries.qScd2History(spark, sf())
