@@ -85,6 +85,65 @@ object OracleSql {
        |GROUP BY v ORDER BY v""".stripMargin
   }
 
+  /** Unrolled synchronous label propagation (mirrors
+    * [[graft.operators.GraphOps.labelPropagation]] at the declared pinned
+    * depth) over the same doc↔word bipartite edge set as [[kcoreSql]]:
+    * per round, each node takes the most frequent neighbor label, ties to
+    * the smallest — ROW_NUMBER over the identical (n DESC, lbl ASC) total
+    * order. MATERIALIZED for the same inlining reason as kcore. */
+  private def lpaSql(rounds: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT concat('d', doc_id) AS src,
+        |    concat('w', word) AS dst
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |          '[a-z]+')) AS word FROM documents)
+        |  WHERE word <> ''),
+        |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM und)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT u.a, l.lbl, COUNT(*) AS n FROM und u
+         |  JOIN l${i - 1} l ON u.b = l.node GROUP BY u.a, l.lbl),
+         |l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
+         |    SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a
+         |      ORDER BY n DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled personalized PageRank (mirrors
+    * [[graft.operators.GraphOps.personalizedPageRank]]): the [[pagerankSql]]
+    * graph and recurrence, but r0 and the teleport term go to `seeds`
+    * only. */
+  private def pprSql(iters: Int, seeds: Seq[Long]): String = {
+    val s = seeds.distinct.sorted
+    val inSeeds = s"node IN (${s.mkString(", ")})"
+    val n = s.length
+    val head =
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey % 100 AS src,
+         |    100 + l_suppkey % 100 AS dst FROM lineitem),
+         |e AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |nodes AS (SELECT DISTINCT src AS node FROM
+         |  (SELECT src FROM e UNION ALL SELECT dst FROM e)),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(CASE WHEN $inSeeds
+         |    THEN 1000000000 // $n ELSE 0 END AS BIGINT) AS r FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, SUM((85 * r.r) // (100 * d.deg)) AS rc
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$k AS (SELECT nodes.node,
+         |    CAST(CASE WHEN nodes.$inSeeds THEN 15000000000 // (100 * $n)
+         |      ELSE 0 END + COALESCE(c$k.rc, 0) AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN c$k ON c$k.node = nodes.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, r FROM r$iters ORDER BY node"
+  }
+
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
     * its streaming twin q_stream_sliding: each event lands in the two
     * half-hour-aligned windows covering it. */
@@ -1042,7 +1101,11 @@ object OracleSql {
 
     "q_graph_pagerank" -> pagerankSql(5),
 
-    "q_graph_kcore" -> kcoreSql(22, 8),
+    "q_graph_kcore" -> kcoreSql(22, 5),
+
+    "q_graph_label_prop" -> lpaSql(4),
+
+    "q_graph_ppr" -> pprSql(5, Seq(0L, 7L)),
 
     // degree-oriented triangle count: all-integer, each triangle counted
     // once from its (deg, id)-minimal vertex; wedges canonical by id

@@ -1302,15 +1302,28 @@ object Queries {
   }
 
   /** K-CORE over the doc↔word bipartite graph
-    * ([[operators.GraphOps.kCore]], k=22, rounds pinned at 8): the
+    * ([[operators.GraphOps.kCore]], k=22, rounds pinned at 5): the
     * graph-connectivity quality signal — low-vocabulary docs and rare
     * words peel off together over 3 genuine rounds at sf0.01. Both
-    * engines run exactly 8 peels (oracle unrolls them), so the answers
+    * engines run exactly 5 peels (oracle unrolls them), so the answers
     * agree whether or not the fixpoint arrived early; GraphOpsSpec
-    * asserts the fixture converges inside the pinned depth. */
+    * asserts the fixture converges inside the pinned depth (fixpoint at
+    * 3 — 5 keeps two rounds of slack without paying 8's extra no-ops). */
   val qGraphKcore: Q = (s, d) =>
-    operators.GraphOps.kCore(docWordEdges(s, d), k = 22, rounds = 8)
+    operators.GraphOps.kCore(docWordEdges(s, d), k = 22, rounds = 5)
       .orderBy("v")
+
+  /** LABEL-PROPAGATION communities ([[operators.GraphOps.labelPropagation]],
+    * 4 pinned synchronous rounds) over the same doc↔word bipartite graph
+    * as q_graph_kcore — the topical-grouping signal (docs sharing
+    * vocabulary coalesce onto one label). Deterministic by construction:
+    * simultaneous updates + (count DESC, label ASC) tie-break are a total
+    * order, and the oracle unrolls the identical 4 rounds as CTEs, so a
+    * second ITERATIVE graph algorithm joins PageRank under the exact-hash
+    * gate. */
+  val qGraphLabelProp: Q = (s, d) =>
+    operators.GraphOps.labelPropagation(docWordEdges(s, d), rounds = 4)
+      .orderBy("node")
 
   /** The doc↔word bipartite edge set behind q_graph_kcore — shared with
     * the spec's convergence guard so the guarded graph can never drift
@@ -1725,6 +1738,24 @@ object Queries {
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     operators.GraphOps.pageRank(sym, iterations = 5)
+      .orderBy("node")
+  }
+
+  /** PERSONALIZED PageRank ([[operators.GraphOps.personalizedPageRank]])
+    * over the same symmetrized part↔supplier graph as q_graph_pagerank,
+    * restarting at seed part-buckets {0, 7} — the "items related to
+    * THESE items" proximity walk (recommendation / related-documents
+    * serving shape). Identical integer recurrence, teleport mass
+    * directed at the seeds only; oracle unrolls the same 5 rounds. */
+  val qGraphPpr: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 100).cast(LongType).as("src"),
+        (lit(100L) + col("l_suppkey") % 100).cast(LongType).as("dst"))
+      .distinct()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    operators.GraphOps.personalizedPageRank(sym, seeds = Seq(0L, 7L),
+        iterations = 5)
       .orderBy("node")
   }
 

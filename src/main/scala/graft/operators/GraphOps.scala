@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -331,6 +332,121 @@ object GraphOps {
         .localCheckpoint()
       // drop the superseded round's pinned blocks (the CC rounds do the
       // same) — at |V| rows per round the leak would outlive the call
+      if (it > 1) rank.unpersist()
+      rank = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    rank
+  }
+
+  /** Synchronous LABEL PROPAGATION at a PINNED round count — community
+    * detection, the topical-grouping signal over a corpus graph (docs
+    * sharing vocabulary, pages sharing links). l₀(v) = v; each round every
+    * node simultaneously takes the label most frequent among its
+    * neighbors, ties broken to the SMALLEST label — a total order, so the
+    * whole run is deterministic at any parallelism (async/randomized LPA,
+    * the usual formulation, is not). Rounds are PINNED, not run to
+    * fixpoint, for the same reason [[kCore]]'s are: an oracle unrolling
+    * the identical rounds computes the identical function, and sync LPA
+    * on bipartite graphs can oscillate rather than converge — pinning
+    * makes the output well-defined regardless.
+    *
+    * Per round: one equi-join of the symmetrized edge list onto labels +
+    * one (node, label) hash-agg + one row_number window on node — linear
+    * in |E|, labels localCheckpoint'ed so plans don't grow with rounds
+    * (the [[pageRank]] lineage contract; final round's blocks are the
+    * caller's to release).
+    *
+    * @param edges (src, dst), any orderable node type, either direction;
+    *              self-loops and duplicates dropped (set semantics)
+    * @param rounds pinned synchronous update count
+    * @return (node, community) for every node appearing in `edges`
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var lbl = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = und.join(lbl.select(col("node").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
+      // (a, lbl) is distinct after the agg, so (n desc, lbl asc) is a
+      // total order within each node — row_number is deterministic
+      val byNode = Window.partitionBy("a").orderBy(col("n").desc, col("lbl").asc)
+      val next = counts.withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("lbl"))
+        .localCheckpoint()
+      val old = lbl
+      lbl = next
+      old.unpersist()
+    }
+    und.unpersist()
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** PERSONALIZED PageRank — the same integer-scaled recurrence as
+    * [[pageRank]] but with ALL teleport mass directed at `seeds`:
+    * r₀(v) = S/|seeds| for seeds else 0;
+    * rₜ₊₁(v) = [v ∈ seeds]·⌊0.15·S/|seeds|⌋ + Σ_{u→v} ⌊0.85·rₜ(u)/deg(u)⌋.
+    * Ranks measure proximity to the seed set — the "related documents /
+    * similar items" walk. All arithmetic in truncating BIGINT, so the
+    * run is bit-identical across engines and partition orders (the
+    * oracle replays it as unrolled CTEs). Same per-round cost, adaptive
+    * driver fast path, and caller-owns-final-blocks contract as
+    * [[pageRank]]. Seeds absent from the graph contribute nothing
+    * (their teleport share is simply lost — the standard restart-vector
+    * restriction to the visible graph).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iterations: Int = 5,
+                           scale: Long = 1000000000L,
+                           driverFastPathEdges: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seedIds = seeds.distinct.sorted
+    val r0seed = scale / seedIds.length
+    val teleport = (15L * scale) / (100L * seedIds.length)
+    val e = edges.select(col("src").cast(LongType), col("dst").cast(LongType))
+      .localCheckpoint()
+
+    if (driverFastPathEdges > 0 && e.count() <= driverFastPathEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val isSeed = seedIds.toSet
+      val deg = es.groupBy(_._1).map { case (u, out) => u -> out.length.toLong }
+      var r = ns.map(v => v -> (if (isSeed(v)) r0seed else 0L)).toMap
+      for (_ <- 1 to iterations) {
+        val rc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => rc(v) += (85L * r(u)) / (100L * deg(u)) }
+        r = ns.map(v => v -> ((if (isSeed(v)) teleport else 0L) + rc(v))).toMap
+      }
+      e.unpersist()
+      return ns.map(v => (v, r(v))).toSeq.toDF("node", "r")
+    }
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seedTeleport =
+      when(col("node").isInCollection(seedIds), lit(teleport)).otherwise(lit(0L))
+    var rank = nodes.withColumn("r",
+      when(col("node").isInCollection(seedIds), lit(r0seed)).otherwise(lit(0L)))
+    for (it <- 1 to iterations) {
+      val contrib = e.join(rank, e("src") === rank("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("(85 * r) div (100 * deg)").as("c"))
+      val next = contrib.groupBy("node").agg(sum("c").as("rc"))
+        .join(nodes, Seq("node"), "right")
+        .na.fill(0L, Seq("rc"))
+        .select(col("node"), (seedTeleport + col("rc")).as("r"))
+        .localCheckpoint()
       if (it > 1) rank.unpersist()
       rank = next
     }

@@ -574,6 +574,148 @@ object VectorOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** EXACT k-NN GRAPH on the oracle-shared fixed-point grid — every node's
+    * `k` nearest neighbors by ROUND(cosine, 6) with id tie-break: the
+    * graph that semantic dedup, graph-based clustering, and
+    * curriculum-mining pipelines build over an embedded corpus. O(n²) by
+    * construction — bounded-sample / small-corpus ground truth (the
+    * [[cosineNearDupsFixed]] ruling); [[knnGraphLsh]] is the scale path.
+    *
+    * Two-phase like [[cosineNearDupsFixed]]: the codegen'd double kernel
+    * scores each unordered pair ONCE (mirrored to both directions), a
+    * per-node k-th-value prefilter keeps only the top-k boundary shell,
+    * and survivors pay the fixed-point re-score. The 1e-5 margin provably
+    * covers the drift: |kernel − grid| ≤ 1e-6 per pair, order statistics
+    * of pointwise-close sequences differ ≤ 1e-6, and 6-dp rounding moves
+    * a value ≤ 5e-7 — any final top-k member sits within 3e-6 of the
+    * double k-th value (VectorOpsSpec proves the phase-2 set equals the
+    * unfiltered ranking on random fixtures). */
+  def knnGraphExact(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fnrm", norm(col("v")))
+      .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
+      .localCheckpoint()
+    val a = side.alias("a")
+    val b = side.alias("b")
+    // each unordered pair scored once with the fast kernel, then mirrored
+    val half = a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.fnrm") * col("b.fnrm")))
+          .as("dcos"))
+      .localCheckpoint() // two mirror consumers
+    val directed = half
+      .select(col("id_a").as("node"), col("id_b").as("nbr"), col("dcos"))
+      .union(half
+        .select(col("id_b").as("node"), col("id_a").as("nbr"), col("dcos")))
+    // per-node k-th double value via one full-frame window — nth_value is
+    // null when a node has < k neighbors (keep them all)
+    val wFull = Window.partitionBy("node")
+      .orderBy(col("dcos").desc, col("nbr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cand = directed
+      .withColumn("kth", nth_value(col("dcos"), k).over(wFull))
+      .filter(col("kth").isNull || col("dcos") >= col("kth") - 1e-5)
+      .select("node", "nbr")
+    val scored = cand
+      .join(side.select(col("id").as("node"), col("v").as("va"),
+        col("xnrm").as("na")), Seq("node"))
+      .join(side.select(col("id").as("nbr"), col("v").as("vb"),
+        col("xnrm").as("nb")), Seq("nbr"))
+      .withColumn("cosine",
+        round(dotFixed(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy("node")
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("node"), col("nbr").as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** LSH-bucketed k-NN graph — the scale path of [[knnGraphExact]]:
+    * candidates are pairs sharing a (table, bucket) cell in ANY of
+    * `tables` sign-LSH hash tables (the [[cosineNearDups]] OR-construction
+    * — an equi-join whose cost is Σ bucket² per table, never a corpus
+    * cartesian), exact-ranked per node by the double kernel. Approximate
+    * by construction (a true neighbor hashing into no shared bucket is
+    * missed) — recall floored on the fixture in AnnRecallSpec. */
+  def knnGraphLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nPlanes: Int = 0, dims: Int = 64,
+                  tables: Int = 4): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
+    val planes =
+      if (nPlanes > 0) nPlanes else planesFor(side.count(), targetBucket = 125)
+    // narrow candidate generation: only (id, table, bucket) self-joins
+    val banded = side.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("v"), planes, dims, seed = 42L + t)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b, col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("node"), col("b.id").as("nbr"))
+      .dropDuplicates("node", "nbr") // any-table OR semantics
+    val scored = cand
+      .join(side.select(col("id").as("node"), col("v").as("va"),
+        col("nrm").as("na")), Seq("node"))
+      .join(side.select(col("id").as("nbr"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("nbr"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy("node")
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("node"), col("nbr").as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** MATRYOSHKA (prefix-dimension) funnel retrieval: stage 1 ranks the
+    * corpus by cosine over the first `prefixDims` dimensions only (the
+    * MRL trick — nested representations make the prefix a valid coarse
+    * embedding at 1/8th the bandwidth), keeps `k·refine` candidates per
+    * query, and stage 2 re-ranks the survivors at full dimension. Both
+    * stages score on the fixed-point grid with ROUND(·, 6) + id
+    * tie-breaks, so the whole funnel is deterministic at any parallelism
+    * AND oracle-replayable (unlike the LSH/IVF paths) — an approximate
+    * retrieval strategy under the exact hash gate. At scale the stage-1
+    * scan reads prefixDims/dims of the vector bytes (the storage win a
+    * columnar layout makes real by storing the prefix as its own column);
+    * stage 2 touches only k·refine vectors per query. */
+  def cosineTopKPrefix(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, prefixDims: Int, k: Int,
+                       refine: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qp", slice(col("qv"), 1, prefixDims))
+      .withColumn("qpn", sqrt(dotFixed(col("qp"), col("qp"))))
+      .withColumn("qfn", sqrt(dotFixed(col("qv"), col("qv")))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("np", slice(col("nv"), 1, prefixDims))
+      .withColumn("npn", sqrt(dotFixed(col("np"), col("np"))))
+    val s1 = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("pcos", round(
+        dotFixed(col("qp"), col("np")) / (col("qpn") * col("npn")), 6))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cands = s1.withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= k * refine)
+    val s2 = cands.withColumn("nfn", sqrt(dotFixed(col("nv"), col("nv"))))
+      .withColumn("cosine", round(
+        dotFixed(col("qv"), col("nv")) / (col("qfn") * col("nfn")), 6))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    s2.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** INT8-quantized brute-force top-k — the retrieval half of
     * [[quantizeInt8]]: the corpus scan reads int8 codes + one scale per
     * vector (4× less bandwidth than floats), the approximate score is the

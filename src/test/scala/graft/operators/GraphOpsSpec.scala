@@ -137,6 +137,97 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Driver replay of synchronous LPA: same symmetrized set-semantics
+    * graph, same (count desc, label asc) tie-break. */
+  private def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds)
+      lbl = adj.map { case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).view.mapValues(_.size)
+        v -> counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    lbl
+  }
+
+  test("labelPropagation: hand fixture — bridged triangles coalesce per side") {
+    // triangle {1,2,3} — bridge 3–4 — triangle {4,5,6}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = bruteLpa(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)), rounds = 4)
+    assert(got === want)
+    // the left triangle coalesces onto its minimum label; the bridge
+    // node's label (3) propagates into the right triangle under sync
+    // updates — communities match the replay, not naive per-side intuition
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(Set(got(4L), got(5L), got(6L)).subsetOf(Set(3L, 4L)))
+  }
+
+  test("labelPropagation: random graphs match the driver replay at several depths") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 5) {
+      val n = 4 + rnd.nextInt(10)
+      val edges = Seq.fill(6 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(4)
+        val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === bruteLpa(edges, rounds),
+          s"diverged on edges=$edges rounds=$rounds")
+      }
+    }
+  }
+
+  for ((label, cutover) <- Seq(("driver fast path", 1000000L),
+                               ("distributed rounds", 0L)))
+    test(s"personalizedPageRank [$label] reproduces the seeded recurrence") {
+      // directed triangle plus a sink, seed = {1}: all teleport mass at 1
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+      val got = GraphOps.personalizedPageRank(edges, seeds = Seq(1L),
+          iterations = 2, scale = 1000L, driverFastPathEdges = cutover)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val out = Map(1L -> Seq(2L, 4L), 2L -> Seq(3L), 3L -> Seq(1L))
+      val nodes = Seq(1L, 2L, 3L, 4L)
+      val teleport = (15L * 1000L) / 100L
+      var r = nodes.map(v => v -> (if (v == 1L) 1000L else 0L)).toMap
+      for (_ <- 1 to 2)
+        r = nodes.map(v => v -> ((if (v == 1L) teleport else 0L) +
+          out.toSeq.collect {
+            case (u, vs) if vs.contains(v) => (85L * r(u)) / (100L * vs.size)
+          }.sum)).toMap
+      assert(got === r)
+      // non-seed nodes hold strictly less rank than the seed after 2 rounds
+      assert(got(1L) > got(2L) && got(1L) > got(4L))
+    }
+
+  test("personalizedPageRank: distributed rounds equal the driver fast path") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 5) {
+      val n = 3 + rnd.nextInt(12)
+      val edges = Seq.fill(6 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val seeds = Seq(edges.head._1, edges.last._2).distinct
+        val fast = GraphOps.personalizedPageRank(df, seeds, iterations = 3,
+            scale = 1000000L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val dist = GraphOps.personalizedPageRank(df, seeds, iterations = 3,
+            scale = 1000000L, driverFastPathEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(dist === fast, s"paths diverged on edges=$edges seeds=$seeds")
+      }
+    }
+  }
+
   /** Driver brute force: distinct canonical edges → adjacency sets →
     * count triples with all three edges present. */
   private def bruteTriangles(edges: Seq[(Long, Long)]): (Long, Long) = {
@@ -234,14 +325,14 @@ class GraphOpsSpec extends SparkSpec {
     // the SAME edge builder the declared query uses — the guard can't
     // silently drift from the declared graph
     val e = graft.Queries.docWordEdges(spark, sf())
-    val at8 = GraphOps.kCore(e, k = 22, rounds = 8)
+    val at5 = GraphOps.kCore(e, k = 22, rounds = 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val at12 = GraphOps.kCore(e, k = 22, rounds = 12)
+    val at9 = GraphOps.kCore(e, k = 22, rounds = 9)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(at8 === at12, "pinned depth 8 did not reach the fixpoint")
+    assert(at5 === at9, "pinned depth 5 did not reach the fixpoint")
     // converged ⇒ every survivor really is in the 22-core
-    assert(at8.forall(_._2 >= 22))
-    assert(at8.nonEmpty)
+    assert(at5.forall(_._2 >= 22))
+    assert(at5.nonEmpty)
   }
 
   test("dedupClusters labels every doc; singletons are their own cluster") {
