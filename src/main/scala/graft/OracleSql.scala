@@ -1344,6 +1344,66 @@ object OracleSql {
         |  CAST((s - ((s % n) + n) % n) / n AS BIGINT) / 1e6 AS centroid
         |FROM a ORDER BY label, pos""".stripMargin,
 
+    // exact k-NN graph on the 1/8 sample: all-pairs fixed-point cosine
+    // (identical grid to q_dedup_embedding_exact), top-5 per node by
+    // (rounded cosine desc, neighbor id asc)
+    "q_vec_knn_graph" ->
+      """WITH side AS (
+        |  SELECT vec_id AS id, embedding AS v,
+        |    SQRT(CAST(list_sum(list_transform(list_zip(embedding, embedding),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13) AS nrm
+        |  FROM embeddings WHERE vec_id % 8 = 0),
+        |pairs AS (
+        |  SELECT a.id AS node, b.id AS nbr,
+        |    ROUND((CAST(list_sum(list_transform(list_zip(a.v, b.v),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |      / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM side a, side b WHERE a.id <> b.id),
+        |ranked AS (
+        |  SELECT node, nbr, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY cosine DESC, nbr) AS rank
+        |  FROM pairs)
+        |SELECT node, nbr AS neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY node, rank""".stripMargin,
+
+    // matryoshka funnel replay: stage 1 ranks on the 32-dim prefix
+    // (fixed-point grid), keeps prank <= 80, stage 2 re-ranks survivors at
+    // full width — the identical two-phase computation as the Spark side
+    "q_vec_ann_prefix" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    embedding[1:32] AS qp FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+        |    embedding[1:32] AS np FROM embeddings),
+        |s1 AS (
+        |  SELECT q.query_id, c.neighbor_id, q.qv, c.nv,
+        |    ROUND((CAST(list_sum(list_transform(list_zip(q.qp, c.np),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |      / (SQRT(CAST(list_sum(list_transform(list_zip(q.qp, q.qp),
+        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |       * SQRT(CAST(list_sum(list_transform(list_zip(c.np, c.np),
+        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)), 6) AS pcos
+        |  FROM q, c WHERE c.neighbor_id <> q.query_id),
+        |cand AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY pcos DESC, neighbor_id) AS prank FROM s1),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND((CAST(list_sum(list_transform(list_zip(qv, nv),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |      / (SQRT(CAST(list_sum(list_transform(list_zip(qv, qv),
+        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |       * SQRT(CAST(list_sum(list_transform(list_zip(nv, nv),
+        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)), 6) AS cosine
+        |  FROM cand WHERE prank <= 80),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM s2)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |dots AS (

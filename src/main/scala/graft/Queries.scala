@@ -1766,6 +1766,47 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** EXACT k-NN GRAPH ([[VectorOps.knnGraphExact]]) over a deterministic
+    * 1/8 sample — every node's 5 nearest neighbors on the oracle-shared
+    * fixed-point grid: the base structure for semantic dedup, graph
+    * clustering, and curriculum mining over an embedded corpus. O(n²) by
+    * construction (the [[VectorOps.cosineNearDupsFixed]] bounded-sample
+    * ruling); q_vec_knn_graph_lsh is the scale path. Hash-green: the
+    * double-kernel prefilter provably keeps every final top-k member. */
+  val qVecKnnGraph: Q = (s, d) =>
+    VectorOps.knnGraphExact(
+        Tables.embeddings(s, d).filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", k = 5)
+      .orderBy("node", "rank")
+
+  /** LSH-bucketed k-NN graph ([[VectorOps.knnGraphLsh]]) over the FULL
+    * corpus — candidates share a (table, bucket) cell in any sign-LSH
+    * table, exact-ranked per node. 3 planes × 6 OR-tables: random 64-dim
+    * neighbors sit near cos≈0.25 (θ≈75°), so per-table collision is only
+    * (1−θ/π)³≈0.2 — wider buckets + more tables buy recall 0.72 where
+    * 4×4 gives 0.40 (AnnRecallSpec sweep). Approximate by construction ⇒
+    * rows-only; floored vs [[VectorOps.knnGraphExact]]. */
+  val qVecKnnGraphLsh: Q = (s, d) =>
+    VectorOps.knnGraphLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5, nPlanes = 3, tables = 6)
+      .orderBy("node", "rank")
+
+  /** MATRYOSHKA prefix-dimension funnel retrieval
+    * ([[VectorOps.cosineTopKPrefix]]): coarse rank over the first 32 of 64
+    * dims (half the scan bandwidth), exact re-rank of the top k·8 at full
+    * width — recall@10 0.85 on the RANDOM fixture (AnnRecallSpec; an
+    * untrained prefix is the pessimistic bound — MRL training is what
+    * concentrates signal there). Both stages on the fixed-point grid with
+    * id tie-breaks, so unlike the LSH/IVF/PQ paths this
+    * APPROXIMATE-retrieval strategy is oracle-replayable — the funnel
+    * itself sits under the exact hash gate. */
+  val qVecAnnPrefix: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineTopKPrefix(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", prefixDims = 32, k = 10, refine = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate ANN — approximate by construction ⇒ rows-only.
     * 4 planes = 16 buckets: sized so candidate lists stay a meaningful
     * fraction of this corpus (more planes ⇒ exponentially more buckets ⇒

@@ -187,6 +187,78 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"declared-regime near-dup recall regressed: $recall")
   }
 
+  test("knnGraphExact: prefilter keeps the full unfiltered fixed-point ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, sf()).filter(col("vec_id") < 250)
+    def tuples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    // unfiltered truth: every directed pair on the fixed-point grid,
+    // ranked by the identical (rounded cosine desc, id asc) total order
+    val side = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("xnrm", sqrt(VectorOps.dotFixed(col("v"), col("v"))))
+    val a = side.alias("a"); val b = side.alias("b")
+    for (k <- Seq(3, 5, 10)) {
+      val w = Window.partitionBy("node")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val truth = tuples(a.join(b, col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("node"), col("b.id").as("neighbor_id"),
+          round(VectorOps.dotFixed(col("a.v"), col("b.v")) /
+            (col("a.xnrm") * col("b.xnrm")), 6).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k))
+      val got = tuples(VectorOps.knnGraphExact(emb, "vec_id", "embedding", k))
+      assert(got === truth, s"prefiltered knn graph != unfiltered truth at k=$k")
+    }
+  }
+
+  test("knnGraphLsh recall vs the exact knn graph; prefix funnel recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sf()) // 500 × 64-dim
+    def nbrSets(df: org.apache.spark.sql.DataFrame,
+                nodeCol: String): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long](nodeCol))
+        .map { case (n, rows) => n -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recall(approx: Map[Long, Set[Long]],
+               exact: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ex) =>
+        approx.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    // k-NN graph: declared config (3 planes × 6 tables, k=5) vs exact.
+    // Random 64-dim neighbors sit near cos≈0.25 ⇒ per-table collision
+    // (1−θ/π)³≈0.2; measured sweep: 4×4 ⇒ 0.40, 3×6 ⇒ 0.72
+    val exactG = nbrSets(VectorOps.knnGraphExact(emb, "vec_id", "embedding", 5), "node")
+    val lshG = nbrSets(VectorOps.knnGraphLsh(emb, "vec_id", "embedding", 5,
+      nPlanes = 3, tables = 6), "node")
+    val rG = recall(lshG, exactG)
+    info(f"knn-graph recall@5 (3 planes × 6 tables): $rG%.2f over ${exactG.size} nodes")
+    assert(rG >= 0.65, s"knn-graph LSH recall regressed: $rG")
+
+    // matryoshka funnel vs brute force — the funnel is deterministic, so
+    // the floor can hug the measure. On this RANDOM fixture the prefix is
+    // an untrained coarse embedding (MRL training is what concentrates
+    // signal in the prefix), so recall is the pessimistic bound: measured
+    // 16 dims ⇒ 0.46 (refine 4) / 0.61 (refine 8); 32 dims below.
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = topkSets(VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 10))
+    for ((pd, rf) <- Seq((32, 4), (32, 8))) {
+      val pf = topkSets(VectorOps.cosineTopKPrefix(emb, queries, "vec_id",
+        "embedding", prefixDims = pd, k = 10, refine = rf))
+      info(f"prefix-funnel recall@10 — prefix $pd, refine $rf: ${recall(pf, bf)}%.2f")
+    }
+    val pf = topkSets(VectorOps.cosineTopKPrefix(emb, queries, "vec_id",
+      "embedding", prefixDims = 32, k = 10, refine = 8))
+    val rP = recall(pf, bf)
+    // widening the funnel is a superset of candidates — recall cannot drop
+    val pf16 = topkSets(VectorOps.cosineTopKPrefix(emb, queries, "vec_id",
+      "embedding", prefixDims = 32, k = 10, refine = 16))
+    val rP16 = recall(pf16, bf)
+    info(f"prefix-funnel recall@10 — refine 16: $rP16%.2f")
+    assert(rP16 >= rP, "wider funnel candidates are a superset — recall cannot drop")
+    assert(rP >= 0.6, s"prefix-funnel recall regressed: $rP")
+  }
+
   test("cosineNearDupsFixed: kernel prefilter drops no pair vs unfiltered fixed-point truth") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf()).filter(col("vec_id") < 300)
