@@ -144,6 +144,61 @@ object OracleSql {
       s"\nSELECT node, r FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled HITS (mirrors [[graft.operators.GraphOps.hits]]): the
+    * DIRECTED part→supplier edge set (pagerankSql's graph before
+    * symmetrization), per round aᵣ = Σ incoming h then a = aᵣ·S ÷ max aᵣ
+    * (truncating BIGINT — non-negative operands so DuckDB // matches
+    * Spark div), symmetrically h from a. */
+  private def hitsSql(iters: Int, scale: Long): String = {
+    val head =
+      s"""WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
+         |    100 + l_suppkey % 100 AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT src AS node FROM
+         |  (SELECT src FROM e UNION ALL SELECT dst AS src FROM e)),
+         |h0 AS (SELECT node, CAST($scale AS BIGINT) AS h FROM nodes)""".stripMargin
+    // every per-round CTE is referenced twice (join + scalar MAX) —
+    // MATERIALIZED or DuckDB's default inlining goes exponential in
+    // rounds (the kcoreSql lesson)
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS r
+         |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a$k AS MATERIALIZED (SELECT nodes.node,
+         |    CAST((COALESCE(ar$k.r, 0) * $scale) // (SELECT MAX(r) FROM ar$k) AS BIGINT) AS a
+         |  FROM nodes LEFT JOIN ar$k ON ar$k.node = nodes.node),
+         |hr$k AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS r
+         |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+         |h$k AS MATERIALIZED (SELECT nodes.node,
+         |    CAST((COALESCE(hr$k.r, 0) * $scale) // (SELECT MAX(r) FROM hr$k) AS BIGINT) AS h
+         |  FROM nodes LEFT JOIN hr$k ON hr$k.node = nodes.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT h$iters.node, h$iters.h AS hub, a$iters.a AS auth
+         |FROM h$iters JOIN a$iters ON a$iters.node = h$iters.node
+         |ORDER BY h$iters.node""".stripMargin
+  }
+
+  /** Generated random-projection replay: the SAME ±1 sign matrix as
+    * [[graft.operators.VectorOps.randomProject]] (one fixed-seed PRNG,
+    * embedded here as list literals), products on the shared 1e-13
+    * fixed-point grid, exact ·0.25 (= 1/√16) scaling. */
+  private def randomProjectionSql(outDims: Int, dims: Int): String = {
+    val signs = graft.operators.VectorOps.projectionSigns(outDims, dims)
+    val invRoot = 1.0 / math.sqrt(outDims.toDouble)
+    require(invRoot == 0.25 || outDims * invRoot * invRoot == 1.0,
+      "outDims must keep 1/sqrt exact for cross-engine identity")
+    val comps = signs.map { row =>
+      val lits = row.mkString("[", ", ", "]")
+      s"""ROUND(CAST(list_sum(list_transform(list_zip(embedding, $lits),
+         |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 * $invRoot, 6)""".stripMargin
+    }.mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id, [
+       |    $comps] AS y FROM embeddings)
+       |SELECT vec_id, gs.i AS out_pos, y[gs.i] AS value
+       |FROM v, generate_series(1, $outDims) AS gs(i)
+       |ORDER BY vec_id, out_pos""".stripMargin
+  }
+
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
     * its streaming twin q_stream_sliding: each event lands in the two
     * half-hour-aligned windows covering it. */
@@ -1105,6 +1160,8 @@ object OracleSql {
 
     "q_graph_label_prop" -> lpaSql(4),
 
+    "q_graph_hits" -> hitsSql(5, 1000000L),
+
     "q_graph_ppr" -> pprSql(5, Seq(0L, 7L)),
 
     // degree-oriented triangle count: all-integer, each triangle counted
@@ -1343,6 +1400,8 @@ object OracleSql {
         |SELECT label, pos,
         |  CAST((s - ((s % n) + n) % n) / n AS BIGINT) / 1e6 AS centroid
         |FROM a ORDER BY label, pos""".stripMargin,
+
+    "q_vec_random_projection" -> randomProjectionSql(16, 64),
 
     // exact k-NN graph on the 1/8 sample: all-pairs fixed-point cosine
     // (identical grid to q_dedup_embedding_exact), top-5 per node by

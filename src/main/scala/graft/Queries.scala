@@ -1759,6 +1759,35 @@ object Queries {
       .orderBy("node")
   }
 
+  /** HITS hubs & authorities ([[operators.GraphOps.hits]]) over the
+    * DIRECTED part→supplier graph (the q_graph_pagerank edge set before
+    * symmetrization): parts that point at well-cited suppliers become
+    * hubs, suppliers cited by good hubs become authorities. 5 rounds of
+    * integer max-normalized updates — a THIRD iterative graph algorithm
+    * under the exact hash gate, with a different per-round shape than
+    * PageRank (two alternating half-updates + scalar max broadcasts). */
+  val qGraphHits: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 100).cast(LongType).as("src"),
+        (lit(100L) + col("l_suppkey") % 100).cast(LongType).as("dst"))
+      .distinct()
+    operators.GraphOps.hits(e0, iterations = 5)
+      .orderBy("node")
+  }
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION
+    * ([[operators.VectorOps.randomProject]], Achlioptas ±1 signs, 64→16
+    * dims): the 4× embedding-compression pass before clustering/dedup at
+    * scale. Signs come from one fixed-seed PRNG shared between this query
+    * and the generated oracle SQL (the matrix is embedded as literals on
+    * both sides); products land on the 1e-13 fixed-point grid, and
+    * 1/√16 = 0.25 scales exactly — a stochastic-matrix op under the exact
+    * hash gate. */
+  val qVecRandomProjection: Q = (s, d) =>
+    VectorOps.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+        outDims = 16)
+      .orderBy("vec_id", "out_pos")
+
   val qVecCosineTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",

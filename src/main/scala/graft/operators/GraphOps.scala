@@ -340,6 +340,83 @@ object GraphOps {
     rank
   }
 
+  /** HITS hubs & authorities (Kleinberg) over a DIRECTED edge set, with
+    * INTEGER max-normalization — the link-analysis dual of [[pageRank]]:
+    * hubs point at good authorities, authorities are pointed at by good
+    * hubs. Per iteration: aᵣ(v) = Σ_{u→v} h(u), then a(v) = aᵣ(v)·S ÷
+    * max aᵣ (truncating); symmetrically for h from a. Sums are integer
+    * (associative), max is order-free, division truncates — the whole run
+    * is bit-identical across engines and partitionings, so the oracle
+    * replays it as unrolled CTEs (float-normalized HITS never would).
+    *
+    * `scale` must satisfy maxInDeg·scale² < 2⁶³ (the normalize step
+    * multiplies a raw sum by scale before dividing): the 1e6 default is
+    * safe to ~9e6-node-degree graphs; classic 1e9 PageRank scale would
+    * overflow at degree ≥10. Per-round cost: two edge equi-joins + two
+    * hash aggs + two 1-row max broadcasts. Same adaptive driver fast
+    * path and caller-owns-final-blocks contract as [[pageRank]].
+    *
+    * @return (node, hub, auth) for every node in `edges`
+    */
+  def hits(edges: DataFrame, iterations: Int = 5, scale: Long = 1000000L,
+           driverFastPathEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast(LongType), col("dst").cast(LongType))
+      .distinct().localCheckpoint()
+
+    if (driverFastPathEdges > 0 && e.count() <= driverFastPathEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      var h = ns.map(_ -> scale).toMap
+      var a = ns.map(_ -> 0L).toMap
+      for (_ <- 1 to iterations) {
+        val ar = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => ar(v) += h(u) }
+        val amax = ar.values.max
+        a = ns.map(v => v -> ar(v) * scale / amax).toMap
+        val hr = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => hr(u) += a(v) }
+        val hmax = hr.values.max
+        h = ns.map(v => v -> hr(v) * scale / hmax).toMap
+      }
+      e.unpersist()
+      return ns.map(v => (v, h(v), a(v))).toSeq.toDF("node", "hub", "auth")
+    }
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      // raw: (node, r) for nodes with incident edges only; max is a 1-row
+      // broadcast (the q_histogram scalar idiom), missing nodes fill 0
+      val mx = raw.agg(max(col("r")).as("mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .na.fill(0L, Seq("r"))
+        .crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"(r * $scale) div mx").as(outCol))
+        .localCheckpoint()
+    }
+    var hub = nodes.withColumn("hub", lit(scale)).localCheckpoint()
+    var auth: DataFrame = null
+    for (it <- 1 to iterations) {
+      val araw = e.join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("r"))
+      val nextAuth = normalize(araw, "auth")
+      if (auth != null) auth.unpersist()
+      auth = nextAuth
+      val hraw = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("auth").as("r"))
+      val nextHub = normalize(hraw, "hub")
+      hub.unpersist()
+      hub = nextHub
+    }
+    val out = hub.join(auth, Seq("node"))
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Synchronous LABEL PROPAGATION at a PINNED round count — community
     * detection, the topical-grouping signal over a corpus graph (docs
     * sharing vocabulary, pages sharing links). l₀(v) = v; each round every

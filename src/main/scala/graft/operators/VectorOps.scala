@@ -802,6 +802,47 @@ object VectorOps {
       .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").as("q"), col("scale"))
 
+  /** Deterministic ±1 sign matrix for [[randomProject]]: `outDims` rows of
+    * `dims` signs from one fixed-seed PRNG. A few KB of literals regenerated
+    * identically everywhere — shared by the Spark expression AND the
+    * generated oracle SQL (OracleSql embeds the same rows), the
+    * [[planes]] pattern. */
+  def projectionSigns(outDims: Int, dims: Int, seed: Long = 47L): Array[Array[Int]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(outDims)(Array.fill(dims)(if (rng.nextBoolean()) 1 else -1))
+  }
+
+  /** RANDOM PROJECTION (Johnson–Lindenstrauss, Achlioptas ±1 variant):
+    * project `dims`-dim embeddings to `outDims` dims as
+    * y_k = Σ_j sign(k,j)·x_j / √outDims — the 4× (64→16) embedding
+    * compression pass before clustering/dedup/ANN at 100 TB, where pairwise
+    * geometry survives within the JL distortion bound but every downstream
+    * scan reads a quarter of the bytes. A pure per-row projection: no
+    * shuffle, no state, codegen'd long folds.
+    *
+    * Each product lands on the shared 1e-13 fixed-point grid ([[dotFixed]]'s
+    * ruling) so the sum is exact and associative, and the output rounds to
+    * 6 dp — bit-identical across engines, partitionings, and parallelism:
+    * an oracle-replayable stochastic-matrix op. Output exploded to
+    * (id, out_pos, value) scalars for hashing. */
+  def randomProject(corpus: DataFrame, idCol: String, vecCol: String,
+                    outDims: Int, dims: Int = 64,
+                    seed: Long = 47L): DataFrame = {
+    val signs = projectionSigns(outDims, dims, seed)
+    val invRoot = 1.0 / math.sqrt(outDims.toDouble)
+    val comps = signs.map { row =>
+      round(
+        aggregate(
+          zip_with(col(vecCol), typedlit(row.toSeq),
+            (x, s) => floor(x.cast(DoubleType) * s.cast(DoubleType) * lit(1e13))),
+          lit(0L), (acc, x) => acc + x)
+          .cast(DoubleType) / lit(1e13) * lit(invRoot), 6)
+    }
+    corpus.select(col(idCol), posexplode(array(comps.toIndexedSeq: _*)))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("out_pos"),
+        col("col").as("value"))
+  }
+
   /** All-pairs exact variant of [[cosineNearDups]] — O(n²); the ground truth
     * for recall measurement and the right tool only for small corpora. */
   def cosineNearDupsExact(corpus: DataFrame, idCol: String, vecCol: String,

@@ -80,6 +80,10 @@ class PlanContractSpec extends SparkSpec {
                            // itself is an equi-join on (cell, sub, code)
       "q_dedup_embedding_exact", // all-pairs ground truth over a bounded
                            // sample — dense by definition
+      "q_vec_knn_graph",   // exact k-NN graph over a bounded sample —
+                           // all-pairs by definition (LSH variant scales)
+      "q_vec_ann_prefix",  // broadcast queries × corpus funnel, non-equi
+                           // by design — the matryoshka brute-force shape
       "q_histogram",       // corpus × broadcast 1-row min/max — the
                            // scalar-subquery idiom, metadata-scale
       "q_sample_temperature") // per-group counts × 1-row total — both

@@ -207,6 +207,56 @@ class GraphOpsSpec extends SparkSpec {
       assert(got(1L) > got(2L) && got(1L) > got(4L))
     }
 
+  /** Driver replay of integer max-normalized HITS. */
+  private def bruteHits(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long): Map[Long, (Long, Long)] = {
+    val es = edges.distinct
+    val ns = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    var h = ns.map(_ -> scale).toMap
+    var a = ns.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val ar = ns.map(v => v -> es.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val amax = ar.values.max
+      a = ns.map(v => v -> ar(v) * scale / amax).toMap
+      val hr = ns.map(u => u -> es.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      val hmax = hr.values.max
+      h = ns.map(u => u -> hr(u) * scale / hmax).toMap
+    }
+    ns.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  for ((label, cutover) <- Seq(("driver fast path", 1000000L),
+                               ("distributed rounds", 0L)))
+    test(s"hits [$label] reproduces the integer max-normalized recurrence") {
+      // two hubs pointing into a shared authority + a chain
+      val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (3L, 11L), (10L, 12L))
+      val got = GraphOps.hits(edges.toDF("src", "dst"), iterations = 3,
+          scale = 1000L, driverFastPathEdges = cutover)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got === bruteHits(edges, 3, 1000L))
+      // 1 points at both strong authorities — it must be the top hub
+      assert(got(1L)._1 === 1000L)
+    }
+
+  test("hits: distributed rounds equal the driver fast path on random graphs") {
+    val rnd = new Random(17)
+    for (_ <- 1 to 5) {
+      val n = 3 + rnd.nextInt(12)
+      val edges = Seq.fill(6 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val fast = GraphOps.hits(df, iterations = 3, scale = 1000000L)
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+        val dist = GraphOps.hits(df, iterations = 3, scale = 1000000L,
+            driverFastPathEdges = 0L)
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+        assert(dist === fast, s"paths diverged on edges=$edges")
+      }
+    }
+  }
+
   test("personalizedPageRank: distributed rounds equal the driver fast path") {
     val rnd = new Random(13)
     for (_ <- 1 to 5) {

@@ -73,6 +73,36 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(q.filter(_._1 == 3L).map(_._3).min === -127)
   }
 
+  test("randomProject: JL geometry preserved on average, duplicates project identically") {
+    val emb = graft.Tables.embeddings(spark, sf()) // 500 × 64-dim
+    val proj = VectorOps.randomProject(emb, "vec_id", "embedding", outDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(proj.length === 500 * 16)
+    val y = proj.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val x = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    // E[||y||²] = ||x||² for ±1/√d projections: per-vector ratios are noisy
+    // at d=16 (χ² spread) but the corpus MEAN concentrates hard
+    val ratios = x.keys.toSeq.map { id =>
+      val ny = y(id).map(v => v * v).sum
+      val nx = x(id).map(v => v * v).sum
+      ny / nx
+    }
+    val mean = ratios.sum / ratios.size
+    info(f"norm-ratio mean over 500 vectors: $mean%.3f")
+    assert(mean > 0.85 && mean < 1.15, s"JL norm preservation broke: mean=$mean")
+    assert(ratios.count(r => r > 0.2 && r < 3.0) >= 490,
+      "individual norm ratios outside any plausible JL band")
+    // identical inputs project identically (pure function of the vector)
+    val dup = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val dp = VectorOps.randomProject(dup, "vec_id", "embedding", outDims = 16)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq).toMap
+    assert(dp(1L) === dp(2L))
+  }
+
   test("quality metrics compute exact ratios") {
     val docs = Seq((1L, "the cat the cat runs", 20L)).toDF("doc_id", "text", "n_chars")
     val m = TextOps.qualityMetrics(docs).collect().head
