@@ -178,6 +178,83 @@ object OracleSql {
          |ORDER BY h$iters.node""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.GraphOps.linkPredict]] on the sparse part
+    * co-occurrence graph: wedges per center, anti-join existing edges,
+    * deg·deg tie-break — all-integer total order, LIMIT-stable. */
+  private val linkPredictSql =
+    """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 1000 AS p
+      |    FROM lineitem WHERE l_linenumber <= 2),
+      |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM po x JOIN po y
+      |    ON x.o = y.o AND x.p < y.p),
+      |adj AS (SELECT a AS w, b AS u FROM e
+      |    UNION ALL SELECT b AS w, a AS u FROM e),
+      |deg AS (SELECT w AS v, COUNT(*) AS d FROM adj GROUP BY w),
+      |cn AS (SELECT x.u AS src, y.u AS dst, COUNT(*) AS cn
+      |    FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u GROUP BY 1, 2),
+      |ne AS (SELECT cn.src, cn.dst, cn.cn FROM cn LEFT JOIN e
+      |    ON e.a = cn.src AND e.b = cn.dst WHERE e.a IS NULL)
+      |SELECT ne.src, ne.dst, ne.cn, da.d * db.d AS pa
+      |FROM ne JOIN deg da ON da.v = ne.src JOIN deg db ON db.v = ne.dst
+      |ORDER BY ne.cn DESC, pa DESC, ne.src, ne.dst
+      |LIMIT 50""".stripMargin
+
+  /** Mirrors [[graft.operators.StatsOps.ksStatistic]] (weekday vs weekend
+    * per event_type): integer cross-multiplied ECDFs on the ⌊value·10³⌋
+    * grid; isodow (6,7) ⇔ Spark dayofweek (1,7) under the UTC session;
+    * non-negative // matches Spark div. */
+  private val ksDriftSql =
+    """WITH base AS (SELECT event_type,
+      |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS v,
+      |    CASE WHEN isodow(CAST(ts AS TIMESTAMP)) IN (6, 7)
+      |      THEN 1 ELSE 0 END AS s
+      |  FROM events),
+      |counts AS (SELECT event_type, v,
+      |    SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb
+      |  FROM base GROUP BY 1, 2),
+      |cum AS (SELECT event_type, v,
+      |    CAST(SUM(na) OVER w AS BIGINT) AS ca,
+      |    CAST(SUM(nb) OVER w AS BIGINT) AS cb
+      |  FROM counts WINDOW w AS (PARTITION BY event_type ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT event_type, MAX(ca) AS ta, MAX(cb) AS tb
+      |  FROM cum GROUP BY 1)
+      |SELECT c.event_type, t.ta AS n_a, t.tb AS n_b,
+      |  CAST(MAX(ABS(c.ca * t.tb - c.cb * t.ta)) AS BIGINT) AS ks_num,
+      |  CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+      |    CAST(MAX(ABS((c.ca * 1000000) // t.ta - (c.cb * 1000000) // t.tb))
+      |      AS BIGINT)
+      |  ELSE CAST(1000000 AS BIGINT) END AS ks_ppm
+      |FROM cum c JOIN tot t USING (event_type)
+      |GROUP BY c.event_type, t.ta, t.tb
+      |ORDER BY c.event_type""".stripMargin
+
+  /** Generated mixture-epochs replay: the SAME rate literals as
+    * [[graft.Queries.mixtureRates]] (the projectionSigns sharing pattern);
+    * ROW_NUMBER over (md5, id) within group ≡ the Spark side's two-pass
+    * bucket-offset position, and unnest(generate_series) is the lateral
+    * explode (k = 0 yields an empty list, matching the filtered
+    * sequence()). */
+  private def mixtureEpochsSql(rates: Seq[(String, Long, Long)]): String = {
+    val vals = rates.map { case (g, n, dn) => s"('$g', $n, $dn)" }
+      .mkString(", ")
+    s"""WITH r(lang, num, den) AS (VALUES $vals),
+       |base AS (SELECT doc_id, lang,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |pos AS (SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1 AS p
+       |  FROM base),
+       |rep AS (SELECT pos.doc_id, pos.lang,
+       |    ((p + 1) * COALESCE(r.num, 1)) // COALESCE(r.den, 1)
+       |      - (p * COALESCE(r.num, 1)) // COALESCE(r.den, 1) AS k
+       |  FROM pos LEFT JOIN r USING (lang))
+       |SELECT doc_id, lang,
+       |  CAST(unnest(generate_series(1, CAST(k AS BIGINT))) AS BIGINT)
+       |    AS replica
+       |FROM rep
+       |ORDER BY doc_id, replica""".stripMargin
+  }
+
   /** Generated random-projection replay: the SAME ±1 sign matrix as
     * [[graft.operators.VectorOps.randomProject]] (one fixed-seed PRNG,
     * embedded here as list literals), products on the shared 1e-13
@@ -1162,6 +1239,10 @@ object OracleSql {
 
     "q_graph_hits" -> hitsSql(5, 1000000L),
 
+    "q_graph_link_predict" -> linkPredictSql,
+
+    "q_drift_ks" -> ksDriftSql,
+
     "q_graph_ppr" -> pprSql(5, Seq(0L, 7L)),
 
     // degree-oriented triangle count: all-integer, each triangle counted
@@ -1328,6 +1409,8 @@ object OracleSql {
         |  (n_words BETWEEN 25 AND 1000) AND (mwl_ppm BETWEEN 4000000 AND 5000000)
         |    AND dup2_ppm <= 50000 AND top1_ppm <= 120000 AS pass_all
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_epochs" -> mixtureEpochsSql(graft.Queries.mixtureRates),
 
     "q_sample_temperature" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n

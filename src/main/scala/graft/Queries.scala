@@ -1481,6 +1481,22 @@ object Queries {
         Tables.documents(s, d), "doc_id", "lang", num = 1L, den = 2L)
       .orderBy("doc_id")
 
+  /** The declared training-mix recipe — one literal shared by the Spark
+    * query and the generated oracle VALUES (the projectionSigns pattern):
+    * upsample low-resource languages, halve English. */
+  val mixtureRates: Seq[(String, Long, Long)] = Seq(
+    ("en", 1L, 2L), ("zh", 5L, 2L), ("de", 3L, 2L), ("fr", 2L, 1L),
+    ("es", 1L, 1L))
+
+  /** Quota-exact mixture upsampling ([[operators.Sampling.mixtureEpochs]],
+    * [[mixtureRates]] over `lang`): every language hits EXACTLY
+    * ⌊n·num/den⌋ output replicas — fractional epochs without sampling
+    * noise, deterministic at any parallelism; (doc_id, replica) rows. */
+  val qMixtureEpochs: Q = (s, d) =>
+    operators.Sampling.mixtureEpochs(Tables.documents(s, d), "doc_id",
+        "lang", mixtureRates.map(r => r._1 -> (r._2, r._3)).toMap)
+      .orderBy("doc_id", "replica")
+
   /** Linear text-classifier scoring (fastText-style quality classifier):
     * broadcast weight table, integer score + sign label. */
   val qTextClassifier: Q = (s, d) =>
@@ -1774,6 +1790,38 @@ object Queries {
     operators.GraphOps.hits(e0, iterations = 5)
       .orderBy("node")
   }
+
+  /** Common-neighbor + preferential-attachment LINK PREDICTION
+    * ([[operators.GraphOps.linkPredict]]) over a SPARSE part co-occurrence
+    * graph (parts mod 1000 sharing an order's first two lines — the
+    * mod-100 graph is complete, nothing left to predict): global top-50
+    * missing edges by (common neighbors DESC, deg·deg DESC, pair) — both
+    * scores exact BIGINT, so the ranking is a total order and the whole
+    * recommendation sits under the cross-engine hash gate. */
+  val qGraphLinkPredict: Q = (s, d) => {
+    val po = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 2)
+      .select(col("l_orderkey").as("o"),
+        (col("l_partkey") % 1000).cast(LongType).as("p"))
+      .distinct()
+    val e = po.alias("x").join(po.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    operators.GraphOps.linkPredict(e, topN = 50)
+      .orderBy(col("cn").desc, col("pa").desc, col("src"), col("dst"))
+  }
+
+  /** Exact two-sample KOLMOGOROV–SMIRNOV drift
+    * ([[operators.StatsOps.ksStatistic]]): weekday vs weekend `value`
+    * distributions per event_type — the distribution-shift alarm a
+    * pipeline runs before training on a new slice. Cross-multiplied
+    * integer ECDFs on the ⌊value·10³⌋ grid (bounded window size at any
+    * corpus scale), so the statistic is exact and hash-green; dayofweek
+    * is UTC-pinned (Spark 1=Sun..7=Sat ⇔ DuckDB isodow 6,7 = weekend). */
+  val qDriftKs: Q = (s, d) =>
+    operators.StatsOps.ksStatistic(Tables.events(s, d), "event_type",
+        dayofweek(col("ts")).isin(1, 7), "value", gridScale = 1000L)
+      .orderBy("event_type")
 
   /** Johnson–Lindenstrauss RANDOM PROJECTION
     * ([[operators.VectorOps.randomProject]], Achlioptas ±1 signs, 64→16

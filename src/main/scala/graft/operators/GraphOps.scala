@@ -417,6 +417,67 @@ object GraphOps {
     out
   }
 
+  /** Common-neighbor LINK PREDICTION over an undirected graph — "which
+    * nodes SHOULD be connected?": for every non-adjacent pair (u,v), score
+    * by `cn` = |N(u) ∩ N(v)| (common neighbors) with `pa` = deg(u)·deg(v)
+    * (preferential attachment) as the tie-breaking second signal — the two
+    * classic integer link-prediction scores (Liben-Nowell & Kleinberg),
+    * both exact BIGINT so the global top-N is a total order under
+    * (cn DESC, pa DESC, src ASC, dst ASC) and the whole operator sits
+    * under the cross-engine hash gate (Adamic–Adar's 1/ln deg would not).
+    *
+    * Plan shape: wedges enumerate per CENTER w as unordered neighbor
+    * pairs — one adjacency self-join on w + one hash agg on (u,v), then an
+    * anti-join removes existing edges and a degree join prices pa; the
+    * top-N is Spark's distributed TakeOrdered (no global sort
+    * materializes). Wedge cost is Σ_w deg(w)² — at corpus scale a single
+    * celebrity hub goes quadratic, so `maxDegree` (OPT-IN, default keeps
+    * every center — the DedupOps hot-bucket-cap contract) drops wedge
+    * CENTERS above the cap before the self-join: capped centers stop
+    * GENERATING wedges but still appear as endpoints through their
+    * sub-cap neighbors, and any pair whose ONLY common neighbors are
+    * capped hubs disappears from the output — set the cap deliberately.
+    * The windowed degree count partitions on exactly the self-join key,
+    * so its exchange is reused by the join itself.
+    *
+    * @param edges undirected edge list (src, dst); direction and
+    *              duplicates are normalized away
+    * @param topN  global result size (total-order ranked)
+    * @return (src, dst, cn, pa) — src < dst, non-adjacent pairs only
+    */
+  def linkPredict(edges: DataFrame, topN: Int = 100,
+                  maxDegree: Int = Int.MaxValue): DataFrame = {
+    val e0 = edges.select(col("src").cast(LongType).as("x"),
+        col("dst").cast(LongType).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint() // three consumers: adjacency (×2 sides), anti-join
+    val adj = e0.select(col("a").as("w"), col("b").as("u"))
+      .unionAll(e0.select(col("b").as("w"), col("a").as("u")))
+    val deg = adj.groupBy(col("w").as("v")).agg(count(lit(1)).as("d"))
+    val centers =
+      if (maxDegree == Int.MaxValue) adj
+      else adj
+        .withColumn("_d", count(lit(1)).over(Window.partitionBy("w")))
+        .filter(col("_d") <= maxDegree)
+        .drop("_d")
+    val cApp = centers.localCheckpoint() // self-join reads it twice
+    val cn = cApp.join(cApp.withColumnRenamed("u", "v"), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u").as("src"), col("v").as("dst"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(e0.select(col("a").as("src"), col("b").as("dst")),
+        Seq("src", "dst"), "left_anti")
+      .join(deg.select(col("v").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("d").as("dd")), Seq("dst"))
+      .select(col("src"), col("dst"), col("cn"),
+        (col("ds") * col("dd")).as("pa"))
+      .orderBy(col("cn").desc, col("pa").desc, col("src"), col("dst"))
+      .limit(topN)
+  }
+
   /** Synchronous LABEL PROPAGATION at a PINNED round count — community
     * detection, the topical-grouping signal over a corpus graph (docs
     * sharing vocabulary, pages sharing links). l₀(v) = v; each round every

@@ -51,6 +51,69 @@ object Sampling {
       .select(col(idCol), col("__w").as("weight"), col("cum"))
   }
 
+  /** Quota-exact MIXTURE UPSAMPLING — the "epochs per source" knob of a
+    * training-data recipe (books ×2.5 epochs, web ×1, low-resource
+    * languages ×2…): every row of group g is replicated so the group's
+    * total replica count is EXACTLY ⌊n_g·num_g/den_g⌋, with the ⌊⌋/⌈⌉
+    * split decided deterministically by each row's position in the
+    * group's hash order — no RNG state, bit-identical across engines,
+    * runs, and partitionings. Fractional rates < 1 downsample (rows get
+    * 0 or 1 replicas), rates > 1 upsample (⌊rate⌋ or ⌈rate⌉ replicas):
+    * row at 0-based position p gets ⌊(p+1)·num/den⌋ − ⌊p·num/den⌋
+    * replicas, which telescopes to the exact group quota — unlike a
+    * hash-threshold resampler, the realized mixture cannot drift from
+    * the recipe by sampling noise.
+    *
+    * The within-group position reuses [[weightedSystematic]]'s two-pass
+    * global-order shape: per-(group, md5-prefix-bucket) totals (256
+    * rows per group — metadata scale at any corpus size) become driver
+    * prefix offsets, and a within-bucket window adds the local rank — no
+    * global sort, no single-partition window. Integer headroom:
+    * (p+1)·num < 2⁶³ ⇒ fine to ~9·10¹⁸/num rows per group.
+    *
+    * @param rates (num, den) replication rate per group value; groups
+    *              absent from the map use `defaultRate`
+    * @return (idCol, groupCol, replica) with replica ∈ 1..k(row) — rows
+    *         with 0 replicas are absent
+    */
+  def mixtureEpochs(df: DataFrame, idCol: String, groupCol: String,
+                    rates: Map[String, (Long, Long)],
+                    defaultRate: (Long, Long) = (1L, 1L)): DataFrame = {
+    require(rates.values.forall { case (n, d) => n >= 0 && d > 0 } &&
+      defaultRate._1 >= 0 && defaultRate._2 > 0,
+      "rates must be non-negative with positive denominators")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol), col(groupCol).as("__g"),
+        md5(col(idCol).cast(StringType)).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val totals = base.groupBy("__g", "__b").agg(count(lit(1)).as("__t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // buckets are md5 prefixes, so within a group they are contiguous
+    // ranges of the (md5, id) hash order: bucket-ascending running totals
+    // are exactly the global within-group offsets
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, t) =>
+        val o = (g, b, acc); acc += t; o
+      }
+    }
+    val offDf = broadcast(offsets.toDF("__g", "__b", "__off"))
+    val rateDf = broadcast(rates.toSeq.map { case (g, (n, dn)) => (g, n, dn) }
+      .toDF("__g", "__num", "__den"))
+    val w = Window.partitionBy("__g", "__b").orderBy(col("__h"), col(idCol))
+    base.join(offDf, Seq("__g", "__b"))
+      .join(rateDf, Seq("__g"), "left")
+      .na.fill(Map("__num" -> defaultRate._1, "__den" -> defaultRate._2))
+      .withColumn("__p",
+        row_number().over(w).cast(LongType) - lit(1L) + col("__off"))
+      .withColumn("__k", // non-negative operands: Spark div == DuckDB //
+        expr("((__p + 1) * __num) div __den") - expr("(__p * __num) div __den"))
+      .filter(col("__k") >= 1L)
+      .select(col(idCol), col("__g").as(groupCol),
+        explode(sequence(lit(1L), col("__k"))).as("replica"))
+  }
+
   /** Temperature-based mixture resampling — the "flatten the source/language
     * mix" step of a training-data recipe (sample group g at rate ∝
     * count(g)^α / count(g), α = 0.5): over-represented groups are

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distribution-drift statistics for data-quality monitoring — "did this
+  * week's data shift vs last week's?" is the first question a 100 TB
+  * ingestion pipeline has to answer before training on the new slice.
+  *
+  * Everything here is EXACT integer arithmetic over counts, so results are
+  * bit-identical across engines, runs, and partitionings and sit under the
+  * DuckDB oracle hash gate (a float ECDF difference would drift in the
+  * last ulp and never hash equal).
+  */
+object StatsOps {
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per comparison group —
+    * the classic distribution-shift alarm: D = max_x |F_A(x) − F_B(x)|
+    * between the empirical CDFs of two subsamples of `valueCol`.
+    *
+    * All arithmetic stays integer by cross-multiplying: at every observed
+    * value v with cumulative counts c_A, c_B and totals t_A, t_B,
+    * |F_A − F_B| = |c_A·t_B − c_B·t_A| / (t_A·t_B) — the returned `ks_num`
+    * is the max numerator and D = ks_num / (n_a·n_b) exactly. `ks_ppm` is
+    * a convenience: each ECDF floored onto a parts-per-million grid
+    * (⌊c·10⁶/t⌋) before the max-abs-diff, so it is itself exact integer
+    * arithmetic (within 2 ppm of true D·10⁶) with headroom to ~9·10¹²
+    * rows per side; `ks_num`'s cross products need t_A·t_B < 2⁶³
+    * (~3·10⁹ rows per side) — beyond that read `ks_ppm` only, or
+    * pre-aggregate onto a coarser grid.
+    *
+    * Plan shape (scale-honest): one hash agg collapses the corpus to
+    * per-(group, value) count pairs — the window cumsum then runs over
+    * DISTINCT values only, not rows. For real-valued metrics whose
+    * distinct count approaches the row count, set `gridScale` > 0 to
+    * first floor values onto an integer grid v = ⌊value·gridScale⌋
+    * (KS of the binned distributions, still exact and deterministic:
+    * one IEEE double product + floor is cross-engine identical); the
+    * window's partition size is then bounded by the value range × grid,
+    * independent of corpus size.
+    *
+    * Degenerate groups (one sample empty): ks_num is 0 by the formula's
+    * vacuous cross products; ks_ppm is pinned at 10⁶ (total drift) so an
+    * empty side is loudly visible rather than silently "no drift".
+    *
+    * @param isSampleB boolean Column splitting rows into sample A (false)
+    *                  and sample B (true)
+    * @return one row per comparison group: (cmpCol, n_a, n_b, ks_num,
+    *         ks_ppm), all counts BIGINT
+    */
+  def ksStatistic(df: DataFrame, cmpCol: String, isSampleB: Column,
+                  valueCol: String, gridScale: Long = 0L): DataFrame = {
+    val v =
+      if (gridScale > 0L)
+        floor(col(valueCol).cast(DoubleType) * lit(gridScale.toDouble))
+          .cast(LongType)
+      else col(valueCol)
+    val counts = df
+      .select(col(cmpCol).as("__cmp"), v.as("__v"),
+        when(isSampleB, lit(1L)).otherwise(lit(0L)).as("__s"))
+      .groupBy("__cmp", "__v")
+      .agg(sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("nb"))
+    val wCum = Window.partitionBy("__cmp").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("__cmp")
+    counts
+      .withColumn("ca", sum("na").over(wCum))
+      .withColumn("cb", sum("nb").over(wCum))
+      .withColumn("ta", max(col("ca")).over(wAll)) // cumsum's last value
+      .withColumn("tb", max(col("cb")).over(wAll))
+      .groupBy(col("__cmp").as(cmpCol))
+      .agg(
+        max("ca").cast(LongType).as("n_a"),
+        max("cb").cast(LongType).as("n_b"),
+        max(abs(col("ca") * col("tb") - col("cb") * col("ta")))
+          .cast(LongType).as("ks_num"),
+        when(max("ca") > 0L && max("cb") > 0L,
+          // non-negative operands: Spark div == DuckDB //; greatest(t,1)
+          // only guards ANSI div-by-zero on an empty side, where the
+          // numerator is identically 0 and the WHEN pins the result anyway
+          max(abs(expr("(ca * 1000000L) div greatest(ta, 1L)") -
+            expr("(cb * 1000000L) div greatest(tb, 1L)"))))
+          .otherwise(lit(1000000L)).cast(LongType).as("ks_ppm"))
+  }
+}

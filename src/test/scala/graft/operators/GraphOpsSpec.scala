@@ -257,6 +257,52 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Driver replay: all non-adjacent pairs scored by (common neighbors,
+    * deg·deg), ranked by the total order. */
+  private def bruteLinkPredict(edges: Seq[(Long, Long)],
+                               topN: Int): Seq[(Long, Long, Long, Long)] = {
+    val e0 = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (e0 ++ e0.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = nbrs.keys.toSeq.sorted
+    val pairs = for {
+      u <- nodes; v <- nodes if u < v && !nbrs(u).contains(v)
+      cn = (nbrs(u) intersect nbrs(v)).size.toLong if cn > 0
+    } yield (u, v, cn, nbrs(u).size.toLong * nbrs(v).size)
+    pairs.sortBy { case (u, v, cn, pa) => (-cn, -pa, u, v) }.take(topN)
+  }
+
+  test("linkPredict matches the brute-force ranking on random graphs") {
+    val rnd = new Random(23)
+    for (_ <- 1 to 5) {
+      val n = 6 + rnd.nextInt(10)
+      val edges = Seq.fill(8 + rnd.nextInt(25))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = GraphOps.linkPredict(edges.toDF("src", "dst"), topN = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === bruteLinkPredict(edges, 10), s"edges=$edges")
+    }
+  }
+
+  test("linkPredict: maxDegree cap removes wedges centered on hot hubs") {
+    // hub 0 touches 1..6; spokes 1-2 and 3-4 form sub-cap centers
+    val edges = (1L to 6L).map((0L, _)) ++ Seq((1L, 2L), (3L, 4L))
+    val unc = GraphOps.linkPredict(edges.toDF("src", "dst"), topN = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every non-adjacent spoke pair shares hub 0
+    assert(unc.contains((1L, 3L)) && unc.contains((5L, 6L)))
+    val capped = GraphOps.linkPredict(edges.toDF("src", "dst"), topN = 100,
+        maxDegree = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hub 0 (deg 6) stops generating wedges; only centers 1..4 (deg 2)
+    // remain, whose wedges all close onto existing hub edges — pairs whose
+    // ONLY witness was the hub disappear, the documented recall trade
+    assert(!capped.contains((5L, 6L)))
+    assert(capped.subsetOf(unc))
+  }
+
   test("personalizedPageRank: distributed rounds equal the driver fast path") {
     val rnd = new Random(13)
     for (_ <- 1 to 5) {

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver replay of the cross-multiplied integer KS. */
+  private def bruteKs(a: Seq[Double], b: Seq[Double]): (Long, Long, Long, Long) = {
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    if (na == 0 || nb == 0) return (na, nb, 0L, 1000000L)
+    val vs = (a ++ b).distinct.sorted
+    val diffs = vs.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      (math.abs(ca * nb - cb * na),
+        math.abs(ca * 1000000L / na - cb * 1000000L / nb))
+    }
+    (na, nb, diffs.map(_._1).max, diffs.map(_._2).max)
+  }
+
+  private def run(rows: Seq[(String, Double, Boolean)], grid: Long = 0L) =
+    StatsOps.ksStatistic(rows.toDF("g", "value", "b"), "g", col("b"),
+        "value", gridScale = grid)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("ksStatistic matches the driver replay on a shifted fixture") {
+    val a = (1 to 10).map(_.toDouble)
+    val b = (6 to 15).map(_.toDouble)
+    val rows = a.map(("x", _, false)) ++ b.map(("x", _, true))
+    val got = run(rows)("x")
+    assert(got === bruteKs(a, b))
+    // 5 of 10 observations shifted past the other sample: D = 1/2 exactly
+    assert(got._3 === 50L && got._4 === 500000L)
+  }
+
+  test("ksStatistic: identical samples score 0, disjoint samples score max") {
+    val same = (1 to 8).map(_.toDouble)
+    val gotSame = run(same.map(("s", _, false)) ++ same.map(("s", _, true)))("s")
+    assert(gotSame._3 === 0L && gotSame._4 === 0L)
+    val a = (1 to 5).map(_.toDouble)
+    val b = (11 to 15).map(_.toDouble)
+    val gotDisj = run(a.map(("d", _, false)) ++ b.map(("d", _, true)))("d")
+    assert(gotDisj._3 === 25L) // na*nb: the CDFs separate completely
+    assert(gotDisj._4 === 1000000L)
+  }
+
+  test("ksStatistic: random fixtures match the replay; groups independent") {
+    val rnd = new scala.util.Random(29)
+    val byG = (0 until 3).map { g =>
+      val a = Seq.fill(20 + rnd.nextInt(30))((rnd.nextInt(40) + 1).toDouble)
+      val b = Seq.fill(20 + rnd.nextInt(30))((rnd.nextInt(40) + 5).toDouble)
+      s"g$g" -> (a, b)
+    }.toMap
+    val rows = byG.toSeq.flatMap { case (g, (a, b)) =>
+      a.map((g, _, false)) ++ b.map((g, _, true))
+    }
+    val got = run(rows)
+    for ((g, (a, b)) <- byG)
+      assert(got(g) === bruteKs(a, b), s"group $g diverged")
+  }
+
+  test("ksStatistic: an empty side pins ks_ppm at 1e6, loudly") {
+    val got = run((1 to 6).map(i => ("e", i.toDouble, false)))("e")
+    assert(got === ((6L, 0L, 0L, 1000000L)))
+  }
+
+  test("ksStatistic: gridScale bins values before the comparison") {
+    // distinct at full precision, identical on the 10^1 grid
+    val rows = Seq(("q", 1.01, false), ("q", 1.04, true),
+      ("q", 2.52, false), ("q", 2.58, true))
+    assert(run(rows)("q")._3 === 2L) // raw doubles interleave: 1.01<1.04
+    assert(run(rows, grid = 10L)("q")._3 === 0L) // ⌊v·10⌋ merges each pair
+  }
+}
