@@ -229,6 +229,28 @@ object OracleSql {
       |GROUP BY c.event_type, t.ta, t.tb
       |ORDER BY c.event_type""".stripMargin
 
+  /** Mirrors [[graft.operators.StatsOps.tvDistance]] (lang mix per source,
+    * even vs odd doc_ids): Σ per-category cross-multiplied numerators;
+    * ppm floors each probability before the sum, ÷2 at the end. */
+  private val tvDriftSql =
+    """WITH base AS (SELECT source, lang AS v,
+      |    CAST(doc_id % 2 AS BIGINT) AS s FROM documents),
+      |counts AS (SELECT source, v,
+      |    SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS oa,
+      |    SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS ob
+      |  FROM base GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(oa) AS BIGINT) AS ta,
+      |    CAST(SUM(ob) AS BIGINT) AS tb FROM counts GROUP BY 1)
+      |SELECT c.source, t.ta AS n_a, t.tb AS n_b,
+      |  CAST(SUM(ABS(c.oa * t.tb - c.ob * t.ta)) AS BIGINT) AS tv_num,
+      |  CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+      |    CAST(SUM(ABS((c.oa * 1000000) // t.ta - (c.ob * 1000000) // t.tb))
+      |      // 2 AS BIGINT)
+      |  ELSE CAST(1000000 AS BIGINT) END AS tv_ppm
+      |FROM counts c JOIN tot t USING (source)
+      |GROUP BY c.source, t.ta, t.tb
+      |ORDER BY c.source""".stripMargin
+
   /** Generated mixture-epochs replay: the SAME rate literals as
     * [[graft.Queries.mixtureRates]] (the projectionSigns sharing pattern);
     * ROW_NUMBER over (md5, id) within group ≡ the Spark side's two-pass
@@ -1242,6 +1264,11 @@ object OracleSql {
     "q_graph_link_predict" -> linkPredictSql,
 
     "q_drift_ks" -> ksDriftSql,
+
+    "q_drift_tv" -> tvDriftSql,
+
+    // streaming fold-then-finish equals one-shot KS (mergeable counts)
+    "q_stream_drift" -> ksDriftSql,
 
     "q_graph_ppr" -> pprSql(5, Seq(0L, 7L)),
 

@@ -680,6 +680,16 @@ object Queries {
         scratchDir("stream-hh"))
       .orderBy("word")
 
+  /** STREAMING drift maintenance ([[streaming.Declared.driftMaintain]]):
+    * mergeable per-(group, bin) counts folded per micro-batch — O(groups ×
+    * grid) state at rest — finished with the exact integer KS at
+    * end-of-stream; equals batch [[qDriftKs]] by associativity of +, so
+    * the same oracle hashes the streaming run. */
+  val qStreamDrift: Q = (s, d) =>
+    streaming.Declared.driftMaintain(s, Tables.events(s, d),
+        scratchDir("stream-drift"))
+      .orderBy("event_type")
+
   val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
@@ -1822,6 +1832,16 @@ object Queries {
     operators.StatsOps.ksStatistic(Tables.events(s, d), "event_type",
         dayofweek(col("ts")).isin(1, 7), "value", gridScale = 1000L)
       .orderBy("event_type")
+
+  /** Exact TOTAL-VARIATION categorical drift
+    * ([[operators.StatsOps.tvDistance]]): per source, the language-mix
+    * shift between even and odd doc_ids (two interleaved snapshots of the
+    * same feed) — the unordered-column companion to [[qDriftKs]]; one hash
+    * agg, no window, integer-exact. */
+  val qDriftTv: Q = (s, d) =>
+    operators.StatsOps.tvDistance(Tables.documents(s, d), "source",
+        col("doc_id") % 2 === 1, "lang")
+      .orderBy("source")
 
   /** Johnson–Lindenstrauss RANDOM PROJECTION
     * ([[operators.VectorOps.randomProject]], Achlioptas ±1 signs, 64→16

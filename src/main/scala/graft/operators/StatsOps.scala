@@ -50,19 +50,79 @@ object StatsOps {
     * @return one row per comparison group: (cmpCol, n_a, n_b, ks_num,
     *         ks_ppm), all counts BIGINT
     */
+  /** Exact TOTAL-VARIATION distance per comparison group — the categorical
+    * companion to [[ksStatistic]]: for an UNORDERED column (language,
+    * source, event type, label) drift is the mix shift
+    * TV = ½ Σ_c |P_A(c) − P_B(c)|, and an ECDF statistic does not apply.
+    *
+    * Same integer discipline: per category c with counts o_A, o_B and
+    * totals t_A, t_B, the summand is |o_A·t_B − o_B·t_A| / (t_A·t_B) —
+    * `tv_num` = Σ_c |o_A·t_B − o_B·t_A| is exact and TV =
+    * tv_num / (2·n_a·n_b). `tv_ppm` floors each category's probabilities
+    * onto the ppm grid first (Σ_c |⌊o_A·10⁶/t_A⌋ − ⌊o_B·10⁶/t_B⌋| ÷ 2),
+    * so it is exact integer arithmetic within C ppm of true TV·10⁶ for C
+    * categories, with ~9·10¹²-row headroom; `tv_num` needs t_A·t_B < 2⁶³.
+    * Empty side: tv_ppm pinned at 10⁶, same contract as ksStatistic.
+    *
+    * Plan: ONE hash agg to per-(group, category) counts, one tiny agg to
+    * group totals — no window at all, so unordered high-cardinality
+    * columns cost a groupBy and nothing else. */
+  def tvDistance(df: DataFrame, cmpCol: String, isSampleB: Column,
+                 valueCol: String): DataFrame = {
+    val counts = df
+      .select(col(cmpCol).as("__cmp"), col(valueCol).as("__v"),
+        when(isSampleB, lit(1L)).otherwise(lit(0L)).as("__s"))
+      .groupBy("__cmp", "__v")
+      .agg(sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("oa"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("ob"))
+    val wAll = Window.partitionBy("__cmp")
+    counts
+      .withColumn("ta", sum("oa").over(wAll))
+      .withColumn("tb", sum("ob").over(wAll))
+      .groupBy(col("__cmp").as(cmpCol))
+      .agg(
+        max("ta").cast(LongType).as("n_a"),
+        max("tb").cast(LongType).as("n_b"),
+        sum(abs(col("oa") * col("tb") - col("ob") * col("ta")))
+          .cast(LongType).as("tv_num"),
+        when(max("ta") > 0L && max("tb") > 0L,
+          // greatest() guards ANSI div-by-zero on the pinned branch only
+          expr("sum(abs((oa * 1000000L) div greatest(ta, 1L) - " +
+            "(ob * 1000000L) div greatest(tb, 1L))) div 2"))
+          .otherwise(lit(1000000L)).cast(LongType).as("tv_ppm"))
+  }
+
   def ksStatistic(df: DataFrame, cmpCol: String, isSampleB: Column,
-                  valueCol: String, gridScale: Long = 0L): DataFrame = {
+                  valueCol: String, gridScale: Long = 0L): DataFrame =
+    ksFromCounts(ksCounts(df, cmpCol, isSampleB, valueCol, gridScale), cmpCol)
+
+  /** The MERGEABLE half of [[ksStatistic]]: per-(group, value) two-sample
+    * counts (__cmp, __v, na, nb). Counts merge by union + sum — the
+    * simplest mergeable summary — so a streaming monitor can fold one of
+    * these per micro-batch into O(groups × grid) standing state and
+    * finish with [[ksFromCounts]] at any point; fold-then-finish equals
+    * one-shot by associativity of +. */
+  def ksCounts(df: DataFrame, cmpCol: String, isSampleB: Column,
+               valueCol: String, gridScale: Long = 0L): DataFrame = {
     val v =
       if (gridScale > 0L)
         floor(col(valueCol).cast(DoubleType) * lit(gridScale.toDouble))
           .cast(LongType)
       else col(valueCol)
-    val counts = df
-      .select(col(cmpCol).as("__cmp"), v.as("__v"),
+    df.select(col(cmpCol).as("__cmp"), v.as("__v"),
         when(isSampleB, lit(1L)).otherwise(lit(0L)).as("__s"))
       .groupBy("__cmp", "__v")
       .agg(sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("na"),
         sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("nb"))
+  }
+
+  /** Merge two [[ksCounts]] states (union + per-key sum). */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("__cmp", "__v")
+      .agg(sum("na").as("na"), sum("nb").as("nb"))
+
+  /** The finishing half of [[ksStatistic]] over a [[ksCounts]] state. */
+  def ksFromCounts(counts: DataFrame, cmpCol: String): DataFrame = {
     val wCum = Window.partitionBy("__cmp").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("__cmp")

@@ -687,6 +687,43 @@ object Declared {
       state, "word", k)
   }
 
+  /** Streaming DRIFT maintenance — the distribution-shift monitor run as a
+    * stream: each micro-batch's per-(group, value-bin) two-sample counts
+    * ([[graft.operators.StatsOps.ksCounts]] — the simplest mergeable
+    * summary) fold into the standing state by union + sum, keeping
+    * O(groups × grid bins) at rest regardless of rows seen; end-of-stream
+    * finishes with [[graft.operators.StatsOps.ksFromCounts]]. Addition is
+    * associative, so fold-then-finish EQUALS one-shot batch KS and
+    * q_drift_ks' oracle hashes the streaming run. Alternating state dirs
+    * + batchId-derived generation, as heavyHittersMaintain above. */
+  def driftMaintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    import graft.operators.StatsOps
+    val ev = events.select(col("event_type"), col("ts"), col("value"))
+    val stream = fileStream(s, ev, dir, nFiles = 2, filesPerTrigger = 1)
+    val states = Seq(dir + "/state0", dir + "/state1")
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def counts(df: DataFrame) =
+      StatsOps.ksCounts(df, "event_type",
+        dayofweek(col("ts")).isin(1, 7), "value", gridScale = 1000L)
+    stream.writeStream
+      .queryName("graft-stream-drift")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = counts(batch)
+        val next =
+          if (batchId == 0L) bs
+          else StatsOps.mergeCounts(
+            s.read.parquet(states(((batchId - 1) % 2).toInt)), bs)
+        next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    StatsOps.ksFromCounts(
+      s.read.parquet(states((lastBatch.get() % 2).toInt)), "event_type")
+  }
+
   /** Streaming SCD2 maintenance — the CDC "state over time" serving table
     * kept incrementally: each micro-batch of events is folded into the
     * standing history with [[graft.operators.Temporal.scd2Fold]] (seeded

@@ -68,6 +68,56 @@ class StatsOpsSpec extends SparkSpec {
     assert(got === ((6L, 0L, 0L, 1000000L)))
   }
 
+  /** Driver replay of the per-category cross-multiplied TV. */
+  private def bruteTv(a: Seq[String], b: Seq[String]): (Long, Long, Long, Long) = {
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    if (na == 0 || nb == 0) return (na, nb, 0L, 1000000L)
+    val cats = (a ++ b).distinct
+    val terms = cats.map { c =>
+      val (oa, ob) = (a.count(_ == c).toLong, b.count(_ == c).toLong)
+      (math.abs(oa * nb - ob * na),
+        math.abs(oa * 1000000L / na - ob * 1000000L / nb))
+    }
+    (na, nb, terms.map(_._1).sum, terms.map(_._2).sum / 2)
+  }
+
+  private def runTv(rows: Seq[(String, String, Boolean)]) =
+    StatsOps.tvDistance(rows.toDF("g", "v", "b"), "g", col("b"), "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("tvDistance matches the driver replay; identical and disjoint mixes") {
+    val a = Seq("en", "en", "en", "de")
+    val b = Seq("en", "de", "de", "zh")
+    val got = runTv(a.map(("m", _, false)) ++ b.map(("m", _, true)))("m")
+    assert(got === bruteTv(a, b))
+    // identical mixes: zero drift
+    val same = Seq("x", "x", "y")
+    val gotSame = runTv(same.map(("s", _, false)) ++ same.map(("s", _, true)))("s")
+    assert(gotSame._3 === 0L && gotSame._4 === 0L)
+    // disjoint supports: TV = 1 exactly — tv_num = 2·na·nb
+    val gotDisj = runTv(Seq(("d", "p", false), ("d", "p", false),
+      ("d", "q", true)))("d")
+    assert(gotDisj._3 === 2L * 2L * 1L && gotDisj._4 === 1000000L)
+  }
+
+  test("tvDistance: random mixes match the replay per group; empty side pins") {
+    val rnd = new scala.util.Random(31)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val byG = (0 until 3).map { g =>
+      val a = Seq.fill(15 + rnd.nextInt(25))(langs(rnd.nextInt(langs.size)))
+      val b = Seq.fill(15 + rnd.nextInt(25))(langs(rnd.nextInt(3)))
+      s"g$g" -> (a, b)
+    }.toMap
+    val rows = byG.toSeq.flatMap { case (g, (a, b)) =>
+      a.map((g, _, false)) ++ b.map((g, _, true))
+    }
+    val got = runTv(rows)
+    for ((g, (a, b)) <- byG) assert(got(g) === bruteTv(a, b), s"group $g")
+    assert(runTv(Seq(("e", "x", true)))("e") === ((0L, 1L, 0L, 1000000L)))
+  }
+
   test("ksStatistic: gridScale bins values before the comparison") {
     // distinct at full precision, identical on the 10^1 grid
     val rows = Seq(("q", 1.01, false), ("q", 1.04, true),

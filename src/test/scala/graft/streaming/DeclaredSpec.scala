@@ -34,6 +34,12 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming drift maintenance equals the one-shot batch KS") {
+    val streamed = Queries.qStreamDrift(spark, sf())
+    val batch = Queries.qDriftKs(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming SCD2 maintenance equals the one-shot batch history") {
     val streamed = Queries.qStreamScd2(spark, sf())
     val batch = Queries.qScd2History(spark, sf())
