@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's parquet test tables (TESTDATA.md).
   *
-  * `events.parquet` carries a TIMESTAMP(NANOS) column which Spark's parquet
-  * reader only admits as LongType (spark.sql.legacy.parquet.nanosAsLong —
-  * REQUIRED on every session touching events); `events` here normalizes it
-  * to a microsecond timestamp, matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+  * `events.parquet`'s `ts` column has shipped in two physical shapes across
+  * driver rounds: TIMESTAMP(NANOS), which Spark's parquet reader only admits
+  * as LongType (spark.sql.legacy.parquet.nanosAsLong — keep it on every
+  * session so ns-shaped data stays readable), and TIMESTAMP(MICROS)
+  * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. [[events]]
+  * normalizes BOTH to the same session-UTC microsecond TimestampType,
+  * matching DuckDB's `CAST(ts AS TIMESTAMP)` on either physical type — so
+  * every downstream query and oracle text is physical-layout-agnostic.
   */
 object Tables {
-  /** Conf key every session needs to read events.parquet. */
+  /** Conf key every session needs to read ns-shaped events.parquet. */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
   // Each spark.read.parquet(path) builds a fresh InMemoryFileIndex (full
@@ -30,9 +34,16 @@ object Tables {
           spark.read.parquet(s"$sfDir/$name.parquet"))
     }
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns epoch ~1.7e18 overflows double
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns epoch as int64
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns epoch ~1.7e18 overflows double
+      case _ => // TIMESTAMP_NTZ (µs, naive) → same wall time as a UTC instant
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
