@@ -266,17 +266,30 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
 
   /** S18 analog: time-range scan. The predicate is applied to the RAW
-    * nanosecond long column so it pushes to the parquet scan (min-max
-    * row-group skipping) — a filter on the derived µs-timestamp would not.
-    * `ts_ns >= B·1000 ⟺ floor(ts_ns/1000) >= B` for whole-µs bounds, so the
-    * semantics match the oracle's timestamp comparison exactly. */
+    * stored `ts` column — ns-int64 or µs-TIMESTAMP_NTZ, whichever shape the
+    * parquet carries (the [[Tables.events]] dual-layout contract) — so it
+    * pushes to the parquet scan (min-max row-group skipping); a filter on
+    * the DERIVED session-UTC timestamp would sit above a cast and not push.
+    * ns case: `ts_ns >= B·1000 ⟺ floor(ts_ns/1000) >= B` for whole-µs
+    * bounds; ntz case: naive literals at the same UTC wall time — either
+    * way the semantics match the oracle's timestamp comparison exactly. */
   val qPredRangeTime: Q = (s, d) => {
+    val lo = "2024-01-10T00:00:00Z"
+    val hi = "2024-01-12T00:00:00Z"
     def ns(iso: String): Long =
       java.time.Instant.parse(iso).toEpochMilli * 1000000L
-    Tables.load(s, d, "events")
-      .filter(col("ts") >= ns("2024-01-10T00:00:00Z") &&
-        col("ts") < ns("2024-01-12T00:00:00Z"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def ntz(iso: String) = lit(java.time.LocalDateTime.ofInstant(
+      java.time.Instant.parse(iso), java.time.ZoneOffset.UTC))
+    val raw = Tables.load(s, d, "events")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= ns(lo) && col("ts") < ns(hi))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.filter(col("ts") >= ntz(lo) && col("ts") < ntz(hi))
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+    filtered
       .select("event_id", "ts", "event_type")
       .orderBy("event_id")
   }
@@ -1820,6 +1833,61 @@ object Queries {
     operators.GraphOps.linkPredict(e, topN = 50)
       .orderBy(col("cn").desc, col("pa").desc, col("src"), col("dst"))
   }
+
+  /** Single-source SHORTEST PATHS ([[operators.GraphOps.shortestPaths]],
+    * Bellman–Ford, 4 pinned rounds) over the symmetrized part↔supplier
+    * graph weighted by the MINIMUM l_quantity observed on each edge —
+    * cheapest procurement route from part-bucket 0. Integer min/+ only,
+    * so the run is bit-identical across engines (oracle unrolls the same
+    * 4 relaxation rounds); pinned rounds define "cheapest path using ≤4
+    * edges" whether or not the fixpoint arrived. */
+  val qGraphSssp: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d)
+      .groupBy((col("l_partkey") % 100).cast(LongType).as("src"),
+        (lit(100L) + col("l_suppkey") % 100).cast(LongType).as("dst"))
+      .agg(min("l_quantity").cast(LongType).as("w")) // quantities integral
+    val sym = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+    operators.GraphOps.shortestPaths(sym, source = 0L, rounds = 4)
+      .orderBy("node")
+  }
+
+  /** Blocked + broadcast FUZZY JOIN (entity resolution): a small dirty
+    * reference list — every distinct part name with its 3rd character
+    * dropped, a deterministic typo both engines reproduce — is resolved
+    * against the master part table by levenshtein ≤ 2 within a block
+    * (shared noun, the name's 2nd word). The scale-honest shape: the
+    * dirty side is dimension-sized and BROADCASTS, the corpus pays one
+    * scan with per-block candidate pairs — never an unblocked quadratic
+    * self-join; levenshtein is exact-integer in both engines so the
+    * whole match set sits under the hash gate. */
+  val qJoinFuzzy: Q = (s, d) => {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      element_at(split(col("p_name"), " "), 2).as("blk"))
+    val dirty = p.select(col("p_name")).distinct()
+      .select(
+        concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4, length(p_name))")).as("query"),
+        element_at(split(col("p_name"), " "), 2).as("blk"))
+      .distinct()
+    broadcast(dirty).join(p, Seq("blk"))
+      .withColumn("dist", levenshtein(col("query"), col("p_name")))
+      .filter(col("dist") <= 2)
+      .select(col("query"), col("p_partkey"), col("p_name"), col("dist"))
+      .orderBy("query", "p_partkey")
+  }
+
+  /** DSIR importance weights ([[operators.TextOps.dsirWeights]]): target =
+    * sources src0/src1, raw = the rest; per-doc hashed-unigram
+    * log-likelihood ratio in integer micro-nats — the importance-
+    * resampling data-selection score. Rows-only (ln drift — the
+    * q_lm_perplexity ruling); exact driver twin + ordering property in
+    * DsirSpec. */
+  val qDsirWeights: Q = (s, d) =>
+    operators.TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1"))
+      .orderBy("doc_id")
 
   /** Exact two-sample KOLMOGOROV–SMIRNOV drift
     * ([[operators.StatsOps.ksStatistic]]): weekday vs weekend `value`

@@ -21,10 +21,17 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q_skew_salted_join").contains("BroadcastHashJoin")) // exploded dim is still tiny
   }
 
-  test("time-range predicate pushes to the parquet scan as raw-int64 filters") {
+  test("time-range predicate pushes to the parquet scan on the stored ts type") {
+    // ns-int64 or µs-ntz, whichever shape the parquet carries (the
+    // Tables.events dual-layout contract) — the filter must sit on the RAW
+    // stored column, below any cast, to reach PushedFilters
     val p = plan("q_pred_range_time")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
-      "expected the ns-int64 range predicate in PushedFilters:\n" + p)
+      "expected the ts range predicate in PushedFilters:\n" + p)
+  }
+
+  test("fuzzy join broadcasts the dirty reference list") {
+    assert(plan("q_join_fuzzy").contains("BroadcastHashJoin"))
   }
 
   test("projection reaches the scan (column pruning)") {
