@@ -198,6 +198,51 @@ object OracleSql {
       |ORDER BY ne.cn DESC, pa DESC, ne.src, ne.dst
       |LIMIT 50""".stripMargin
 
+  /** Unrolled Bellman–Ford (mirrors
+    * [[graft.operators.GraphOps.shortestPaths]] at the declared pinned
+    * depth) over the min-quantity-weighted symmetrized part↔supplier
+    * graph: per round every edge relaxes simultaneously —
+    * dₖ₊₁ = min(dₖ, min over incoming dₖ(u)+w). Integer min/+ only. */
+  private def ssspSql(source: Long, rounds: Int): String = {
+    val head =
+      s"""WITH e0 AS (SELECT l_partkey % 100 AS src,
+         |    100 + l_suppkey % 100 AS dst,
+         |    CAST(MIN(l_quantity) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM
+         |  (SELECT src, dst, w FROM e0
+         |   UNION ALL SELECT dst, src, w FROM e0) GROUP BY 1, 2),
+         |d0(node, dist) AS (VALUES ($source, CAST(0 AS BIGINT)))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM e JOIN d${k - 1} d ON e.src = d.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
+       |ORDER BY node""".stripMargin
+  }
+
+  /** Mirrors [[graft.Queries.qJoinFuzzy]]: the dirty reference list is
+    * every distinct p_name with its 3rd character dropped (substr is
+    * 1-based in both engines), blocked on the name's 2nd word,
+    * levenshtein exact-integer in both engines. */
+  private val fuzzyJoinSql =
+    """WITH p AS (SELECT p_partkey, p_name,
+      |    split_part(p_name, ' ', 2) AS blk FROM part),
+      |d AS (SELECT DISTINCT
+      |    substr(p_name, 1, 2) || substr(p_name, 4) AS query,
+      |    split_part(p_name, ' ', 2) AS blk
+      |  FROM (SELECT DISTINCT p_name FROM part))
+      |SELECT d.query, p.p_partkey, p.p_name,
+      |  levenshtein(d.query, p.p_name) AS dist
+      |FROM d JOIN p USING (blk)
+      |WHERE levenshtein(d.query, p.p_name) <= 2
+      |ORDER BY d.query, p.p_partkey""".stripMargin
+
   /** Mirrors [[graft.operators.StatsOps.ksStatistic]] (weekday vs weekend
     * per event_type): integer cross-multiplied ECDFs on the ⌊value·10³⌋
     * grid; isodow (6,7) ⇔ Spark dayofweek (1,7) under the UTC session;
@@ -1271,6 +1316,10 @@ object OracleSql {
     "q_stream_drift" -> ksDriftSql,
 
     "q_graph_ppr" -> pprSql(5, Seq(0L, 7L)),
+
+    "q_graph_sssp" -> ssspSql(0L, 4),
+
+    "q_join_fuzzy" -> fuzzyJoinSql,
 
     // degree-oriented triangle count: all-integer, each triangle counted
     // once from its (deg, id)-minimal vertex; wedges canonical by id

@@ -593,6 +593,65 @@ object GraphOps {
     rank
   }
 
+  /** Single-source SHORTEST PATHS by pinned-round Bellman–Ford relaxation
+    * over non-negative INTEGER edge weights — "how far is every item from
+    * this seed?", the proximity measure recommendation and graph-curation
+    * pipelines price in hops·cost rather than PageRank mass. Per round,
+    * every edge relaxes simultaneously:
+    * dₖ₊₁(v) = min(dₖ(v), min_{u→v}(dₖ(u) + w(u,v))) — min is order-free
+    * and + exact over BIGINT, so the whole run is bit-identical across
+    * engines and partitionings and the oracle replays it as unrolled CTEs
+    * (after `rounds` rounds both engines have computed the same
+    * well-defined function: cheapest path using ≤ rounds edges — whether
+    * or not the fixpoint arrived, the [[kCore]] pinning contract).
+    *
+    * Per round: one edge equi-join onto the current frontier + one
+    * union + one min hash-agg — linear in |E|, lineage cut per round
+    * ([[pageRank]]'s localCheckpoint contract; final blocks are the
+    * caller's). Same adaptive driver fast path as [[pageRank]].
+    *
+    * @param edges (src, dst, w) directed weighted edges, w ≥ 0 integer
+    * @return (node, dist) for nodes reachable within `rounds` edges;
+    *         unreachable nodes are absent (their distance is +∞)
+    */
+  def shortestPaths(edges: DataFrame, source: Long, rounds: Int,
+                    driverFastPathEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast(LongType), col("dst").cast(LongType),
+        col("w").cast(LongType))
+      .localCheckpoint()
+
+    if (driverFastPathEdges > 0 && e.count() <= driverFastPathEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var d = Map(source -> 0L)
+      for (_ <- 1 to rounds) {
+        val upd = scala.collection.mutable.Map[Long, Long]() ++ d
+        es.foreach { case (u, v, w) =>
+          d.get(u).foreach { du =>
+            if (!upd.get(v).exists(_ <= du + w)) upd(v) = du + w
+          }
+        }
+        d = upd.toMap
+      }
+      e.unpersist()
+      return d.toSeq.toDF("node", "dist")
+    }
+
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    for (it <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      dist.unpersist()
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Label every row of `docs` with its cluster from a (id, component)
     * frame: unlabeled rows become singleton clusters of themselves; sizes
     * attached. Shared tail of [[dedupClusters]] and the streaming

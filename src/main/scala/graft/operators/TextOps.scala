@@ -370,6 +370,60 @@ object TextOps {
       .limit(k)
   }
 
+  /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a TARGET hashed-unigram distribution
+    * (docs flagged by `isTarget` — the high-quality slice you want more
+    * of) against the RAW distribution (everything else):
+    *   logw(d) = Σ_b n_db · [ln p̂_t(b) − ln p̂_r(b)],
+    *   p̂(b) = (c_b + 1)/(T + B)  (add-one over B hash buckets).
+    * Resampling the corpus ∝ exp(logw) tilts it toward the target domain —
+    * the standard cheap importance-sampling data-selection recipe.
+    *
+    * Hashing words into `buckets` features (xxhash64, fixed seed) bounds
+    * the model at B rows regardless of vocabulary, so the per-bucket
+    * log-ratio table BROADCASTS; the corpus pays one text scan
+    * ([[docWordMatrix]]) + one bucket hash-agg + one broadcast join.
+    * Scores are emitted in integer MICRO-NATS (`round(1e6·logw)`) — ln is
+    * not oracle-safe (the [[unigramPerplexity]] ruling) so the declared
+    * query is rows-only with an exact driver-twin spec. Docs with no
+    * words keep a (0, 0) row.
+    *
+    * @return (idCol, n_tokens, logw_micronats) — higher = more target-like
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: org.apache.spark.sql.Column,
+                  buckets: Int = 4096): DataFrame = {
+    val dw = docWordMatrix(docs, idCol, textCol)
+    // per-(doc, bucket) counts: two consumers (model agg + scoring join)
+    val db = dw.withColumn("b", pmod(xxhash64(col("w")), lit(buckets)))
+      .groupBy(col(idCol), col("b")).agg(sum("c").as("c"))
+      .localCheckpoint()
+    val flags = docs.select(col(idCol),
+      when(isTarget, lit(1L)).otherwise(lit(0L)).as("__t"))
+    val model = db.join(flags, Seq(idCol))
+      .groupBy("b")
+      .agg(sum(when(col("__t") === 1L, col("c")).otherwise(0L)).as("ct"),
+        sum(when(col("__t") === 0L, col("c")).otherwise(0L)).as("cr"))
+      .localCheckpoint() // ≤ buckets rows; two consumers (totals + join)
+    val tot = model.agg(sum("ct"), sum("cr")).collect()(0)
+    // empty corpus: sums are NULL, `scored` below has no rows — the
+    // denominators' values are irrelevant but must not NPE
+    val denT = ((if (tot.isNullAt(0)) 0L else tot.getLong(0)) + buckets).toDouble
+    val denR = ((if (tot.isNullAt(1)) 0L else tot.getLong(1)) + buckets).toDouble
+    val lam = model.select(col("b"),
+      (log((col("ct") + lit(1)).cast(DoubleType) / lit(denT)) -
+        log((col("cr") + lit(1)).cast(DoubleType) / lit(denR))).as("lam"))
+    val scored = db.join(broadcast(lam), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"),
+        round(sum(col("c").cast(DoubleType) * col("lam")) * lit(1e6))
+          .cast(LongType).as("logw_micronats"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "logw_micronats"))
+  }
+
   /** Benchmark decontamination — the test-set-overlap removal every LLM
     * training pipeline runs before a corpus ships: a training doc is
     * contaminated when it shares ANY word `k`-gram with the evaluation set.

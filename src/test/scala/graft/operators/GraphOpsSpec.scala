@@ -137,6 +137,65 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Driver Bellman–Ford at the same pinned depth: min over ≤rounds-edge
+    * paths, simultaneous relaxation. */
+  private def bruteSssp(edges: Seq[(Long, Long, Long)], source: Long,
+                        rounds: Int): Map[Long, Long] = {
+    var d = Map(source -> 0L)
+    for (_ <- 1 to rounds) {
+      val upd = scala.collection.mutable.Map[Long, Long]() ++ d
+      edges.foreach { case (u, v, w) =>
+        d.get(u).foreach { du =>
+          if (!upd.get(v).exists(_ <= du + w)) upd(v) = du + w
+        }
+      }
+      d = upd.toMap
+    }
+    d
+  }
+
+  test("shortestPaths: hand fixture — relaxation picks the cheaper 2-hop route") {
+    // 0→1 w=10 direct, but 0→2→1 costs 3+4=7; node 3 unreachable from 0
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 3L), (2L, 1L, 4L), (3L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    for (fastPath <- Seq(1000000L, 0L)) {
+      val got = GraphOps.shortestPaths(e, source = 0L, rounds = 3,
+          driverFastPathEdges = fastPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === Map(0L -> 0L, 1L -> 7L, 2L -> 3L), s"fastPath=$fastPath")
+    }
+  }
+
+  test("shortestPaths: pinned rounds bound path length — 1 round keeps the direct edge") {
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 3L), (2L, 1L, 4L)).toDF("src", "dst", "w")
+    val got = GraphOps.shortestPaths(e, source = 0L, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 0L, 1L -> 10L, 2L -> 3L))
+  }
+
+  test("shortestPaths: random weighted graphs match the driver replay, both paths") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 5) {
+      val n = 3 + rnd.nextInt(10)
+      val edges = Seq.fill(6 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (1 + rnd.nextInt(9)).toLong))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq // one w per edge
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst", "w")
+        val rounds = 1 + rnd.nextInt(4)
+        val want = bruteSssp(edges, source = 0L, rounds)
+        val fast = GraphOps.shortestPaths(df, 0L, rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val dist = GraphOps.shortestPaths(df, 0L, rounds,
+            driverFastPathEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(fast === want, s"fast path diverged on edges=$edges rounds=$rounds")
+        assert(dist === want, s"distributed diverged on edges=$edges rounds=$rounds")
+      }
+    }
+  }
+
   /** Driver replay of synchronous LPA: same symmetrized set-semantics
     * graph, same (count desc, label asc) tie-break. */
   private def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
