@@ -243,6 +243,65 @@ object OracleSql {
       |WHERE levenshtein(d.query, p.p_name) <= 2
       |ORDER BY d.query, p.p_partkey""".stripMargin
 
+  /** The fixed-point dot product as a DuckDB snippet — the SQL twin of
+    * [[graft.operators.VectorOps.dotFixed]] (each double product floored
+    * onto the 1e-13 grid, summed as BIGINT). */
+  private def dotSql(a: String, b: String): String =
+    s"""(CAST(list_sum(list_transform(list_zip($a, $b),
+       |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)""".stripMargin
+
+  /** Unrolled greedy MMR (mirrors [[graft.operators.VectorOps.mmrRerank]]):
+    * pool = top-`pool` per query on the integer 1e6 cosine grid, pick 1 =
+    * relevance argmax, each later pick maximizes wRel·rel6 − wDiv·max sim6
+    * to the already-selected set — (score DESC, cand ASC) is a total order
+    * so both engines replay the identical selection. */
+  private def mmrSql(pool: Int, k: Int, wRel: Long, wDiv: Long): String = {
+    val head =
+      s"""WITH side AS (SELECT vec_id, embedding AS v,
+         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |  FROM side WHERE vec_id < 5),
+         |rel0 AS (SELECT q.query_id, s.vec_id AS cand, s.v AS cv, s.nrm AS cn,
+         |    CAST(ROUND(${dotSql("q.qv", "s.v")} / (q.qn * s.nrm) * 1000000)
+         |      AS BIGINT) AS rel6
+         |  FROM q, side s WHERE s.vec_id <> q.query_id),
+         |rel AS MATERIALIZED (SELECT query_id, cand, cv, cn, rel6 FROM (
+         |    SELECT rel0.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel6 DESC, cand) AS rn FROM rel0)
+         |  WHERE rn <= $pool),
+         |sims AS MATERIALIZED (SELECT x.query_id, x.cand AS c1, y.cand AS c2,
+         |    CAST(ROUND(${dotSql("x.cv", "y.cv")} / (x.cn * y.cn) * 1000000)
+         |      AS BIGINT) AS sim6
+         |  FROM rel x JOIN rel y
+         |    ON x.query_id = y.query_id AND x.cand <> y.cand),
+         |sel1 AS MATERIALIZED (SELECT query_id, cand, 1 AS pick, rel6 FROM (
+         |    SELECT query_id, cand, rel6, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY rel6 DESC, cand) AS rn FROM rel)
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { j =>
+      s"""m$j AS (SELECT s.query_id, s.c1 AS cand, MAX(s.sim6) AS ms
+         |  FROM sims s JOIN sel${j - 1} p
+         |    ON p.query_id = s.query_id AND p.cand = s.c2
+         |  GROUP BY 1, 2),
+         |n$j AS (SELECT query_id, cand, $j AS pick, rel6 FROM (
+         |    SELECT r.query_id, r.cand, r.rel6, ROW_NUMBER() OVER (
+         |        PARTITION BY r.query_id
+         |        ORDER BY $wRel * r.rel6 - $wDiv * m.ms DESC, r.cand) AS rn
+         |    FROM rel r
+         |    JOIN m$j m ON m.query_id = r.query_id AND m.cand = r.cand
+         |    LEFT JOIN sel${j - 1} p
+         |      ON p.query_id = r.query_id AND p.cand = r.cand
+         |    WHERE p.cand IS NULL)
+         |  WHERE rn = 1),
+         |sel$j AS MATERIALIZED (SELECT * FROM sel${j - 1}
+         |  UNION ALL SELECT * FROM n$j)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT query_id, cand AS neighbor_id, pick, rel6 FROM sel$k
+       |ORDER BY query_id, pick""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.StatsOps.ksStatistic]] (weekday vs weekend
     * per event_type): integer cross-multiplied ECDFs on the ⌊value·10³⌋
     * grid; isodow (6,7) ⇔ Spark dayofweek (1,7) under the UTC session;
@@ -1318,6 +1377,8 @@ object OracleSql {
     "q_graph_ppr" -> pprSql(5, Seq(0L, 7L)),
 
     "q_graph_sssp" -> ssspSql(0L, 4),
+
+    "q_vec_mmr" -> mmrSql(20, 5, 7L, 3L),
 
     "q_join_fuzzy" -> fuzzyJoinSql,
 

@@ -1972,6 +1972,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank ([[VectorOps.mmrRerank]], pool=20,
+    * k=5, weights 7:3): diversity-aware selection over the brute-force
+    * candidate pool — near-duplicate candidates stop crowding out
+    * coverage. Scores on an integer 1e6 grid with id tie-breaks make the
+    * greedy argmax a total order, so this ITERATIVE selection sits under
+    * the exact hash gate (oracle unrolls the 5 greedy rounds as CTEs). */
+  val qVecMmr: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.mmrRerank(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", pool = 20, k = 5)
+      .orderBy("query_id", "pick")
+  }
+
   /** LSH-bucketed approximate ANN — approximate by construction ⇒ rows-only.
     * 4 planes = 16 buckets: sized so candidate lists stay a meaningful
     * fraction of this corpus (more planes ⇒ exponentially more buckets ⇒

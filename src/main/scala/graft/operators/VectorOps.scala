@@ -716,6 +716,93 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998) — the
+    * diversity-aware selection every retrieval/curation pipeline bolts onto
+    * plain top-k: from a per-query candidate pool (top `pool` by cosine),
+    * greedily pick `k` items maximizing
+    *   wRel·rel(c) − wDiv·max_{s∈selected} sim(c, s)
+    * so near-duplicate candidates stop crowding out coverage.
+    *
+    * Deterministic AND oracle-replayable: rel/sim land on an integer 1e6
+    * grid (one IEEE multiply of the fixed-point cosine, then round — both
+    * engines compute the identical BIGINT), the argmax orders by
+    * (score DESC, cand ASC) — a total order — and the greedy recurrence is
+    * replayed by the oracle as unrolled CTEs, putting an ITERATIVE
+    * selection algorithm under the exact hash gate (the LSH/IVF paths
+    * can't do this; the [[cosineTopKPrefix]] precedent can).
+    *
+    * Scale shape: queries broadcast; the corpus pays ONE scan to build the
+    * pool (per-query WindowGroupLimit top-`pool`); everything after —
+    * pairwise sims (pool² per query) and k argmax rounds — is
+    * candidate-scale metadata, never corpus-scale. Driver loop runs k
+    * rounds of tiny jobs with lineage cut per round.
+    *
+    * @return (query_id, neighbor_id, pick, rel6) — pick ∈ 1..k in
+    *         selection order, rel6 = round(cosine·1e6)
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, pool: Int, k: Int,
+                wRel: Long = 7L, wDiv: Long = 3L): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotFixed(col("qv"), col("qv")))))
+    val c = corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotFixed(col("cv"), col("cv"))))
+    val wPool = Window.partitionBy("query_id")
+      .orderBy(col("rel6").desc, col("cand").asc)
+    // the pool: one corpus scan, top-`pool` per query on the integer grid
+    val rel = c.join(q, col("cand") =!= col("query_id"))
+      .withColumn("rel6",
+        round(dotFixed(col("qv"), col("cv")) / (col("qn") * col("cn"))
+          * lit(1e6)).cast(LongType))
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= pool)
+      .select(col("query_id"), col("cand"), col("rel6"), col("cv"), col("cn"))
+      .localCheckpoint() // consumed by sims (×2) and every greedy round
+    // candidate-scale pairwise sims, directed (c1 scored against c2 ∈ selected)
+    val a = rel.select(col("query_id"), col("cand").as("c1"),
+      col("cv").as("v1"), col("cn").as("n1"))
+    val b = rel.select(col("query_id"), col("cand").as("c2"),
+      col("cv").as("v2"), col("cn").as("n2"))
+    val sims = a.join(b, Seq("query_id"))
+      .filter(col("c1") =!= col("c2"))
+      .withColumn("sim6",
+        round(dotFixed(col("v1"), col("v2")) / (col("n1") * col("n2"))
+          * lit(1e6)).cast(LongType))
+      .select("query_id", "c1", "c2", "sim6")
+      .localCheckpoint() // consumed once per greedy round
+    val relSlim = rel.select("query_id", "cand", "rel6")
+    // pick 1: pure relevance argmax (standard MMR bootstrap)
+    var selected = relSlim
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand"), lit(1).as("pick"), col("rel6"))
+      .localCheckpoint()
+    for (j <- 2 to k) {
+      val remaining = relSlim.join(selected.select("query_id", "cand"),
+        Seq("query_id", "cand"), "left_anti")
+      val maxSim = sims
+        .join(selected.select(col("query_id"), col("cand").as("c2")),
+          Seq("query_id", "c2"))
+        .groupBy(col("query_id"), col("c1").as("cand"))
+        .agg(max("sim6").as("ms"))
+      val wSel = Window.partitionBy("query_id")
+        .orderBy((lit(wRel) * col("rel6") - lit(wDiv) * col("ms")).desc,
+          col("cand").asc)
+      val next = remaining.join(maxSim, Seq("query_id", "cand"))
+        .withColumn("rn", row_number().over(wSel))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand"), lit(j).as("pick"), col("rel6"))
+      val prev = selected
+      selected = prev.union(next).localCheckpoint()
+      prev.unpersist()
+    }
+    rel.unpersist()
+    sims.unpersist()
+    selected.select(col("query_id"), col("cand").as("neighbor_id"),
+      col("pick"), col("rel6"))
+  }
+
   /** INT8-quantized brute-force top-k — the retrieval half of
     * [[quantizeInt8]]: the corpus scan reads int8 codes + one scale per
     * vector (4× less bandwidth than floats), the approximate score is the

@@ -53,6 +53,35 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(dups === Set((1L, 2L)))
   }
 
+  test("mmr re-rank: diversity term breaks up a near-duplicate cluster") {
+    // Diversity can only beat relevance when candidates cluster among
+    // THEMSELVES tighter than they sit to the query (sim(clone,clone) ≈ 1
+    // while rel ≈ 0.8): the 7:3 weights then score the diverse candidate
+    // 7·0.75 − 3·0.61 above the second clone's 7·0.80 − 3·0.999.
+    val corpus = Seq(
+      (10L, Array(0.8f, 0.6f, 0.0f)),   // rel 0.80, cluster A
+      (11L, Array(0.8f, 0.59f, 0.01f)), // rel 0.805, clone of 10
+      (12L, Array(0.75f, 0.0f, 0.66f)), // rel 0.75, diverse (sim to A ≈ 0.6)
+      (13L, Array(0.0f, 0.1f, 1.0f))    // rel 0, weak
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plain = VectorOps.cosineTopK(corpus, queries, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(plain.take(2).map(_.getAs[Long]("neighbor_id")).toSet === Set(10L, 11L),
+      "plain top-2 is the clone cluster")
+    val mmr = VectorOps.mmrRerank(corpus, queries, "vec_id", "embedding",
+        pool = 4, k = 3)
+      .orderBy("pick").collect()
+    val picks = mmr.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(picks.head === plain.head.getAs[Long]("neighbor_id"),
+      "pick 1 is the relevance argmax")
+    assert(picks(1) === 12L,
+      s"diversity must pull the diverse candidate to pick 2, got $picks")
+    // rel6 rides through: pick 1's grid value equals the plain cosine ×1e6
+    assert(mmr.head.getAs[Long]("rel6") ===
+      math.round(plain.head.getAs[Double]("cosine") * 1e6))
+  }
+
   test("int8 quantization: codes in range, reconstruction within one scale unit") {
     val mixed = vecs.union(
       Seq((4L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")) // zero vec
