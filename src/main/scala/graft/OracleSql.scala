@@ -302,6 +302,38 @@ object OracleSql {
        |ORDER BY query_id, pick""".stripMargin
   }
 
+  /** Unrolled farthest-first k-center (mirrors
+    * [[graft.operators.VectorOps.kCenterSelect]]): seed = MIN(id), each
+    * later round takes the candidate whose max similarity to the selected
+    * set is smallest — (maxsim ASC, cand ASC) is a total order on the
+    * integer grid, so both engines replay the identical traversal. */
+  private def kcenterSql(k: Int): String = {
+    val head =
+      s"""WITH pool AS (SELECT vec_id AS cand, embedding AS cv,
+         |    SQRT(${dotSql("embedding", "embedding")}) AS cn
+         |  FROM embeddings WHERE vec_id % 8 = 0),
+         |sims AS MATERIALIZED (SELECT x.cand AS c1, y.cand AS c2,
+         |    CAST(ROUND(${dotSql("x.cv", "y.cv")} / (x.cn * y.cn) * 1000000)
+         |      AS BIGINT) AS sim6
+         |  FROM pool x JOIN pool y ON x.cand <> y.cand),
+         |sel1 AS MATERIALIZED (SELECT MIN(cand) AS cand, 1 AS pick,
+         |    CAST(1000000 AS BIGINT) AS maxsim6 FROM pool)""".stripMargin
+    val steps = (2 to k).map { j =>
+      s"""m$j AS (SELECT s.c1 AS cand, MAX(s.sim6) AS maxsim6 FROM sims s
+         |  JOIN sel${j - 1} p ON p.cand = s.c2 GROUP BY 1),
+         |n$j AS (SELECT cand, $j AS pick, maxsim6 FROM (
+         |    SELECT m.cand, m.maxsim6, ROW_NUMBER() OVER (
+         |        ORDER BY m.maxsim6 ASC, m.cand ASC) AS rn
+         |    FROM m$j m LEFT JOIN sel${j - 1} p ON p.cand = m.cand
+         |    WHERE p.cand IS NULL) WHERE rn = 1),
+         |sel$j AS MATERIALIZED (SELECT * FROM sel${j - 1}
+         |  UNION ALL SELECT * FROM n$j)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT cand AS center_id, pick, maxsim6 FROM sel$k ORDER BY pick""".stripMargin
+  }
+
   /** Mirrors [[graft.operators.StatsOps.ksStatistic]] (weekday vs weekend
     * per event_type): integer cross-multiplied ECDFs on the ⌊value·10³⌋
     * grid; isodow (6,7) ⇔ Spark dayofweek (1,7) under the UTC session;
@@ -700,6 +732,35 @@ object OracleSql {
         |SELECT g.user_id, g.ts, r.value_ffill
         |FROM grid g ASOF LEFT JOIN r ON g.user_id = r.user_id AND r.ts <= g.ts
         |ORDER BY g.user_id, g.ts""".stripMargin,
+
+    // linear interpolation between the enclosing LWW series points; DuckDB
+    // finds the neighbors with two native ASOF joins (at-or-before /
+    // strictly-after) against the SAME deduped series the Spark windows
+    // read — identical IEEE expression tree, so the values hash-match
+    "q_resample_interp" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    value FROM events),
+        |b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+        |             date_trunc('hour', MAX(ts)) AS h1 FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts FROM b),
+        |r0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |         ORDER BY event_id DESC) AS rn FROM e),
+        |r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+        |p AS (SELECT g.user_id, g.ts, r.ts AS t0, r.value AS v0
+        |      FROM grid g ASOF LEFT JOIN r
+        |        ON g.user_id = r.user_id AND r.ts <= g.ts),
+        |n AS (SELECT g.user_id, g.ts, r.ts AS t1, r.value AS v1
+        |      FROM grid g ASOF LEFT JOIN r
+        |        ON g.user_id = r.user_id AND r.ts > g.ts)
+        |SELECT p.user_id, p.ts,
+        |  CASE WHEN p.t0 IS NOT NULL AND n.t1 IS NOT NULL THEN
+        |    ROUND(p.v0 + (n.v1 - p.v0) *
+        |      (CAST(epoch_us(p.ts) - epoch_us(p.t0) AS DOUBLE)
+        |       / CAST(epoch_us(n.t1) - epoch_us(p.t0) AS DOUBLE)), 6)
+        |  WHEN p.t0 IS NOT NULL THEN ROUND(p.v0, 6)
+        |  ELSE ROUND(n.v1, 6) END AS value_interp
+        |FROM p JOIN n ON n.user_id = p.user_id AND n.ts = p.ts
+        |ORDER BY p.user_id, p.ts""".stripMargin,
 
     // --- Aggregation ------------------------------------------------
     "q_agg_hash" ->
@@ -1379,6 +1440,8 @@ object OracleSql {
     "q_graph_sssp" -> ssspSql(0L, 4),
 
     "q_vec_mmr" -> mmrSql(20, 5, 7L, 3L),
+
+    "q_vec_kcenter" -> kcenterSql(8),
 
     "q_join_fuzzy" -> fuzzyJoinSql,
 

@@ -538,6 +538,56 @@ object Queries {
       .orderBy("user_id", "ts")
   }
 
+  /** Time-series resample with LINEAR INTERPOLATION — the companion to
+    * [[qResampleFfill]] for continuous metrics: each hourly grid point
+    * takes v0 + (v1−v0)·(t−t0)/(t1−t0) between the enclosing series
+    * points, forward-/backward-filling at the edges. The event series
+    * first collapses to one LWW value per (user, ts) (event_id DESC — the
+    * [[qResampleFfill]] dedup), then ONE union + two framed windows find
+    * both neighbors per grid point — no per-point join, O(n log n) like
+    * the as-of shape. The interpolation is a fixed IEEE expression tree
+    * evaluated identically by both engines (µs-integer deltas, one
+    * divide, ROUND 6), so the result sits under the hash gate. */
+  val qResampleInterp: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts", "value")
+    val wDedup = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    val series = e.withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value"))
+    val grid = e.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("ts"))
+    // series rows sort BEFORE the same-ts grid row (is_grid 0 < 1): the
+    // preceding frame includes an exactly-coincident event, the following
+    // frame is strictly-after — and (ts, is_grid) is unique per user, so
+    // the window order is a total order
+    val unioned = series.select(col("user_id"), col("ts"),
+        lit(0).as("is_grid"), col("ts").as("sts"), col("value").as("sv"))
+      .unionByName(grid.select(col("user_id"), col("ts"),
+        lit(1).as("is_grid"), lit(null).cast(TimestampType).as("sts"),
+        lit(null).cast(DoubleType).as("sv")))
+    def ord = Window.partitionBy("user_id").orderBy(col("ts"), col("is_grid"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("t0", last(col("sts"), ignoreNulls = true).over(wPrev))
+      .withColumn("v0", last(col("sv"), ignoreNulls = true).over(wPrev))
+      .withColumn("t1", first(col("sts"), ignoreNulls = true).over(wNext))
+      .withColumn("v1", first(col("sv"), ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("ts"),
+        when(col("t0").isNotNull && col("t1").isNotNull,
+          round(col("v0") + (col("v1") - col("v0")) *
+            ((unix_micros(col("ts")) - unix_micros(col("t0"))).cast(DoubleType) /
+              (unix_micros(col("t1")) - unix_micros(col("t0"))).cast(DoubleType)),
+            6))
+          .when(col("t0").isNotNull, round(col("v0"), 6))
+          .otherwise(round(col("v1"), 6)).as("value_interp"))
+      .orderBy("user_id", "ts")
+  }
+
   // ------------------------------------------------------------------
   // Aggregation
   // ------------------------------------------------------------------
@@ -1984,6 +2034,18 @@ object Queries {
         "embedding", pool = 20, k = 5)
       .orderBy("query_id", "pick")
   }
+
+  /** K-CENTER coreset seeding ([[VectorOps.kCenterSelect]], farthest-first
+    * traversal, k=8) over a deterministic 1/8 candidate pool: maximally
+    * spread representatives for diverse-subset curation / cluster init.
+    * Same integer-grid + total-order construction as q_vec_mmr, so a
+    * SECOND iterative selection algorithm sits under the exact hash gate
+    * (oracle unrolls the 7 max-min rounds). */
+  val qVecKcenter: Q = (s, d) =>
+    VectorOps.kCenterSelect(
+        Tables.embeddings(s, d).filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", k = 8)
+      .orderBy("pick")
 
   /** LSH-bucketed approximate ANN — approximate by construction ⇒ rows-only.
     * 4 planes = 16 buckets: sized so candidate lists stay a meaningful

@@ -803,6 +803,62 @@ object VectorOps {
       col("pick"), col("rel6"))
   }
 
+  /** K-CENTER coreset seeding by FARTHEST-FIRST traversal (Gonzalez 1985)
+    * — pick `k` maximally spread representatives of an embedded pool: seed
+    * with the smallest id, then repeatedly take the candidate whose
+    * nearest already-picked center is LEAST similar (max-min in cosine
+    * distance ⇔ argmin of max sim). The 2-approximation every
+    * diverse-subset / active-learning / cluster-init pipeline uses; the
+    * complement of [[mmrRerank]]'s relevance-weighted objective — pure
+    * coverage, no query.
+    *
+    * Deterministic and oracle-replayable by the same construction as MMR:
+    * sims on the integer 1e6 grid, (maxsim ASC, cand ASC) a total order
+    * per round, unrolled by the oracle as CTEs. O(pool²) sims by
+    * construction — run it on a bounded candidate pool (the
+    * [[knnGraphExact]] ruling), which is exactly how coreset seeding is
+    * used: the pool is a cheap uniform sample, the k centers are the
+    * expensive curated pick.
+    *
+    * @return (center_id, pick, maxsim6) — pick ∈ 1..k in selection order;
+    *         maxsim6 = similarity to the nearest earlier center at
+    *         selection time (1e6 for the seed), a coverage-radius trace
+    */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotFixed(col("cv"), col("cv"))))
+      .localCheckpoint() // pair build (×2) + seed agg + k anti-joins
+    val a = c.select(col("cand").as("c1"), col("cv").as("v1"), col("cn").as("n1"))
+    val b = c.select(col("cand").as("c2"), col("cv").as("v2"), col("cn").as("n2"))
+    val sims = a.join(b, col("c1") =!= col("c2"))
+      .withColumn("sim6",
+        round(dotFixed(col("v1"), col("v2")) / (col("n1") * col("n2"))
+          * lit(1e6)).cast(LongType))
+      .select("c1", "c2", "sim6")
+      .localCheckpoint() // consumed once per greedy round
+    var selected = c.agg(min(col("cand")).as("cand"))
+      .select(col("cand"), lit(1).as("pick"), lit(1000000L).as("maxsim6"))
+      .localCheckpoint()
+    for (j <- 2 to k) {
+      // distributed TakeOrdered, not a single-partition window: the
+      // argmin is (maxsim ASC, cand ASC) over candidate-scale rows
+      val next = sims
+        .join(selected.select(col("cand").as("c2")), Seq("c2"))
+        .groupBy(col("c1").as("cand")).agg(max("sim6").as("maxsim6"))
+        .join(selected.select("cand"), Seq("cand"), "left_anti")
+        .orderBy(col("maxsim6").asc, col("cand").asc)
+        .limit(1)
+        .select(col("cand"), lit(j).as("pick"), col("maxsim6"))
+      val prev = selected
+      selected = prev.union(next).localCheckpoint()
+      prev.unpersist()
+    }
+    c.unpersist()
+    sims.unpersist()
+    selected.select(col("cand").as("center_id"), col("pick"), col("maxsim6"))
+  }
+
   /** INT8-quantized brute-force top-k — the retrieval half of
     * [[quantizeInt8]]: the corpus scan reads int8 codes + one scale per
     * vector (4× less bandwidth than floats), the approximate score is the

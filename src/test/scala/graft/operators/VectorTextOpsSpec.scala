@@ -82,6 +82,21 @@ class VectorTextOpsSpec extends SparkSpec {
       math.round(plain.head.getAs[Double]("cosine") * 1e6))
   }
 
+  test("k-center farthest-first picks one representative per cluster") {
+    // three orthogonal clusters of identical vectors: the traversal must
+    // take exactly one member of each before ever revisiting a cluster
+    val corpus = (Seq(1L, 2L, 3L).map((_, Array(1.0f, 0.0f, 0.0f))) ++
+      Seq(4L, 5L, 6L).map((_, Array(0.0f, 1.0f, 0.0f))) ++
+      Seq(7L, 8L, 9L).map((_, Array(0.0f, 0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.kCenterSelect(corpus, "vec_id", "embedding", k = 3)
+      .orderBy("pick").collect()
+      .map(r => (r.getAs[Long]("center_id"), r.getAs[Int]("pick"),
+        r.getAs[Long]("maxsim6")))
+    // seed = min id; ties at maxsim 0 break to the smallest id
+    assert(got.toSeq === Seq((1L, 1, 1000000L), (4L, 2, 0L), (7L, 3, 0L)))
+  }
+
   test("int8 quantization: codes in range, reconstruction within one scale unit") {
     val mixed = vecs.union(
       Seq((4L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")) // zero vec
