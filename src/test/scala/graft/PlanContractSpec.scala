@@ -91,6 +91,12 @@ class PlanContractSpec extends SparkSpec {
                            // all-pairs by definition (LSH variant scales)
       "q_vec_ann_prefix",  // broadcast queries × corpus funnel, non-equi
                            // by design — the matryoshka brute-force shape
+      "q_vec_mmr",         // broadcast queries × corpus pool build +
+                           // candidate-scale pairwise sims, non-equi by
+                           // design (pool ≤ 20 per query after the limit)
+      "q_vec_kcenter",     // farthest-first over a bounded pool —
+                           // all-pairs sims by definition, the
+                           // knnGraphExact ruling
       "q_histogram",       // corpus × broadcast 1-row min/max — the
                            // scalar-subquery idiom, metadata-scale
       "q_sample_temperature") // per-group counts × 1-row total — both
