@@ -724,8 +724,11 @@ object VectorOps {
     * so near-duplicate candidates stop crowding out coverage.
     *
     * Deterministic AND oracle-replayable: rel/sim land on an integer 1e6
-    * grid (one IEEE multiply of the fixed-point cosine, then round — both
-    * engines compute the identical BIGINT), the argmax orders by
+    * grid — one IEEE multiply of the fixed-point cosine, then round at
+    * SCALE 0, where the .5 boundary is exactly binary-representable so
+    * Spark's HALF_UP and DuckDB's round-away agree even on halves (the
+    * scale-6 half-case caveat on [[cosine]] does not apply here) — the
+    * argmax orders by
     * (score DESC, cand ASC) — a total order — and the greedy recurrence is
     * replayed by the oracle as unrolled CTEs, putting an ITERATIVE
     * selection algorithm under the exact hash gate (the LSH/IVF paths

@@ -137,21 +137,25 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
-  /** Driver Bellman–Ford at the same pinned depth: min over ≤rounds-edge
-    * paths, simultaneous relaxation. */
+  /** INDEPENDENT oracle for pinned-depth shortest paths: enumerate every
+    * path from `source` using ≤ `rounds` edges (bounded DFS — fine at
+    * spec scale) and take the min cost per node. Deliberately NOT the
+    * relaxation recurrence, so a bug shared by the operator's fast path
+    * and a copied twin cannot hide. */
   private def bruteSssp(edges: Seq[(Long, Long, Long)], source: Long,
                         rounds: Int): Map[Long, Long] = {
-    var d = Map(source -> 0L)
-    for (_ <- 1 to rounds) {
-      val upd = scala.collection.mutable.Map[Long, Long]() ++ d
-      edges.foreach { case (u, v, w) =>
-        d.get(u).foreach { du =>
-          if (!upd.get(v).exists(_ <= du + w)) upd(v) = du + w
+    val best = scala.collection.mutable.Map[Long, Long](source -> 0L)
+    def walk(at: Long, cost: Long, left: Int): Unit = {
+      if (left > 0) edges.foreach { case (u, v, w) =>
+        if (u == at) {
+          val c = cost + w
+          if (!best.get(v).exists(_ <= c)) best(v) = c
+          walk(v, c, left - 1)
         }
       }
-      d = upd.toMap
     }
-    d
+    walk(source, 0L, rounds)
+    best.toMap
   }
 
   test("shortestPaths: hand fixture — relaxation picks the cheaper 2-hop route") {
