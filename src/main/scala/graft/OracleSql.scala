@@ -762,6 +762,33 @@ object OracleSql {
         |FROM p JOIN n ON n.user_id = p.user_id AND n.ts = p.ts
         |ORDER BY p.user_id, p.ts""".stripMargin,
 
+    // U-shaped attribution: 40/40 first/last, middles split the 20% with
+    // truncating shares, remainder folded into the LAST touch — credits
+    // per conversion telescope to exactly 1e6 in both engines
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM e
+        |  WHERE event_type = 'click'),
+        |t AS (SELECT p.purchase_id, c.click_id, c.cts
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY),
+        |r AS (SELECT purchase_id, click_id,
+        |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts, click_id) AS touch_rank,
+        |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+        |  FROM t)
+        |SELECT purchase_id, click_id, touch_rank, n_touches,
+        |  CASE WHEN n_touches = 1 THEN 1000000
+        |       WHEN n_touches = 2 THEN 500000
+        |       WHEN touch_rank = 1 THEN 400000
+        |       WHEN touch_rank = n_touches
+        |         THEN 400000 + 200000 % (n_touches - 2)
+        |       ELSE 200000 // (n_touches - 2) END AS credit_ppm
+        |FROM r ORDER BY purchase_id, touch_rank""".stripMargin,
+
     // --- Aggregation ------------------------------------------------
     "q_agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,

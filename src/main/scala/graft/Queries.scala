@@ -588,6 +588,42 @@ object Queries {
       .orderBy("user_id", "ts")
   }
 
+  /** POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION — the marketing
+    * analytics op an event store serves: every purchase credits the
+    * clicks of the same user in the prior 7 days, 40% to first touch,
+    * 40% to last, the middle 20% split evenly (1 touch → 100%, 2 → 50/50).
+    * Credits are integer PPM with truncating middle shares and the
+    * remainder folded into the LAST touch, so every conversion's credits
+    * sum to EXACTLY 10⁶ — deterministic and hash-gated, no float splits.
+    * Plan: user-equi join + time-range filter (per-user pair space), two
+    * windows on the purchase key. */
+  val qAttribution: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+    val w = Window.partitionBy("purchase_id").orderBy(col("cts"), col("click_id"))
+    val wN = Window.partitionBy("purchase_id")
+    p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("touch_rank", row_number().over(w))
+      .withColumn("n_touches", count(lit(1)).over(wN))
+      .withColumn("credit_ppm",
+        when(col("n_touches") === 1, lit(1000000L))
+          .when(col("n_touches") === 2, lit(500000L))
+          .when(col("touch_rank") === 1, lit(400000L))
+          .when(col("touch_rank") === col("n_touches"),
+            lit(400000L) + lit(200000L) % (col("n_touches") - 2))
+          .otherwise(expr("200000 div (n_touches - 2)")))
+      .select("purchase_id", "click_id", "touch_rank", "n_touches",
+        "credit_ppm")
+      .orderBy("purchase_id", "touch_rank")
+  }
+
   // ------------------------------------------------------------------
   // Aggregation
   // ------------------------------------------------------------------

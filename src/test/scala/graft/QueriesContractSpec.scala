@@ -90,6 +90,14 @@ class QueriesContractSpec extends SparkSpec {
     }
   }
 
+  test("attribution credits sum to exactly one million ppm per conversion") {
+    import org.apache.spark.sql.functions._
+    val bad = Queries.qAttribution(spark, sf())
+      .groupBy("purchase_id").agg(sum("credit_ppm").as("total"))
+      .filter(col("total") =!= 1000000L)
+    assert(bad.isEmpty, s"non-conserving conversions: ${bad.count()}")
+  }
+
   test("every declared query executes nonempty at sf0.001 and is ordered") {
     val dir = sf()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
