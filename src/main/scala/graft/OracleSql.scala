@@ -762,6 +762,30 @@ object OracleSql {
         |FROM p JOIN n ON n.user_id = p.user_id AND n.ts = p.ts
         |ORDER BY p.user_id, p.ts""".stripMargin,
 
+    // entity-resolution clusters: vocabulary-scale fuzzy name pairs →
+    // recursive-CTE transitive closure → every part labeled; the
+    // q_dedup_cluster reachability pattern over the q_join_fuzzy blocking
+    "q_er_cluster" ->
+      """WITH RECURSIVE
+        |n AS (SELECT p_name, MIN(p_partkey) AS nid,
+        |    split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name),
+        |e AS (SELECT a.nid AS src, b.nid AS dst FROM n a JOIN n b
+        |  ON a.blk = b.blk AND a.nid < b.nid
+        |  AND levenshtein(a.p_name, b.p_name) <= 3),
+        |und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT und.b AS id, reach.r FROM reach JOIN und ON und.a = reach.id),
+        |lbl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |f AS (SELECT p.p_partkey, p.p_name, COALESCE(l.comp, n.nid) AS cluster_id
+        |      FROM part p JOIN n ON n.p_name = p.p_name
+        |      LEFT JOIN lbl l ON l.id = n.nid)
+        |SELECT p_partkey, p_name, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM f ORDER BY p_partkey""".stripMargin,
+
     // U-shaped attribution: 40/40 first/last, middles split the 20% with
     // truncating shares, remainder folded into the LAST touch — credits
     // per conversion telescope to exactly 1e6 in both engines

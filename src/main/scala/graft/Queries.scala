@@ -588,6 +588,38 @@ object Queries {
       .orderBy("user_id", "ts")
   }
 
+  /** ENTITY-RESOLUTION CLUSTERING — the capstone over [[qJoinFuzzy]]'s
+    * match shape: fuzzy-equivalent part names coalesce into transitive
+    * clusters and every part row is labeled with its cluster's canonical
+    * id. Scale-honest the vocabulary way: names dedupe FIRST (each gets a
+    * deterministic integer id = min part key bearing it), the levenshtein
+    * self-join runs on the noun-blocked NAME table — vocabulary-scale,
+    * never a row-scale quadratic — and [[operators.GraphOps
+    * .connectedComponents]] closes the transitive matches; parts join the
+    * name labels back (names absent from any pair stay singletons).
+    * Oracle = recursive-CTE reachability, the q_dedup_cluster pattern. */
+  val qErCluster: Q = (s, d) => {
+    val parts = Tables.part(s, d)
+    val names = parts.groupBy(col("p_name"))
+      .agg(min("p_partkey").as("nid"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+      .localCheckpoint() // pair self-join ×2 + the label join back
+    val pairs = names.alias("a").join(names.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.nid") < col("b.nid") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+      .select(col("a.nid").as("src"), col("b.nid").as("dst"))
+    val comps = operators.GraphOps.connectedComponents(pairs)
+      .select(col("id").as("nid"), col("component"))
+    parts.select(col("p_partkey"), col("p_name"))
+      .join(names.select(col("p_name"), col("nid")), Seq("p_name"))
+      .join(comps, Seq("nid"), "left")
+      .select(col("p_partkey"), col("p_name"),
+        coalesce(col("component"), col("nid")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("p_partkey")
+  }
+
   /** POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION — the marketing
     * analytics op an event store serves: every purchase credits the
     * clicks of the same user in the prior 7 days, 40% to first touch,
