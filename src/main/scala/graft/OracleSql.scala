@@ -1699,6 +1699,13 @@ object OracleSql {
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_multimodal_dedup" ->
+      """WITH p AS (SELECT doc_id, md5(text) AS digest FROM documents)
+        |SELECT doc_id, digest,
+        |  MIN(doc_id) OVER (PARTITION BY digest) AS keeper_id,
+        |  COUNT(*) OVER (PARTITION BY digest) AS n_copies
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // --- Similarity search ------------------------------------------
     "q_vec_normalize" ->
       """WITH n AS (SELECT vec_id, embedding,

@@ -2250,6 +2250,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Exact BINARY payload dedup — the content-addressed-storage pass a
+    * multimodal corpus runs before any decode: payloads sharing bytes
+    * collapse onto one digest, keeper = min id, copy count attached. One
+    * hash agg worth of work expressed as two windows over the digest —
+    * byte-identical images/audio never reach the expensive decode stage
+    * twice. Oracle-HASHED (md5 agrees across engines — the
+    * q_multimodal_meta digest precedent). */
+  val qMultimodalDedup: Q = (s, d) => {
+    val w = Window.partitionBy("digest")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .withColumn("digest", md5(col("payload")))
+      .withColumn("keeper_id", min("doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select("doc_id", "digest", "keeper_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over decoded video metadata: every 2nd frame index of
     * each payload's n_frames (stub-decoded) — the pure-expression sampling
     * plan a video pipeline schedules decode work from. Rows-only (n_frames
