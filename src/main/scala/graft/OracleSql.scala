@@ -762,6 +762,30 @@ object OracleSql {
         |FROM p JOIN n ON n.user_id = p.user_id AND n.ts = p.ts
         |ORDER BY p.user_id, p.ts""".stripMargin,
 
+    // per-group OLS trend: exact integer sufficient statistics (HUGEINT
+    // product sums mirror Spark's DECIMAL(38) accumulators), identical
+    // IEEE finishing tree, scale-0 rounds
+    "q_trend_ols" ->
+      """WITH b AS (SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1577836800000000) // 1000000 AS xs,
+        |    CAST(ROUND(value * 1e6) AS BIGINT) AS ym FROM events),
+        |g AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS sx, SUM(ym) AS sy,
+        |    SUM(xs * ym) AS sxy, SUM(xs * xs) AS sxx FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * 86400.0) AS BIGINT) AS slope_uv_day,
+        |  CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS intercept_uv
+        |FROM g ORDER BY event_type""".stripMargin,
+
     // entity-resolution clusters: vocabulary-scale fuzzy name pairs →
     // recursive-CTE transitive closure → every part labeled; the
     // q_dedup_cluster reachability pattern over the q_join_fuzzy blocking

@@ -588,6 +588,22 @@ object Queries {
       .orderBy("user_id", "ts")
   }
 
+  /** Per-group OLS TREND — "is this metric drifting up?": least-squares
+    * slope and intercept of `value` over time per event_type, the trend
+    * companion to the KS/TV drift alarms. Exact-sum construction: x =
+    * whole seconds since a pre-fixture epoch (truncating div on
+    * non-negative µs), y = value on the micro-grid (scale-0 round — the
+    * cross-engine-safe one), all five sufficient statistics summed
+    * EXACTLY (bigint, with the two product sums accumulated in
+    * DECIMAL(38)/HUGEINT — per-row products bounded ~7e16, sums to ~1e22
+    * at sf0.1), then one shared IEEE expression tree finishes the
+    * closed-form slope/intercept and rounds at scale 0. One hash agg —
+    * the classic mergeable-moments shape, trivially distributable. */
+  val qTrendOls: Q = (s, d) =>
+    operators.StatsOps.olsTrend(Tables.events(s, d), "event_type", "ts",
+        "value")
+      .orderBy("event_type")
+
   /** ENTITY-RESOLUTION CLUSTERING — the capstone over [[qJoinFuzzy]]'s
     * match shape: fuzzy-equivalent part names coalesce into transitive
     * clusters and every part row is labeled with its cluster's canonical

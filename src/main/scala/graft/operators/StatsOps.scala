@@ -92,6 +92,44 @@ object StatsOps {
           .otherwise(lit(1000000L)).cast(LongType).as("tv_ppm"))
   }
 
+  /** Per-group OLS TREND — least-squares slope/intercept of `valueCol`
+    * over `tsCol` per group, the trend companion to [[ksStatistic]]'s
+    * shift alarm. Exact-sum construction: x = whole seconds since
+    * `offsetMicros` (pre-data epoch ⇒ non-negative ⇒ truncating div ==
+    * floor div), y on the integer micro-grid (scale-0 round — the
+    * cross-engine-safe one), all five sufficient statistics summed
+    * exactly (product sums in DECIMAL(38), mirroring the oracle's
+    * HUGEINT), then one shared IEEE tree finishes the closed form. One
+    * hash agg — the mergeable-moments shape.
+    *
+    * @return (groupCol, n, slope_uv_day, intercept_uv): slope in
+    *         micro-value units per day, intercept in micro-value units
+    *         at the offset epoch
+    */
+  def olsTrend(df: DataFrame, groupCol: String, tsCol: String,
+               valueCol: String,
+               offsetMicros: Long = 1577836800000000L): DataFrame = {
+    val Dec38 = DecimalType(38, 0)
+    val base = df.select(col(groupCol),
+      expr(s"(unix_micros($tsCol) - ${offsetMicros}L) div 1000000").as("xs"),
+      round(col(valueCol) * lit(1e6)).cast(LongType).as("ym"))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val g = base.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum("xs").as("sx"),
+      sum("ym").as("sy"),
+      sum((col("xs") * col("ym")).cast(Dec38)).as("sxy"),
+      sum((col("xs") * col("xs")).cast(Dec38)).as("sxx"))
+    val slopeRaw = (dbl(col("n")) * dbl(col("sxy")) -
+        dbl(col("sx")) * dbl(col("sy"))) /
+      (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+    g.select(col(groupCol), col("n"),
+      round(slopeRaw * lit(86400.0)).cast(LongType).as("slope_uv_day"),
+      round(dbl(col("sy")) / dbl(col("n")) -
+        slopeRaw * (dbl(col("sx")) / dbl(col("n"))))
+        .cast(LongType).as("intercept_uv"))
+  }
+
   def ksStatistic(df: DataFrame, cmpCol: String, isSampleB: Column,
                   valueCol: String, gridScale: Long = 0L): DataFrame =
     ksFromCounts(ksCounts(df, cmpCol, isSampleB, valueCol, gridScale), cmpCol)

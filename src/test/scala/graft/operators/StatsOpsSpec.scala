@@ -118,6 +118,49 @@ class StatsOpsSpec extends SparkSpec {
     assert(runTv(Seq(("e", "x", true)))("e") === ((0L, 1L, 0L, 1000000L)))
   }
 
+  test("olsTrend recovers an exact line: slope and intercept to the micro-unit") {
+    val off = 1577836800000000L
+    // value = 2·t + 5 (t in seconds past the offset): slope 2 uv/sec =
+    // 172_800_000_000 uv/day, intercept 5_000_000 uv — both exact
+    val rows = (0 to 9).map { k =>
+      ("a", new java.sql.Timestamp((off + k * 1000000L) / 1000L),
+        2.0 * k + 5.0)
+    }
+    val got = StatsOps.olsTrend(rows.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect()(0)
+    assert(got.getAs[Long]("n") === 10L)
+    assert(got.getAs[Long]("slope_uv_day") === 172800000000L)
+    assert(got.getAs[Long]("intercept_uv") === 5000000L)
+  }
+
+  test("olsTrend matches a driver least-squares replay on noisy groups") {
+    val off = 1577836800000000L
+    val rnd = new scala.util.Random(5)
+    val data = for (g <- Seq("p", "q"); k <- 0 until 40) yield {
+      val t = k * 3600L // hourly points
+      val v = (if (g == "p") 0.5 * k else -0.2 * k) + rnd.nextInt(100) / 10.0
+      (g, new java.sql.Timestamp((off + t * 1000000L) / 1000L), v)
+    }
+    val got = StatsOps.olsTrend(data.toDF("g", "ts", "v"), "g", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("slope_uv_day"), r.getAs[Long]("intercept_uv"))).toMap
+    for (g <- Seq("p", "q")) {
+      // twin on the SAME integer grid the operator uses
+      val pts = data.filter(_._1 == g)
+        .map(t => ((t._2.getTime * 1000L - off) / 1000000L,
+          math.round(t._3 * 1e6)))
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+      val sxy = pts.map(p => p._1.toDouble * p._2.toDouble).sum
+      val sxx = pts.map(p => p._1.toDouble * p._1.toDouble).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val want = (math.round(slope * 86400.0), math.round(sy / n - slope * (sx / n)))
+      val (gs, gi) = got(g)
+      assert(math.abs(gs - want._1) <= 1L, s"$g slope $gs vs ${want._1}")
+      assert(math.abs(gi - want._2) <= 1L, s"$g intercept $gi vs ${want._2}")
+    }
+  }
+
   test("ksStatistic: gridScale bins values before the comparison") {
     // distinct at full precision, identical on the 10^1 grid
     val rows = Seq(("q", 1.01, false), ("q", 1.04, true),
