@@ -302,6 +302,32 @@ object OracleSql {
        |ORDER BY query_id, pick""".stripMargin
   }
 
+  /** Per-group OLS trend: exact integer sufficient statistics (HUGEINT
+    * product sums mirror Spark's DECIMAL(38) accumulators), one shared
+    * IEEE finishing tree, scale-0 rounds. Shared by q_trend_ols and its
+    * streaming twin q_stream_trend (mergeable moments — fold-then-finish
+    * equals one-shot by associativity of +). */
+  private val trendOlsSql =
+    """WITH b AS (SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1577836800000000) // 1000000 AS xs,
+      |    CAST(ROUND(value * 1e6) AS BIGINT) AS ym FROM events),
+      |g AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS sx, SUM(ym) AS sy,
+      |    SUM(xs * ym) AS sxy, SUM(xs * xs) AS sxx FROM b GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * 86400.0) AS BIGINT) AS slope_uv_day,
+      |  CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+      |    AS intercept_uv
+      |FROM g ORDER BY event_type""".stripMargin
+
   /** Unrolled farthest-first k-center (mirrors
     * [[graft.operators.VectorOps.kCenterSelect]]): seed = MIN(id), each
     * later round takes the candidate whose max similarity to the selected
@@ -765,26 +791,7 @@ object OracleSql {
     // per-group OLS trend: exact integer sufficient statistics (HUGEINT
     // product sums mirror Spark's DECIMAL(38) accumulators), identical
     // IEEE finishing tree, scale-0 rounds
-    "q_trend_ols" ->
-      """WITH b AS (SELECT event_type,
-        |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1577836800000000) // 1000000 AS xs,
-        |    CAST(ROUND(value * 1e6) AS BIGINT) AS ym FROM events),
-        |g AS (SELECT event_type, COUNT(*) AS n, SUM(xs) AS sx, SUM(ym) AS sy,
-        |    SUM(xs * ym) AS sxy, SUM(xs * xs) AS sxx FROM b GROUP BY 1)
-        |SELECT event_type, n,
-        |  CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * 86400.0) AS BIGINT) AS slope_uv_day,
-        |  CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
-        |    AS intercept_uv
-        |FROM g ORDER BY event_type""".stripMargin,
+    "q_trend_ols" -> trendOlsSql,
 
     // entity-resolution clusters: vocabulary-scale fuzzy name pairs →
     // recursive-CTE transitive closure → every part labeled; the
@@ -1509,6 +1516,9 @@ object OracleSql {
 
     // streaming fold-then-finish equals one-shot KS (mergeable counts)
     "q_stream_drift" -> ksDriftSql,
+
+    // streaming fold-then-finish equals one-shot OLS (mergeable moments)
+    "q_stream_trend" -> trendOlsSql,
 
     "q_graph_ppr" -> pprSql(5, Seq(0L, 7L)),
 

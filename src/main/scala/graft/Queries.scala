@@ -837,6 +837,16 @@ object Queries {
         scratchDir("stream-drift"))
       .orderBy("event_type")
 
+  /** STREAMING trend maintenance ([[streaming.Declared.trendMaintain]]):
+    * mergeable per-group OLS moments folded per micro-batch — O(groups)
+    * state at rest — finished with the closed form at end-of-stream;
+    * equals batch [[qTrendOls]] by associativity of +, so the same oracle
+    * hashes the streaming run. */
+  val qStreamTrend: Q = (s, d) =>
+    streaming.Declared.trendMaintain(s, Tables.events(s, d),
+        scratchDir("stream-trend"))
+      .orderBy("event_type")
+
   val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")

@@ -108,22 +108,43 @@ object StatsOps {
     */
   def olsTrend(df: DataFrame, groupCol: String, tsCol: String,
                valueCol: String,
-               offsetMicros: Long = 1577836800000000L): DataFrame = {
+               offsetMicros: Long = 1577836800000000L): DataFrame =
+    olsFinish(olsCounts(df, groupCol, tsCol, valueCol, offsetMicros), groupCol)
+
+  /** The MERGEABLE half of [[olsTrend]]: per-group exact sufficient
+    * statistics (n, sx, sy, sxy, sxx). Moments merge by union + sum —
+    * a streaming monitor folds one of these per micro-batch into O(groups)
+    * standing state and finishes with [[olsFinish]] at any point;
+    * fold-then-finish equals one-shot by associativity of +. */
+  def olsCounts(df: DataFrame, groupCol: String, tsCol: String,
+                valueCol: String,
+                offsetMicros: Long = 1577836800000000L): DataFrame = {
     val Dec38 = DecimalType(38, 0)
-    val base = df.select(col(groupCol),
-      expr(s"(unix_micros($tsCol) - ${offsetMicros}L) div 1000000").as("xs"),
-      round(col(valueCol) * lit(1e6)).cast(LongType).as("ym"))
+    df.select(col(groupCol),
+        expr(s"(unix_micros($tsCol) - ${offsetMicros}L) div 1000000").as("xs"),
+        round(col(valueCol) * lit(1e6)).cast(LongType).as("ym"))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n"),
+        sum("xs").as("sx"),
+        sum("ym").as("sy"),
+        sum((col("xs") * col("ym")).cast(Dec38)).as("sxy"),
+        sum((col("xs") * col("xs")).cast(Dec38)).as("sxx"))
+  }
+
+  /** Merge two [[olsCounts]] states (union + per-group sum). */
+  def olsMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(groupCol).agg(
+      sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+
+  /** The finishing half of [[olsTrend]]: one shared IEEE closed-form tree
+    * over exact sums, scale-0 rounds. */
+  def olsFinish(counts: DataFrame, groupCol: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
-    val g = base.groupBy(groupCol).agg(
-      count(lit(1)).as("n"),
-      sum("xs").as("sx"),
-      sum("ym").as("sy"),
-      sum((col("xs") * col("ym")).cast(Dec38)).as("sxy"),
-      sum((col("xs") * col("xs")).cast(Dec38)).as("sxx"))
     val slopeRaw = (dbl(col("n")) * dbl(col("sxy")) -
         dbl(col("sx")) * dbl(col("sy"))) /
       (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
-    g.select(col(groupCol), col("n"),
+    counts.select(col(groupCol), col("n"),
       round(slopeRaw * lit(86400.0)).cast(LongType).as("slope_uv_day"),
       round(dbl(col("sy")) / dbl(col("n")) -
         slopeRaw * (dbl(col("sx")) / dbl(col("n"))))

@@ -40,6 +40,12 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming trend maintenance equals the one-shot batch OLS") {
+    val streamed = Queries.qStreamTrend(spark, sf())
+    val batch = Queries.qTrendOls(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming SCD2 maintenance equals the one-shot batch history") {
     val streamed = Queries.qStreamScd2(spark, sf())
     val batch = Queries.qScd2History(spark, sf())
