@@ -914,6 +914,19 @@ object OracleSql {
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
 
+    // equi-depth histogram: decile bounds rounded 6 (the shared-bound
+    // winsorize precedent), strict-less bucket rule, raw min/max (pure
+    // selection over identical input doubles)
+    "q_histogram_equidepth" ->
+      """WITH b AS (SELECT list_transform(
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> ROUND(x, 6)) AS bs FROM events),
+        |r AS (SELECT e.value,
+        |    len(list_filter(b.bs, x -> x < e.value)) + 1 AS bucket
+        |  FROM events e, b)
+        |SELECT bucket, COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

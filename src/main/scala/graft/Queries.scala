@@ -754,6 +754,26 @@ object Queries {
 
   /** Exact interpolated median per group (rounded: the two engines'
     * interpolation arithmetic differs in the last ulp). */
+  /** EQUI-DEPTH histogram of events.value — the optimizer/data-quality
+    * statistics companion to the equi-WIDTH [[qHistogram]]: decile
+    * boundaries via exact interpolated percentile (rounded 6 so both
+    * engines bucket against the SAME bounds — the winsorize precedent),
+    * then one broadcast range pass counts rows per bucket. Scale-honest:
+    * one aggregate + one scan; no global sort, no single-partition
+    * window. Bucket i covers (bᵢ₋₁, bᵢ]; ties land in the left bucket. */
+  val qHistogramEquidepth: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("value"))
+    val ps = (1 to 9).map(i => s"0.${i}").mkString(", ")
+    val bounds = e.agg(expr(
+      s"transform(percentile(value, array($ps)), x -> round(x, 6))").as("bs"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("size(filter(bs, b -> b < value)) + 1"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("value").as("lo"),
+        max("value").as("hi"))
+      .orderBy("bucket")
+  }
+
   val qAggPercentile: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")

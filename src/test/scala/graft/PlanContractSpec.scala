@@ -99,6 +99,8 @@ class PlanContractSpec extends SparkSpec {
                            // knnGraphExact ruling
       "q_histogram",       // corpus × broadcast 1-row min/max — the
                            // scalar-subquery idiom, metadata-scale
+      "q_histogram_equidepth", // corpus × broadcast 1-row decile bounds —
+                           // the same scalar-subquery idiom
       "q_sample_temperature") // per-group counts × 1-row total — both
                               // metadata-scale; the corpus join is equi
     val engineQueries = Set("q_engine_ingest", "q_engine_point_lookup",
