@@ -752,8 +752,6 @@ object Queries {
       .orderBy("user_id")
   }
 
-  /** Exact interpolated median per group (rounded: the two engines'
-    * interpolation arithmetic differs in the last ulp). */
   /** EQUI-DEPTH histogram of events.value — the optimizer/data-quality
     * statistics companion to the equi-WIDTH [[qHistogram]]: decile
     * boundaries via exact interpolated percentile (rounded 6 so both
@@ -774,6 +772,8 @@ object Queries {
       .orderBy("bucket")
   }
 
+  /** Exact interpolated median per group (rounded: the two engines'
+    * interpolation arithmetic differs in the last ulp). */
   val qAggPercentile: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")

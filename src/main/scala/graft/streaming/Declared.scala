@@ -724,6 +724,41 @@ object Declared {
       s.read.parquet(states((lastBatch.get() % 2).toInt)), "event_type")
   }
 
+  /** Streaming TREND maintenance — the drift monitor's OLS companion run
+    * as a stream: each micro-batch's per-group exact sufficient statistics
+    * ([[graft.operators.StatsOps.olsCounts]] — five mergeable moments)
+    * fold into the standing state by union + sum, keeping O(groups) at
+    * rest regardless of rows seen; end-of-stream finishes the closed-form
+    * slope/intercept with [[graft.operators.StatsOps.olsFinish]]. Addition
+    * is associative, so fold-then-finish EQUALS one-shot batch OLS and
+    * q_trend_ols' oracle hashes the streaming run. Alternating state dirs
+    * + batchId-derived generation, as driftMaintain above. */
+  def trendMaintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    import graft.operators.StatsOps
+    val ev = events.select(col("event_type"), col("ts"), col("value"))
+    val stream = fileStream(s, ev, dir, nFiles = 2, filesPerTrigger = 1)
+    val states = Seq(dir + "/state0", dir + "/state1")
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .queryName("graft-stream-trend")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = StatsOps.olsCounts(batch, "event_type", "ts", "value")
+        val next =
+          if (batchId == 0L) bs
+          else StatsOps.olsMerge(
+            s.read.parquet(states(((batchId - 1) % 2).toInt)), bs,
+            "event_type")
+        next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    StatsOps.olsFinish(
+      s.read.parquet(states((lastBatch.get() % 2).toInt)), "event_type")
+  }
+
   /** Streaming SCD2 maintenance — the CDC "state over time" serving table
     * kept incrementally: each micro-batch of events is folded into the
     * standing history with [[graft.operators.Temporal.scd2Fold]] (seeded
