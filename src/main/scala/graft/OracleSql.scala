@@ -1851,6 +1851,44 @@ object OracleSql {
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // hybrid retrieval: RRF-fuse the exact lexical (distinct-token
+    // overlap) and vector (fixed-point cosine) dense rankings — integer
+    // 1e9//(60+rank) credits, so the fusion hashes exactly
+    "q_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, list_distinct(list_filter(
+        |    string_split(text, ' '), t -> t <> '')) AS toks FROM documents),
+        |q AS (SELECT doc_id AS query_id, toks AS qtoks FROM toks
+        |      WHERE doc_id < 5),
+        |lex AS (SELECT q.query_id, t.doc_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY len(list_intersect(q.qtoks, t.toks)) DESC,
+        |        t.doc_id) AS lex_rank
+        |  FROM q JOIN toks t ON t.doc_id <> q.query_id),
+        |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |       WHERE vec_id < 5),
+        |dots AS (
+        |  SELECT qe.query_id, e.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(qe.qv, e.embedding),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS dot,
+        |    CAST(list_sum(list_transform(list_zip(qe.qv, qe.qv),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS qq,
+        |    CAST(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS nn
+        |  FROM qe, embeddings e WHERE e.vec_id <> qe.query_id),
+        |vec AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) DESC,
+        |        neighbor_id) AS vec_rank
+        |  FROM dots),
+        |f AS (SELECT l.query_id, l.neighbor_id, l.lex_rank, v.vec_rank,
+        |    1000000000 // (60 + l.lex_rank)
+        |      + 1000000000 // (60 + v.vec_rank) AS rrf_micro
+        |  FROM lex l JOIN vec v USING (query_id, neighbor_id)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, neighbor_id) AS rank FROM f)
+        |SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_micro, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |dots AS (

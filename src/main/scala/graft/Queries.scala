@@ -2095,6 +2095,35 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion
+    * ([[VectorOps.rrfFuse]]): a lexical ranking (distinct-token overlap
+    * with the query document — exact integers) and a vector ranking (the
+    * q_vec_cosine_topk fixed-point cosine) fuse by RRF micro-credit into
+    * one top-10 — the lexical+semantic combiner production search stacks
+    * run, over the shared doc_id/vec_id space. Both rankings are DENSE
+    * (5 broadcast queries × corpus — the cosine_topk brute-force ruling;
+    * the scale path swaps in the ANN/BM25-postings rankers, fusion
+    * unchanged), so RRF is exact, not top-N-truncated. Hash-green: ranks
+    * and credits are integers end to end. */
+  val qHybridRrf: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(array_remove(split(col("text"), " "), "")).as("toks"))
+    val qd = broadcast(docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks")))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    val lex = docs.join(qd, col("doc_id") =!= col("query_id"))
+      .withColumn("overlap",
+        size(array_intersect(col("qtoks"), col("toks"))))
+      .withColumn("rank", row_number().over(wl))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    val emb = Tables.embeddings(s, d)
+    val vec = VectorOps.cosineTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+    VectorOps.rrfFuse(lex, vec).orderBy("query_id", "rank")
+  }
+
   /** EXACT k-NN GRAPH ([[VectorOps.knnGraphExact]]) over a deterministic
     * 1/8 sample — every node's 5 nearest neighbors on the oracle-shared
     * fixed-point grid: the base structure for semantic dedup, graph

@@ -75,6 +75,35 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Büttcher, SIGIR 2009) — the
+    * hybrid-search combiner every retrieval stack ships: two rankers'
+    * per-query rankings merge by summing 1/(k₀+rank) credit, so a
+    * candidate that is merely good in BOTH lists beats one that tops a
+    * single list. Exact integer micro-credit `10⁹ div (k₀+rank)` keeps
+    * fused scores and ordering bit-identical across engines (the tfidf
+    * ppm precedent — no float rank math to drift). Inputs are
+    * (query_id, neighbor_id, rank) frames; the join is inner, so callers
+    * fuse over the candidates BOTH rankers scored (identical pools here —
+    * dense rankings over a shared id space). Per-query cost is the two
+    * input rankings' size — the fusion itself is one equi-join + one
+    * window, nothing quadratic. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60,
+              topK: Int = 10): DataFrame = {
+    val aa = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("lex_rank"))
+    val bb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("vec_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+    aa.join(bb, Seq("query_id", "neighbor_id"))
+      .withColumn("rrf_micro",
+        expr(s"1000000000 div ($k0 + lex_rank) + 1000000000 div ($k0 + vec_rank)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "lex_rank", "vec_rank",
+        "rrf_micro", "rank")
+  }
+
   /** Plane count that keeps expected LSH bucket size near `targetBucket`
     * for a corpus of `corpusSize` vectors: buckets = 2^planes, so
     * planes = ⌈log2(N / target)⌉. The knob that keeps the bucket self-join

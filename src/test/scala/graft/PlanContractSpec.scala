@@ -91,6 +91,9 @@ class PlanContractSpec extends SparkSpec {
                            // all-pairs by definition (LSH variant scales)
       "q_vec_ann_prefix",  // broadcast queries × corpus funnel, non-equi
                            // by design — the matryoshka brute-force shape
+      "q_hybrid_rrf",      // both input rankings are broadcast 5-query ×
+                           // corpus scans (the cosine_topk ruling); the
+                           // fusion itself is an equi-join + window
       "q_vec_mmr",         // broadcast queries × corpus pool build +
                            // candidate-scale pairwise sims, non-equi by
                            // design (pool ≤ 20 per query after the limit)

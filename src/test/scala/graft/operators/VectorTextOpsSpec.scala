@@ -36,6 +36,28 @@ class VectorTextOpsSpec extends SparkSpec {
       rows.map(_.getAs[Double]("cosine")).toSeq)
   }
 
+  test("rrfFuse: integer credits, both-lists-good beats single-list-top") {
+    // lex ranks n1<n2<n3, vec ranks n2<n3<n1: n2 (2nd+1st) must beat
+    // n1 (1st+3rd) — the RRF property the fusion exists for
+    val lex = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val vec = Seq((0L, 2L, 1), (0L, 3L, 2), (0L, 1L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = VectorOps.rrfFuse(lex, vec).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 1L, 3L))
+    // exact micro-credits: 1e9 div 61/62/63 = 16393442/16129032/15873015
+    assert(got(0).getAs[Long]("rrf_micro") === 16129032L + 16393442L)
+    assert(got(1).getAs[Long]("rrf_micro") === 16393442L + 15873015L)
+    assert(got(2).getAs[Long]("rrf_micro") === 15873015L + 16129032L)
+  }
+
+  test("rrfFuse: inner pool — a candidate missing from one ranking is dropped") {
+    val lex = Seq((0L, 1L, 1), (0L, 9L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val vec = Seq((0L, 1L, 1), (0L, 8L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val got = VectorOps.rrfFuse(lex, vec).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L))
+  }
+
   test("IVF ANN returns ranked bucket-mates; embedding near-dup finds close pairs") {
     val emb = graft.Tables.embeddings(spark, sf())
     val ivf = VectorOps.cosineTopKIvf(emb, emb.filter($"vec_id" < 2),
