@@ -2121,7 +2121,9 @@ object Queries {
     val vec = VectorOps.cosineTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = Int.MaxValue)
       .select("query_id", "neighbor_id", "rank")
-    VectorOps.rrfFuse(lex, vec).orderBy("query_id", "rank")
+    VectorOps.rrfFuse(lex, vec,
+        rankAName = "lex_rank", rankBName = "vec_rank")
+      .orderBy("query_id", "rank")
   }
 
   /** EXACT k-NN GRAPH ([[VectorOps.knnGraphExact]]) over a deterministic

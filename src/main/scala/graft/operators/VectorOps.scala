@@ -84,24 +84,28 @@ object VectorOps {
     * ppm precedent — no float rank math to drift). Inputs are
     * (query_id, neighbor_id, rank) frames; the join is inner, so callers
     * fuse over the candidates BOTH rankers scored (identical pools here —
-    * dense rankings over a shared id space). Per-query cost is the two
-    * input rankings' size — the fusion itself is one equi-join + one
-    * window, nothing quadratic. */
-  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60,
-              topK: Int = 10): DataFrame = {
+    * dense rankings over a shared id space). The carried-through input
+    * ranks are named by `rankAName`/`rankBName` — the helper is
+    * ranker-agnostic; callers pick output names matching their rankers
+    * (q_hybrid_rrf passes lex_rank/vec_rank to match its hashed oracle).
+    * Per-query cost is the two input rankings' size — the fusion itself
+    * is one equi-join + one window, nothing quadratic. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60, topK: Int = 10,
+              rankAName: String = "rank_a",
+              rankBName: String = "rank_b"): DataFrame = {
     val aa = a.select(col("query_id"), col("neighbor_id"),
-      col("rank").as("lex_rank"))
+      col("rank").as(rankAName))
     val bb = b.select(col("query_id"), col("neighbor_id"),
-      col("rank").as("vec_rank"))
+      col("rank").as(rankBName))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
     aa.join(bb, Seq("query_id", "neighbor_id"))
       .withColumn("rrf_micro",
-        expr(s"1000000000 div ($k0 + lex_rank) + 1000000000 div ($k0 + vec_rank)"))
+        expr(s"1000000000 div ($k0 + `$rankAName`) + 1000000000 div ($k0 + `$rankBName`)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
-      .select("query_id", "neighbor_id", "lex_rank", "vec_rank",
-        "rrf_micro", "rank")
+      .select(col("query_id"), col("neighbor_id"), col(rankAName),
+        col(rankBName), col("rrf_micro"), col("rank"))
   }
 
   /** Plane count that keeps expected LSH bucket size near `targetBucket`

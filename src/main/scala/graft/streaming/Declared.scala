@@ -682,6 +682,8 @@ object Declared {
         ()
       }
       .start().awaitTermination()
+    require(lastBatch.get() >= 0L,
+      s"heavyHittersMaintain: stream at $dir committed no micro-batches")
     val state = s.read.parquet(states((lastBatch.get() % 2).toInt))
     HeavyHitters.exactFromState(words(s.read.parquet(dir + "/src")),
       state, "word", k)
@@ -720,6 +722,8 @@ object Declared {
         ()
       }
       .start().awaitTermination()
+    require(lastBatch.get() >= 0L,
+      s"driftMaintain: stream at $dir committed no micro-batches")
     StatsOps.ksFromCounts(
       s.read.parquet(states((lastBatch.get() % 2).toInt)), "event_type")
   }
@@ -755,6 +759,8 @@ object Declared {
         ()
       }
       .start().awaitTermination()
+    require(lastBatch.get() >= 0L,
+      s"trendMaintain: stream at $dir committed no micro-batches")
     StatsOps.olsFinish(
       s.read.parquet(states((lastBatch.get() % 2).toInt)), "event_type")
   }
