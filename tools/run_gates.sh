@@ -61,4 +61,21 @@ if pb and pa and cb:
 med, mn = b.get("value"), b.get("total_min")
 if med and mn and med / mn > 1.3:
     print(f"[gates] ** WARNING: total median {med}s is {med/mn:.2f}x total min {mn}s — sustained contention likely **")
+# probe-normalized headline: value_norm rescales the sample onto the
+# documented quiet-epoch reference host (calib_ref, pinned in
+# Bench.scala) — judge the 2x gate on BOTH; raw is the literal sample,
+# normalized is the epoch-comparable number.
+vn, mnn, cr = b.get("value_norm"), b.get("total_min_norm"), b.get("calib_ref")
+if vn:
+    print(f"[gates] headline raw: value={med}s total_min={mn}s | normalized to calib_ref={cr}s epoch: value_norm={vn}s total_min_norm={mnn}s")
+else:
+    print("[gates] ** WARNING: BENCH_full.json carries no value_norm — stale artifact? **")
+# a query that THROWS must fail the gate — its recorded time is
+# elapsed-to-throw and the correctness sweep may not have run yet
+errs = b.get("errors")
+if errs:
+    print(f"[gates] ** {len(errs)} BENCH QUERY(S) ERRORED — failing the gate **")
+    for k, v in errs.items():
+        print(f"[gates]   {k}: {v}")
+    raise SystemExit(1)
 EOF
