@@ -1753,6 +1753,30 @@ object OracleSql {
         |  COUNT(*) OVER (PARTITION BY digest) AS n_copies
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // The REAL PNG round trip: the Spark side writes an actual PNG per doc
+    // (ImageIO) and reads it back for width/height + per-channel pixel
+    // sums; the oracle re-derives those sums from the SHARED byte→pixel
+    // rule (pixel i channels = source bytes (3i)%n,(3i+1)%n,(3i+2)%n;
+    // dims w=8+n%17, h=8+(n/17)%13 — MultimodalOps.imageDims) — document
+    // text is pure ASCII, so ord(substr()) IS the byte. PNG is lossless,
+    // so matching sums prove the decode genuinely read the raster back
+    // out of the compressed payload.
+    "q_multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
+        |    8 + (length(text) % 17) AS w,
+        |    8 + ((length(text) // 17) % 13) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> bs[CAST((3 * i) % n AS INT) + 1])) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> bs[CAST((3 * i + 1) % n AS INT) + 1])) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> bs[CAST((3 * i + 2) % n AS INT) + 1])) AS BIGINT) AS sum_b
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // --- Similarity search ------------------------------------------
     "q_vec_normalize" ->
       """WITH n AS (SELECT vec_id, embedding,

@@ -2346,13 +2346,15 @@ object Queries {
   }
 
   /** Frame sampling over decoded video metadata: every 2nd frame index of
-    * each payload's n_frames (stub-decoded) — the pure-expression sampling
-    * plan a video pipeline schedules decode work from. Rows-only (n_frames
-    * comes from the stub codec). */
+    * each payload's n_frames (stub-decoded — the JDK has no VIDEO codec;
+    * the image path is real, see q_multimodal_decode) — the
+    * pure-expression sampling plan a video pipeline schedules decode work
+    * from. Rows-only (n_frames comes from the stub codec). */
   val qMultimodalFrames: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-    val feats = operators.MultimodalOps.decodeFeatures(s, docs, "doc_id", "payload")
+    val feats = operators.MultimodalOps.decodeFeatures(s, docs, "doc_id",
+      "payload", operators.MultimodalOps.decodeStub)
     feats.select(col("doc_id"), col("n_frames"),
         posexplode(operators.MultimodalOps.frameSamplePlan(col("n_frames"), 2)))
       .select(col("doc_id"), col("n_frames"),
@@ -2360,18 +2362,27 @@ object Queries {
       .orderBy("doc_id", "sample_idx")
   }
 
-  /** Multimodal decode plumbing over binary payloads (stubbed codec) —
-    * rows-only. The array-typed `feature` is serialized to JSON so the
-    * declared output is scalar-only (driver row-compare can hash it). */
+  /** REAL multimodal codec round trip, oracle-HASHED: each document's
+    * bytes are rasterized into an actual PNG (`ImageIO.write`, JDK
+    * headless — [[operators.MultimodalOps.encodePng]]'s byte→pixel rule)
+    * partition-side, then decoded back with `ImageIO.read`
+    * ([[operators.MultimodalOps.decodeImage]]) for the REAL width/height
+    * and full-raster average-pool channel sums. PNG is lossless and the
+    * sums are integer pixel arithmetic, so the DuckDB oracle re-derives
+    * every value from the shared byte→pixel rule without touching PNG
+    * bytes — the decode stage can only hash-match by genuinely reading
+    * the pixels back out of the compressed payload. Both stages are the
+    * mapInPandas batch shape (one codec init per partition, rows
+    * streamed), chained with no shuffle between them. */
   val qMultimodalDecode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-    val withMeta = operators.MultimodalOps.withMediaMeta(docs, "payload", "image/fake")
-    val feats = operators.MultimodalOps.decodeFeatures(s, withMeta, "doc_id", "payload")
-    withMeta.select("doc_id", "media_meta").join(feats, Seq("doc_id"))
-      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
-        col("media_meta.digest").as("digest"), col("width"), col("height"),
-        col("n_frames"), to_json(col("feature")).as("feature_json"))
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
+    val pngs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id", "src_bytes")
+    val feats = operators.MultimodalOps.decodeFeatures(s, pngs, "doc_id", "payload")
+    feats.select(col("doc_id"), col("width"), col("height"),
+        element_at(col("feature"), 1).cast(LongType).as("sum_r"),
+        element_at(col("feature"), 2).cast(LongType).as("sum_g"),
+        element_at(col("feature"), 3).cast(LongType).as("sum_b"))
       .orderBy("doc_id")
   }
 }

@@ -10,10 +10,16 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas` batch UDFs: one decoder init per partition, rows
   * streamed through it).
   *
-  * The container has no image/audio codecs, so the decode step is a STUB —
-  * `decodeStub` derives deterministic fake features from the bytes. The
-  * Spark-side plumbing (schema, batch shape, partitioning, null handling) is
-  * real and tested; swap `decodeStub` for a real codec on a cluster.
+  * The IMAGE codec is REAL: `encodePng` writes PNG payloads and
+  * `decodeImage` reads them back via the JDK's `javax.imageio` (headless,
+  * ships in JDK 17 — no external codec needed), producing actual
+  * width/height and average-pool channel features. PNG is lossless and the
+  * features are integer pixel sums, so decode output is bit-deterministic
+  * across JVMs — which is what lets q_multimodal_decode sit under the
+  * DuckDB hash gate (the oracle recomputes the sums from the shared
+  * byte→pixel rule). VIDEO decode remains a stub (`decodeStub` — the JDK
+  * has no video codec): deterministic fake n_frames/features from byte
+  * statistics, plumbing identical.
   */
 object MultimodalOps {
 
@@ -37,9 +43,76 @@ object MultimodalOps {
     StructField("n_frames", IntegerType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** STUBBED decoder: deterministic fake decode of a media payload.
-    * A real deployment replaces this body with an image/audio codec call;
-    * the signature (bytes in, fixed-schema features out) is the contract. */
+  /** Deterministic image dimensions for a payload of `nBytes` source
+    * bytes: w ∈ [8,24], h ∈ [8,20] — small enough that the DuckDB oracle
+    * can re-derive every pixel, big enough to be a real raster. The rule
+    * is part of the hashed contract shared with the oracle (the JL
+    * fixed-seed-matrix precedent). */
+  def imageDims(nBytes: Int): (Int, Int) =
+    (8 + nBytes % 17, 8 + (nBytes / 17) % 13)
+
+  /** REAL PNG encode via the JDK's ImageIO: synthesize a deterministic
+    * raster from the source bytes (pixel i's RGB channels are bytes
+    * (3i)%n, (3i+1)%n, (3i+2)%n — the byte→pixel rule the oracle
+    * replays) and compress it losslessly. The payload this returns is a
+    * genuine image file any PNG reader opens. */
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty[Byte]
+    val (w, h) = imageDims(bytes.length)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val n = bytes.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val r = bytes((3 * i) % n) & 0xff
+        val g = bytes((3 * i + 1) % n) & 0xff
+        val b = bytes((3 * i + 2) % n) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL image decode via ImageIO.read: actual width/height from the PNG
+    * header and a full average-pool over the decoded raster — per-channel
+    * integer pixel sums (exact in Float below 2^24; max here is
+    * 24·20·255 ≈ 1.2·10^5). n_frames = 1: a PNG is a single frame.
+    * Returns zeros for null/empty/undecodable payloads — the quarantine
+    * convention, matching [[decodeStub]]. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0, Array.empty[Float])
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return (0, 0, 0, Array.empty[Float])
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, 1, Array(sr.toFloat, sg.toFloat, sb.toFloat))
+  }
+
+  /** STUBBED VIDEO decoder: deterministic fake decode of a media payload
+    * (the JDK has no video codec; a real deployment swaps in one here —
+    * the signature, bytes in / fixed-schema features out, is the
+    * contract). Unlike [[decodeImage]] this fakes a multi-frame
+    * n_frames, which is what the frame-sampling planner consumes. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     if (bytes == null || bytes.isEmpty) return (0, 0, 0, Array.empty[Float])
     val h = java.util.Arrays.hashCode(bytes)
@@ -56,12 +129,37 @@ object MultimodalOps {
     (width, height, nFrames, feat)
   }
 
+  /** Partition-wise ENCODE: synthesize a real PNG payload per row from a
+    * source-bytes column — the ingest-side stage that turns raw bytes into
+    * stored media. Same mapInPandas batch shape as [[decodeFeatures]]
+    * (one encoder per partition, rows streamed) so encode → decode chains
+    * without a shuffle between stages. */
+  def encodePayloads(spark: SparkSession, df: DataFrame, idCol: String,
+                     binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // encoder init once per partition
+      it.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        Row(row.get(idIdx), encodePng(bytes))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-wise decode: the mapInPandas-shaped batch transform. Keeps
     * the id column, emits decoded feature columns. One decoder "session"
     * per partition (the `it =>` closure), rows streamed — the exact shape a
-    * real GPU/codec pipeline needs for amortized init. */
+    * real GPU/codec pipeline needs for amortized init. `codec` defaults to
+    * the REAL ImageIO decoder; pass [[decodeStub]] for the video stand-in. */
   def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
-                     binCol: String): DataFrame = {
+                     binCol: String,
+                     codec: Array[Byte] => (Int, Int, Int, Array[Float]) = decodeImage)
+      : DataFrame = {
     val outSchema = StructType(
       StructField(idCol, df.schema(idCol).dataType) +: featureSchema.fields.toSeq)
     val idIdx = df.schema.fieldIndex(idCol)
@@ -70,7 +168,7 @@ object MultimodalOps {
       // decoder init would happen here, once per partition
       it.map { row =>
         val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
-        val (w, h, nf, feat) = decodeStub(bytes)
+        val (w, h, nf, feat) = codec(bytes)
         Row(row.get(idIdx), w, h, nf, feat.toSeq)
       }
     }

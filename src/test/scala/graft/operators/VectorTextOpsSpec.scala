@@ -208,19 +208,69 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(r(3L) === "de") // deterministic tie-break
   }
 
-  test("multimodal decode plumbing: schema, determinism, null payloads") {
+  test("multimodal decode plumbing: schema, determinism, null payloads (video stub codec)") {
     val docs = Seq((1L, "payload-a"), (2L, "payload-b"), (3L, null))
       .toDF("doc_id", "txt")
       .select(col("doc_id"), col("txt").cast("binary").as("payload"))
-    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload")
+    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload",
+      MultimodalOps.decodeStub)
     val rows = f.orderBy("doc_id").collect()
     assert(f.columns.toSeq === Seq("doc_id", "width", "height", "n_frames", "feature"))
     assert(rows(0).getAs[Seq[Float]]("feature").length === 8)
     assert(rows(2).getAs[Int]("width") === 0) // null payload -> zero features
     // deterministic: same payload, same features
-    val again = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload")
+    val again = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload",
+        MultimodalOps.decodeStub)
       .orderBy("doc_id").collect()
     assert(rows.toSeq === again.toSeq)
+  }
+
+  test("real PNG codec: encode→decode round-trips dims and exact channel sums") {
+    // plain-JVM twin: derive expected sums straight from the byte→pixel
+    // rule, no ImageIO — the decode must recover them from the compressed
+    // payload (PNG is lossless, so this is exact, not approximate)
+    def expected(src: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (w, h) = MultimodalOps.imageDims(src.length)
+      val n = src.length
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (i <- 0 until w * h) {
+        sr += src((3 * i) % n) & 0xff
+        sg += src((3 * i + 1) % n) & 0xff
+        sb += src((3 * i + 2) % n) & 0xff
+      }
+      (w, h, sr, sg, sb)
+    }
+    for (txt <- Seq("payload-a", "x", "a much longer payload with spaces and 1234567890 digits")) {
+      val src = txt.getBytes("UTF-8")
+      val png = MultimodalOps.encodePng(src)
+      // a real PNG file: magic bytes present, bigger than a trivial stub
+      assert(png.take(8).toSeq === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val (w, h, nf, feat) = MultimodalOps.decodeImage(png)
+      val (ew, eh, esr, esg, esb) = expected(src)
+      assert((w, h, nf) === (ew, eh, 1))
+      assert(feat.map(_.toLong).toSeq === Seq(esr, esg, esb))
+    }
+    // undecodable and empty payloads quarantine to zeros
+    for (bad <- Seq("not a png".getBytes, Array.empty[Byte])) {
+      val (w, h, nf, feat) = MultimodalOps.decodeImage(bad)
+      assert((w, h, nf) === ((0, 0, 0)) && feat.isEmpty)
+    }
+    assert(MultimodalOps.encodePng(null).isEmpty)
+  }
+
+  test("real PNG codec distributes: encodePayloads→decodeFeatures over a frame") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, null))
+      .toDF("doc_id", "txt")
+      .select(col("doc_id"), col("txt").cast("binary").as("src"))
+      .repartition(3)
+    val pngs = MultimodalOps.encodePayloads(spark, docs, "doc_id", "src")
+    assert(pngs.columns.toSeq === Seq("doc_id", "payload"))
+    val f = MultimodalOps.decodeFeatures(spark, pngs, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    val (w1, h1) = MultimodalOps.imageDims("alpha beta".getBytes.length)
+    assert((f(0).getAs[Int]("width"), f(0).getAs[Int]("height")) === ((w1, h1)))
+    assert(f(0).getAs[Int]("n_frames") === 1)
+    assert(f(2).getAs[Int]("width") === 0) // null source -> empty payload -> zeros
   }
 
   test("multimodal resize + frame-sample compose with decode") {
@@ -232,7 +282,8 @@ class VectorTextOpsSpec extends SparkSpec {
     val docs = Seq((1L, "payload-a"), (2L, "payload-b"))
       .toDF("doc_id", "txt")
       .select(col("doc_id"), col("txt").cast("binary").as("payload"))
-    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload")
+    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload",
+      MultimodalOps.decodeStub)
     val r = MultimodalOps.resizeFeatures(spark, f, "doc_id", "feature", 4)
     val rows = r.orderBy("doc_id").collect()
     assert(r.columns.toSeq === Seq("doc_id", "feature_resized"))
