@@ -562,6 +562,27 @@ object OracleSql {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props__k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // serving-direction unflatten: the oracle builds the identical JSON
+    // string (sorted keys, nulls stripped, whole `user` object absent
+    // when both its leaves are null) straight from the base columns
+    "q_unflatten_json" ->
+      """WITH b AS (SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    event_type,
+        |    CASE WHEN event_type <> 'error' THEN user_id END AS id,
+        |    CASE WHEN value >= 100 THEN CAST(FLOOR(value) AS BIGINT) END AS score
+        |  FROM events)
+        |SELECT event_id,
+        |  '{"k":' || k || ',"type":"' || event_type || '"' ||
+        |  CASE WHEN id IS NULL AND score IS NULL THEN ''
+        |    ELSE ',"user":{' ||
+        |      CASE WHEN id IS NOT NULL THEN '"id":' || id ELSE '' END ||
+        |      CASE WHEN id IS NOT NULL AND score IS NOT NULL THEN ',' ELSE '' END ||
+        |      CASE WHEN score IS NOT NULL THEN '"score":' || score ELSE '' END ||
+        |      '}'
+        |  END || '}' AS object
+        |FROM b ORDER BY event_id""".stripMargin,
+
     "q_required_filter" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id IS NOT NULL ORDER BY event_id""".stripMargin,

@@ -124,6 +124,42 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** S7 unflatten, the SERVING direction (reference schemas.py:42-43 +
+    * the GET-object rendering, utils.py:19-34): build a nested document
+    * from event columns, flatten it to `__` leaves (the stored layout),
+    * unflatten BACK through [[graft.core.Flattener.unflatten]], and render
+    * serving JSON with null-stripping (`ignoreNullFields` — "NULL cell ==
+    * absent key", the reference's per-row dict semantics) and sorted keys
+    * (struct fields constructed in sorted order, so `to_json` emits them
+    * sorted — schemas.py:53-55). The inner `user` object goes entirely
+    * absent when ALL its leaves are null (error rows below the score
+    * cutoff) — the null-struct-restore path through flatten→unflatten.
+    * Oracle: DuckDB constructs the identical JSON strings from the base
+    * columns, so a leaf misplaced by unflatten or a null leaked into the
+    * JSON is a hash failure. Integer-only payload values keep the
+    * rendering engine-exact (no double formatting drift). */
+  val qUnflattenJson: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val nested = e.select(col("event_id"),
+      struct(
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"),
+        col("event_type").as("type"),
+        struct(
+          when(col("event_type") =!= "error", col("user_id")).as("id"),
+          when(col("value") >= 100, floor(col("value")).cast(LongType)).as("score")
+        ).as("user")
+      ).as("doc"))
+    val flat = graft.core.Flattener.flatten(nested)
+    require(flat.columns.toSeq ==
+      Seq("event_id", "doc__k", "doc__type", "doc__user__id", "doc__user__score"),
+      "flatten must produce the stored __-leaf layout the unflatten consumes")
+    graft.core.Flattener.unflatten(flat)
+      .select(col("event_id"),
+        to_json(col("doc"), Map("ignoreNullFields" -> "true")).as("object"))
+      .orderBy("event_id")
+  }
+
   /** S20 required-field enforcement as a NOT NULL gate. */
   val qRequiredFilter: Q = (s, d) =>
     Tables.events(s, d).select("event_id", "user_id", "event_type")
