@@ -820,10 +820,16 @@ object OracleSql {
     "q_er_cluster" ->
       """WITH RECURSIVE
         |n AS (SELECT p_name, MIN(p_partkey) AS nid,
-        |    split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name),
-        |e AS (SELECT a.nid AS src, b.nid AS dst FROM n a JOIN n b
-        |  ON a.blk = b.blk AND a.nid < b.nid
-        |  AND levenshtein(a.p_name, b.p_name) <= 3),
+        |    split_part(p_name, ' ', 1) AS blk1,
+        |    split_part(p_name, ' ', 2) AS blk2 FROM part GROUP BY p_name),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a.nid AS src, b.nid AS dst FROM n a JOIN n b
+        |    ON a.blk1 = b.blk1 AND a.nid < b.nid
+        |    AND levenshtein(a.p_name, b.p_name) <= 3
+        |  UNION ALL
+        |  SELECT a.nid AS src, b.nid AS dst FROM n a JOIN n b
+        |    ON a.blk2 = b.blk2 AND a.nid < b.nid
+        |    AND levenshtein(a.p_name, b.p_name) <= 3)),
         |und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
         |nodes AS (SELECT DISTINCT a AS id FROM und),
         |reach AS (

@@ -645,21 +645,28 @@ object Queries {
     * clusters and every part row is labeled with its cluster's canonical
     * id. Scale-honest the vocabulary way: names dedupe FIRST (each gets a
     * deterministic integer id = min part key bearing it), the levenshtein
-    * self-join runs on the noun-blocked NAME table — vocabulary-scale,
-    * never a row-scale quadratic — and [[operators.GraphOps
-    * .connectedComponents]] closes the transitive matches; parts join the
-    * name labels back (names absent from any pair stay singletons).
-    * Oracle = recursive-CTE reachability, the q_dedup_cluster pattern. */
+    * self-join runs on the word-blocked NAME table — union blocking over
+    * BOTH words per [[operators.FuzzyMatch.blockedPairs]]'s contract, so
+    * a single-word typo cannot escape candidate generation —
+    * vocabulary-scale, never a row-scale quadratic — and
+    * [[operators.GraphOps.connectedComponents]] closes the transitive
+    * matches; parts join the name labels back (names absent from any pair
+    * stay singletons). Oracle = recursive-CTE reachability with the same
+    * union blocking, the q_dedup_cluster pattern. */
   val qErCluster: Q = (s, d) => {
     val parts = Tables.part(s, d)
     val names = parts.groupBy(col("p_name"))
       .agg(min("p_partkey").as("nid"))
-      .withColumn("blk", element_at(split(col("p_name"), " "), 2))
-      .localCheckpoint() // pair self-join ×2 + the label join back
-    val pairs = names.alias("a").join(names.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.nid") < col("b.nid") &&
-          levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
-      .select(col("a.nid").as("src"), col("b.nid").as("dst"))
+      .withColumn("blk1", operators.FuzzyMatch.wordKey(col("p_name"), 1))
+      .withColumn("blk2", operators.FuzzyMatch.wordKey(col("p_name"), 2))
+      .localCheckpoint() // pair self-join ×2 per key + the label join back
+    // UNION blocking on both words (FuzzyMatch contract): a typo in ONE
+    // word leaves the other key intact, so single-word corruption can't
+    // escape candidate generation — the r9-flagged recall hole of
+    // noun-only blocking (ErBlockingSpec quantifies: ~0.45 single-key →
+    // ~0.90 union recall on planted deletions, separators the remainder)
+    val pairs = operators.FuzzyMatch.blockedPairs(
+      names, "nid", "p_name", Seq("blk1", "blk2"), maxDist = 3)
     val comps = operators.GraphOps.connectedComponents(pairs)
       .select(col("id").as("nid"), col("component"))
     parts.select(col("p_partkey"), col("p_name"))
@@ -2057,11 +2064,16 @@ object Queries {
     * reference list — every distinct part name with its 3rd character
     * dropped, a deterministic typo both engines reproduce — is resolved
     * against the master part table by levenshtein ≤ 2 within a block
-    * (shared noun, the name's 2nd word). The scale-honest shape: the
-    * dirty side is dimension-sized and BROADCASTS, the corpus pays one
-    * scan with per-block candidate pairs — never an unblocked quadratic
-    * self-join; levenshtein is exact-integer in both engines so the
-    * whole match set sits under the hash gate. */
+    * (shared noun, the name's 2nd word). Single-key blocking is SOUND for
+    * THIS dirty set by construction: the planted typo always falls in the
+    * first word (character 3 of a ≥3-char adjective), so the noun key is
+    * typo-free — the [[operators.FuzzyMatch]] contract's favorable case.
+    * For typos that can land anywhere, use the union-blocked shape
+    * (q_er_cluster; recall measured in ErBlockingSpec). The scale-honest
+    * shape: the dirty side is dimension-sized and BROADCASTS, the corpus
+    * pays one scan with per-block candidate pairs — never an unblocked
+    * quadratic self-join; levenshtein is exact-integer in both engines so
+    * the whole match set sits under the hash gate. */
   val qJoinFuzzy: Q = (s, d) => {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
       element_at(split(col("p_name"), " "), 2).as("blk"))
