@@ -612,6 +612,28 @@ object OracleSql {
         |FROM events WHERE event_type = 'signup' AND event_id <= 2000
         |ORDER BY event_id""".stripMargin,
 
+    // the pinned snapshot must serve the ORIGINAL values — the second
+    // generation (value+1000, ts+1 day) is invisible at the as-of epoch
+    "q_engine_timetravel" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'signup' AND event_id <= 1000
+        |ORDER BY event_id""".stripMargin,
+
+    // full audit log: version 1 = the insert, version 2 = the overwrite
+    // (value+1000, ts+1 day) — LWW-ascending ordinals per id
+    "q_engine_history" ->
+      """WITH b AS (SELECT event_id, user_id, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'signup' AND event_id <= 600)
+        |SELECT event_id, 1 AS version, user_id, value, k, ts FROM b
+        |UNION ALL
+        |SELECT event_id, 2 AS version, user_id, value + 1000 AS value, k,
+        |  ts + INTERVAL 1 DAY AS ts FROM b
+        |ORDER BY event_id, version""".stripMargin,
+
     "q_retention_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |c AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week

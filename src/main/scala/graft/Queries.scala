@@ -276,6 +276,61 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** TIME-TRAVEL read over the engine's append log
+    * ([[graft.core.Engine.Handle.tableAsOf]]): ingest a signup slice, pin
+    * the committed snapshot epoch, then OVERWRITE every row (value+1000,
+    * last_modified+1 day — a full second LWW generation). The declared
+    * output is the PINNED snapshot, which must still serve the original
+    * values — a leaked post-snapshot row is a hash failure (its value is
+    * off by exactly 1000). The live view serving the updates instead is
+    * asserted in EngineTimeTravelSpec. Snapshots are defined by physical
+    * append order (`_ingest_epoch`), so this is the Delta/Iceberg
+    * time-travel semantic re-expressed over the LWW parquet log; the
+    * epoch pin is a 1-row parquet-footer agg, metadata-scale. */
+  val qEngineTimetravel: Q = (s, d) => {
+    val wh = scratchDir("qtt-wh")
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1000)
+    val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
+    h.ingest(Flagship.envelopesFrom(s, events))
+    val snap = h.currentEpoch("signup")
+    h.ingest(Flagship.envelopesFrom(s, events
+      .withColumn("value", col("value") + 1000)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))))
+    h.tableAsOf("signup", snap).select(
+      col("id").cast(LongType).as("event_id"),
+      col("user_id"), col("value"),
+      col("props__k").as("k"),
+      col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
+  /** VERSION-HISTORY read ([[graft.core.Engine.Handle.history]]): the same
+    * two-generation warehouse as q_engine_timetravel, served as the full
+    * audit log — every id carries version 1 (the original insert) and
+    * version 2 (the overwrite), ordinals in LWW order so the highest
+    * version is exactly the live row. One window over the log, no joins;
+    * the CDC-consumer read. Deterministic end-to-end (the overwrite's
+    * value/timestamp shifts are exact in both engines), so the whole
+    * history sits under the hash gate. */
+  val qEngineHistory: Q = (s, d) => {
+    val wh = scratchDir("qh-wh")
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 600)
+    val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
+    h.ingest(Flagship.envelopesFrom(s, events))
+    h.ingest(Flagship.envelopesFrom(s, events
+      .withColumn("value", col("value") + 1000)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))))
+    h.history("signup").select(
+      col("id").cast(LongType).as("event_id"),
+      col("version"),
+      col("user_id"), col("value"),
+      col("props__k").as("k"),
+      col("last_modified").as("ts"))
+      .orderBy("event_id", "version")
+  }
+
   /** S9 schema-evolving union: unionByName with missing columns. */
   val qSchemaUnionEvolve: Q = (s, d) => {
     val li = Tables.lineitem(s, d)

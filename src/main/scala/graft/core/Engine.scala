@@ -70,6 +70,66 @@ object Engine {
       needed
     }
 
+    /** Latest committed ingest epoch of a type's log — the snapshot id a
+      * caller pins for a consistent [[tableAsOf]] read. One 1-row agg over
+      * the log's epoch column (a min/max-statistics scan, metadata-scale —
+      * parquet footers answer it without reading data pages). */
+    def currentEpoch(typeId: String): Long = {
+      val log = tableLog(typeId)
+      require(log.columns.contains("_ingest_epoch"),
+        s"table '$typeId' carries no _ingest_epoch column — not an ingest-written table")
+      val r = log.agg(max(col("_ingest_epoch"))).head
+      require(!r.isNullAt(0), s"table '$typeId' log is empty — no epoch to pin")
+      r.getLong(0)
+    }
+
+    /** TIME-TRAVEL serving view: the LWW state as of ingest epoch
+      * `epochMicros` (inclusive) — rows appended by later batches are
+      * invisible, so an id overwritten after the pinned epoch serves its
+      * old version and an id first inserted after it serves nothing. The
+      * snapshot is defined by the PHYSICAL append order (`_ingest_epoch`,
+      * strictly increasing per batch — Ingest.batchEpochMicros), not by the
+      * logical `last_modified`, so a late-arriving backfill with an old
+      * timestamp is still correctly excluded from snapshots pinned before
+      * its arrival.
+      *
+      * HISTORY-RETENTION CONTRACT (the Cassandra-compaction analog, same
+      * trade the reference inherits from its storage engine): [[compact]]
+      * collapses the log to current winners (keeping their original
+      * epochs), so versions a compaction discarded are unrecoverable — an
+      * as-of read older than the last compaction serves the surviving
+      * winners written ≤ the pinned epoch, with overwritten-then-compacted
+      * versions absent. Pin snapshots you need, or defer compaction —
+      * exactly Delta/Iceberg's VACUUM-vs-time-travel trade, re-expressed
+      * over the parquet append log. */
+    def tableAsOf(typeId: String, epochMicros: Long): DataFrame = {
+      val log = tableLog(typeId)
+      require(log.columns.contains("_ingest_epoch"),
+        s"table '$typeId' carries no _ingest_epoch column — not an ingest-written table")
+      val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
+      Upserts.lwwView(log.filter(col("_ingest_epoch") <= epochMicros),
+          Seq("id"), "last_modified", ties)
+        .drop("_ingest_epoch", "_ingest_seq", "_part")
+    }
+
+    /** VERSION HISTORY of a type's table: every surviving appended version
+      * of every id, stamped with a per-id `version` ordinal in LWW order
+      * ascending (`last_modified`, ties by `_ingest_epoch` then
+      * `_ingest_seq` — so the HIGHEST version is exactly the row [[table]]
+      * serves). The audit-log
+      * read a CDC consumer or a debugging operator wants; one window over
+      * the log, no joins. Subject to the same history-retention contract
+      * as [[tableAsOf]]: compaction truncates history to current winners. */
+    def history(typeId: String): DataFrame = {
+      val log = tableLog(typeId)
+      val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
+      val order = (col("last_modified").asc +: ties.map(col(_).asc)): Seq[org.apache.spark.sql.Column]
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(order: _*)
+      log.withColumn("version", row_number().over(w))
+        .drop("_ingest_epoch", "_ingest_seq", "_part")
+    }
+
     /** Point lookup (reference Model.get / GET objects/{id},
       * tests/test_views.py:205-211). The id-bucket predicate is foldable
       * (hash of a literal), so it becomes a PARTITION filter on the `_part`
