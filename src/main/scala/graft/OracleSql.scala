@@ -774,6 +774,26 @@ object OracleSql {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // point-in-time: each purchase joined to the SCD2 version whose
+    // [valid_from, valid_to) interval contains its ts — exactly one match
+    "q_join_point_in_time" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT *, LAG(event_type) OVER w AS prev FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (SELECT user_id, event_id, event_type, ts FROM c
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_id AS dim_event_id,
+        |        event_type AS state, ts AS valid_from,
+        |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS valid_to
+        |      FROM ch),
+        |f AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, v.state, v.dim_event_id, v.valid_from
+        |FROM f JOIN v ON f.user_id = v.user_id AND f.ts >= v.valid_from
+        |  AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
+
     "q_join_interval_overlap" ->
       // <= matches Spark's inclusive session merge at the exact gap
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),

@@ -580,6 +580,40 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** POINT-IN-TIME temporal join — the feature-store correctness operator
+    * (Feast/Tecton's core semantics): each purchase is enriched with the
+    * dimension VERSION that was valid AT its event time, i.e. the SCD2
+    * interval containing `ts` (`valid_from ≤ ts < valid_to`, open current
+    * interval unbounded). This is how a training set joins features
+    * without future leakage: a version that starts after the fact's
+    * timestamp can never be seen, by construction of the interval
+    * predicate — the complement of q_join_asof's latest-prior shape,
+    * driven through the versioned-dimension table itself. Intervals
+    * partition each key's timeline (zero-width same-ts intervals match
+    * nothing), so every fact matches EXACTLY one version
+    * (QueriesContractSpec pins that). Scale: equi-join on the key with
+    * the range as residual — per-key version counts bound the work, never
+    * a cross product; the dimension side is the compacted SCD2 history,
+    * dimension-scale not event-scale. */
+  val qJoinPointInTime: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val dim = operators.Temporal.scd2(e, keyCols = Seq("user_id"),
+        tsCol = "ts", orderCols = Seq("ts", "event_id"),
+        attrCols = Seq("event_type"))
+      .select(col("user_id"), col("event_id").as("dim_event_id"),
+        col("event_type").as("state"), col("valid_from"), col("valid_to"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    facts.alias("f").join(dim.alias("v"),
+        col("f.user_id") === col("v.user_id") &&
+          col("f.ts") >= col("v.valid_from") &&
+          (col("v.valid_to").isNull || col("f.ts") < col("v.valid_to")))
+      .select(col("f.event_id").as("event_id"), col("f.user_id").as("user_id"),
+        col("v.state").as("state"), col("v.dim_event_id").as("dim_event_id"),
+        col("v.valid_from").as("valid_from"))
+      .orderBy("event_id")
+  }
+
   /** INTERVAL-OVERLAP join: pairs of sessions (different users) whose time
     * ranges overlap — scalable via time-bucket blocking: each session
     * explodes to the hour buckets it touches, candidates must share a

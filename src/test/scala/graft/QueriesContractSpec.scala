@@ -90,6 +90,26 @@ class QueriesContractSpec extends SparkSpec {
     }
   }
 
+  test("point-in-time join matches every fact to exactly one dimension version") {
+    import org.apache.spark.sql.functions._
+    // the leakage-free contract: SCD2 intervals partition each key's
+    // timeline, so n(results) == n(facts) with no duplicates — a fact
+    // matching 0 versions (gap) or 2 (overlap) is an interval bug
+    val pit = Queries.qJoinPointInTime(spark, sf())
+    val nFacts = Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase").count()
+    assert(pit.count() === nFacts, "one enriched row per purchase")
+    assert(pit.select("event_id").distinct().count() === nFacts,
+      "no fact may match two versions")
+    // no leakage by construction: every matched version starts at-or-before
+    // the fact's timestamp
+    val leaked = pit.join(
+        Tables.events(spark, sf()).select(col("event_id"), col("ts")),
+        "event_id")
+      .filter(col("valid_from") > col("ts")).count()
+    assert(leaked === 0L, "a version from the future leaked into a fact")
+  }
+
   test("attribution credits sum to exactly one million ppm per conversion") {
     import org.apache.spark.sql.functions._
     val bad = Queries.qAttribution(spark, sf())
