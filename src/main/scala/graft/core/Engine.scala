@@ -130,6 +130,23 @@ object Engine {
         .drop("_ingest_epoch", "_ingest_seq", "_part")
     }
 
+    /** CDC read between two pinned snapshots: every id whose served row
+      * changed from epoch `fromEpoch` to `toEpoch`, classified
+      * insert/update/delete with before/after values
+      * ([[Upserts.snapshotDiff]] over two [[tableAsOf]] views — the
+      * Delta `table_changes` analog). Same retention contract as
+      * [[tableAsOf]]: both pins must postdate the last compaction. Cost:
+      * two LWW windows + one full-outer key join, all on the same key
+      * partitioning. */
+    def changesBetween(typeId: String, fromEpoch: Long, toEpoch: Long,
+                       compareCols: Seq[String]): DataFrame = {
+      require(fromEpoch <= toEpoch,
+        s"changesBetween: fromEpoch $fromEpoch must be <= toEpoch $toEpoch")
+      Upserts.snapshotDiff(
+        tableAsOf(typeId, fromEpoch), tableAsOf(typeId, toEpoch),
+        "id", compareCols)
+    }
+
     /** Point lookup (reference Model.get / GET objects/{id},
       * tests/test_views.py:205-211). The id-bucket predicate is foldable
       * (hash of a literal), so it becomes a PARTITION filter on the `_part`

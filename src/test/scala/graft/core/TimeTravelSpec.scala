@@ -94,6 +94,35 @@ class TimeTravelSpec extends SparkSpec {
     assert(served(h.tableAsOf("tt", snap2)) === Set("a" -> 10, "b" -> 2))
   }
 
+  // note: between two pins of an APPEND-ONLY log, only insert/update can
+  // occur — snapshotDiff's delete branch fires for out-of-band rewrites
+  // (compaction-after-delete), covered by UpsertsSpec's direct diff tests
+  test("changesBetween two pins classifies insert/update with before/after values") {
+    val h = Engine.bootstrap(spark, tmpDir("tt-cdc"), overrideWarehouse = true)
+    ingestMsgs(h, Seq(
+      envelope("a", "2024-01-01 00:00:00", 1),
+      envelope("b", "2024-01-01 00:00:00", 2)))
+    val e1 = h.currentEpoch("tt")
+    ingestMsgs(h, Seq(
+      envelope("a", "2024-01-02 00:00:00", 10), // update
+      envelope("c", "2024-01-02 00:00:00", 3))) // insert
+    val e2 = h.currentEpoch("tt")
+    val changes = h.changesBetween("tt", e1, e2, Seq("v"))
+      .select(col("id"), col("change"),
+        col("v_before").cast("int"), col("v_after").cast("int"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(changes === Set(
+      ("a", "update", Some(1), Some(10)),
+      ("c", "insert", None, Some(3))),
+      "unchanged b must be absent; a updates 1→10; c inserts")
+    assert(h.changesBetween("tt", e2, e2, Seq("v")).isEmpty,
+      "identical pins diff to nothing")
+    intercept[IllegalArgumentException] {
+      h.changesBetween("tt", e2, e1, Seq("v"))
+    }
+  }
+
   test("currentEpoch pins strictly increase across batches and refuse empty logs") {
     val h = Engine.bootstrap(spark, tmpDir("tt-ep"), overrideWarehouse = true)
     ingestMsgs(h, Seq(envelope("a", "2024-01-01 00:00:00", 1)))
