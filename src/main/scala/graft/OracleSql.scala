@@ -634,6 +634,22 @@ object OracleSql {
         |  ts + INTERVAL 1 DAY AS ts FROM b
         |ORDER BY event_id, version""".stripMargin,
 
+    // the classified CDC delta between the two pins: every 3rd id updates
+    // value -> value+1000 (a null value folds to null = no change, hence
+    // the IS NOT NULL guard matching the null-safe-equality diff), every
+    // 5th id re-inserts under a key-shifted id; unchanged ids are absent
+    "q_engine_changes" ->
+      """WITH b AS (SELECT event_id, value FROM events
+        |  WHERE event_type = 'signup' AND event_id <= 1200)
+        |SELECT event_id, 'update' AS change,
+        |  value AS value_before, value + 1000 AS value_after
+        |FROM b WHERE event_id % 3 = 0 AND value IS NOT NULL
+        |UNION ALL
+        |SELECT event_id + 1000000 AS event_id, 'insert' AS change,
+        |  CAST(NULL AS DOUBLE) AS value_before, value AS value_after
+        |FROM b WHERE event_id % 5 = 0
+        |ORDER BY event_id""".stripMargin,
+
     "q_retention_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |c AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week

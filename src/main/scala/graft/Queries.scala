@@ -331,6 +331,35 @@ object Queries {
       .orderBy("event_id", "version")
   }
 
+  /** CDC READ between two pinned snapshots
+    * ([[graft.core.Engine.Handle.changesBetween]]): ingest a signup slice,
+    * pin epoch e1, then ingest a second generation — every 3rd id
+    * overwritten (value+1000, LWW-winning ts+1 day) and every 5th id
+    * re-inserted under a key-shifted id — and pin e2. The declared output
+    * is the classified delta (insert/update with before/after values), the
+    * Delta `table_changes` analog: an unchanged id leaking in, a missed
+    * update, or a wrong before-image is a hash failure. Cost: two LWW
+    * windows + one full-outer key join on the same key partitioning. */
+  val qEngineChanges: Q = (s, d) => {
+    val wh = scratchDir("qcdc-wh")
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1200)
+    val h = graft.core.Engine.bootstrap(s, wh, overrideWarehouse = true)
+    h.ingest(Flagship.envelopesFrom(s, events))
+    val e1 = h.currentEpoch("signup")
+    val updates = events.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + 1000)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+    val inserts = events.filter(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + 1000000L)
+    h.ingest(Flagship.envelopesFrom(s, updates.unionByName(inserts)))
+    val e2 = h.currentEpoch("signup")
+    h.changesBetween("signup", e1, e2, Seq("value"))
+      .select(col("id").cast(LongType).as("event_id"),
+        col("change"), col("value_before"), col("value_after"))
+      .orderBy("event_id")
+  }
+
   /** S9 schema-evolving union: unionByName with missing columns. */
   val qSchemaUnionEvolve: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
