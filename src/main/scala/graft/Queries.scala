@@ -1632,6 +1632,24 @@ object Queries {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** Streaming CDC maintenance under the oracle gate
+    * ([[streaming.Declared.changesMaintain]]): two event-time-ordered
+    * micro-batches cut at noon of the exact integer-µs midpoint's day;
+    * each batch folds into the standing per-(user, day) LWW state AND
+    * appends its classified delta (insert/update with before/after
+    * values) to the change log. The declared output is the WHOLE log —
+    * all four outcomes occur (batch-0 inserts, batch-1 inserts, cut-day
+    * updates with the morning winner as before-image, unchanged pre-cut
+    * keys absent) — so a missed update, a leaked unchanged key, or a
+    * wrong before-image is a hash failure. The oracle replays both LWW
+    * states and the null-safe diff in SQL with the same µs cut. */
+  val qStreamChanges: Q = (s, d) =>
+    streaming.Declared.changesMaintain(s, Tables.events(s, d),
+        scratchDir("stream-changes"))
+      .select(col("user_id"), col("d"), col("batch"), col("change"),
+        col("value_before"), col("value_after"))
+      .orderBy("batch", "user_id", "d")
+
   /** TRIANGLE COUNT ([[operators.GraphOps.triangleCount]]) over the
     * same-order part-co-occurrence graph (parts bucketed mod 100; an
     * edge when two buckets share an order) — degree-oriented wedge join,

@@ -65,20 +65,31 @@ object Upserts {
     * outer join on the key (the same shuffle MERGE pays); output carries
     * each compared column twice (`<c>_before` / `<c>_after`). */
   def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
-                   compareCols: Seq[String]): DataFrame = {
-    val b = before.select((key +: compareCols).map(c => col(s"`$c`")): _*).alias("b")
-    val a = after.select((key +: compareCols).map(c => col(s"`$c`")): _*).alias("a")
-    val joined = b.join(a, col(s"b.`$key`") === col(s"a.`$key`"), "full_outer")
+                   compareCols: Seq[String]): DataFrame =
+    snapshotDiffKeys(before, after, Seq(key), compareCols)
+
+  /** Multi-key [[snapshotDiff]] (e.g. a per-(user, day) state). Key
+    * columns must be non-null in both states — presence is detected by
+    * the first key column's nullness on the unmatched full-outer side,
+    * the same convention the single-key version always had. */
+  def snapshotDiffKeys(before: DataFrame, after: DataFrame, keys: Seq[String],
+                       compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiffKeys: at least one key column")
+    val b = before.select((keys ++ compareCols).map(c => col(s"`$c`")): _*).alias("b")
+    val a = after.select((keys ++ compareCols).map(c => col(s"`$c`")): _*).alias("a")
+    val joined = b.join(a,
+      keys.map(k => col(s"b.`$k`") === col(s"a.`$k`")).reduce(_ && _),
+      "full_outer")
     val differs = compareCols
       .map(c => !(col(s"b.`$c`") <=> col(s"a.`$c`"))).reduce(_ || _)
-    val change = when(col(s"b.`$key`").isNull, "insert")
-      .when(col(s"a.`$key`").isNull, "delete")
+    val change = when(col(s"b.`${keys.head}`").isNull, "insert")
+      .when(col(s"a.`${keys.head}`").isNull, "delete")
       .when(differs, "update")
     val cols: Seq[Column] =
-      coalesce(col(s"b.`$key`"), col(s"a.`$key`")).as(key) +:
-      change.as("change") +:
-      compareCols.flatMap(c => Seq(col(s"b.`$c`").as(s"${c}_before"),
-        col(s"a.`$c`").as(s"${c}_after")))
+      keys.map(k => coalesce(col(s"b.`$k`"), col(s"a.`$k`")).as(k)) ++
+      (change.as("change") +:
+        compareCols.flatMap(c => Seq(col(s"b.`$c`").as(s"${c}_before"),
+          col(s"a.`$c`").as(s"${c}_after"))))
     joined.filter(change.isNotNull).select(cols: _*)
   }
 

@@ -812,4 +812,75 @@ object Declared {
         Seq("ts", "event_id"), Seq("event_type"))
     else s.read.parquet(states((lastBatch.get() % 2).toInt))
   }
+
+  /** Streaming CDC maintenance — the `table_changes` STREAM a downstream
+    * replicator consumes: each micro-batch folds into the standing LWW
+    * state (union → LWW → rewrite, the q_stream_lww loop) AND emits the
+    * classified delta against the pre-batch state
+    * ([[graft.operators.Upserts.snapshotDiff]] — insert/update with
+    * before/after values) to an append-only per-batch change log. The
+    * declared output is the whole log.
+    *
+    * Unlike the split-INVARIANT streams, a change log's content depends on
+    * batch membership (which rows were "already present" when a batch
+    * lands), so the batch boundary is pinned exactly: the source is two
+    * event-time-ordered files cut at NOON of the integer-microsecond
+    * midpoint's day — `((minUs+maxUs)/2 / day) * day + day/2`, computed
+    * via `unix_micros` (not [[tsMidpoint]]'s millisecond
+    * `Timestamp.getTime`) so the DuckDB oracle replays the same cut
+    * exactly with `epoch_us`. The state is keyed per (user, DAY): with a
+    * mid-day cut all four gate-relevant outcomes occur at sf0.01 —
+    * batch-0 inserts (~2k), batch-1 inserts for post-cut days (~2k),
+    * UPDATES for cut-day keys with events both sides (~62, carrying the
+    * morning winner as the before-image), and ~1.9k pre-cut-day keys
+    * whose winner is UNCHANGED and must be ABSENT from the log. (A
+    * midnight-adjacent midpoint cut — what `(lo+hi)/2` happens to be on
+    * this data — leaves the update branch empty; the noon snap makes the
+    * composition robust, not luck.)
+    *
+    * Idempotent under replay/restart: per-batch log dirs and the
+    * batchId-parity state dirs are deterministic overwrites of the same
+    * paths (the incrementalClusters argument). At 100 TB the state
+    * rewrite becomes a MERGE into a keyed table and the log an append —
+    * the per-batch diff is one key-partitioned join either way. */
+  def changesMaintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("d", date_trunc("day", col("ts")))
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
+    val cutUs = ((mm.getLong(0) + mm.getLong(1)) / 2 / DayUs) * DayUs + DayUs / 2
+    val s8 = s.newSession()
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = orderedFileStream(s8, Seq(
+      ev.filter(unix_micros(col("ts")) < cutUs),
+      ev.filter(unix_micros(col("ts")) >= cutUs)), dir)
+    val states = Seq(dir + "/state0", dir + "/state1")
+    val logDir = dir + "/changes"
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .queryName("graft-stream-changes")
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev =
+          if (batchId == 0L) batch.limit(0)
+          else s8.read.parquet(states(((batchId - 1) % 2).toInt))
+        val cur = graft.operators.Upserts.lwwView(
+          if (batchId == 0L) batch else batch.unionByName(prev),
+          Seq("user_id", "d"), "ts", Seq("event_id"))
+        graft.operators.Upserts.snapshotDiffKeys(prev, cur,
+            Seq("user_id", "d"), Seq("value"))
+          .withColumn("batch", lit(batchId.toInt))
+          .write.mode("overwrite").parquet(logDir + s"/b$batchId")
+        cur.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    if (lastBatch.get() < 0L)
+      ev.limit(0).select(col("user_id"), col("d"), lit("").as("change"),
+        col("value").as("value_before"), col("value").as("value_after"),
+        lit(0).as("batch"))
+    else s.read.parquet((0L to lastBatch.get()).map(b => logDir + s"/b$b"): _*)
+  }
 }

@@ -213,6 +213,32 @@ class DeclaredSpec extends SparkSpec {
     assert(got === (1L to 4L).map(i => (i, i, 1L)).toSet)
   }
 
+  test("streaming CDC log: replaying the per-batch deltas reconstructs the final state") {
+    import org.apache.spark.sql.functions._
+    val log = Queries.qStreamChanges(spark, sf())
+    // an append-only source can never produce a delete between pins
+    assert(log.filter(col("change") === "delete").isEmpty)
+    // every update's before-image genuinely differs from its after-image
+    assert(log.filter(col("change") === "update" &&
+      col("value_before") <=> col("value_after")).isEmpty)
+    // CDC contract: apply batch 0's inserts to an empty state, then batch
+    // 1's upserts on top — the replayed state must equal the one-shot
+    // batch LWW view (unchanged keys ride through from batch 0)
+    val b0 = log.filter(col("batch") === 0)
+      .select(col("user_id"), col("d"), col("value_after").as("value"))
+    val b1 = log.filter(col("batch") === 1)
+      .select(col("user_id"), col("d"), col("value_after").as("value"))
+    val replay = b1.unionByName(
+      b0.join(b1.select("user_id", "d"), Seq("user_id", "d"), "left_anti"))
+    val batchState = graft.operators.Upserts.lwwView(
+        Tables.events(spark, sf())
+          .withColumn("d", date_trunc("day", col("ts"))),
+        Seq("user_id", "d"), "ts", Seq("event_id"))
+      .select("user_id", "d", "value")
+    assert(rows(replay.orderBy("user_id", "d")) ==
+      rows(batchState.orderBy("user_id", "d")))
+  }
+
   test("streaming LWW state equals the batch LWW view") {
     val streamed = Queries.qStreamLww(spark, sf())
     val batch = graft.operators.Upserts.lwwView(
