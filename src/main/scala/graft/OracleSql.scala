@@ -1899,6 +1899,25 @@ object OracleSql {
         |    i -> bs[CAST((3 * i + 2) % n AS INT) + 1])) AS BIGINT) AS sum_b
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // nearest-neighbor resize to 12x10 replayed as pure index arithmetic:
+    // target pixel p=(y*12+x) samples source pixel (x*w//12, y*h//10),
+    // whose channels come from the shared byte->pixel rule
+    "q_multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
+        |    8 + (length(text) % 17) AS w,
+        |    8 + ((length(text) // 17) % 13) AS h
+        |  FROM documents)
+        |SELECT doc_id, 12 AS width, 10 AS height,
+        |  CAST(list_sum(list_transform(range(0, 120),
+        |    p -> bs[CAST((3 * (((p // 12) * h // 10) * w + ((p % 12) * w // 12))) % n AS INT) + 1])) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(range(0, 120),
+        |    p -> bs[CAST((3 * (((p // 12) * h // 10) * w + ((p % 12) * w // 12)) + 1) % n AS INT) + 1])) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(0, 120),
+        |    p -> bs[CAST((3 * (((p // 12) * h // 10) * w + ((p % 12) * w // 12)) + 2) % n AS INT) + 1])) AS BIGINT) AS sum_b
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // --- Similarity search ------------------------------------------
     "q_vec_normalize" ->
       """WITH n AS (SELECT vec_id, embedding,

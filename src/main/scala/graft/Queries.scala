@@ -2569,4 +2569,27 @@ object Queries {
         element_at(col("feature"), 3).cast(LongType).as("sum_b"))
       .orderBy("doc_id")
   }
+
+  /** REAL image RESIZE under the hash gate
+    * ([[operators.MultimodalOps.resizePng]]): encode each document's bytes
+    * as a PNG, nearest-neighbor resize the DECODED raster to a fixed
+    * 12×10 (mixed up/downscale across the corpus, since source sizes span
+    * 8–24 × 8–20), re-encode losslessly, then decode the RESIZED payload
+    * and serve its dims + per-channel pixel sums. The oracle replays the
+    * exact NN index arithmetic (x·w/12, y·h/10 integer floor) against the
+    * shared byte→pixel rule without touching PNG bytes — the pipeline can
+    * only hash-match by genuinely decoding, resampling, and re-reading
+    * real rasters. Three chained mapPartitions stages, no shuffle. */
+  val qMultimodalResize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
+    val pngs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id", "src_bytes")
+    val small = operators.MultimodalOps.resizePayloads(s, pngs, "doc_id", "payload", 12, 10)
+    val feats = operators.MultimodalOps.decodeFeatures(s, small, "doc_id", "payload")
+    feats.select(col("doc_id"), col("width"), col("height"),
+        element_at(col("feature"), 1).cast(LongType).as("sum_r"),
+        element_at(col("feature"), 2).cast(LongType).as("sum_g"),
+        element_at(col("feature"), 3).cast(LongType).as("sum_b"))
+      .orderBy("doc_id")
+  }
 }

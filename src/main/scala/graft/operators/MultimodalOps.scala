@@ -108,6 +108,58 @@ object MultimodalOps {
     (w, h, 1, Array(sr.toFloat, sg.toFloat, sb.toFloat))
   }
 
+  /** REAL image RESIZE via the decoded raster: nearest-neighbor sample of
+    * the source PNG onto an `outW`×`outH` grid — target pixel (x, y)
+    * copies source pixel (x·w/outW, y·h/outH), integer floor division,
+    * the classic NN kernel — then lossless PNG re-encode. Integer pixel
+    * selection + lossless codec keep the full pipeline bit-deterministic,
+    * so a resize → decode chain sits under the DuckDB hash gate (the
+    * oracle replays the same index arithmetic against the byte→pixel
+    * rule). Null/empty/undecodable payloads quarantine to empty, matching
+    * the codec convention. */
+  def resizePng(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"resizePng: target ${outW}x$outH must be positive")
+    if (bytes == null || bytes.isEmpty) return Array.empty[Byte]
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return Array.empty[Byte]
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(x * w / outW, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Partition-wise RESIZE: the batch transform between encode and decode
+    * — same shape as [[encodePayloads]] (one codec per partition, rows
+    * streamed, no shuffle), emitting the resized PNG payload. */
+  def resizePayloads(spark: SparkSession, df: DataFrame, idCol: String,
+                     binCol: String, outW: Int, outH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        Row(row.get(idIdx), resizePng(bytes, outW, outH))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** STUBBED VIDEO decoder: deterministic fake decode of a media payload
     * (the JDK has no video codec; a real deployment swaps in one here —
     * the signature, bytes in / fixed-schema features out, is the

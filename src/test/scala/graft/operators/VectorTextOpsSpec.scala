@@ -258,6 +258,34 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(MultimodalOps.encodePng(null).isEmpty)
   }
 
+  test("resizePng: identity resize preserves the raster; NN math matches a driver twin") {
+    val src = "resize me please 123".getBytes("UTF-8")
+    val png = MultimodalOps.encodePng(src)
+    val (w, h, _, feat) = MultimodalOps.decodeImage(png)
+    // identity: outW=w, outH=h → x*w/w = x, y*h/h = y — bit-equal sums
+    val same = MultimodalOps.resizePng(png, w, h)
+    val (w2, h2, _, feat2) = MultimodalOps.decodeImage(same)
+    assert((w2, h2) === ((w, h)) && feat2.toSeq === feat.toSeq)
+    // NN twin: recompute the 5x4 resize channel sums straight from the
+    // byte→pixel rule, no ImageIO
+    val out = MultimodalOps.resizePng(png, 5, 4)
+    val (w3, h3, nf3, feat3) = MultimodalOps.decodeImage(out)
+    assert((w3, h3, nf3) === ((5, 4, 1)))
+    val n = src.length
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val i = (y * h / 4) * w + (x * w / 5)
+      er += src((3 * i) % n) & 0xff
+      eg += src((3 * i + 1) % n) & 0xff
+      eb += src((3 * i + 2) % n) & 0xff
+    }
+    assert(feat3.map(_.toLong).toSeq === Seq(er, eg, eb))
+    // quarantine convention: empty/undecodable resize to empty
+    assert(MultimodalOps.resizePng(Array.empty[Byte], 5, 4).isEmpty)
+    assert(MultimodalOps.resizePng("not a png".getBytes, 5, 4).isEmpty)
+    intercept[IllegalArgumentException] { MultimodalOps.resizePng(png, 0, 4) }
+  }
+
   test("real PNG codec distributes: encodePayloads→decodeFeatures over a frame") {
     val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, null))
       .toDF("doc_id", "txt")
