@@ -147,6 +147,90 @@ class RestartRecoverySpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // 1b. crash-and-replay on the CDC change-log shape (q_stream_changes):
+  //     the WORST interleaving — the batch's log dir is already written,
+  //     the state dir and commit log are not. Replay must overwrite the
+  //     log idempotently (per-batch dirs, not appends), write the state,
+  //     and end byte-identical to the uninterrupted run in BOTH outputs.
+  // ---------------------------------------------------------------------
+
+  private def runCdcFold(src: String, ckpt: String, states: Seq[String],
+                         logDir: String, crashAtBatch: Option[Long]): Long = {
+    val crashArmed = new AtomicBoolean(crashAtBatch.isDefined)
+    val lastBatch = new AtomicLong(-1L)
+    reader(src).writeStream
+      .queryName("graft-restart-cdc")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev =
+          if (batchId == 0L) batch.limit(0)
+          else spark.read.parquet(states(((batchId - 1) % 2).toInt))
+        val cur = graft.operators.Upserts.lwwView(
+          if (batchId == 0L) batch else batch.unionByName(prev),
+          Seq("k"), "ts", Seq("seq"))
+        graft.operators.Upserts.snapshotDiffKeys(prev, cur, Seq("k"), Seq("v"))
+          .withColumn("batch", lit(batchId.toInt))
+          .write.mode("overwrite").parquet(logDir + s"/b$batchId")
+        if (crashAtBatch.contains(batchId) && crashArmed.getAndSet(false))
+          throw new RuntimeException(
+            "injected crash: change log written, state + commit log not")
+        cur.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    lastBatch.get()
+  }
+
+  test("CDC change log: crash between log and state writes replays idempotently") {
+    import spark.implicits._
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val b0 = Seq((1L, "x", ts("2024-01-01 00:00:00"), 1L),
+                 (2L, "y", ts("2024-01-01 00:00:00"), 2L))
+      .toDF("k", "v", "ts", "seq")
+    val b1 = Seq((1L, "x2", ts("2024-01-02 00:00:00"), 3L), // update
+                 (3L, "z", ts("2024-01-02 00:00:00"), 4L))  // insert
+      .toDF("k", "v", "ts", "seq")
+
+    def logRows(dir: String, last: Long): Seq[String] =
+      rows(spark.read.parquet((0L to last).map(b => dir + s"/b$b"): _*))
+
+    // uninterrupted ground truth
+    val uDir = tmpDir("restart-cdc-uninterrupted")
+    addFile(b0, uDir + "/src", 0); addFile(b1, uDir + "/src", 1)
+    val uStates = Seq(uDir + "/state0", uDir + "/state1")
+    val uLast = runCdcFold(uDir + "/src", uDir + "/ckpt", uStates, uDir + "/log", None)
+    assert(uLast === 1L)
+    val expectedLog = logRows(uDir + "/log", 1L)
+    val expectedState = rows(spark.read.parquet(uStates(1)))
+    assert(expectedLog.exists(_.contains("update")) &&
+      expectedLog.exists(_.contains("insert")),
+      "fixture must exercise both the update and insert branches")
+
+    // crashing run: batch 1's log lands, its state doesn't
+    val cDir = tmpDir("restart-cdc-crash")
+    addFile(b0, cDir + "/src", 0); addFile(b1, cDir + "/src", 1)
+    val cStates = Seq(cDir + "/state0", cDir + "/state1")
+    val thrown = intercept[StreamingQueryException] {
+      runCdcFold(cDir + "/src", cDir + "/ckpt", cStates, cDir + "/log", Some(1L))
+    }
+    assert(String.valueOf(thrown.getCause).contains("injected crash") ||
+      thrown.getMessage.contains("injected crash"))
+    // the at-least-once window is real: the orphaned log exists already
+    assert(new java.io.File(cDir + "/log/b1").exists,
+      "crash must land AFTER the log write or the test is vacuous")
+
+    // restart on the same checkpoint: replay overwrites log b1 in place
+    // (same rows, no duplication) and completes the state write
+    val last = runCdcFold(cDir + "/src", cDir + "/ckpt", cStates, cDir + "/log", None)
+    assert(last === 1L)
+    assert(logRows(cDir + "/log", 1L) === expectedLog,
+      "replayed log must be byte-identical — per-batch overwrite, never append")
+    assert(rows(spark.read.parquet(cStates(1))) === expectedState)
+  }
+
+  // ---------------------------------------------------------------------
   // 2. stop-and-restart: built-in stateful sliding agg (q_stream_sliding)
   // ---------------------------------------------------------------------
 
