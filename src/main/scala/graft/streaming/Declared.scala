@@ -865,14 +865,19 @@ object Declared {
         val prev =
           if (batchId == 0L) batch.limit(0)
           else s8.read.parquet(states(((batchId - 1) % 2).toInt))
+        // cur feeds BOTH writes (delta, then state — log-first is the
+        // crash-ordering RestartRecoverySpec pins); cache so the LWW
+        // window runs once per batch, not once per consumer
         val cur = graft.operators.Upserts.lwwView(
           if (batchId == 0L) batch else batch.unionByName(prev),
-          Seq("user_id", "d"), "ts", Seq("event_id"))
-        graft.operators.Upserts.snapshotDiffKeys(prev, cur,
-            Seq("user_id", "d"), Seq("value"))
-          .withColumn("batch", lit(batchId.toInt))
-          .write.mode("overwrite").parquet(logDir + s"/b$batchId")
-        cur.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          Seq("user_id", "d"), "ts", Seq("event_id")).cache()
+        try {
+          graft.operators.Upserts.snapshotDiffKeys(prev, cur,
+              Seq("user_id", "d"), Seq("value"))
+            .withColumn("batch", lit(batchId.toInt))
+            .write.mode("overwrite").parquet(logDir + s"/b$batchId")
+          cur.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+        } finally cur.unpersist()
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
