@@ -1409,6 +1409,42 @@ object OracleSql {
         |  UNION ALL SELECT * FROM d1)
         |ORDER BY batch, user_id, d""".stripMargin,
 
+    // the RECOVERED run must produce the exact same log the uninterrupted
+    // pipeline would — same CDC construction as q_stream_changes, over
+    // the signup slice the restart key streams
+    "q_stream_changes_restart" ->
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events
+        |  WHERE event_type = 'signup'),
+        |c AS (SELECT ((MIN(tsu) + MAX(tsu)) // 2 // 86400000000)
+        |        * 86400000000 + 43200000000 AS cut FROM e),
+        |st0 AS (SELECT user_id, d, value FROM (
+        |    SELECT user_id, d, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, d ORDER BY tsu DESC, event_id DESC) AS rn
+        |    FROM e, c WHERE tsu < cut) WHERE rn = 1),
+        |st1 AS (SELECT user_id, d, value FROM (
+        |    SELECT user_id, d, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, d ORDER BY tsu DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |d1 AS (SELECT * FROM (
+        |    SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+        |      COALESCE(b.d, a.d) AS d, 1 AS batch,
+        |      CASE WHEN b.user_id IS NULL THEN 'insert'
+        |           WHEN a.user_id IS NULL THEN 'delete'
+        |           WHEN b.value IS DISTINCT FROM a.value THEN 'update'
+        |      END AS change,
+        |      b.value AS value_before, a.value AS value_after
+        |    FROM st0 b FULL OUTER JOIN st1 a
+        |      ON b.user_id = a.user_id AND b.d = a.d)
+        |  WHERE change IS NOT NULL)
+        |SELECT user_id, d, batch, change, value_before, value_after FROM (
+        |  SELECT user_id, d, 0 AS batch, 'insert' AS change,
+        |    CAST(NULL AS DOUBLE) AS value_before, value AS value_after
+        |  FROM st0
+        |  UNION ALL SELECT * FROM d1)
+        |ORDER BY batch, user_id, d""".stripMargin,
+
     "q_window_sliding" -> slidingWindowSql,
 
     // the streaming run (stateful append-mode windowed agg, watermark-

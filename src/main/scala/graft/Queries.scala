@@ -1650,6 +1650,25 @@ object Queries {
         col("value_before"), col("value_after"))
       .orderBy("batch", "user_id", "d")
 
+  /** CRASH RECOVERY under the oracle gate
+    * ([[streaming.Declared.changesMaintainRestart]]): the q_stream_changes
+    * pipeline over the signup slice, but the first query run CRASHES
+    * inside micro-batch 1 at the worst interleaving (change log written,
+    * state + commit log not) and a second query on the same checkpoint
+    * recovers and completes. The declared output is the final change log
+    * — a duplicated delta, a rebootstrapped state, or a missed replay is
+    * a hash failure, so restart-from-checkpoint recovery itself sits
+    * under the cross-engine hash, not just under a spec. All four CDC
+    * outcomes stay live on the slice (787 b0-inserts / 7 cut-day updates
+    * / 824 b1-inserts / 780 unchanged-absent at sf0.01). */
+  val qStreamChangesRestart: Q = (s, d) =>
+    streaming.Declared.changesMaintainRestart(s,
+        Tables.events(s, d).filter(col("event_type") === "signup"),
+        scratchDir("stream-changes-restart"))
+      .select(col("user_id"), col("d"), col("batch"), col("change"),
+        col("value_before"), col("value_after"))
+      .orderBy("batch", "user_id", "d")
+
   /** TRIANGLE COUNT ([[operators.GraphOps.triangleCount]]) over the
     * same-order part-co-occurrence graph (parts bucketed mod 100; an
     * edge when two buckets share an order) — degree-oriented wedge join,

@@ -843,21 +843,45 @@ object Declared {
     * paths (the incrementalClusters argument). At 100 TB the state
     * rewrite becomes a MERGE into a keyed table and the log an append —
     * the per-batch diff is one key-partitioned join either way. */
-  def changesMaintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
+  def changesMaintain(s: SparkSession, events: DataFrame, dir: String): DataFrame =
+    changesMaintainImpl(s, events, dir, crash = false)
+
+  /** [[changesMaintain]] driven THROUGH A CRASH AND RECOVERY — restart
+    * correctness under the oracle gate, not just a spec: the first query
+    * run throws inside micro-batch 1 at the WORST interleaving (the
+    * batch's change-log dir written, the state dir and commit log not);
+    * a SECOND query on the SAME checkpoint then replays batch 1 —
+    * overwriting the orphaned log dir byte-identically and completing
+    * the state write — and runs to completion. The declared output (the
+    * whole change log) shares q_stream_changes' oracle shape: a
+    * duplicated delta, a rebootstrapped state, or a missed replay is a
+    * hash failure. The replay-idempotence this leans on is the per-batch
+    * overwrite + batchId-parity state discipline (RestartRecoverySpec
+    * cases 1/1b prove the mechanism; this key prices and gates it). */
+  def changesMaintainRestart(s: SparkSession, events: DataFrame, dir: String): DataFrame =
+    changesMaintainImpl(s, events, dir, crash = true)
+
+  private def changesMaintainImpl(s: SparkSession, events: DataFrame,
+                                  dir: String, crash: Boolean): DataFrame = {
     val DayUs = 86400000000L
     val ev = events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .withColumn("d", date_trunc("day", col("ts")))
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
     val cutUs = ((mm.getLong(0) + mm.getLong(1)) / 2 / DayUs) * DayUs + DayUs / 2
     val s8 = s.newSession()
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    // stateless foreachBatch fold (no state store): the per-batch work is
+    // a small LWW window + diff, so 4 shuffle partitions beats 8 — this is
+    // NOT the stateful-family knob (sliding/session/scd2 keep 8, re-A/B'd
+    // r9; their state stores size to shuffle.partitions, this doesn't)
+    s8.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = orderedFileStream(s8, Seq(
       ev.filter(unix_micros(col("ts")) < cutUs),
       ev.filter(unix_micros(col("ts")) >= cutUs)), dir)
     val states = Seq(dir + "/state0", dir + "/state1")
     val logDir = dir + "/changes"
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    stream.writeStream
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(crash)
+    def run(): Unit = stream.writeStream
       .queryName("graft-stream-changes")
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -876,12 +900,28 @@ object Declared {
               Seq("user_id", "d"), Seq("value"))
             .withColumn("batch", lit(batchId.toInt))
             .write.mode("overwrite").parquet(logDir + s"/b$batchId")
+          if (batchId == 1L && crashArmed.getAndSet(false))
+            throw new RuntimeException(
+              "graft-injected-crash: change log written, state + commit log not")
           cur.write.mode("overwrite").parquet(states((batchId % 2).toInt))
         } finally cur.unpersist()
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
       .start().awaitTermination()
+    if (crash) {
+      try {
+        run()
+        throw new IllegalStateException(
+          "crash run completed without crashing — injection never fired")
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if String.valueOf(e.getCause).contains("graft-injected-crash") => ()
+      }
+      require(!crashArmed.get(),
+        "injected crash must have fired before the recovery run")
+    }
+    run()
     if (lastBatch.get() < 0L)
       ev.limit(0).select(col("user_id"), col("d"), lit("").as("change"),
         col("value").as("value_before"), col("value").as("value_after"),

@@ -239,6 +239,20 @@ class DeclaredSpec extends SparkSpec {
       rows(batchState.orderBy("user_id", "d")))
   }
 
+  test("CDC restart run equals the uninterrupted run exactly") {
+    // the declared restart key crashes inside batch 1 and recovers from
+    // the checkpoint; its log must be indistinguishable from a run that
+    // never crashed
+    val restarted = Queries.qStreamChangesRestart(spark, sf())
+    val uninterrupted = graft.streaming.Declared.changesMaintain(spark,
+        Tables.events(spark, sf())
+          .filter(org.apache.spark.sql.functions.col("event_type") === "signup"),
+        java.nio.file.Files.createTempDirectory("cdc-uninterrupted").toString)
+      .select("user_id", "d", "batch", "change", "value_before", "value_after")
+      .orderBy("batch", "user_id", "d")
+    assert(rows(restarted) == rows(uninterrupted))
+  }
+
   test("streaming LWW state equals the batch LWW view") {
     val streamed = Queries.qStreamLww(spark, sf())
     val batch = graft.operators.Upserts.lwwView(
