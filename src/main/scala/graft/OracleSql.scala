@@ -1409,6 +1409,16 @@ object OracleSql {
         |  UNION ALL SELECT * FROM d1)
         |ORDER BY batch, user_id, d""".stripMargin,
 
+    // mid-stream evolution: `extra` exists only for batch-1 ids (> 700) —
+    // a batch-0 row backfilled with a value, or a batch-1 value lost,
+    // breaks the hash
+    "q_stream_evolve" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN event_id > 700 THEN event_id * 7 END AS extra,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'signup' AND event_id <= 1400
+        |ORDER BY event_id""".stripMargin,
+
     // the RECOVERED run must produce the exact same log the uninterrupted
     // pipeline would — same CDC construction as q_stream_changes, over
     // the signup slice the restart key streams

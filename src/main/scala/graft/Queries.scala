@@ -1650,6 +1650,39 @@ object Queries {
         col("value_before"), col("value_after"))
       .orderBy("batch", "user_id", "d")
 
+  /** MID-STREAM SCHEMA EVOLUTION under the oracle gate
+    * ([[streaming.Declared.engineIngestEvolving]]): micro-batch 0 carries
+    * signup envelopes WITHOUT the `extra` field; micro-batch 1 introduces
+    * it (extra = event_id·7). The registry evolves add-only BETWEEN
+    * batches — the reference consumer's reload-after-change — and the
+    * final serving table must carry `extra` = NULL for every batch-0 id
+    * and the exact derived value for every batch-1 id: a dropped column,
+    * a wrongly-backfilled old row, or a failed evolve is a hash failure.
+    * Ordered batches pin the story (the column genuinely does not exist
+    * until batch 1); the OUTPUT is batching-invariant, which is what
+    * makes it plain-SQL-expressible. */
+  val qStreamEvolve: Q = (s, d) => {
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1400)
+    def env(df: DataFrame, withExtra: Boolean) = {
+      val dataCols = Seq(
+        col("event_id").cast(StringType).as("id"),
+        col("ts").cast(StringType).as("last_modified"),
+        col("user_id"), col("value")) ++
+        (if (withExtra) Seq((col("event_id") * 7).as("extra")) else Nil)
+      df.select(to_json(struct(lit("signup").as("type_id"),
+        struct(dataCols: _*).as("data"))).as("message"))
+    }
+    streaming.Declared.engineIngestEvolving(s,
+        Seq(env(events.filter(col("event_id") <= 700), withExtra = false),
+          env(events.filter(col("event_id") > 700), withExtra = true)),
+        scratchDir("stream-evolve"), serveType = "signup")
+      .select(col("id").cast(LongType).as("event_id"),
+        col("user_id"), col("value"), col("extra"),
+        col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
   /** CRASH RECOVERY under the oracle gate
     * ([[streaming.Declared.changesMaintainRestart]]): the q_stream_changes
     * pipeline over the signup slice, but the first query run CRASHES

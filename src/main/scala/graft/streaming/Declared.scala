@@ -534,6 +534,26 @@ object Declared {
     ingestEnvelopes(s, envelopes, dir, serveType)(
       StreamingIngest.start(_, _, _))
 
+  /** MID-STREAM SCHEMA EVOLUTION through the consumer→engine loop: each
+    * element of `parts` arrives as its own micro-batch IN ORDER
+    * ([[orderedFileStream]] — all parts share the envelope's one-string
+    * schema; the schema difference lives inside the JSON payloads), so a
+    * field first seen in a later batch makes the registry evolve add-only
+    * BETWEEN micro-batches (the reference consumer's reload-after-change,
+    * consumer.py:65-67) and rows appended before the column existed serve
+    * NULL for it ([[graft.core.Engine.Handle.tableLog]]'s mergeSchema
+    * read). The final serving table is batching-invariant — column values
+    * ride with their rows and add-only evolution is order-independent —
+    * which is what lets a plain-SQL oracle hash the evolving run. */
+  def engineIngestEvolving(s: SparkSession, parts: Seq[DataFrame],
+                           dir: String, serveType: String): DataFrame = {
+    val stream = orderedFileStream(s, parts, dir)
+    val h = graft.core.Engine.bootstrap(s, dir + "/wh",
+      overrideWarehouse = true)
+    StreamingIngest.start(h, stream, dir + "/ckpt").awaitTermination()
+    h.table(serveType)
+  }
+
   /** [[engineIngest]] through [[StreamingIngest.startWithMaintenance]]:
     * the post-batch COMPACTION maintenance loop under the oracle gate.
     * After each micro-batch's ingest, any type whose physical file count

@@ -239,6 +239,19 @@ class DeclaredSpec extends SparkSpec {
       rows(batchState.orderBy("user_id", "d")))
   }
 
+  test("mid-stream evolution: registry gains the field, pre-evolution rows serve null") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.qStreamEvolve(spark, sf())
+    assert(out.columns.contains("extra"),
+      "the add-only evolve must surface the batch-1 field in the serving view")
+    val nullExtra = out.filter(col("extra").isNull)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(nullExtra.nonEmpty && nullExtra.forall(_ <= 700),
+      "exactly the pre-evolution (batch-0) ids serve null for the new field")
+    assert(out.filter(col("event_id") > 700 &&
+      col("extra") =!= col("event_id") * 7).isEmpty)
+  }
+
   test("CDC restart run equals the uninterrupted run exactly") {
     // the declared restart key crashes inside batch 1 and recovers from
     // the checkpoint; its log must be indistinguishable from a run that
