@@ -1409,6 +1409,18 @@ object OracleSql {
         |  UNION ALL SELECT * FROM d1)
         |ORDER BY batch, user_id, d""".stripMargin,
 
+    // reject-don't-widen: %4==0 overwrites are uncastable and quarantine
+    // (serving keeps the ORIGINAL row, original timestamp); %4==1
+    // overwrites coerce from numeric strings and land (+1000, +1 day)
+    "q_stream_quarantine" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 4 = 1 THEN value + 1000 ELSE value END AS value,
+        |  CASE WHEN event_id % 4 = 1
+        |    THEN CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY
+        |    ELSE CAST(ts AS TIMESTAMP) END AS ts
+        |FROM events WHERE event_type = 'signup' AND event_id <= 1000
+        |ORDER BY event_id""".stripMargin,
+
     // mid-stream evolution: `extra` exists only for batch-1 ids (> 700) —
     // a batch-0 row backfilled with a value, or a batch-1 value lost,
     // breaks the hash

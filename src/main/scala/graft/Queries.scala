@@ -1683,6 +1683,44 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** MID-STREAM TYPE-CONFLICT QUARANTINE under the oracle gate — the
+    * reject-don't-widen semantic (reference tests/test_models.py:65-83,
+    * SURVEY risk #2) driven through a live stream: batch 0 registers
+    * `value` as double; batch 1 attempts per-row overwrites where every
+    * 4th id carries value="conflict" (uncastable — must QUARANTINE, so
+    * the serving view keeps the ORIGINAL row: a rejected overwrite
+    * changes nothing, not even the timestamp) and every 4th+1 id carries
+    * a numeric STRING (the legitimate coerce path — must land as
+    * value+1000 with the newer timestamp). A widened column, a leaked
+    * conflict row, a dropped coercion, or a quarantine that swallowed the
+    * whole batch is a hash failure. Rides
+    * [[streaming.Declared.engineIngestEvolving]]'s ordered batches (the
+    * double registration must predate the string batch). */
+  val qStreamQuarantine: Q = (s, d) => {
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1000)
+    val env0 = events.select(to_json(struct(lit("signup").as("type_id"),
+      struct(
+        col("event_id").cast(StringType).as("id"),
+        col("ts").cast(StringType).as("last_modified"),
+        col("user_id"), col("value")).as("data"))).as("message"))
+    val overwrites = events.filter(col("event_id") % 4 <= 1)
+    val env1 = overwrites.select(to_json(struct(lit("signup").as("type_id"),
+      struct(
+        col("event_id").cast(StringType).as("id"),
+        (col("ts") + expr("INTERVAL 1 DAY")).cast(StringType).as("last_modified"),
+        col("user_id"),
+        when(col("event_id") % 4 === 0, lit("conflict"))
+          .otherwise((col("value") + 1000).cast(StringType)).as("value")
+      ).as("data"))).as("message"))
+    streaming.Declared.engineIngestEvolving(s, Seq(env0, env1),
+        scratchDir("stream-quarantine"), serveType = "signup")
+      .select(col("id").cast(LongType).as("event_id"),
+        col("user_id"), col("value"),
+        col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
   /** CRASH RECOVERY under the oracle gate
     * ([[streaming.Declared.changesMaintainRestart]]): the q_stream_changes
     * pipeline over the signup slice, but the first query run CRASHES

@@ -252,6 +252,33 @@ class DeclaredSpec extends SparkSpec {
       col("extra") =!= col("event_id") * 7).isEmpty)
   }
 
+  test("mid-stream conflict rows land in the quarantine table, not on the floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // minimal twin of q_stream_quarantine with a KNOWN dir so the
+    // quarantine side (invisible in the declared serving output) is
+    // inspectable: id 1's overwrite is uncastable, id 2's coerces
+    def msg(id: Long, lm: String, v: String): String =
+      s"""{"type_id":"t","data":{"id":"$id","last_modified":"$lm","value":$v}}"""
+    val env0 = Seq(
+      msg(1, "2024-01-01 00:00:00", "10.5"),
+      msg(2, "2024-01-01 00:00:00", "20.5")).toDF("message")
+    val env1 = Seq(
+      msg(1, "2024-01-02 00:00:00", "\"conflict\""),
+      msg(2, "2024-01-02 00:00:00", "\"123.5\"")).toDF("message")
+    val dir = java.nio.file.Files.createTempDirectory("stream-quarantine-twin").toString
+    val served = graft.streaming.Declared
+      .engineIngestEvolving(spark, Seq(env0, env1), dir, serveType = "t")
+      .select(col("id"), col("value").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(served === Map("1" -> 10.5, "2" -> 123.5),
+      "rejected overwrite keeps the original; numeric string coerces and lands")
+    val quarantined = spark.read.parquet(dir + "/wh/quarantine/t")
+    assert(quarantined.count() === 1L)
+    assert(quarantined.filter(col("row_json").contains("conflict")).count() === 1L,
+      "the uncastable row must be captured with its payload, not dropped")
+  }
+
   test("CDC restart run equals the uninterrupted run exactly") {
     // the declared restart key crashes inside batch 1 and recovers from
     // the checkpoint; its log must be indistinguishable from a run that
