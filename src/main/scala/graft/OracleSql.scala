@@ -1976,6 +1976,27 @@ object OracleSql {
         |    p -> bs[CAST((3 * (((p // 12) * h // 10) * w + ((p % 12) * w // 12)) + 2) % n AS INT) + 1])) AS BIGINT) AS sum_b
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // the multi-frame GIF path: nf = 2 + n%5 frames, every 2nd sampled;
+    // frame f's sum replays pixel i = byte (i + 7f) mod n — frame
+    // iteration and per-frame decode can only match by really reading
+    // the GIF image sequence back
+    "q_multimodal_gif" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
+        |    8 + (length(text) % 17) AS w,
+        |    8 + ((length(text) // 17) % 13) AS h,
+        |    2 + (length(text) % 5) AS nf
+        |  FROM documents WHERE doc_id < 2000)
+        |, x AS (SELECT doc_id, n, bs, w, h, nf,
+        |    unnest(range(0, nf, 2)) AS f FROM b)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(f // 2 AS INT) AS sample_idx,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> bs[CAST((i + 7 * f) % n AS INT) + 1])) AS BIGINT) AS frame_sum
+        |FROM x ORDER BY doc_id, sample_idx""".stripMargin,
+
     // --- Similarity search ------------------------------------------
     "q_vec_normalize" ->
       """WITH n AS (SELECT vec_id, embedding,

@@ -2636,6 +2636,38 @@ object Queries {
       .orderBy("doc_id", "sample_idx")
   }
 
+  /** REAL MULTI-FRAME codec under the hash gate
+    * ([[operators.MultimodalOps.encodeGif]]/[[operators.MultimodalOps.decodeGifFrames]]):
+    * each document's bytes become a genuine animated GIF (2–6 frames,
+    * frame f's pixel i = byte (i+7f) mod n over an explicit 256-gray
+    * palette — indexed encoding is LOSSLESS, no quantizer heuristics),
+    * then the frame SEQUENCE is decoded back (`getNumImages` iteration)
+    * and every 2nd frame sampled ([[operators.MultimodalOps.frameSamplePlan]])
+    * with its exact per-frame pixel sum. The oracle re-derives every
+    * sampled frame's sum from the byte rule — frame iteration, sampling,
+    * and per-frame decode all sit under the cross-engine hash. The video
+    * stub (q_multimodal_frames) remains for the no-JDK-codec contract;
+    * THIS key is the real multi-frame path. */
+  val qMultimodalGif: Q = (s, d) => {
+    // bounded slice: the gate is about the multi-frame codec SEMANTICS
+    // (sequence encode, frame iteration, per-frame decode), not corpus
+    // volume — q_multimodal_decode already prices the full-corpus codec
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
+    val gifs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id",
+      "src_bytes", operators.MultimodalOps.encodeGif)
+    val feats = operators.MultimodalOps.decodeFeatures(s, gifs, "doc_id",
+      "payload", operators.MultimodalOps.decodeGifFrames)
+    feats.select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("feature"),
+        posexplode(operators.MultimodalOps.frameSamplePlan(col("n_frames"), 2)))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("pos").as("sample_idx"),
+        element_at(col("feature"), (col("col") + 1).cast(IntegerType))
+          .cast(LongType).as("frame_sum"))
+      .orderBy("doc_id", "sample_idx")
+  }
+
   /** REAL multimodal codec round trip, oracle-HASHED: each document's
     * bytes are rasterized into an actual PNG (`ImageIO.write`, JDK
     * headless — [[operators.MultimodalOps.encodePng]]'s byte→pixel rule)

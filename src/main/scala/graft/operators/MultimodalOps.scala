@@ -160,6 +160,99 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic frame count for a multi-frame payload of `nBytes`
+    * source bytes: 2–6 frames — small enough that the oracle re-derives
+    * every frame, real enough to exercise frame iteration. Part of the
+    * hashed contract, like [[imageDims]]. */
+  def gifFrameCount(nBytes: Int): Int = 2 + nBytes % 5
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** REAL multi-frame encode via the JDK's animated-GIF writer: frame f's
+    * pixel i is the grayscale byte `bytes[(i + 7f) % n]` — the byte→pixel
+    * rule with a per-frame offset. The image is TYPE_BYTE_INDEXED over an
+    * explicit 256-gray palette, so GIF's indexed encoding is LOSSLESS and
+    * bit-deterministic (no quantizer heuristics — the palette is ours),
+    * which is what lets the frames path sit under the hash gate the way
+    * [[encodePng]] does. The payload is a genuine multi-image GIF any
+    * reader opens. */
+  def encodeGif(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty[Byte]
+    val (w, h) = imageDims(bytes.length)
+    val n = bytes.length
+    val frames = gifFrameCount(n)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0, bytes((i + 7 * f) % n) & 0xff)
+          i += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** REAL multi-frame decode: `ImageIO`'s GIF reader iterates the image
+    * sequence (`getNumImages`), and each frame contributes its exact
+    * grayscale pixel sum to the feature vector — (w, h, nFrames,
+    * per-frame sums). Zeros/empty for null/undecodable payloads, the
+    * quarantine convention. */
+  def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0, Array.empty[Float])
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return (0, 0, 0, Array.empty[Float]) }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val nFrames = reader.getNumImages(true)
+      var w = 0; var h = 0
+      val sums = Array.ofDim[Float](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val img = reader.read(f)
+        w = img.getWidth; h = img.getHeight
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            s += img.getRGB(x, y) & 0xff // gray: r==g==b, blue channel
+            x += 1
+          }
+          y += 1
+        }
+        sums(f) = s.toFloat
+        f += 1
+      }
+      (w, h, nFrames, sums)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** STUBBED VIDEO decoder: deterministic fake decode of a media payload
     * (the JDK has no video codec; a real deployment swaps in one here —
     * the signature, bytes in / fixed-schema features out, is the
@@ -187,7 +280,8 @@ object MultimodalOps {
     * (one encoder per partition, rows streamed) so encode → decode chains
     * without a shuffle between stages. */
   def encodePayloads(spark: SparkSession, df: DataFrame, idCol: String,
-                     binCol: String): DataFrame = {
+                     binCol: String,
+                     codec: Array[Byte] => Array[Byte] = encodePng): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, df.schema(idCol).dataType),
       StructField("payload", BinaryType)))
@@ -197,7 +291,7 @@ object MultimodalOps {
       // encoder init once per partition
       it.map { row =>
         val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
-        Row(row.get(idIdx), encodePng(bytes))
+        Row(row.get(idIdx), codec(bytes))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -286,6 +286,29 @@ class VectorTextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MultimodalOps.resizePng(png, 0, 4) }
   }
 
+  test("multi-frame GIF codec: lossless round trip, per-frame sums match the byte rule") {
+    for (txt <- Seq("animate me", "x", "a longer multi frame payload 0123456789")) {
+      val src = txt.getBytes("UTF-8")
+      val gif = MultimodalOps.encodeGif(src)
+      // a real GIF file: magic bytes
+      assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+      val (w, h, nf, sums) = MultimodalOps.decodeGifFrames(gif)
+      val (ew, eh) = MultimodalOps.imageDims(src.length)
+      val n = src.length
+      assert((w, h, nf) === ((ew, eh, MultimodalOps.gifFrameCount(n))))
+      // driver twin: frame f's sum from the byte rule, no ImageIO
+      val expected = (0 until nf).map { f =>
+        (0 until w * h).map(i => (src((i + 7 * f) % n) & 0xff).toLong).sum
+      }
+      assert(sums.map(_.toLong).toSeq === expected,
+        "indexed-gray GIF must round-trip every pixel exactly")
+    }
+    // quarantine convention
+    assert(MultimodalOps.decodeGifFrames(Array.empty[Byte]) === ((0, 0, 0, Array.empty[Float])) ||
+      MultimodalOps.decodeGifFrames(Array.empty[Byte])._3 === 0)
+    assert(MultimodalOps.encodeGif(null).isEmpty)
+  }
+
   test("real PNG codec distributes: encodePayloads→decodeFeatures over a frame") {
     val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, null))
       .toDF("doc_id", "txt")
