@@ -1409,6 +1409,14 @@ object OracleSql {
         |  UNION ALL SELECT * FROM d1)
         |ORDER BY batch, user_id, d""".stripMargin,
 
+    // poison messages dead-letter and the stream continues: serving is
+    // exactly the clean corpus — a leaked poison id (999991/999992) or a
+    // crashed batch's missing rows breaks the row count/hash
+    "q_stream_dead_letter" ->
+      """SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events WHERE event_type = 'signup' AND event_id <= 1200
+        |ORDER BY event_id""".stripMargin,
+
     // reject-don't-widen: %4==0 overwrites are uncastable and quarantine
     // (serving keeps the ORIGINAL row, original timestamp); %4==1
     // overwrites coerce from numeric strings and land (+1000, +1 day)

@@ -1683,6 +1683,40 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** POISON-MESSAGE CONTINUE under the oracle gate — the dead-letter
+    * split (S3/S21, reference consumer.py:78-83 swallow-and-log) driven
+    * live: micro-batch 1 interleaves real signup envelopes with planted
+    * poison (raw non-JSON junk, a JSON envelope with no type_id, an
+    * invalid non-identifier type_id, an empty string). Every poison
+    * message must dead-letter — the stream keeps going and the serving
+    * table equals exactly the clean corpus: a crashed batch (its GOOD
+    * rows missing) or a leaked poison row is a hash/row failure. Rides
+    * [[streaming.Declared.engineIngestEvolving]]'s ordered parts. */
+  val qStreamDeadLetter: Q = (s, d) => {
+    val events = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1200)
+    def env(df: DataFrame) = df.select(to_json(struct(
+      lit("signup").as("type_id"),
+      struct(
+        col("event_id").cast(StringType).as("id"),
+        col("ts").cast(StringType).as("last_modified"),
+        col("user_id"), col("value")).as("data"))).as("message"))
+    import s.implicits._
+    val poison = Seq(
+      "%%% not json at all %%%",
+      """{"data":{"id":"999991","value":1}}""",
+      """{"type_id":"bad type!","data":{"id":"999992","value":2}}""",
+      "").toDF("message")
+    streaming.Declared.engineIngestEvolving(s,
+        Seq(env(events.filter(col("event_id") <= 600)),
+          env(events.filter(col("event_id") > 600)).unionByName(poison)),
+        scratchDir("stream-dead-letter"), serveType = "signup")
+      .select(col("id").cast(LongType).as("event_id"),
+        col("user_id"), col("value"),
+        col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
   /** MID-STREAM TYPE-CONFLICT QUARANTINE under the oracle gate — the
     * reject-don't-widen semantic (reference tests/test_models.py:65-83,
     * SURVEY risk #2) driven through a live stream: batch 0 registers
