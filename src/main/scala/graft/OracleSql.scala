@@ -1955,7 +1955,7 @@ object OracleSql {
         |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
         |    8 + (length(text) % 17) AS w,
         |    8 + ((length(text) // 17) % 13) AS h
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(list_sum(list_transform(range(0, w * h),
         |    i -> bs[CAST((3 * i) % n AS INT) + 1])) AS BIGINT) AS sum_r,
@@ -1974,7 +1974,7 @@ object OracleSql {
         |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
         |    8 + (length(text) % 17) AS w,
         |    8 + ((length(text) // 17) % 13) AS h
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         |SELECT doc_id, 12 AS width, 10 AS height,
         |  CAST(list_sum(list_transform(range(0, 120),
         |    p -> bs[CAST((3 * (((p // 12) * h // 10) * w + ((p % 12) * w // 12))) % n AS INT) + 1])) AS BIGINT) AS sum_r,
@@ -1995,7 +1995,8 @@ object OracleSql {
         |    8 + (length(text) % 17) AS w,
         |    8 + ((length(text) // 17) % 13) AS h,
         |    2 + (length(text) % 5) AS nf
-        |  FROM documents WHERE doc_id < 2000)
+        |  FROM documents
+        |  WHERE doc_id < 2000 AND text IS NOT NULL AND length(text) > 0)
         |, x AS (SELECT doc_id, n, bs, w, h, nf,
         |    unnest(range(0, nf, 2)) AS f FROM b)
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,

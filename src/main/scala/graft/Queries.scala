@@ -2686,7 +2686,11 @@ object Queries {
     // bounded slice: the gate is about the multi-frame codec SEMANTICS
     // (sequence encode, frame iteration, per-frame decode), not corpus
     // volume — q_multimodal_decode already prices the full-corpus codec
+    // symmetric empty-payload guard (oracle filters identically): the
+    // byte→pixel rule is mod-length, undefined at n=0 — the contract
+    // must not depend on corpus cleanliness
     val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
     val gifs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id",
       "src_bytes", operators.MultimodalOps.encodeGif)
@@ -2715,7 +2719,9 @@ object Queries {
     * mapInPandas batch shape (one codec init per partition, rows
     * streamed), chained with no shuffle between them. */
   val qMultimodalDecode: Q = (s, d) => {
+    // symmetric empty-payload guard — see qMultimodalGif
     val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
     val pngs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id", "src_bytes")
     val feats = operators.MultimodalOps.decodeFeatures(s, pngs, "doc_id", "payload")
@@ -2737,7 +2743,9 @@ object Queries {
     * only hash-match by genuinely decoding, resampling, and re-reading
     * real rasters. Three chained mapPartitions stages, no shuffle. */
   val qMultimodalResize: Q = (s, d) => {
+    // symmetric empty-payload guard — see qMultimodalGif
     val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
     val pngs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id", "src_bytes")
     val small = operators.MultimodalOps.resizePayloads(s, pngs, "doc_id", "payload", 12, 10)

@@ -68,22 +68,27 @@ object Upserts {
                    compareCols: Seq[String]): DataFrame =
     snapshotDiffKeys(before, after, Seq(key), compareCols)
 
-  /** Multi-key [[snapshotDiff]] (e.g. a per-(user, day) state). Key
-    * columns must be non-null in both states — presence is detected by
-    * the first key column's nullness on the unmatched full-outer side,
-    * the same convention the single-key version always had. */
+  /** Multi-key [[snapshotDiff]] (e.g. a per-(user, day) state). Presence
+    * on each full-outer side is detected by a sentinel marker column
+    * (`lit(true)` per side), NOT by key nullness — a legitimately-null key
+    * value never matches the equi-join, so both sides' rows surface
+    * unmatched and classify as a delete + an insert (the only faithful
+    * reading of a null-keyed row under equi-join semantics) instead of
+    * being misattributed by whichever key column happened to be probed. */
   def snapshotDiffKeys(before: DataFrame, after: DataFrame, keys: Seq[String],
                        compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiffKeys: at least one key column")
-    val b = before.select((keys ++ compareCols).map(c => col(s"`$c`")): _*).alias("b")
-    val a = after.select((keys ++ compareCols).map(c => col(s"`$c`")): _*).alias("a")
+    val b = before.select((keys ++ compareCols).map(c => col(s"`$c`")): _*)
+      .withColumn("__b_present", lit(true)).alias("b")
+    val a = after.select((keys ++ compareCols).map(c => col(s"`$c`")): _*)
+      .withColumn("__a_present", lit(true)).alias("a")
     val joined = b.join(a,
       keys.map(k => col(s"b.`$k`") === col(s"a.`$k`")).reduce(_ && _),
       "full_outer")
     val differs = compareCols
       .map(c => !(col(s"b.`$c`") <=> col(s"a.`$c`"))).reduce(_ || _)
-    val change = when(col(s"b.`${keys.head}`").isNull, "insert")
-      .when(col(s"a.`${keys.head}`").isNull, "delete")
+    val change = when(col("b.__b_present").isNull, "insert")
+      .when(col("a.__a_present").isNull, "delete")
       .when(differs, "update")
     val cols: Seq[Column] =
       keys.map(k => coalesce(col(s"b.`$k`"), col(s"a.`$k`")).as(k)) ++

@@ -887,6 +887,13 @@ object Declared {
     val ev = events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .withColumn("d", date_trunc("day", col("ts")))
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
+    // Empty (or all-null-ts) input: nothing to stream — return the
+    // empty-schema change log directly (the getLong below would NPE and
+    // make the lastBatch<0 fallback at the end unreachable).
+    if (mm.isNullAt(0))
+      return ev.limit(0).select(col("user_id"), col("d"), lit("").as("change"),
+        col("value").as("value_before"), col("value").as("value_after"),
+        lit(0).as("batch"))
     val cutUs = ((mm.getLong(0) + mm.getLong(1)) / 2 / DayUs) * DayUs + DayUs / 2
     val s8 = s.newSession()
     // stateless foreachBatch fold (no state store): the per-batch work is
@@ -935,8 +942,13 @@ object Declared {
         throw new IllegalStateException(
           "crash run completed without crashing — injection never fired")
       } catch {
+        // Spark versions differ in how foreachBatch user exceptions nest
+        // under StreamingQueryException (e.g. a ForeachBatchUserFuncException
+        // wrapper) — walk the WHOLE cause chain, not just the first cause.
         case e: org.apache.spark.sql.streaming.StreamingQueryException
-          if String.valueOf(e.getCause).contains("graft-injected-crash") => ()
+          if Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .take(16).exists(t => String.valueOf(t.getMessage)
+              .contains("graft-injected-crash")) => ()
       }
       require(!crashArmed.get(),
         "injected crash must have fired before the recovery run")
