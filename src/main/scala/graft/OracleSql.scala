@@ -178,10 +178,12 @@ object OracleSql {
          |ORDER BY h$iters.node""".stripMargin
   }
 
-  /** Mirrors [[graft.operators.GraphOps.linkPredict]] on the sparse part
-    * co-occurrence graph: wedges per center, anti-join existing edges,
-    * deg·deg tie-break — all-integer total order, LIMIT-stable. */
-  private val linkPredictSql =
+  /** Mirrors [[graft.operators.GraphOps.linkPredictAdaptiveCap]]: the cap
+    * is the floored exact p25 of the degree distribution (quantile_cont ==
+    * Spark percentile: rank p·(n−1) linear interpolation over integers,
+    * exactly-representable factors), wedge centers above it generate no
+    * wedges, `pa` still prices FULL degrees. */
+  private val linkPredictCappedSql =
     """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 1000 AS p
       |    FROM lineitem WHERE l_linenumber <= 2),
       |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM po x JOIN po y
@@ -189,8 +191,12 @@ object OracleSql {
       |adj AS (SELECT a AS w, b AS u FROM e
       |    UNION ALL SELECT b AS w, a AS u FROM e),
       |deg AS (SELECT w AS v, COUNT(*) AS d FROM adj GROUP BY w),
+      |cap AS (SELECT CAST(FLOOR(quantile_cont(d, 0.25)) AS BIGINT) AS c
+      |    FROM deg),
+      |cadj AS (SELECT adj.w, adj.u FROM adj
+      |    JOIN deg ON deg.v = adj.w, cap WHERE deg.d <= cap.c),
       |cn AS (SELECT x.u AS src, y.u AS dst, COUNT(*) AS cn
-      |    FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u GROUP BY 1, 2),
+      |    FROM cadj x JOIN cadj y ON x.w = y.w AND x.u < y.u GROUP BY 1, 2),
       |ne AS (SELECT cn.src, cn.dst, cn.cn FROM cn LEFT JOIN e
       |    ON e.a = cn.src AND e.b = cn.dst WHERE e.a IS NULL)
       |SELECT ne.src, ne.dst, ne.cn, da.d * db.d AS pa
@@ -1709,7 +1715,7 @@ object OracleSql {
 
     "q_graph_hits" -> hitsSql(5, 1000000L),
 
-    "q_graph_link_predict" -> linkPredictSql,
+    "q_graph_link_predict_capped" -> linkPredictCappedSql,
 
     "q_drift_ks" -> ksDriftSql,
 

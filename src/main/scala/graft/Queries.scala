@@ -2281,14 +2281,26 @@ object Queries {
       .orderBy("node")
   }
 
-  /** Common-neighbor + preferential-attachment LINK PREDICTION
-    * ([[operators.GraphOps.linkPredict]]) over a SPARSE part co-occurrence
-    * graph (parts mod 1000 sharing an order's first two lines — the
-    * mod-100 graph is complete, nothing left to predict): global top-50
-    * missing edges by (common neighbors DESC, deg·deg DESC, pair) — both
-    * scores exact BIGINT, so the ranking is a total order and the whole
-    * recommendation sits under the cross-engine hash gate. */
-  val qGraphLinkPredict: Q = (s, d) => {
+  /** Common-neighbor + preferential-attachment LINK PREDICTION over a
+    * part co-occurrence graph (parts mod 1000 sharing an order's first two
+    * lines — the mod-100 graph is complete, nothing left to predict):
+    * global top-50 missing edges by (common neighbors DESC, deg·deg DESC,
+    * pair) — both scores exact BIGINT, so the ranking is a total order
+    * under the cross-engine hash gate.
+    *
+    * The DECLARED default runs
+    * [[operators.GraphOps.linkPredictAdaptiveCap]]: wedge centers above
+    * the floored exact p25 of the degree distribution generate no wedges
+    * (Σdeg² bounded by n·cap² at ANY scale; the uncapped run's Σdeg² was
+    * the single most expensive key in the r10 bench on this
+    * deliberately-dense graph and grows quadratically with SF). The cap
+    * is scale-adaptive, so it BINDS at every SF — the oracle replays the
+    * same quantile_cont/floor arithmetic, putting the capping semantics
+    * themselves under the cross-engine hash (a fixed constant would gate
+    * trivially below its tuning SF). Uncapped
+    * [[operators.GraphOps.linkPredict]] stays spec-covered (GraphOpsSpec
+    * brute-force ground truth). */
+  val qGraphLinkPredictCapped: Q = (s, d) => {
     val po = Tables.lineitem(s, d)
       .filter(col("l_linenumber") <= 2)
       .select(col("l_orderkey").as("o"),
@@ -2297,7 +2309,8 @@ object Queries {
     val e = po.alias("x").join(po.alias("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
-    operators.GraphOps.linkPredict(e, topN = 50)
+    operators.GraphOps.linkPredictAdaptiveCap(e, topN = 50,
+        degPercentile = 0.25)
       .orderBy(col("cn").desc, col("pa").desc, col("src"), col("dst"))
   }
 

@@ -446,7 +446,10 @@ object GraphOps {
     * @return (src, dst, cn, pa) — src < dst, non-adjacent pairs only
     */
   def linkPredict(edges: DataFrame, topN: Int = 100,
-                  maxDegree: Int = Int.MaxValue): DataFrame = {
+                  maxDegree: Int = Int.MaxValue,
+                  degPercentileCap: Option[Double] = None): DataFrame = {
+    require(degPercentileCap.forall(p => p > 0 && p <= 1),
+      s"linkPredict: degPercentileCap in (0,1], got $degPercentileCap")
     val e0 = edges.select(col("src").cast(LongType).as("x"),
         col("dst").cast(LongType).as("y"))
       .filter(col("x") =!= col("y"))
@@ -457,11 +460,19 @@ object GraphOps {
     val adj = e0.select(col("a").as("w"), col("b").as("u"))
       .unionAll(e0.select(col("b").as("w"), col("a").as("u")))
     val deg = adj.groupBy(col("w").as("v")).agg(count(lit(1)).as("d"))
+    // adaptive cap: floored exact percentile of the degree distribution —
+    // one 1-row agg over the node-scale deg table (metadata, not data),
+    // reusing the checkpointed edge list the main plan reads anyway
+    val cap = degPercentileCap.map { p =>
+      val r = deg.agg(floor(expr(s"percentile(d, $p)")).as("c")).collect()(0)
+      if (r.isNullAt(0)) Int.MaxValue // no edges: nothing to cap
+      else math.min(r.getLong(0), Int.MaxValue.toLong).toInt
+    }.getOrElse(maxDegree)
     val centers =
-      if (maxDegree == Int.MaxValue) adj
+      if (cap == Int.MaxValue) adj
       else adj
         .withColumn("_d", count(lit(1)).over(Window.partitionBy("w")))
-        .filter(col("_d") <= maxDegree)
+        .filter(col("_d") <= cap)
         .drop("_d")
     val cApp = centers.localCheckpoint() // self-join reads it twice
     val cn = cApp.join(cApp.withColumnRenamed("u", "v"), Seq("w"))
@@ -477,6 +488,24 @@ object GraphOps {
       .orderBy(col("cn").desc, col("pa").desc, col("src"), col("dst"))
       .limit(topN)
   }
+
+  /** [[linkPredict]] with a SCALE-ADAPTIVE center cap: `maxDegree` is the
+    * floored exact `degPercentile` of the degree distribution, so the cap
+    * binds at every data scale (a fixed constant is a no-op below the SF it
+    * was tuned at and degenerate above it). The percentile runs as one
+    * 1-row aggregate over the node-scale degree table (metadata-scale
+    * collect — the codebook-training pattern, not a data collect), and
+    * both Spark's `percentile` and the oracle's `quantile_cont` compute
+    * the same rank-(p·(n−1)) linear interpolation over integers with
+    * exactly-representable factors, so the cap replays cross-engine
+    * bit-for-bit. Σ_w deg(w)² over kept centers is bounded by
+    * n·cap² — the declared contract for the dense-graph case where every
+    * node is a "celebrity" and an absolute hub cap has nothing to cut.
+    * Capped centers still appear as endpoints and `pa` still prices FULL
+    * degrees; see [[linkPredict]] for the visibility trade. */
+  def linkPredictAdaptiveCap(edges: DataFrame, topN: Int = 100,
+                             degPercentile: Double = 0.25): DataFrame =
+    linkPredict(edges, topN, degPercentileCap = Some(degPercentile))
 
   /** Synchronous LABEL PROPAGATION at a PINNED round count — community
     * detection, the topical-grouping signal over a corpus graph (docs

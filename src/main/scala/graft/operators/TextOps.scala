@@ -187,13 +187,27 @@ object TextOps {
     * Symbols stay ASCII, so the driver's string order equals the UTF8
     * binary order the previous all-Spark formulation sorted by.
     *
+    * THE 100 TB CONTRACT is `minFreq`: a web corpus has 10⁸–10⁹ distinct
+    * letter-run "words" (typos, hashes, agglutinations) whose collected
+    * (word, count) table would OOM the driver — but almost all of them are
+    * singletons that can never win a merge round against the head of the
+    * distribution. `minFreq` filters the word table IN THE DISTRIBUTED AGG
+    * before the collect (the standard production-BPE pre-filter): pair
+    * counts lose at most (minFreq−1)·|dropped words|·max-word-length mass,
+    * so any floor far below the top pair's count (head pairs count in the
+    * millions per TB) leaves the learned merges unchanged while bounding
+    * the driver table to the true vocabulary. Default 1 = no filter
+    * (exact), the right setting at test scale.
+    *
     * @return (rank, left, right, weight) — weight = summed word frequency
     *         of the merged pair at selection time. */
   def bpeTrainMerges(docs: DataFrame, textCol: String,
-                     nMerges: Int): Seq[(Int, String, String, Long)] = {
+                     nMerges: Int, minFreq: Long = 1L): Seq[(Int, String, String, Long)] = {
+    require(minFreq >= 1L, s"bpeTrainMerges: minFreq must be >= 1, got $minFreq")
     var words: Array[(Array[String], Long)] = docs.select(explode(
         regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
       .collect()
       .map(r => (r.getString(0).split("") :+ "</w>", r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()

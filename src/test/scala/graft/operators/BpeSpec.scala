@@ -45,6 +45,25 @@ class BpeSpec extends SparkSpec {
     assert(TextOps.bpeTrainMerges(docs, "text", 5).isEmpty)
   }
 
+  test("minFreq floor: default 1 is exact; a floor drops only tail words") {
+    // tail: 'zq' appears once — with minFreq=2 it leaves the word table
+    // entirely; the head-distribution merges are unchanged because the
+    // singleton could never win a round against count-13 pairs.
+    val docs = (Seq.fill(5)("aaab") ++ Seq.fill(3)("aab") :+ "zq").toDF("text")
+    val exact = TextOps.bpeTrainMerges(docs, "text", nMerges = 3)
+    val floor1 = TextOps.bpeTrainMerges(docs, "text", nMerges = 3, minFreq = 1L)
+    val floor2 = TextOps.bpeTrainMerges(docs, "text", nMerges = 3, minFreq = 2L)
+    assert(floor1 === exact) // floor=1 ≡ current behavior, bit-for-bit
+    assert(floor2 === Seq(   // fixture weights exclude the dropped 'zq'
+      (1, "a", "a", 13L), (2, "b", "</w>", 8L), (3, "a", "b</w>", 5L)))
+    assert(exact === floor2) // and on this corpus the merges agree anyway
+    // a floor above every word's count trains nothing (empty table)
+    assert(TextOps.bpeTrainMerges(docs, "text", 3, minFreq = 100L).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrainMerges(docs, "text", 3, minFreq = 0L)
+    }
+  }
+
   test("bpeEncodeDocs: hand-computed counts on the classic fixture") {
     // same corpus as the training fixture; merges (a,a),(b,</w>),(a,b</w>)
     // encode aaab → [aa,ab</w>] (2 toks), aab → [aa,b</w>] (2 toks)

@@ -366,6 +366,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped.subsetOf(unc))
   }
 
+  test("linkPredictAdaptiveCap: percentile cap binds and equals the fixed cap") {
+    // hub 0 touches 1..6 (deg 6); centers 1..4 have deg 2, 5..6 deg 1 —
+    // degrees sorted: [1,1,2,2,2,2,6]; p25 over 7 values = rank 1.5 →
+    // interpolated 1.0 + 0.5*(2-1) = 1.5 → floor = 1: only the two
+    // deg-1 leaves remain centers (no wedges through them)
+    val edges = (1L to 6L).map((0L, _)) ++ Seq((1L, 2L), (3L, 4L))
+    val adaptive = GraphOps.linkPredictAdaptiveCap(
+        edges.toDF("src", "dst"), topN = 100, degPercentile = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = GraphOps.linkPredict(edges.toDF("src", "dst"), topN = 100,
+        maxDegree = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive === fixed)
+    // a p100 cap keeps every center — equals the uncapped run exactly
+    val all = GraphOps.linkPredictAdaptiveCap(
+        edges.toDF("src", "dst"), topN = 100, degPercentile = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val unc = GraphOps.linkPredict(edges.toDF("src", "dst"), topN = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(all === unc)
+    // empty edge set: falls back to the (empty) uncapped run, no NPE
+    assert(GraphOps.linkPredictAdaptiveCap(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), topN = 5).count() === 0L)
+  }
+
   test("personalizedPageRank: distributed rounds equal the driver fast path") {
     val rnd = new Random(13)
     for (_ <- 1 to 5) {
