@@ -99,7 +99,12 @@ object Bench {
     // inflated calibration probe); sorted key order keeps rounds
     // comparable query-by-query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // comma-separated substring terms, OR-matched (empty = every key) —
+    // run_gates.sh's contention rerun passes the flagged keys as one list
     val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    val filterTerms = filter.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def matches(name: String): Boolean =
+      filterTerms.isEmpty || filterTerms.exists(name.contains)
     // a throwing query must NOT make the sweep look faster (r9 VERDICT:
     // the old `catch → -1L` recorded near-zero time and reported
     // success) — record the first error message per key and surface it
@@ -109,7 +114,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results: Seq[(String, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter(_._1.contains(filter)).map { case (name, fn) =>
+        .filter(r => matches(r._1)).map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
@@ -188,12 +193,14 @@ object Bench {
     // 130+ queries the printed map's head is truncated; the file lets every
     // key be diffed round-over-round AND lets the reader detect a contended
     // sample (calib probes high, medians >> mins). Filtered runs skip the
-    // write: a partial map would silently replace the full artifact.
+    // DEFAULT write (a partial map would silently replace the full
+    // artifact) but honor an EXPLICIT SPARK_GRAFT_BENCH_FULL path — the
+    // contention-rerun protocol writes its partial sample there on purpose.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
     val fullLine = s"""{"queries":${qmap(_._2)},"queries_min":${qmap(_._3)},""" +
       s""""sf":"$sfDir","n_queries":${results.size},$stamp,""" +
       s""""total_min":${ms3(totalMin)},$normTail"metric":"total","value":${ms3(total)},"unit":"sec"}"""
-    if (filter.isEmpty)
+    if (filter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_FULL"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullLine + "\n")
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }

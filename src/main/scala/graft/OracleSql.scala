@@ -466,6 +466,85 @@ object OracleSql {
        |ORDER BY vec_id, out_pos""".stripMargin
   }
 
+  /** Generated LSH-recall replay ([[graft.Queries.qVecAnnRecall]]): the
+    * SAME fixed-seed hyperplanes as [[graft.operators.VectorOps.planes]]
+    * embedded as literals; bucket bits are the sign of the INTEGER
+    * fixed-point projection sum (exact in both engines), query-side
+    * multiprobe = XOR single-bit flips, candidate ranking the round-6
+    * fixed-point cosine with id tie-breaks — the whole approximate
+    * retrieval replayed, then intersected with the exact top-k. */
+  private def annRecallLshSql(k: Int, nPlanes: Int, dims: Int,
+                              tables: Int, probes: Int): String = {
+    def fixedSum(vec: String, lits: String): String =
+      s"""list_sum(list_transform(list_zip($vec, $lits),
+         |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT)))""".stripMargin
+    def bucketExpr(vec: String, seed: Long): String =
+      graft.operators.VectorOps.planes(nPlanes, dims, seed).zipWithIndex.map {
+        case (p, i) =>
+          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN ${fixedSum(vec, lits)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+    val corpusBuckets = (0 until tables).map(t =>
+      s"""SELECT vec_id, $t AS tbl,
+         |    ${bucketExpr("embedding", 42L + t)} AS bucket FROM embeddings""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val queryBuckets = (0 until tables).map(t =>
+      s"""SELECT query_id, qv, $t AS tbl,
+         |    ${bucketExpr("qv", 42L + t)} AS bucket FROM q""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val probeUnion = (("SELECT query_id, qv, tbl, bucket FROM qb0") +:
+      (0 until math.min(probes, nPlanes)).map(i =>
+        s"SELECT query_id, qv, tbl, xor(bucket, ${1L << i}) FROM qb0"))
+      .mkString("\n  UNION ALL\n  ")
+    val dot =
+      """CAST(list_sum(list_transform(list_zip(qv, embedding),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13""".stripMargin
+    def selfDot(vec: String): String =
+      s"""CAST(list_sum(list_transform(list_zip($vec, $vec),
+         |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |edots AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ROUND(($dot) / (SQRT(${selfDot("qv")}) * SQRT(${selfDot("embedding")})), 6) AS cosine
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM edots)
+       |  WHERE rank <= $k),
+       |cb AS (
+       |  $corpusBuckets),
+       |qb0 AS (
+       |  $queryBuckets),
+       |qb AS (
+       |  $probeUnion),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, qb.qv, cb.vec_id AS neighbor_id
+       |  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       |  WHERE cb.vec_id <> qb.query_id),
+       |adots AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ROUND(($dot) / (SQRT(${selfDot("qv")}) * SQRT(${selfDot("embedding")})), 6) AS cosine
+       |  FROM (SELECT query_id, qv, neighbor_id FROM cand) c
+       |  JOIN embeddings ON embeddings.vec_id = c.neighbor_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM adots)
+       |  WHERE rank <= $k),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits, $k AS k
+       |FROM (SELECT DISTINCT query_id FROM q) q
+       |LEFT JOIN hits h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
     * its streaming twin q_stream_sliding: each event lands in the two
     * half-hour-aligned windows covering it. */
@@ -2049,6 +2128,8 @@ object OracleSql {
         |FROM a ORDER BY label, pos""".stripMargin,
 
     "q_vec_random_projection" -> randomProjectionSql(16, 64),
+    "q_vec_ann_recall" -> annRecallLshSql(k = 10, nPlanes = 4, dims = 64,
+      tables = 4, probes = 4),
 
     // exact k-NN graph on the 1/8 sample: all-pairs fixed-point cosine
     // (identical grid to q_dedup_embedding_exact), top-5 per node by

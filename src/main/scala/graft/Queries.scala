@@ -2527,6 +2527,22 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** The LSH ANN RECALL NUMBER under the exact hash gate
+    * ([[VectorOps.annRecallLsh]]): per query, |LSH top-10 ∩ exact top-10|
+    * with the retrieval run on the oracle-shared fixed-point grid — bucket
+    * bits are integer-sum signs, candidate ranking the round-6 cosine with
+    * id tie-breaks, so DuckDB replays the WHOLE approximate-retrieval
+    * algorithm (planes embedded as literals from the shared PRNG, the
+    * q_vec_random_projection precedent) and the recall count itself is a
+    * cross-engine-gated fact, not just an AnnRecallSpec floor. Same
+    * 4-plane/4-table/4-probe config as the declared q_vec_ann_lsh. */
+  val qVecAnnRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.annRecallLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nPlanes = 4, tables = 4, probes = 4)
+      .orderBy("query_id")
+  }
+
   /** Product-quantization ANN (ADC scan over m=8 codes/vector — 32×
     * smaller than the floats — then exact re-rank of the top 8·k):
     * recall@10 = 0.87 on the structureless random fixture (AnnRecallSpec;

@@ -14,11 +14,31 @@ object Engine {
 
   final case class Handle(spark: SparkSession, registry: SchemaRegistry) {
 
-    /** Raw append-log of a type's table (all versions of all rows). */
+    /** Raw append-log of a type's table (all versions of all rows).
+      *
+      * The read schema comes from the REGISTRY, not a mergeSchema footer
+      * sweep: evolve is add-only and validation coerces every written row
+      * to the registered types, so registered-fields ∪ ingest-meta is by
+      * construction a superset of every file's columns — files predating
+      * an evolved column surface it as NULL exactly as mergeSchema did,
+      * without the per-read distributed footer-merge job (which at 100 TB
+      * is a listing+footer pass over every append ever made). Falls back
+      * to mergeSchema for a table the registry doesn't know (externally
+      * created). */
     def tableLog(typeId: String): DataFrame = {
       val path = registry.tablePath(typeId)
       registry.healPath(path) // finish a compaction swap a crash interrupted
-      spark.read.option("mergeSchema", "true").parquet(path)
+      registry.get(typeId) match {
+        case Some(reg) =>
+          import org.apache.spark.sql.types.{LongType, StructType}
+          val meta = Set("_ingest_epoch", "_ingest_seq", "_part")
+          val full = StructType(reg.fields.filterNot(f => meta(f.name)))
+            .add("_ingest_epoch", LongType).add("_ingest_seq", LongType)
+            .add("_part", LongType) // partition column, discovered from dirs
+          spark.read.schema(full).parquet(path)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(path)
+      }
     }
 
     /** Compaction: collapse the append log to its LWW view and atomically

@@ -125,48 +125,102 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     loadAll()
   }
 
-  private def loadAll(): Unit =
-    if (pathExists(descriptorsPath)) {
-      spark.read.parquet(descriptorsPath).collect().foreach { row =>
-        cache.put(row.getString(0), schemaOfRow(row))
-      }
-    }
+  // --- descriptor persistence: driver-side JSON over the Hadoop FS --------
+  //
+  // The registry is METADATA — one row per type. Persisting it through
+  // Spark parquet jobs cost 4-6 driver-blocking jobs per ingest batch
+  // (read-merge-write on every evolve, read+collect on every bootstrap) —
+  // the single biggest share of the engine keys' fixed overhead. The store
+  // is now a JSON-lines file written/read directly through the Hadoop
+  // FileSystem (file:/hdfs:/s3a:), microseconds instead of jobs, under the
+  // SAME crash-safe write-new → rename-aside → swap-in discipline (the
+  // `descriptors` path stays a directory so swap/heal are unchanged).
 
-  private def schemaOfRow(row: Row): StructType = {
-    val props = row.getMap[String, Row](2)
-    val fields = props.toSeq.sortBy(_._1).map { case (name, d) =>
-      FieldDescriptor(
-        jsonType = d.getString(0),
-        format = Option(d.getString(1)),
-        primaryKey = Option(d.getBoolean(2)).getOrElse(false),
-        partitionKey = Option(d.getBoolean(3)).getOrElse(false),
-        required = Option(d.getBoolean(4)).getOrElse(false),
-        index = Option(d.getBoolean(5)).getOrElse(false)).toStructField(name)
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def registryFile(dir: String) = s"$dir/registry.json"
+
+  private def readRows(dir: String): Seq[(String, Long, Seq[(String, FieldDescriptor)])] = {
+    val f = hpath(registryFile(dir))
+    if (!fs.exists(f)) return Nil
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val node = jsonMapper.readTree(line)
+      val props = node.get("properties")
+      val fields = props.fieldNames()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, FieldDescriptor)]()
+      while (fields.hasNext) {
+        val name = fields.next()
+        val d = props.get(name)
+        buf += name -> FieldDescriptor(
+          jsonType = d.get("json_type").asText(),
+          format = Option(d.get("format")).filterNot(_.isNull).map(_.asText()),
+          primaryKey = d.get("primary_key").asBoolean(),
+          partitionKey = d.get("partition_key").asBoolean(),
+          required = d.get("required").asBoolean(),
+          index = d.get("index").asBoolean())
+      }
+      (node.get("id").asText(), node.get("last_modified_us").asLong(), buf.toSeq)
     }
+  }
+
+  private def writeRows(dir: String,
+                        rows: Seq[(String, Long, Seq[(String, FieldDescriptor)])]): Unit = {
+    val sb = new java.lang.StringBuilder
+    rows.sortBy(_._1).foreach { case (id, lmUs, props) =>
+      val node = jsonMapper.createObjectNode()
+      node.put("id", id)
+      node.put("last_modified_us", lmUs)
+      val p = node.putObject("properties")
+      props.sortBy(_._1).foreach { case (name, d) =>
+        val o = p.putObject(name)
+        o.put("json_type", d.jsonType)
+        d.format match { case Some(fm) => o.put("format", fm); case None => o.putNull("format") }
+        o.put("primary_key", d.primaryKey)
+        o.put("partition_key", d.partitionKey)
+        o.put("required", d.required)
+        o.put("index", d.index)
+      }
+      sb.append(jsonMapper.writeValueAsString(node)).append('\n')
+    }
+    fs.mkdirs(hpath(dir))
+    val out = fs.create(hpath(registryFile(dir)), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def schemaOfFields(props: Seq[(String, FieldDescriptor)]): StructType = {
+    val fields = props.sortBy(_._1).map { case (name, d) => d.toStructField(name) }
     // meta fields first, matching withMetaFields ordering
     Types.withMetaFields(StructType(fields))
   }
 
-  /** Serialize a StructType to a descriptors-table row and upsert it.
+  private def loadAll(): Unit =
+    if (pathExists(descriptorsPath)) {
+      readRows(descriptorsPath).foreach { case (id, _, props) =>
+        cache.put(id, schemaOfFields(props))
+      }
+    }
+
+  /** Serialize a StructType to a descriptors row and upsert it.
     * Synchronized: concurrent per-type ingest threads (Ingest parallelism)
-    * must not interleave the read-modify-write of the descriptors table. */
+    * must not interleave the read-modify-write of the descriptors store.
+    * Re-reads the persisted store (not the cache) so a second registry
+    * instance on the same path never loses rows it didn't load. */
   private def writeDescriptor(typeId: String, schema: StructType): Unit = synchronized {
-    val props: Map[String, Row] = schema.fields.map { f =>
-      val d = Types.fromStructField(f)
-      f.name -> Row(d.jsonType, d.format.orNull, d.primaryKey, d.partitionKey,
-        d.required, d.index)
-    }.toMap
-    val row = Row(typeId, java.sql.Timestamp.from(java.time.Instant.now()), props)
-    val df = spark.createDataFrame(
-      java.util.List.of(row), Types.descriptorsTableSchema)
+    val props = schema.fields.toSeq.map(f => f.name -> Types.fromStructField(f))
+    val nowUs = { val i = java.time.Instant.now()
+      i.getEpochSecond * 1000000L + i.getNano / 1000L }
     val existing =
       if (pathExists(descriptorsPath))
-        spark.read.parquet(descriptorsPath).filter(col("id") =!= typeId)
-      else spark.createDataFrame(java.util.List.of[Row](), Types.descriptorsTableSchema)
-    // the write targets `.tmp`, never the path being read, so no pre-write
-    // materialization is needed — the swap happens only after it completes
-    existing.unionByName(df)
-      .coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
+        readRows(descriptorsPath).filterNot(_._1 == typeId)
+      else Nil
+    // the write targets `.tmp`, never the path being read; the swap happens
+    // only after it completes
+    writeRows(descriptorsPath + ".tmp", existing :+ ((typeId, nowUs, props)))
     swapInDescriptors(descriptorsPath + ".tmp")
   }
 
@@ -213,17 +267,30 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
 
   /** Drop a type: delete its descriptor row and physical table
     * (reference models.py:176-182). */
-  def drop(typeId: String): Unit = {
+  def drop(typeId: String): Unit = synchronized {
     checkTypeId(typeId) // before ANY side effect: drop deletes the resolved path
     cache.remove(typeId)
     if (pathExists(descriptorsPath)) {
-      spark.read.parquet(descriptorsPath).filter(col("id") =!= typeId)
-        .coalesce(1).write.mode("overwrite").parquet(descriptorsPath + ".tmp")
+      writeRows(descriptorsPath + ".tmp",
+        readRows(descriptorsPath).filterNot(_._1 == typeId))
       swapInDescriptors(descriptorsPath + ".tmp")
     }
     fs.delete(hpath(tablePath(typeId)), true)
   }
 
-  /** The descriptors table as a DataFrame (for catalog queries). */
-  def descriptorsDf: DataFrame = spark.read.parquet(descriptorsPath)
+  /** The descriptors table as a DataFrame (for catalog queries) — built
+    * from the persisted store; same schema the parquet encoding carried. */
+  def descriptorsDf: DataFrame = {
+    val rows: Seq[Row] = readRows(descriptorsPath).map { case (id, lmUs, props) =>
+      Row(id, new java.sql.Timestamp(lmUs / 1000L),
+        props.map { case (n, d) =>
+          n -> Row(d.jsonType, d.format.orNull, d.primaryKey, d.partitionKey,
+            d.required, d.index)
+        }.toMap)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      Types.descriptorsTableSchema)
+  }
 }

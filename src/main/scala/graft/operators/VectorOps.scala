@@ -181,6 +181,77 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** [[cosineTopKLsh]] with every arithmetic step on the ORACLE-SHARED
+    * fixed-point grid: bucket bits are the sign of `dotFixed(v, plane)`
+    * (an integer-sum sign — exact in ANSI SQL), and candidate ranking is
+    * the round-6 fixed-point cosine with id tie-breaks. Same buckets,
+    * candidates, and top-k as the production double-kernel path except
+    * where a projection sits within float-fold ulp of zero (never observed
+    * on the fixtures; AnnRecallSpec still floors the production path) —
+    * this variant exists so the LSH RETRIEVAL ALGORITHM itself can be
+    * replayed by the DuckDB oracle, turning a spec-only recall floor into
+    * a cross-engine-gated fact (q_vec_ann_recall). */
+  def cosineTopKLshFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int, nPlanes: Int = 4,
+                         dims: Int = 64, tables: Int = 4,
+                         probes: Int = 0): DataFrame = {
+    def bucketOf(vec: Column, seed: Long): Column =
+      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
+        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
+          shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    def withBuckets(df: DataFrame, vec: String, flips: Int): DataFrame = {
+      val entries: Seq[Column] = (0 until tables).flatMap { t =>
+        val base = bucketOf(col(vec), seed = 42L + t)
+        val variants = base +: (0 until math.min(flips, nPlanes)).map(i =>
+          base.bitwiseXOR(lit(1L << i)))
+        variants.map(v => struct(lit(t).as("table"), v.as("bucket")))
+      }
+      df.select(col("*"), explode(array(entries: _*)).as("__tb"))
+        .withColumn("table", col("__tb.table"))
+        .withColumn("bucket", col("__tb.bucket"))
+        .drop("__tb")
+    }
+    val q = broadcast(withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qnorm", sqrt(dotFixed(col("qv"), col("qv")))), "qv", probes))
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+        .withColumn("nnorm", sqrt(dotFixed(col("nv"), col("nv")))), "nv", 0)
+    val scored = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id") // any-table OR semantics
+      .withColumn("cosine", round(
+        dotFixed(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Measured recall@k of the [[cosineTopKLshFixed]] retrieval against the
+    * exact fixed-point ranking ([[cosineTopK]]), as data: one row per
+    * query, `n_hits` = |LSH top-k ∩ exact top-k| (0..k). Every ingredient
+    * is oracle-replayable, so the recall NUMBER itself sits under the
+    * cross-engine hash gate — the quantitative ANN contract as a gated
+    * fact rather than a spec assertion. */
+  def annRecallLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nPlanes: Int = 4, dims: Int = 64,
+                   tables: Int = 4, probes: Int = 0): DataFrame = {
+    val exact = cosineTopK(corpus, queries, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val approx = cosineTopKLshFixed(corpus, queries, idCol, vecCol, k,
+        nPlanes, dims, tables, probes)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(idCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(k).as("k"))
+  }
+
   /** A trained centroid: (cent_id, vector). Codebooks are metadata-scale
     * (k·dims floats) and live driver-side between training rounds — exactly
     * like any trained codebook a real deployment would broadcast. */

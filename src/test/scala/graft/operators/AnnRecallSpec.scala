@@ -280,4 +280,26 @@ class AnnRecallSpec extends SparkSpec {
       assert(got === truth, s"prefiltered != truth at threshold $thr")
     }
   }
+
+  test("cosineTopKLshFixed: fixed-grid replay equals the production kernel path") {
+    // the oracle-replayable variant (q_vec_ann_recall) must retrieve the
+    // same neighbors as the double-kernel production path — the two differ
+    // only where a projection sits within float-fold ulp of zero, which
+    // this fixture (and any real corpus) never exercises
+    val emb = graft.Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 10)
+    val prod = topkSets(VectorOps.cosineTopKLsh(emb, queries, "vec_id",
+      "embedding", 10, nPlanes = 4, tables = 4, probes = 4))
+    val fixed = topkSets(VectorOps.cosineTopKLshFixed(emb, queries, "vec_id",
+      "embedding", 10, nPlanes = 4, tables = 4, probes = 4))
+    assert(fixed === prod)
+    // and the declared recall frame agrees with a driver-side recount
+    val exact = topkSets(VectorOps.cosineTopK(emb, queries, "vec_id", "embedding", 10))
+    val declared = VectorOps.annRecallLsh(emb, queries, "vec_id", "embedding",
+        10, nPlanes = 4, tables = 4, probes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((q, ex) <- exact)
+      assert(declared(q) === (fixed.getOrElse(q, Set.empty) & ex).size.toLong,
+        s"query $q recall count drifted")
+  }
 }
