@@ -634,8 +634,14 @@ object Declared {
   def lwwServe(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     // 2 micro-batches: batch 1 bootstraps the state, batch 2 proves the
     // cross-batch fold (union -> LWW -> rewrite); more batches only re-pay
-    // the full-state rewrite
-    val stream = fileStream(s,
+    // the full-state rewrite.
+    // Stateless foreachBatch fold: per-batch work is one small LWW window,
+    // so 4 shuffle partitions beats the session default (the
+    // changesMaintain knob, A/B'd per key r11 — NOT the stateful-family
+    // setting, whose state stores size to shuffle.partitions)
+    val s4 = s.newSession()
+    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = fileStream(s4,
       events.select("event_id", "ts", "user_id", "event_type", "value"),
       dir, nFiles = 2, filesPerTrigger = 1)
     // two alternating state dirs: read state N, write state N+1 (a parquet
@@ -650,9 +656,10 @@ object Declared {
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // state reads on s4: cross-session frames must not mix in one plan
         val cur =
           if (batchId == 0L) batch
-          else batch.unionByName(s.read.parquet(states(((batchId - 1) % 2).toInt)))
+          else batch.unionByName(s4.read.parquet(states(((batchId - 1) % 2).toInt)))
         graft.operators.Upserts
           .lwwView(cur, Seq("user_id"), "ts", Seq("event_id"))
           .write.mode("overwrite").parquet(states((batchId % 2).toInt))
@@ -684,7 +691,11 @@ object Declared {
     def words(df: DataFrame) =
       df.select(explode(split(col(textCol), " ")).as("word"))
         .filter(col("word") =!= "")
-    val stream = fileStream(s, docs, dir, nFiles = 2, filesPerTrigger = 1)
+    // stateless fold: 4 shuffle partitions (the changesMaintain knob,
+    // A/B'd per key r11; sketch states are <=4k rows)
+    val s4 = s.newSession()
+    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = fileStream(s4, docs, dir, nFiles = 2, filesPerTrigger = 1)
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
@@ -696,7 +707,7 @@ object Declared {
         val next =
           if (batchId == 0L) bs
           else HeavyHitters.mergeStates(
-            s.read.parquet(states(((batchId - 1) % 2).toInt)), bs, "word", k)
+            s4.read.parquet(states(((batchId - 1) % 2).toInt)), bs, "word", k)
         next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
@@ -721,7 +732,11 @@ object Declared {
   def driftMaintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     import graft.operators.StatsOps
     val ev = events.select(col("event_type"), col("ts"), col("value"))
-    val stream = fileStream(s, ev, dir, nFiles = 2, filesPerTrigger = 1)
+    // stateless fold: 4 shuffle partitions (the changesMaintain knob,
+    // A/B'd per key r11; the state is O(groups x grid bins))
+    val s4 = s.newSession()
+    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     def counts(df: DataFrame) =
@@ -736,7 +751,7 @@ object Declared {
         val next =
           if (batchId == 0L) bs
           else StatsOps.mergeCounts(
-            s.read.parquet(states(((batchId - 1) % 2).toInt)), bs)
+            s4.read.parquet(states(((batchId - 1) % 2).toInt)), bs)
         next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
@@ -760,7 +775,11 @@ object Declared {
   def trendMaintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     import graft.operators.StatsOps
     val ev = events.select(col("event_type"), col("ts"), col("value"))
-    val stream = fileStream(s, ev, dir, nFiles = 2, filesPerTrigger = 1)
+    // stateless fold: 4 shuffle partitions (the changesMaintain knob,
+    // A/B'd per key r11; the state is five moments per group)
+    val s4 = s.newSession()
+    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
@@ -772,7 +791,7 @@ object Declared {
         val next =
           if (batchId == 0L) bs
           else StatsOps.olsMerge(
-            s.read.parquet(states(((batchId - 1) % 2).toInt)), bs,
+            s4.read.parquet(states(((batchId - 1) % 2).toInt)), bs,
             "event_type")
         next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
         lastBatch.updateAndGet(m => math.max(m, batchId))
