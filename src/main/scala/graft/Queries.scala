@@ -2527,6 +2527,24 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** LSH SIMILARITY JOIN between two corpora
+    * ([[VectorOps.cosineSimJoinLsh]]): the even-id and odd-id halves of the
+    * embeddings table as two DIFFERENT id spaces — "which A items align
+    * with which B items at cosine ≥ 0.38" (cross-corpus contamination /
+    * alignment, the one §2.B retrieval shape with no approximate variant
+    * until now: cosineTopKLsh is query-batch retrieval, cosineNearDups is
+    * self-join dedup). Shared fixed-seed planes, any-table OR candidates,
+    * exact-cosine verify, opt-in hot-cell cap at 1000. Approximate by
+    * construction ⇒ rows-only; AnnRecallSpec floors A×B recall ≥ 0.9 at
+    * the 0.9 alignment regime vs brute-force cross truth. */
+  val qVecSimJoin: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineSimJoinLsh(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", threshold = 0.38, tables = 4, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
   /** The LSH ANN RECALL NUMBER under the exact hash gate
     * ([[VectorOps.annRecallLsh]]): per query, |LSH top-10 ∩ exact top-10|
     * with the retrieval run on the oracle-shared fixed-point grid — bucket

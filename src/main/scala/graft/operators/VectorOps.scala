@@ -653,6 +653,65 @@ object VectorOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** LSH SIMILARITY JOIN between two corpora with DIFFERENT id spaces —
+    * the missing piece of the retrieval algebra next to [[cosineTopKLsh]]
+    * (query-batch retrieval) and [[cosineNearDups]] (self-join dedup):
+    * "which items of corpus A are near-duplicates of / aligned with items
+    * of corpus B" (cross-lingual alignment, train-vs-eval contamination at
+    * embedding level, catalog matching). Both sides hash with the SAME
+    * fixed-seed hyperplanes, candidates share a (table, bucket) cell in
+    * any OR-table, exact cosine verifies against `threshold`.
+    *
+    * Scale shape: candidate generation flows only (id, table, bucket) —
+    * vectors re-attach by two linear id-joins; Σ per-cell |A|·|B| bounds
+    * the join, and `maxBucket` (OPT-IN, the DedupOps hot-bucket-cap
+    * contract) drops any cell where EITHER side exceeds the cap before
+    * pairs materialize — a degenerate hub cell (e.g. the zero-vector
+    * bucket) would otherwise go quadratic. Dropped cells drop their pairs;
+    * set the cap deliberately. Approximate by construction (bucketing
+    * misses cross-bucket true pairs) ⇒ rows-only; AnnRecallSpec floors the
+    * recall against the exact bounded-sample truth. */
+  def cosineSimJoinLsh(left: DataFrame, right: DataFrame, idCol: String,
+                       vecCol: String, threshold: Double, nPlanes: Int = 0,
+                       dims: Int = 64, tables: Int = 4,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .localCheckpoint()
+    val a = prep(left)
+    val b = prep(right)
+    // auto-size planes from the LARGER side (the bucket-count driver)
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else planesFor(math.max(a.count(), b.count()), targetBucket = 125)
+    def banded(side: DataFrame): DataFrame = {
+      val bd = side.select(col("id"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("v"), planes, dims, seed = 42L + t)): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+      if (maxBucket == Int.MaxValue) bd
+      else bd
+        .withColumn("_bn", count(lit(1)).over(Window.partitionBy("table", "bucket")))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
+    }
+    val candidates = banded(a).alias("a")
+      .join(banded(b).alias("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // any-table OR semantics
+    candidates
+      .join(a.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** All-pairs exact near-dup on the cross-engine fixed-point grid — the
     * oracle-shareable ground truth ([[dotFixed]] + ROUND(·,6), replayable in
     * ANSI SQL). Two-phase: the codegen'd double kernel prefilters the n²

@@ -187,6 +187,43 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"declared-regime near-dup recall regressed: $recall")
   }
 
+  test("cosineSimJoinLsh: A-x-B recall floor vs exact cross truth; cap semantics") {
+    // two DIFFERENT id spaces: B = direction-perturbed clones of A
+    // (cos ~ 0.94, the 0.9 alignment regime) — the cross-corpus version of
+    // the near-dup fixture above
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf())
+    val a = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+      .localCheckpoint()
+    val rot = transform(col("embedding"), (x, i) =>
+      x + lit(0.35f) * element_at(col("embedding"), (i + lit(1)) % lit(64) + lit(1)))
+    val b = a.select((col("vec_id") + 100000L).as("vec_id"), rot.as("embedding"))
+      .localCheckpoint()
+    // exact A-x-B ground truth: brute-force cross pairs on the kernel grid
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    val truth = a.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(b.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .withColumn("c", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("c") >= 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(truth.size >= 30, s"fixture planted too few cross pairs: ${truth.size}")
+    val got = VectorOps.cosineSimJoinLsh(a, b, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 4, tables = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exact-verified candidates: false positives impossible
+    assert((got -- truth).isEmpty, "sim-join pairs below the 0.9 threshold")
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"A-x-B sim-join recall at 0.9 (4 planes x 4 tables): $recall%.2f " +
+      f"over ${truth.size} true pairs")
+    assert(recall >= 0.9, s"sim-join recall regressed: $recall")
+    // the hot-bucket cap drops whole cells BEFORE pairs materialize:
+    // cap=1 keeps only single-occupant cells per side, a strict subset
+    val capped = VectorOps.cosineSimJoinLsh(a, b, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 4, tables = 4, maxBucket = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped.subsetOf(got))
+  }
+
   test("knnGraphExact: prefilter keeps the full unfiltered fixed-point ranking") {
     import org.apache.spark.sql.expressions.Window
     val emb = graft.Tables.embeddings(spark, sf()).filter(col("vec_id") < 250)
