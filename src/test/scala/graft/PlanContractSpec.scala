@@ -104,8 +104,11 @@ class PlanContractSpec extends SparkSpec {
                            // scalar-subquery idiom, metadata-scale
       "q_histogram_equidepth", // corpus × broadcast 1-row decile bounds —
                            // the same scalar-subquery idiom
-      "q_sample_temperature") // per-group counts × 1-row total — both
+      "q_sample_temperature", // per-group counts × 1-row total — both
                               // metadata-scale; the corpus join is equi
+      "q_vec_ann_recall")     // exact side = broadcast queries × corpus
+                              // (the cosine_topk ruling); the LSH side and
+                              // the hit intersection are equi-joins
     val engineQueries = Set("q_engine_ingest", "q_engine_point_lookup",
       "q_merge_into") // merge is full-outer SMJ; engine queries execute on build
     val offenders = SparkEntry.queries.keys.toSeq.sorted
