@@ -174,6 +174,12 @@ object Ingest {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Observable hit/miss counters so the skip-the-inference-scan claim is
+    * a spec assertion (InferenceSigSpec), not prose. Monotonic,
+    * process-global, test-read-only. */
+  val schemaCacheHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  val schemaCacheMisses = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Batch epoch in µs since the Unix epoch — one value per sub-batch,
     * strictly increasing across successive batches (guarded by a monotonic
     * floor so clock granularity can never hand two batches the same epoch). */
@@ -227,12 +233,14 @@ object Ingest {
     val cachedSchema = cacheKey.flatMap(k => Option(schemaCache.get(k)))
     val parsed0 = cachedSchema match {
       case Some(known) =>
+        schemaCacheHits.incrementAndGet()
         // empty remembered schema = all-{} batch: any empty-schema frame
         // routes through the `parsed0.schema.isEmpty` branch below, which
         // rebuilds the row-preserving 0-column frame from payloads
         if (known.isEmpty) spark.emptyDataFrame
         else spark.read.schema(known).json(payloads)
       case None =>
+        schemaCacheMisses.incrementAndGet()
         val p = spark.read.option("dropFieldIfAllNull", "true").json(payloads)
         cacheKey.foreach { k =>
           if (schemaCache.size > 512) schemaCache.clear() // crude LRU bound

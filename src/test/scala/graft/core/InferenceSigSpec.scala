@@ -130,9 +130,14 @@ class InferenceSigSpec extends SparkSpec {
     // tables must match exactly
     val h1 = Engine.bootstrap(spark, tmpDir("graft-sig1"))
     val h2 = Engine.bootstrap(spark, tmpDir("graft-sig2"))
+    val hits0 = Ingest.schemaCacheHits.get()
     val r1 = h1.ingest(msgs, ingestTime = Some(t0))
     val r2 = h2.ingest(msgs, ingestTime = Some(t0))
     assert(r1 === r2)
+    // the second ingest of the same shape must actually HIT the cache —
+    // the skip-the-inference-scan claim as an assertion, not prose
+    assert(Ingest.schemaCacheHits.get() > hits0,
+      "repeat ingest of a known shape never hit the schema cache")
     val c1 = h1.table("t").drop("_ingest_epoch", "_ingest_seq", "id")
     val c2 = h2.table("t").drop("_ingest_epoch", "_ingest_seq", "id")
     assert(c1.schema === c2.schema)
@@ -143,5 +148,32 @@ class InferenceSigSpec extends SparkSpec {
       ingestTime = Some(t0))
     assert(r3.perType("t") === 1L)
     assert(h2.table("t").schema.fieldNames.contains("extra"))
+  }
+
+  test("write-first semantics: empty appends never clobber or create tables") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val wh = tmpDir("graft-sig-empty")
+    val h = Engine.bootstrap(spark, wh)
+    // EXISTING table + all-quarantined batch: the (empty) append that
+    // write-first now always performs must leave the table intact
+    val r1 = h.ingest(
+      Seq("""{"type_id":"u","data":{"id":"a","n":1}}""").toDF("message"),
+      ingestTime = Some(t0))
+    assert(r1.perType("u") === 1L)
+    val r2 = h.ingest(
+      Seq("""{"type_id":"u","data":{"id":"b","n":"not a number"}}""").toDF("message"),
+      ingestTime = Some(t0))
+    assert(r2.perType("u") === 0L && r2.quarantined === 1L)
+    assert(h.table("u").count() === 1L)
+    assert(spark.read.parquet(h.registry.quarantinePath("u")).count() === 1L)
+    // FRESH type whose only batch writes no good rows (all payloads are
+    // corrupt JSON, quarantined before validation): the write-created
+    // empty dir must be removed — table existence stays DDL state
+    import spark.implicits._
+    val (n, q) = Ingest.ingestType(spark, h.registry, "vnew",
+      Seq("not json", "{broken").toDS(), ingestTime = Some(t0))
+    assert(n === 0L && q === 2L)
+    assert(!new java.io.File(h.registry.tablePath("vnew")).exists(),
+      "an all-quarantined FIRST batch must not leave a table dir behind")
   }
 }
