@@ -1003,9 +1003,10 @@ object Queries {
     * batch exact heavy hitters, so q_agg_heavy_hitters' oracle hashes
     * the streaming run. */
   val qStreamHeavyHitters: Q = (s, d) =>
-    streaming.Declared.heavyHittersMaintain(s,
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("heavyHittersMaintain", d))(
+        streaming.Declared.heavyHittersMaintain(s,
         Tables.documents(s, d).select("doc_id", "text"), "text", k = 200,
-        scratchDir("stream-hh"))
+        scratchDir("stream-hh")))
       .orderBy("word")
 
   /** STREAMING drift maintenance ([[streaming.Declared.driftMaintain]]):
@@ -1014,8 +1015,9 @@ object Queries {
     * end-of-stream; equals batch [[qDriftKs]] by associativity of +, so
     * the same oracle hashes the streaming run. */
   val qStreamDrift: Q = (s, d) =>
-    streaming.Declared.driftMaintain(s, Tables.events(s, d),
-        scratchDir("stream-drift"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("driftMaintain", d))(
+        streaming.Declared.driftMaintain(s, Tables.events(s, d),
+        scratchDir("stream-drift")))
       .orderBy("event_type")
 
   /** STREAMING trend maintenance ([[streaming.Declared.trendMaintain]]):
@@ -1024,8 +1026,9 @@ object Queries {
     * equals batch [[qTrendOls]] by associativity of +, so the same oracle
     * hashes the streaming run. */
   val qStreamTrend: Q = (s, d) =>
-    streaming.Declared.trendMaintain(s, Tables.events(s, d),
-        scratchDir("stream-trend"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("trendMaintain", d))(
+        streaming.Declared.trendMaintain(s, Tables.events(s, d),
+        scratchDir("stream-trend")))
       .orderBy("event_type")
 
   val qRollup: Q = (s, d) =>
@@ -1456,8 +1459,9 @@ object Queries {
     * multi-file source, several micro-batches), with outputs constructed to
     * be micro-batch-invariant so the batch oracle checks them exactly. */
   val qStreamTumbling: Q = (s, d) =>
-    streaming.Declared.tumblingAgg(s, Tables.events(s, d),
-        scratchDir("stream-tumb"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("tumblingAgg", d))(
+        streaming.Declared.tumblingAgg(s, Tables.events(s, d),
+        scratchDir("stream-tumb")))
       .orderBy("window_start", "event_type")
 
   /** Streaming SLIDING-window aggregation: the built-in STATEFUL
@@ -1466,8 +1470,9 @@ object Queries {
     * foreachBatch-partials pattern; the overlap (1 h / 30 min hop) puts
     * each row in two window states. Shares q_window_sliding's oracle. */
   val qStreamSliding: Q = (s, d) =>
-    streaming.Declared.slidingAgg(s, Tables.events(s, d),
-        scratchDir("stream-slide"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("slidingAgg", d))(
+        streaming.Declared.slidingAgg(s, Tables.events(s, d),
+        scratchDir("stream-slide")))
       .orderBy("window_start", "event_type")
 
   /** The reference's consumer→engine main loop as a streaming run under
@@ -1478,8 +1483,9 @@ object Queries {
   val qStreamEngineIngest: Q = (s, d) => {
     val events = Tables.events(s, d)
       .filter(col("event_type") === "signup" && col("event_id") <= 1500)
-    streaming.Declared.engineIngest(s, Flagship.envelopesFrom(s, events),
-        scratchDir("stream-engine"), serveType = "signup")
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("engineIngest", d))(
+        streaming.Declared.engineIngest(s, Flagship.envelopesFrom(s, events),
+        scratchDir("stream-engine"), serveType = "signup"))
       .select(
         col("id").cast(LongType).as("event_id"),
         col("user_id"), col("value"),
@@ -1499,9 +1505,10 @@ object Queries {
   val qStreamCompact: Q = (s, d) => {
     val events = Tables.events(s, d)
       .filter(col("event_type") === "signup" && col("event_id") <= 1000)
-    streaming.Declared.engineIngestCompacting(s,
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("engineIngestCompacting", d))(
+        streaming.Declared.engineIngestCompacting(s,
         Flagship.envelopesFrom(s, events), scratchDir("stream-compact"),
-        serveType = "signup", maxFilesPerType = 16)
+        serveType = "signup", maxFilesPerType = 16))
       .select(
         col("id").cast(LongType).as("event_id"),
         col("user_id"), col("value"),
@@ -1511,21 +1518,24 @@ object Queries {
   }
 
   val qStreamDedup: Q = (s, d) =>
-    streaming.Declared.dedupKeys(s, Tables.events(s, d),
-        scratchDir("stream-dedup"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("dedupKeys", d))(
+        streaming.Declared.dedupKeys(s, Tables.events(s, d),
+        scratchDir("stream-dedup")))
       .orderBy("user_id", "event_type")
 
   /** Bounded-state streaming dedup (dropDuplicatesWithinWatermark) — the
     * watermark-evicted production shape; output batch-invariant because the
     * horizon spans the fixture (see [[streaming.Declared.dedupKeysWatermarked]]). */
   val qStreamDedupWatermark: Q = (s, d) =>
-    streaming.Declared.dedupKeysWatermarked(s, Tables.events(s, d),
-        scratchDir("stream-dedup-wm"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("dedupKeysWatermarked", d))(
+        streaming.Declared.dedupKeysWatermarked(s, Tables.events(s, d),
+        scratchDir("stream-dedup-wm")))
       .orderBy("user_id", "event_type")
 
   val qStreamLww: Q = (s, d) =>
-    streaming.Declared.lwwServe(s, Tables.events(s, d),
-        scratchDir("stream-lww"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("lwwServe", d))(
+        streaming.Declared.lwwServe(s, Tables.events(s, d),
+        scratchDir("stream-lww")))
       .select("user_id", "event_id", "ts", "event_type", "value")
       .orderBy("user_id")
 
@@ -1536,8 +1546,9 @@ object Queries {
     * row fails the hash, putting the drop path itself under the gate
     * ([[streaming.Declared.dedupDropLate]]). */
   val qStreamLateDrop: Q = (s, d) =>
-    streaming.Declared.dedupDropLate(s, Tables.events(s, d),
-        scratchDir("stream-late-drop"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("dedupDropLate", d))(
+        streaming.Declared.dedupDropLate(s, Tables.events(s, d),
+        scratchDir("stream-late-drop")))
       .orderBy("user_id", "event_type")
 
   /** STREAM-STREAM inner join under the oracle gate: clicks and purchases
@@ -1548,8 +1559,9 @@ object Queries {
     * equals DuckDB's batch interval join regardless of how the two sides'
     * micro-batches interleave ([[streaming.Declared.streamStreamJoin]]). */
   val qStreamStreamJoin: Q = (s, d) =>
-    streaming.Declared.streamStreamJoin(s, Tables.events(s, d),
-        scratchDir("stream-ss-join"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("streamStreamJoin", d))(
+        streaming.Declared.streamStreamJoin(s, Tables.events(s, d),
+        scratchDir("stream-ss-join")))
       .orderBy("user_id", "click_id", "buy_id")
 
   /** Stream-STATIC broadcast join under the oracle gate: per-event
@@ -1558,8 +1570,9 @@ object Queries {
     * append output trivially equals the batch join
     * ([[streaming.Declared.streamStaticJoin]]). */
   val qStreamStaticJoin: Q = (s, d) =>
-    streaming.Declared.streamStaticJoin(s, Tables.events(s, d),
-        scratchDir("stream-static-join"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("streamStaticJoin", d))(
+        streaming.Declared.streamStaticJoin(s, Tables.events(s, d),
+        scratchDir("stream-static-join")))
       .orderBy("event_id")
 
   /** Stream-stream LEFT OUTER join under the oracle gate: unlike the
@@ -1570,8 +1583,9 @@ object Queries {
     * every window at end-of-stream and are filtered from the output
     * ([[streaming.Declared.streamStreamJoinOuter]]). */
   val qStreamStreamJoinOuter: Q = (s, d) =>
-    streaming.Declared.streamStreamJoinOuter(s, Tables.events(s, d),
-        scratchDir("stream-ss-join-outer"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("streamStreamJoinOuter", d))(
+        streaming.Declared.streamStreamJoinOuter(s, Tables.events(s, d),
+        scratchDir("stream-ss-join-outer")))
       .orderBy("user_id", "click_id", "buy_id")
 
   /** STREAMING sessionization under the oracle gate: flatMapGroupsWithState
@@ -1582,8 +1596,9 @@ object Queries {
     * oracle hashes the streaming run exactly
     * ([[streaming.Declared.sessionWindows]]). */
   val qStreamSession: Q = (s, d) =>
-    streaming.Declared.sessionWindows(s, Tables.events(s, d),
-        scratchDir("stream-session"), gapMinutes = 30)
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("sessionWindows", d))(
+        streaming.Declared.sessionWindows(s, Tables.events(s, d),
+        scratchDir("stream-session"), gapMinutes = 30))
       .orderBy("user_id", "session_start")
 
   /** Sessionization as gaps-and-islands: a per-user running count of
@@ -1626,8 +1641,9 @@ object Queries {
     * batch scd2 over all events seen, so q_scd2_history's oracle hashes
     * the streaming run. */
   val qStreamScd2: Q = (s, d) =>
-    streaming.Declared.scd2Maintain(s, Tables.events(s, d),
-        scratchDir("stream-scd2"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("scd2Maintain", d))(
+        streaming.Declared.scd2Maintain(s, Tables.events(s, d),
+        scratchDir("stream-scd2")))
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("user_id", "valid_from", "event_id")
@@ -1644,8 +1660,9 @@ object Queries {
     * wrong before-image is a hash failure. The oracle replays both LWW
     * states and the null-safe diff in SQL with the same µs cut. */
   val qStreamChanges: Q = (s, d) =>
-    streaming.Declared.changesMaintain(s, Tables.events(s, d),
-        scratchDir("stream-changes"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("changesMaintain", d))(
+        streaming.Declared.changesMaintain(s, Tables.events(s, d),
+        scratchDir("stream-changes")))
       .select(col("user_id"), col("d"), col("batch"), col("change"),
         col("value_before"), col("value_after"))
       .orderBy("batch", "user_id", "d")
@@ -1673,10 +1690,11 @@ object Queries {
       df.select(to_json(struct(lit("signup").as("type_id"),
         struct(dataCols: _*).as("data"))).as("message"))
     }
-    streaming.Declared.engineIngestEvolving(s,
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("engineIngestEvolving", d))(
+        streaming.Declared.engineIngestEvolving(s,
         Seq(env(events.filter(col("event_id") <= 700), withExtra = false),
           env(events.filter(col("event_id") > 700), withExtra = true)),
-        scratchDir("stream-evolve"), serveType = "signup")
+        scratchDir("stream-evolve"), serveType = "signup"))
       .select(col("id").cast(LongType).as("event_id"),
         col("user_id"), col("value"), col("extra"),
         col("last_modified").as("ts"))
@@ -1707,10 +1725,11 @@ object Queries {
       """{"data":{"id":"999991","value":1}}""",
       """{"type_id":"bad type!","data":{"id":"999992","value":2}}""",
       "").toDF("message")
-    streaming.Declared.engineIngestEvolving(s,
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("engineIngestEvolving2", d))(
+        streaming.Declared.engineIngestEvolving(s,
         Seq(env(events.filter(col("event_id") <= 600)),
           env(events.filter(col("event_id") > 600)).unionByName(poison)),
-        scratchDir("stream-dead-letter"), serveType = "signup")
+        scratchDir("stream-dead-letter"), serveType = "signup"))
       .select(col("id").cast(LongType).as("event_id"),
         col("user_id"), col("value"),
         col("last_modified").as("ts"))
@@ -1747,8 +1766,9 @@ object Queries {
         when(col("event_id") % 4 === 0, lit("conflict"))
           .otherwise((col("value") + 1000).cast(StringType)).as("value")
       ).as("data"))).as("message"))
-    streaming.Declared.engineIngestEvolving(s, Seq(env0, env1),
-        scratchDir("stream-quarantine"), serveType = "signup")
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("engineIngestEvolving3", d))(
+        streaming.Declared.engineIngestEvolving(s, Seq(env0, env1),
+        scratchDir("stream-quarantine"), serveType = "signup"))
       .select(col("id").cast(LongType).as("event_id"),
         col("user_id"), col("value"),
         col("last_modified").as("ts"))
@@ -1767,9 +1787,10 @@ object Queries {
     * outcomes stay live on the slice (787 b0-inserts / 7 cut-day updates
     * / 824 b1-inserts / 780 unchanged-absent at sf0.01). */
   val qStreamChangesRestart: Q = (s, d) =>
-    streaming.Declared.changesMaintainRestart(s,
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("changesMaintainRestart", d))(
+        streaming.Declared.changesMaintainRestart(s,
         Tables.events(s, d).filter(col("event_type") === "signup"),
-        scratchDir("stream-changes-restart"))
+        scratchDir("stream-changes-restart")))
       .select(col("user_id"), col("d"), col("batch"), col("change"),
         col("value_before"), col("value_after"))
       .orderBy("batch", "user_id", "d")
@@ -2196,8 +2217,9 @@ object Queries {
       explode(transform(DedupOps.shingles(col("text"), 8),
         x => xxhash64(x))).as("sh"))
     val pairs = DedupOps.keyedPairs(sh, "sh", "doc_id", minN = 2, maxN = 10)
-    streaming.Declared.incrementalClusters(s, docs, "doc_id", pairs,
-        scratchDir("stream-cc"))
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("incrementalClusters", d))(
+        streaming.Declared.incrementalClusters(s, docs, "doc_id", pairs,
+        scratchDir("stream-cc")))
       .orderBy("doc_id")
   }
 

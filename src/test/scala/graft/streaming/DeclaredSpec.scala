@@ -301,4 +301,19 @@ class DeclaredSpec extends SparkSpec {
       .orderBy("user_id")
     assert(rows(streamed) == rows(batch))
   }
+
+  test("srcKeyFor: regenerated input files invalidate the cross-JVM source cache key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srckey").toFile
+    val f = new java.io.File(dir, "events.parquet")
+    java.nio.file.Files.write(f.toPath, "v1".getBytes)
+    f.setLastModified(1700000000000L)
+    val k1 = Declared.srcKeyFor("q_x", dir.toString)
+    assert(k1 === Declared.srcKeyFor("q_x", dir.toString)) // stable
+    assert(k1 !== Declared.srcKeyFor("q_y", dir.toString)) // per-query
+    // same path, new bytes (the r9 testdata-regeneration hazard): length
+    // or mtime change flips the fingerprint
+    java.nio.file.Files.write(f.toPath, "v2-longer".getBytes)
+    f.setLastModified(1700000001000L)
+    assert(k1 !== Declared.srcKeyFor("q_x", dir.toString))
+  }
 }
