@@ -11,14 +11,16 @@ import graft.core.Engine
   */
 object Flagship {
 
-  /** Props-schema inference cache, keyed on the CANONICALIZED events plan
-    * (plan equality includes LocalRelation data and scan file listings, so
-    * equal keys read equal bytes — the inference is a pure function of
-    * them). The harness builds envelopes from the same immutable slices
-    * over and over; one inference job per distinct slice per process. */
-  private val propsSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-    org.apache.spark.sql.types.StructType]()
+  /** Props-schema inference cache, keyed per SESSION (weakly — a stopped
+    * test session's plans and file listings must not stay reachable; the
+    * Tables.load pattern) then by the CANONICALIZED events plan (plan
+    * equality includes LocalRelation data and scan file listings, so equal
+    * keys read equal bytes — the inference is a pure function of them).
+    * The harness builds envelopes from the same immutable slices over and
+    * over; one inference job per distinct slice per session. */
+  private val propsSchemaCache = new java.util.WeakHashMap[SparkSession,
+    collection.mutable.Map[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.types.StructType]]()
 
   /** events rows → moisturizer envelopes. `ts` rides as a full-precision
     * string (to_json would truncate a timestamp field to millis); the
@@ -29,9 +31,13 @@ object Flagship {
     // props is a JSON string column; lift it to a nested object so the
     // pipeline exercises flatten (props__k etc.)
     val planKey = events.queryExecution.analyzed.canonicalized
-    if (propsSchemaCache.size > 128) propsSchemaCache.clear()
-    val propsSchema = propsSchemaCache.computeIfAbsent(planKey,
-      _ => spark.read.json(events.select("props").as[String]).schema)
+    val perSession = propsSchemaCache.synchronized {
+      propsSchemaCache.computeIfAbsent(spark, _ => collection.mutable.Map.empty)
+    }
+    val propsSchema = perSession.synchronized { // inference may run a job
+      perSession.getOrElseUpdate(planKey,
+        spark.read.json(events.select("props").as[String]).schema)
+    }
     events.select(to_json(struct(
       col("event_type").as("type_id"),
       struct(

@@ -28,6 +28,12 @@ object Engine {
     def tableLog(typeId: String): DataFrame = {
       val path = registry.tablePath(typeId)
       registry.healPath(path) // finish a compaction swap a crash interrupted
+      // another Handle on this warehouse may have evolved the type since
+      // our registry loaded — refresh (one getFileStatus when fresh) so
+      // the explicit read schema never omits a newly evolved column
+      // (mergeSchema used to hide this; compact() through a stale schema
+      // would physically DROP the column)
+      registry.refreshIfStale()
       registry.get(typeId) match {
         case Some(reg) =>
           import org.apache.spark.sql.types.{LongType, StructType}

@@ -135,6 +135,11 @@ object Ingest {
     // never unbox to Some(0)
     private val byPath =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    // only paths a writer DECLARED interest in are recorded — without this
+    // gate every parquet write in the process (quarantine, streaming
+    // state, bench artifacts, scratch dirs) would grow byPath forever
+    private val expected = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
     private val sessions = java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
@@ -144,8 +149,10 @@ object Ingest {
         qe.executedPlan.collect {
           case w: DataWritingCommandExec => w.cmd match {
             case i: InsertIntoHadoopFsRelationCommand =>
-              w.cmd.metrics.get("numOutputRows").foreach(m =>
-                byPath.put(i.outputPath.toUri.getPath, m.value))
+              val p = i.outputPath.toUri.getPath
+              if (expected.contains(p))
+                w.cmd.metrics.get("numOutputRows").foreach(m =>
+                  byPath.put(p, m.value))
             case _ =>
           }
         }
@@ -153,16 +160,29 @@ object Ingest {
                              exception: Exception): Unit = ()
     }
 
-    def ensure(spark: SparkSession): Unit = sessions.synchronized {
-      if (sessions.add(spark)) spark.listenerManager.register(listener)
+    private def norm(path: String): String =
+      new org.apache.hadoop.fs.Path(path).toUri.getPath
+
+    /** Register the listener (once per session) and declare interest in
+      * `path`'s next write. Call BEFORE the write. */
+    def expect(spark: SparkSession, path: String): Unit = {
+      sessions.synchronized {
+        if (sessions.add(spark)) spark.listenerManager.register(listener)
+      }
+      expected.add(norm(path))
     }
 
-    /** Drain the async listener bus, then take this path's captured count. */
+    /** Drain the async listener bus, then take this path's captured count.
+      * Any failure here (e.g. waitUntilEmpty's TimeoutException on a
+      * backlogged shared bus) degrades to None — the capture is an
+      * optimization; the caller's cached count is the correctness path. */
     def take(spark: SparkSession, path: String): Option[Long] = {
-      org.apache.spark.sql.graftbridge.Bridge
+      val p = norm(path)
+      try org.apache.spark.sql.graftbridge.Bridge
         .waitListenerBusEmpty(spark.sparkContext, 2000L)
-      Option(byPath.remove(
-        new org.apache.hadoop.fs.Path(path).toUri.getPath)).map(_.longValue())
+      catch { case _: Exception => }
+      finally expected.remove(p)
+      Option(byPath.remove(p)).map(_.longValue())
     }
   }
 
@@ -325,8 +345,8 @@ object Ingest {
       // batch must not leave behind the empty dir its append created
       // (appends to existing tables write only a _SUCCESS marker when
       // empty — harmless).
-      WriteCounts.ensure(spark)
       val tablePath = registry.tablePath(typeId)
+      WriteCounts.expect(spark, tablePath)
       val tpath = new org.apache.hadoop.fs.Path(tablePath)
       val hfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       var n = 0L

@@ -141,7 +141,20 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
 
   private def readRows(dir: String): Seq[(String, Long, Seq[(String, FieldDescriptor)])] = {
     val f = hpath(registryFile(dir))
-    if (!fs.exists(f)) return Nil
+    if (!fs.exists(f)) {
+      // A descriptors dir WITHOUT the registry file is a foreign or
+      // legacy-format store (e.g. the pre-r11 parquet encoding). Treating
+      // it as empty would be destructive: the next writeDescriptor swaps
+      // the whole dir, silently wiping every previously registered type.
+      // Fail loud instead — an empty registry is only the ABSENT-dir case.
+      val occupants = Option(fs.listStatus(hpath(dir))).getOrElse(Array.empty)
+        .filterNot(_.getPath.getName.startsWith("."))
+      require(occupants.isEmpty,
+        s"descriptor store at $dir exists but holds no ${registryFile(dir)} — " +
+          "foreign or legacy-format registry; refusing to read it as empty " +
+          s"(found: ${occupants.take(5).map(_.getPath.getName).mkString(", ")})")
+      return Nil
+    }
     val in = fs.open(f)
     val text =
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
@@ -198,12 +211,48 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     Types.withMetaFields(StructType(fields))
   }
 
-  private def loadAll(): Unit =
+  /** Modification time of the persisted store at the last cache load —
+    * the staleness signal for a SECOND registry instance on the same
+    * path: instance A's evolve changes the file's mtime, so instance B's
+    * next [[refreshIfStale]] reloads before serving or merging against a
+    * stale schema (pre-r11, mergeSchema reads hid this; the explicit
+    * registry-schema read makes freshness the registry's job). Sub-mtime-
+    * granularity cross-process races remain theoretical on real stores. */
+  private val loadedMtime = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def storeMtime(): Long = {
+    val f = hpath(registryFile(descriptorsPath))
+    if (fs.exists(f)) fs.getFileStatus(f).getModificationTime else -1L
+  }
+
+  /** Reload the cache iff another instance changed the persisted store
+    * since our last load. One getFileStatus when fresh. IN-PLACE upsert +
+    * prune, never clear-then-load: a cleared window would let a
+    * concurrent getOrCreate re-create a live type with an empty schema.
+    * Shares the monitor with writeDescriptor, so a refresh never races a
+    * local persist. */
+  def refreshIfStale(): Unit = {
+    val m = storeMtime()
+    if (m != loadedMtime.get()) synchronized {
+      if (m != loadedMtime.get()) {
+        val fresh: Map[String, StructType] =
+          (if (pathExists(descriptorsPath)) readRows(descriptorsPath) else Nil)
+            .map { case (id, _, props) => id -> schemaOfFields(props) }.toMap
+        fresh.foreach { case (k, v) => cache.put(k, v) }
+        cache.keys.filterNot(fresh.contains).foreach(cache.remove)
+        loadedMtime.set(storeMtime())
+      }
+    }
+  }
+
+  private def loadAll(): Unit = {
     if (pathExists(descriptorsPath)) {
       readRows(descriptorsPath).foreach { case (id, _, props) =>
         cache.put(id, schemaOfFields(props))
       }
     }
+    loadedMtime.set(storeMtime())
+  }
 
   /** Serialize a StructType to a descriptors row and upsert it.
     * Synchronized: concurrent per-type ingest threads (Ingest parallelism)
@@ -222,11 +271,15 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     // only after it completes
     writeRows(descriptorsPath + ".tmp", existing :+ ((typeId, nowUs, props)))
     swapInDescriptors(descriptorsPath + ".tmp")
+    // our own write: the caller updates the cache entry in step, so only
+    // the staleness marker needs to move (avoids a spurious full reload)
+    loadedMtime.set(storeMtime())
   }
 
   /** Descriptor lookup with create-if-missing (reference consumer.py:41-55,
     * models.py:155-166): cache → table → create empty (meta fields only). */
-  def getOrCreate(typeId: String): StructType =
+  def getOrCreate(typeId: String): StructType = {
+    refreshIfStale()
     cache.getOrElseUpdate(typeId, {
       if (immutableSchema)
         throw new IllegalStateException(
@@ -235,6 +288,7 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
       writeDescriptor(typeId, schema)
       schema
     })
+  }
 
   def get(typeId: String): Option[StructType] = cache.get(typeId)
   def knownTypes: Seq[String] = cache.keys.toSeq.sorted
@@ -247,6 +301,7 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     * collapsing the two writes halves the metadata cost of new types). */
   def evolve(typeId: String, incoming: StructType): StructType = synchronized {
     checkTypeId(typeId) // never persist a descriptor for a non-identifier id
+    refreshIfStale() // merge against another instance's evolves, not a stale cache
     val known = cache.contains(typeId)
     val current = cache.getOrElse(typeId, {
       if (immutableSchema)
@@ -274,6 +329,7 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
       writeRows(descriptorsPath + ".tmp",
         readRows(descriptorsPath).filterNot(_._1 == typeId))
       swapInDescriptors(descriptorsPath + ".tmp")
+      loadedMtime.set(storeMtime())
     }
     fs.delete(hpath(tablePath(typeId)), true)
   }

@@ -77,6 +77,18 @@ object Declared {
   private def nextSrcKey(suffix: String): Option[String] =
     srcCacheKey.get().map { case (k, c) => s"$k#${c.getAndIncrement()}$suffix" }
 
+  /** Construction-logic fingerprint of a source input: the canonicalized
+    * plan string carries the slice literals, projections, and scan roots
+    * the wrapper used to build it, so EDITING the wrapper (a new filter
+    * bound, a changed envelope shape) changes the key and the on-disk
+    * cache can never serve a layout an older version of the code built.
+    * (The input-dir mtime fingerprint in [[srcKeyFor]] covers data
+    * regeneration; this covers code.) */
+  private def planSig(dfs: Seq[DataFrame]): String =
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      dfs.map(df => df.queryExecution.analyzed.canonicalized.toString +
+        df.schema.catalogString).mkString("|")))
+
   /** Stable source dir for `key`: build once (into a temp dir, atomically
     * renamed into place behind a READY marker — concurrent builders and
     * separate JVMs race safely), reuse forever. Lives OUTSIDE the per-run
@@ -110,7 +122,7 @@ object Declared {
     * stream-stream joins) and static-side reads share one layout. With a
     * scoped [[withSrcKey]], the layout builds once and is reused. */
   private def writeSrc(df: DataFrame, dir: String, nFiles: Int): String =
-    nextSrcKey(s"|w$nFiles") match {
+    nextSrcKey(s"|w$nFiles|${planSig(Seq(df))}") match {
       case Some(k) => stableSrc(k) { d =>
         df.repartition(nFiles).write.mode("overwrite").parquet(d)
       }
@@ -160,7 +172,7 @@ object Declared {
         fs.setTimes(dest, 1700000000000L + i * 60000L, -1)
       }
     }
-    val src = nextSrcKey(s"|o${parts.size}") match {
+    val src = nextSrcKey(s"|o${parts.size}|${planSig(parts)}") match {
       case Some(k) => stableSrc(k)(buildInto)
       case None =>
         val fresh = dir + "/src"

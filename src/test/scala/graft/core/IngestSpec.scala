@@ -340,4 +340,38 @@ class IngestSpec extends SparkSpec {
     assert(!h.registry.knownTypes.contains("t"))
     assert(!new java.io.File(h.registry.tablePath("t")).exists())
   }
+
+  test("second handle on the same warehouse sees another handle's evolve; compact keeps the column") {
+    // the r11 explicit-schema serving read makes freshness the registry's
+    // job: handle B (loaded before A's evolve) must refresh before serving
+    // or compacting, or compact would physically DROP the evolved column
+    val wh = tmpDir("graft-wh-two-handles")
+    val a = Engine.bootstrap(spark, wh, overrideWarehouse = true)
+    a.ingest(env("""{"type_id":"t","data":{"id":"x","v":1}}"""), ingestTime = Some(t0))
+    val b = Engine.Handle(spark,
+      { val r = new SchemaRegistry(spark, wh); r.bootstrap(); r })
+    assert(b.registry.get("t").exists(!_.fieldNames.contains("extra")))
+    // A evolves t and appends a row carrying the new column
+    a.ingest(env("""{"type_id":"t","data":{"id":"y","v":2,"extra":"keep"}}"""),
+      ingestTime = Some(t1))
+    // B serves the evolved column without re-bootstrapping...
+    val served = b.table("t").orderBy("id").collect()
+    assert(served.map(_.getAs[String]("extra")).toSeq === Seq(null, "keep"))
+    // ...and B's compact preserves it
+    b.compact("t")
+    val after = b.table("t").orderBy("id").collect()
+    assert(after.map(_.getAs[String]("extra")).toSeq === Seq(null, "keep"))
+    assert(after.length === 2)
+  }
+
+  test("a foreign/legacy descriptors dir fails loud instead of reading as empty") {
+    val wh = tmpDir("graft-wh-foreign")
+    val dir = new java.io.File(wh, "descriptors")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000.parquet").toPath, Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] {
+      val r = new SchemaRegistry(spark, wh); r.bootstrap()
+    }
+  }
 }

@@ -38,17 +38,20 @@ if [ -n "$FLAGGED" ]; then
     SPARK_GRAFT_BENCH_FILTER="$FLAGGED" \
     SPARK_GRAFT_BENCH_FULL=/tmp/graft-bench-rerun.json \
     sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
-  python3 - <<'EOF'
-import json
+  GRAFT_FLAGGED="$FLAGGED" python3 - <<'EOF'
+import json, os
 try:
     rerun = json.load(open("/tmp/graft-bench-rerun.json"))
 except Exception as e:
     raise SystemExit(f"[gates] rerun artifact missing: {e}")
 b = json.load(open("BENCH_full.json"))
 q, qm = b["queries"], b["queries_min"]
+# the bench filter substring-matches, so the rerun may have measured
+# superset keys (q_x also matches q_x_longer) — merge ONLY flagged ones
+flagged = set(os.environ["GRAFT_FLAGGED"].split(","))
 replaced = []
 for k, med in rerun.get("queries", {}).items():
-    if k in q and med < q[k]:
+    if k in flagged and k in q and med < q[k]:
         q[k] = med
         qm[k] = min(qm.get(k, med), rerun.get("queries_min", {}).get(k, med))
         replaced.append(k)
@@ -59,7 +62,7 @@ b["value"] = round(sum(q.values()), 3)
 b["total_min"] = round(sum(qm.values()), 3)
 b["value_norm"] = round(b["value"] * norm, 3)
 b["total_min_norm"] = round(b["total_min"] * norm, 3)
-b["contention_rerun"] = sorted(rerun.get("queries", {}).keys())
+b["contention_rerun"] = sorted(flagged & set(rerun.get("queries", {})))
 b["contention_replaced"] = replaced
 with open("BENCH_full.json", "w") as f:
     f.write(json.dumps(b) + "\n")
