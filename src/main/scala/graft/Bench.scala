@@ -67,9 +67,45 @@ object Bench {
     * min, which is the signal the stamp exists to carry. */
   def calibrateParallelMin(): Double = (1 to 3).map(_ => calibrateParallel()).min
 
+  /** Pids of OTHER sbt/spark/graft JVMs on the host — the known source of
+    * contended sweeps (r11: the driver's artifact ran concurrently with a
+    * throughput remeasure and stamped 26 phantom 1.5–7× regressions).
+    * Self and ancestors (the sbt launcher that forked us) are excluded. */
+  def otherGraftJvms(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    import scala.jdk.OptionConverters._
+    val self = ProcessHandle.current()
+    val ancestors = Iterator.iterate(Option(self))(_.flatMap(_.parent().toScala))
+      .takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+    ProcessHandle.allProcesses().iterator().asScala.filter { p =>
+      !ancestors.contains(p.pid()) && {
+        val cmd = p.info().commandLine().orElse("")
+        cmd.contains("java") &&
+          (cmd.contains("sbt") || cmd.contains("spark") || cmd.contains("graft"))
+      }
+    }.map(_.pid()).toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Sweep serialization (VERDICT r11 #1): an artifact measured while
+    // another graft JVM runs is not comparable round-over-round. Wait for
+    // co-tenants to drain (bounded); if they persist, proceed but STAMP
+    // the fact — a missing artifact is worse than a flagged one, and the
+    // salvage pass below re-measures whatever they inflated.
+    val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "180").toInt
+    var cotenants = otherGraftJvms()
+    if (cotenants.nonEmpty) {
+      System.err.println(s"[bench] waiting up to ${waitBudgetSec}s for other graft JVMs to exit: ${cotenants.mkString(",")}")
+      val deadline = System.nanoTime() + waitBudgetSec * 1000000000L
+      while (cotenants.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+        cotenants = otherGraftJvms()
+      }
+      if (cotenants.nonEmpty)
+        System.err.println(s"[bench] ** proceeding under co-tenant load (stamped): ${cotenants.mkString(",")} **")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -112,33 +148,61 @@ object Bench {
     // on any. Timings for errored keys still carry the elapsed-to-throw
     // wall time, which the err flag marks as meaningless.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results: Seq[(String, Double, Double)] =
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (String, Double, Double) = {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // queries that localCheckpoint (minhash/simhash/embedding dedup)
+        // leave lineage-truncated blocks pinned in block-manager storage;
+        // released AFTER EVERY RUN so run 1's blocks don't pressure the
+        // runs being medianed (and runs×queries never accumulate)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // scratch dirs are no longer deleted per-tag on creation (the
+        // concurrent-suite hazard); the bench is the one context where
+        // runs×queries dirs of sf0.1 data would pile up — drop them here,
+        // after the count materialized everything that read from them
+        Queries.cleanScratch()
+        t
+      }.sorted
+      (name, times(times.size / 2), times.head)
+    }
+    val primary: Seq[(String, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter(r => matches(r._1)).map { case (name, fn) =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch {
-            case e: Throwable =>
-              errors.getOrElseUpdate(name,
-                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
-          }
-          val t = (System.nanoTime() - t0) / 1e9
-          // queries that localCheckpoint (minhash/simhash/embedding dedup)
-          // leave lineage-truncated blocks pinned in block-manager storage;
-          // released AFTER EVERY RUN so run 1's blocks don't pressure the
-          // runs being medianed (and runs×queries never accumulate)
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-          // scratch dirs are no longer deleted per-tag on creation (the
-          // concurrent-suite hazard); the bench is the one context where
-          // runs×queries dirs of sf0.1 data would pile up — drop them here,
-          // after the count materialized everything that read from them
-          Queries.cleanScratch()
-          t
-        }.sorted
-        (name, times(times.size / 2), times.head)
-      }
+        .filter(r => matches(r._1)).map { case (name, fn) => measure(name, fn) }
     val calibAfter = calibrateMin()
     val calibParAfter = calibrateParallelMin()
+    // In-JVM contention salvage (VERDICT r11 #1): a key whose median is
+    // >1.8× its own min was hit by TRANSIENT contention during the sweep —
+    // re-measure exactly those keys now (the co-tenant may have drained)
+    // and keep the better (median, min) pair per key, so the artifact the
+    // DRIVER captures is already salvaged (run_gates' cross-JVM rerun
+    // remains the backstop). The merge never makes a key worse. Sustained
+    // contention (median and min inflated together) is what the probe
+    // stamps + the co-tenant stamp are for — no in-JVM rerun can fix it.
+    val flagged = primary.filter(r => r._3 > 0 && r._2 / r._3 > 1.8).map(_._1)
+    val salvaged = scala.collection.mutable.ArrayBuffer[String]()
+    val results: Seq[(String, Double, Double)] =
+      if (flagged.isEmpty) primary
+      else {
+        System.err.println(s"[bench] contention salvage: re-measuring ${flagged.size} key(s): ${flagged.mkString(",")}")
+        val remeasured = flagged
+          .map(k => k -> measure(k, SparkEntry.queries(k))).toMap
+        primary.map { r =>
+          remeasured.get(r._1) match {
+            case Some(n) =>
+              if (n._2 < r._2) salvaged += r._1
+              (r._1, math.min(n._2, r._2), math.min(n._3, r._3))
+            case None => r
+          }
+        }
+      }
     // ONE JSON line, but field order matters: the harness keeps only the
     // TAIL of the run's output, so with 100+ queries the line's head gets
     // truncated. Put the big per-query map FIRST and the headline
@@ -180,6 +244,9 @@ object Bench {
       s""""ts":"${java.time.Instant.now()}",""" +
       s""""calib_before_sec":${ms3(calibBefore)},"calib_after_sec":${ms3(calibAfter)},""" +
       s""""calib_par_before_sec":${ms3(calibParBefore)},"calib_par_after_sec":${ms3(calibParAfter)},""" +
+      s""""cotenant_jvms_at_start":${cotenants.size},""" +
+      s""""salvage_rerun":${flagged.map(jstr).mkString("[", ",", "]")},""" +
+      s""""salvage_replaced":${salvaged.map(jstr).mkString("[", ",", "]")},""" +
       s""""calib_ref":$CalibRef,"errors":$errJson"""
     val normTail =
       s""""total_min_norm":${ms3(totalMin * norm)},"value_norm":${ms3(total * norm)},"""

@@ -13,14 +13,35 @@ object Flagship {
 
   /** Props-schema inference cache, keyed per SESSION (weakly — a stopped
     * test session's plans and file listings must not stay reachable; the
-    * Tables.load pattern) then by the CANONICALIZED events plan (plan
-    * equality includes LocalRelation data and scan file listings, so equal
-    * keys read equal bytes — the inference is a pure function of them).
-    * The harness builds envelopes from the same immutable slices over and
-    * over; one inference job per distinct slice per session. */
+    * Tables.load pattern) then by (CANONICALIZED events plan, scanned-file
+    * fingerprint). Plan canonicalization covers LocalRelation data and the
+    * construction logic but does NOT fingerprint file CONTENTS for
+    * file-based scans — regenerating the events data in place during a
+    * live session would otherwise serve a stale props schema (the
+    * Declared.srcKeyFor scenario). The (path, len, mtime) fingerprint of
+    * every scanned file closes that: equal keys read equal bytes, so the
+    * inference is a pure function of the key. One inference job per
+    * distinct slice per session. */
   private val propsSchemaCache = new java.util.WeakHashMap[SparkSession,
-    collection.mutable.Map[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    collection.mutable.Map[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
       org.apache.spark.sql.types.StructType]]()
+
+  /** (path, len, mtime) of every file the plan's file-source scans would
+    * read — metadata-only (the FileIndex listing is already cached by the
+    * scan itself). Non-file sources contribute nothing: their bytes are in
+    * the canonicalized plan. */
+  private def scanFingerprint(events: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    events.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+            .sorted.mkString(";")
+        case _ => ""
+      }
+    }.mkString("|")
+  }
 
   /** events rows → moisturizer envelopes. `ts` rides as a full-precision
     * string (to_json would truncate a timestamp field to millis); the
@@ -30,7 +51,8 @@ object Flagship {
     import spark.implicits._
     // props is a JSON string column; lift it to a nested object so the
     // pipeline exercises flatten (props__k etc.)
-    val planKey = events.queryExecution.analyzed.canonicalized
+    val planKey = (events.queryExecution.analyzed.canonicalized,
+      scanFingerprint(events))
     val perSession = propsSchemaCache.synchronized {
       propsSchemaCache.computeIfAbsent(spark, _ => collection.mutable.Map.empty)
     }

@@ -2488,10 +2488,13 @@ object Queries {
     * neighbors sit near cos≈0.25 (θ≈75°), so per-table collision is only
     * (1−θ/π)³≈0.2 — wider buckets + more tables buy recall 0.72 where
     * 4×4 gives 0.40 (AnnRecallSpec sweep). Approximate by construction ⇒
-    * rows-only; floored vs [[VectorOps.knnGraphExact]]. */
+    * rows-only; floored vs [[VectorOps.knnGraphExact]]. maxBucket=1000
+    * (the DedupOps hot-cell convention) — a no-op on uniform buckets
+    * (AnnRecallSpec pins capped ≡ uncapped here) but the degenerate-cell
+    * backstop at corpus scale. */
   val qVecKnnGraphLsh: Q = (s, d) =>
     VectorOps.knnGraphLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 5, nPlanes = 3, tables = 6)
+        k = 5, nPlanes = 3, tables = 6, maxBucket = 1000)
       .orderBy("node", "rank")
 
   /** MATRYOSHKA prefix-dimension funnel retrieval

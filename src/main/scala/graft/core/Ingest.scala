@@ -131,15 +131,21 @@ object Ingest {
     import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
     import org.apache.spark.sql.util.QueryExecutionListener
 
-    // java.lang.Long values: an absent key must surface as null → None,
-    // never unbox to Some(0)
+    // every expectation carries a unique token: a late onSuccess arriving
+    // AFTER its take() timed out records (token, rows) for an expectation
+    // that no longer exists, and a LATER take() for the same path must not
+    // mistake that stale entry for its own write — the previous write's
+    // count would corrupt n and the quarantine arithmetic. take() accepts
+    // an entry only when the recorded token is its own.
+    private final case class Capture(token: Long, rows: Long)
+    private val tokens = new java.util.concurrent.atomic.AtomicLong(0L)
     private val byPath =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      new java.util.concurrent.ConcurrentHashMap[String, Capture]()
     // only paths a writer DECLARED interest in are recorded — without this
     // gate every parquet write in the process (quarantine, streaming
     // state, bench artifacts, scratch dirs) would grow byPath forever
-    private val expected = java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    private val expected =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     private val sessions = java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
@@ -149,10 +155,11 @@ object Ingest {
         qe.executedPlan.collect {
           case w: DataWritingCommandExec => w.cmd match {
             case i: InsertIntoHadoopFsRelationCommand =>
-              val p = i.outputPath.toUri.getPath
-              if (expected.contains(p))
+              val p = norm(qe.sparkSession, i.outputPath.toString)
+              val tok = expected.get(p)
+              if (tok != null)
                 w.cmd.metrics.get("numOutputRows").foreach(m =>
-                  byPath.put(p, m.value))
+                  byPath.put(p, Capture(tok.longValue(), m.value)))
             case _ =>
           }
         }
@@ -160,29 +167,45 @@ object Ingest {
                              exception: Exception): Unit = ()
     }
 
-    private def norm(path: String): String =
-      new org.apache.hadoop.fs.Path(path).toUri.getPath
+    /** Fully-qualified (scheme + authority + path) key via the path's own
+      * FileSystem — scheme-less normalization collided across filesystems
+      * (file:/x vs hdfs:/x). Qualification resolves the caller's string
+      * and the command's outputPath to the same canonical form. */
+    private def norm(spark: SparkSession, path: String): String = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.toString
+    }
 
-    /** Register the listener (once per session) and declare interest in
-      * `path`'s next write. Call BEFORE the write. */
-    def expect(spark: SparkSession, path: String): Unit = {
+    /** Register the listener (once per session), declare interest in
+      * `path`'s next write, and return the expectation token to pass to
+      * [[take]]. Call BEFORE the write. */
+    def expect(spark: SparkSession, path: String): Long = {
       sessions.synchronized {
         if (sessions.add(spark)) spark.listenerManager.register(listener)
       }
-      expected.add(norm(path))
+      val tok = tokens.incrementAndGet()
+      expected.put(norm(spark, path), tok)
+      tok
     }
 
-    /** Drain the async listener bus, then take this path's captured count.
+    /** Drain the async listener bus, then take this path's captured count
+      * — accepted only if it was recorded for THIS expectation (`token`).
       * Any failure here (e.g. waitUntilEmpty's TimeoutException on a
       * backlogged shared bus) degrades to None — the capture is an
       * optimization; the caller's cached count is the correctness path. */
-    def take(spark: SparkSession, path: String): Option[Long] = {
-      val p = norm(path)
+    def take(spark: SparkSession, path: String, token: Long): Option[Long] = {
+      val p = norm(spark, path)
       try org.apache.spark.sql.graftbridge.Bridge
         .waitListenerBusEmpty(spark.sparkContext, 2000L)
       catch { case _: Exception => }
-      finally expected.remove(p)
-      Option(byPath.remove(p)).map(_.longValue())
+      finally expected.remove(p, java.lang.Long.valueOf(token))
+      val c = byPath.get(p)
+      if (c == null) None
+      else {
+        byPath.remove(p, c) // stale-token entries are garbage either way
+        if (c.token == token) Some(c.rows) else None
+      }
     }
   }
 
@@ -346,7 +369,7 @@ object Ingest {
       // (appends to existing tables write only a _SUCCESS marker when
       // empty — harmless).
       val tablePath = registry.tablePath(typeId)
-      WriteCounts.expect(spark, tablePath)
+      val writeTok = WriteCounts.expect(spark, tablePath)
       val tpath = new org.apache.hadoop.fs.Path(tablePath)
       val hfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       var n = 0L
@@ -362,7 +385,8 @@ object Ingest {
         written.repartition(NumIdBuckets, col("_part"))
           .write.mode("append").partitionBy("_part")
           .parquet(tablePath)
-        n = WriteCounts.take(spark, tablePath).getOrElse(written.count())
+        n = WriteCounts.take(spark, tablePath, writeTok)
+          .getOrElse(written.count())
         if (n == 0 && !existedBefore) hfs.delete(tpath, true)
       }
       val nQuarantine = subTotal match {

@@ -230,17 +230,37 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     * prune, never clear-then-load: a cleared window would let a
     * concurrent getOrCreate re-create a live type with an empty schema.
     * Shares the monitor with writeDescriptor, so a refresh never races a
-    * local persist. */
+    * local persist.
+    *
+    * A MISSING or mid-read-vanishing store never prunes: the descriptors
+    * dir is legitimately absent during another instance's swap window
+    * (between rename-aside and rename-in) — treating that as an empty
+    * registry would drop every cached type, and a concurrent getOrCreate
+    * could then re-persist a live type with an empty meta-only schema,
+    * permanently losing evolved columns. Prune only after a successful
+    * read of a PRESENT store; otherwise keep the cache and leave the
+    * staleness marker untouched so the next call retries. */
   def refreshIfStale(): Unit = {
     val m = storeMtime()
     if (m != loadedMtime.get()) synchronized {
       if (m != loadedMtime.get()) {
-        val fresh: Map[String, StructType] =
-          (if (pathExists(descriptorsPath)) readRows(descriptorsPath) else Nil)
-            .map { case (id, _, props) => id -> schemaOfFields(props) }.toMap
-        fresh.foreach { case (k, v) => cache.put(k, v) }
-        cache.keys.filterNot(fresh.contains).foreach(cache.remove)
-        loadedMtime.set(storeMtime())
+        // (mtime-of-read, rows) — mtime captured immediately BEFORE the
+        // read: if another swap lands between read and stamp, the mismatch
+        // costs one spurious refresh, never permanent staleness
+        def tryRead(): Option[(Long, Seq[(String, Long, Seq[(String, FieldDescriptor)])])] =
+          try {
+            if (!pathExists(descriptorsPath)) None
+            else { val pre = storeMtime(); Some((pre, readRows(descriptorsPath))) }
+          } catch { case _: java.io.FileNotFoundException => None }
+        tryRead().orElse { healPath(descriptorsPath); tryRead() } match {
+          case Some((pre, rows)) =>
+            val fresh: Map[String, StructType] =
+              rows.map { case (id, _, props) => id -> schemaOfFields(props) }.toMap
+            fresh.foreach { case (k, v) => cache.put(k, v) }
+            cache.keys.filterNot(fresh.contains).foreach(cache.remove)
+            loadedMtime.set(pre)
+          case None => // transient swap window: serve the cache as-is
+        }
       }
     }
   }
@@ -260,6 +280,9 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     * Re-reads the persisted store (not the cache) so a second registry
     * instance on the same path never loses rows it didn't load. */
   private def writeDescriptor(typeId: String, schema: StructType): Unit = synchronized {
+    // a crashed earlier swap leaves only `.old` — reading that state as an
+    // absent store would rewrite the registry with ONLY this type's row
+    healPath(descriptorsPath)
     val props = schema.fields.toSeq.map(f => f.name -> Types.fromStructField(f))
     val nowUs = { val i = java.time.Instant.now()
       i.getEpochSecond * 1000000L + i.getNano / 1000L }

@@ -802,10 +802,18 @@ object VectorOps {
     * — an equi-join whose cost is Σ bucket² per table, never a corpus
     * cartesian), exact-ranked per node by the double kernel. Approximate
     * by construction (a true neighbor hashing into no shared bucket is
-    * missed) — recall floored on the fixture in AnnRecallSpec. */
+    * missed) — recall floored on the fixture in AnnRecallSpec.
+    *
+    * `maxBucket` is OPT-IN (the [[cosineSimJoinLsh]] hot-cell-cap
+    * contract): any (table, bucket) cell with more members than the cap is
+    * dropped BEFORE the self-join materializes its pairs, so one
+    * degenerate cell (e.g. a zero-vector bucket) can never go quadratic at
+    * corpus scale. Nodes whose every cell is dropped lose their neighbors
+    * — set the cap deliberately; `planesFor` sizing keeps uniform data far
+    * below any sane cap. */
   def knnGraphLsh(corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int, nPlanes: Int = 0, dims: Int = 64,
-                  tables: Int = 4): DataFrame = {
+                  tables: Int = 4, maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
     val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -813,11 +821,17 @@ object VectorOps {
     val planes =
       if (nPlanes > 0) nPlanes else planesFor(side.count(), targetBucket = 125)
     // narrow candidate generation: only (id, table, bucket) self-joins
-    val banded = side.select(col("id"),
+    val bandedAll = side.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         lshBucket(col("v"), planes, dims, seed = 42L + t)): _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else bandedAll
+        .withColumn("_bn", count(lit(1)).over(Window.partitionBy("table", "bucket")))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b, col("a.table") === col("b.table") &&

@@ -94,26 +94,57 @@ object Declared {
     * separate JVMs race safely), reuse forever. Lives OUTSIDE the per-run
     * scratch so Queries.cleanScratch can't delete a dir another run's
     * reader still lists. */
+  /** One-time-per-process cache hygiene: crashed builds leave orphan
+    * `*.build*` tmp dirs, and every data regeneration mints a new key and
+    * strands the old entry — without a sweep the cache grows without
+    * bound. Age-gated (1 h): a LIVE concurrent builder's tmp dir, or an
+    * entry another running JVM just installed and still reads, is never
+    * touched. Stale ready entries go too: a key is derived from the input
+    * fingerprint, so an entry not freshened within the window belongs to
+    * regenerated-away data (reused entries re-touch their READY marker). */
+  private val sweptCacheRoot = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepCacheRoot(root: java.io.File): Unit =
+    if (sweptCacheRoot.compareAndSet(false, true)) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+        val ready = new java.io.File(d, "_GRAFT_READY")
+        val stale =
+          if (d.getName.contains(".build")) d.lastModified() < cutoff
+          else ready.exists() && ready.lastModified() < cutoff
+        if (stale)
+          try org.apache.commons.io.FileUtils.deleteDirectory(d)
+          catch { case _: java.io.IOException => } // another JVM won the race
+      }
+    }
+
   private def stableSrc(key: String)(build: String => Unit): String = {
     val root = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-src-cache")
     root.mkdirs()
+    sweepCacheRoot(root)
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
       Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
     val dst = new java.io.File(root, safe)
-    if (!new java.io.File(dst, "_GRAFT_READY").exists()) {
+    val dstReady = new java.io.File(dst, "_GRAFT_READY")
+    if (!dstReady.exists()) {
       val tmp = java.nio.file.Files
         .createTempDirectory(root.toPath, safe + ".build").toFile
-      build(tmp.toString)
-      new java.io.FileOutputStream(new java.io.File(tmp, "_GRAFT_READY")).close()
-      if (!tmp.renameTo(dst)) {
-        // lost an install race: the winner's copy is equivalent (same key
-        // = same content) — discard ours
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-        require(new java.io.File(dst, "_GRAFT_READY").exists(),
-          s"stream-source cache install failed for key $key")
-      }
+      try {
+        build(tmp.toString)
+        new java.io.FileOutputStream(new java.io.File(tmp, "_GRAFT_READY")).close()
+        if (!tmp.renameTo(dst)) {
+          // lost an install race: the winner's copy is equivalent (same key
+          // = same content) — discard ours
+          require(dstReady.exists(),
+            s"stream-source cache install failed for key $key")
+        }
+      } finally
+        // a crashed build (or the lost race above) must not strand its tmp
+        if (tmp.exists())
+          try org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          catch { case _: java.io.IOException => }
     }
+    dstReady.setLastModified(System.currentTimeMillis()) // freshness for the sweep
     dst.toString
   }
 

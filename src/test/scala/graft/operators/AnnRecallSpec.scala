@@ -271,6 +271,18 @@ class AnnRecallSpec extends SparkSpec {
     val rG = recall(lshG, exactG)
     info(f"knn-graph recall@5 (3 planes × 6 tables): $rG%.2f over ${exactG.size} nodes")
     assert(rG >= 0.65, s"knn-graph LSH recall regressed: $rG")
+    // hot-bucket cap: on this uniform fixture every cell is far below the
+    // declared cap (1000), so capped output ≡ uncapped bit-for-bit; a cap
+    // below the largest cell must strictly DROP candidates (never invent)
+    val capG = nbrSets(VectorOps.knnGraphLsh(emb, "vec_id", "embedding", 5,
+      nPlanes = 3, tables = 6, maxBucket = 1000), "node")
+    assert(capG == lshG, "maxBucket=1000 must be a no-op on uniform buckets")
+    val tiny = nbrSets(VectorOps.knnGraphLsh(emb, "vec_id", "embedding", 5,
+      nPlanes = 3, tables = 6, maxBucket = 10), "node")
+    val tinyPairs = tiny.toSeq.flatMap { case (n, s) => s.map(n -> _) }.toSet
+    val fullPairs = lshG.toSeq.flatMap { case (n, s) => s.map(n -> _) }.toSet
+    assert(tinyPairs.subsetOf(fullPairs) && tinyPairs.size < fullPairs.size,
+      "an aggressive cap must drop (and only drop) candidate edges")
 
     // matryoshka funnel vs brute force — the funnel is deterministic, so
     // the floor can hug the measure. On this RANDOM fixture the prefix is
