@@ -475,6 +475,114 @@ object OracleSql {
     * retrieval replayed, then intersected with the exact top-k. */
   private def annRecallLshSql(k: Int, nPlanes: Int, dims: Int,
                               tables: Int, probes: Int): String = {
+    s"""WITH ${annLshCtes(nPlanes, dims, tables, probes)},
+       |edots AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ROUND((${annLshDot}) / (SQRT(${annLshSelfDot("qv")}) * SQRT(${annLshSelfDot("embedding")})), 6) AS cosine
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM edots)
+       |  WHERE rank <= $k),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM adots)
+       |  WHERE rank <= $k),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits, $k AS k
+       |FROM (SELECT DISTINCT query_id FROM q) q
+       |LEFT JOIN hits h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
+  /** The LSH RETRIEVAL LIST itself ([[graft.Queries.qVecAnnLshFixed]],
+    * [[graft.operators.VectorOps.cosineTopKLshFixed]]): the same replayed
+    * algorithm as [[annRecallLshSql]], but the gated output is the ranked
+    * top-k (query_id, neighbor_id, cosine, rank) — the flagship ANN path
+    * as a cross-engine-gated fact, not only its recall count. */
+  private def annLshTopKSql(k: Int, nPlanes: Int, dims: Int,
+                            tables: Int, probes: Int): String =
+    s"""WITH ${annLshCtes(nPlanes, dims, tables, probes)}
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM adots)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val annLshDot =
+    """CAST(list_sum(list_transform(list_zip(qv, embedding),
+      |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13""".stripMargin
+  private def annLshSelfDot(vec: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($vec, $vec),
+       |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13""".stripMargin
+
+  /** Generated MinHash replay ([[graft.Queries.qDedupMinhashFixed]],
+    * [[graft.operators.DedupOps.minhashLshNearDupsFixed]]): the WHOLE
+    * near-dup algorithm in ANSI SQL — word k-shingles (the
+    * q_text_jaccard_neardup replay), 31-bit polynomial code-point shingle
+    * hashes, k-min signatures under the SAME fixed-seed affine
+    * permutations over GF(2³¹−1) (coefficients embedded as literals — the
+    * LSH-planes precedent), literal band buckets, hot-bucket cap,
+    * candidate join, exact-Jaccard verify. ASCII gate `[ -~]*` on both
+    * engines keeps `ascii`/`unicode` code points identical. */
+  private def minhashFixedSql(k: Int, bands: Int, rowsPerBand: Int,
+                              threshold: Double, maxDocId: Long,
+                              maxBucket: Int): String = {
+    val p = graft.operators.DedupOps.MinhashFixedP
+    val coeffs = graft.operators.DedupOps.minhashFixedCoeffs(bands * rowsPerBand)
+    val sigEntries = coeffs.map { case (a, b) =>
+      s"COALESCE(list_min(list_transform(sh, x -> (x * $a + $b) % $p)), -1)"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until bands).map(b =>
+      s"""SELECT doc_id, $b AS band,
+         |    array_to_string(sig[${b * rowsPerBand + 1}:${(b + 1) * rowsPerBand}], ',') AS bucket
+         |  FROM sig""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '^[ -~]*$$')),
+       |sgl AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    list_transform(range(1, greatest(len(w) - $k, 0) + 2),
+       |      i -> array_to_string(w[i:i+${k - 1}], ' ')),
+       |    g -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(g) + 1),
+       |          j -> CAST(unicode(g[j]) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $p) AS BIGINT)))) AS sh
+       |  FROM t),
+       |sig AS (SELECT doc_id, sh, [
+       |    $sigEntries] AS sig FROM sgl),
+       |bnd0 AS (
+       |  $bandKeys),
+       |bnd AS (SELECT doc_id, band, bucket FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM bnd0)
+       |  WHERE bn <= $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jac FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+       |  FROM cand c
+       |  JOIN sgl sa ON sa.doc_id = c.id_a
+       |  JOIN sgl sb ON sb.doc_id = c.id_b)
+       |WHERE jac >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Shared CTE body of the generated LSH replays: fixed-seed planes as
+    * literals, bucket bits = integer fixed-point projection-sum signs,
+    * XOR single-bit multiprobe, candidate (table,bucket) join, round-6
+    * fixed-point cosine scoring (`adots`). */
+  private def annLshCtes(nPlanes: Int, dims: Int,
+                         tables: Int, probes: Int): String = {
     def fixedSum(vec: String, lits: String): String =
       s"""list_sum(list_transform(list_zip($vec, $lits),
          |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT)))""".stripMargin
@@ -502,17 +610,7 @@ object OracleSql {
     def selfDot(vec: String): String =
       s"""CAST(list_sum(list_transform(list_zip($vec, $vec),
          |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13""".stripMargin
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-       |edots AS (
-       |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |    ROUND(($dot) / (SQRT(${selfDot("qv")}) * SQRT(${selfDot("embedding")})), 6) AS cosine
-       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-       |exact AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM edots)
-       |  WHERE rank <= $k),
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        |cb AS (
        |  $corpusBuckets),
        |qb0 AS (
@@ -527,22 +625,7 @@ object OracleSql {
        |  SELECT c.query_id, c.neighbor_id,
        |    ROUND(($dot) / (SQRT(${selfDot("qv")}) * SQRT(${selfDot("embedding")})), 6) AS cosine
        |  FROM (SELECT query_id, qv, neighbor_id FROM cand) c
-       |  JOIN embeddings ON embeddings.vec_id = c.neighbor_id),
-       |approx AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM adots)
-       |  WHERE rank <= $k),
-       |hits AS (
-       |  SELECT e.query_id, COUNT(*) AS n_hits
-       |  FROM exact e JOIN approx a
-       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-       |  GROUP BY e.query_id)
-       |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits, $k AS k
-       |FROM (SELECT DISTINCT query_id FROM q) q
-       |LEFT JOIN hits h ON h.query_id = q.query_id
-       |ORDER BY q.query_id""".stripMargin
+       |  JOIN embeddings ON embeddings.vec_id = c.neighbor_id)""".stripMargin
   }
 
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
@@ -2130,6 +2213,10 @@ object OracleSql {
     "q_vec_random_projection" -> randomProjectionSql(16, 64),
     "q_vec_ann_recall" -> annRecallLshSql(k = 10, nPlanes = 4, dims = 64,
       tables = 4, probes = 4),
+    "q_vec_ann_lsh_fixed" -> annLshTopKSql(k = 10, nPlanes = 4, dims = 64,
+      tables = 4, probes = 4),
+    "q_dedup_minhash_fixed" -> minhashFixedSql(k = 3, bands = 8,
+      rowsPerBand = 4, threshold = 0.5, maxDocId = 600L, maxBucket = 1000),
 
     // exact k-NN graph on the 1/8 sample: all-pairs fixed-point cosine
     // (identical grid to q_dedup_embedding_exact), top-5 per node by

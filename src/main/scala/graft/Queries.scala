@@ -2051,6 +2051,21 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** The FLOORED BPE variant — the 100 TB contract itself as a declared
+    * key: `minFreq = 2` filters the word table in the DISTRIBUTED agg
+    * before the driver collect, so the collected table is bounded by the
+    * true vocabulary (hapax legomena — the long tail that grows with
+    * corpus size — never reach the driver). Rows-only like q_bpe_merges
+    * (iterative greedy fold); BpeSpec pins the floored output and proves
+    * floor=1 ≡ unfloored bit-for-bit. */
+  val qBpeMergesFloored: Q = (s, d) => {
+    import s.implicits._
+    operators.TextOps.bpeTrainMerges(Tables.documents(s, d), "text",
+        nMerges = 16, minFreq = 2L)
+      .toDF("rank", "left", "right", "weight")
+      .orderBy("rank")
+  }
+
   /** BPE ENCODE — apply the trained merge table per document
     * ([[operators.TextOps.bpeEncodeDocs]]): vocabulary encoded once,
     * per-doc token counts via broadcast join + hash agg. Rows-only for
@@ -2177,6 +2192,25 @@ object Queries {
     * since r9 — it drops whole cells, see DedupOps scaladoc). */
   val qDedupMinhashLsh: Q = (s, d) =>
     DedupOps.minhashLshNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH ON AN ORACLE-SHARED HASH FAMILY, under the hash gate
+    * ([[DedupOps.minhashLshNearDupsFixed]]): same shingles, banding
+    * (8×4), hot-bucket cap and exact-Jaccard verify as
+    * q_dedup_minhash_lsh, but shingle codes are 31-bit polynomial
+    * code-point hashes and the signatures come from fixed-seed affine
+    * permutations over GF(2³¹−1) — every step replayed by the generated
+    * DuckDB oracle (coefficients embedded as literals, the
+    * q_vec_ann_recall precedent), so the banded candidate-pair set itself
+    * is a cross-engine-gated fact. Bounded slice doc_id < 600 (full
+    * table at sf0.01) + ASCII gate `[ -~]*` on BOTH engines (the
+    * `ascii`/`unicode` code-point contract). */
+  val qDedupMinhashFixed: Q = (s, d) =>
+    DedupOps.minhashLshNearDupsFixed(
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 600 && col("text").rlike("^[ -~]*$")),
+        "doc_id", "text",
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
@@ -2584,6 +2618,21 @@ object Queries {
     VectorOps.annRecallLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 10, nPlanes = 4, tables = 4, probes = 4)
       .orderBy("query_id")
+  }
+
+  /** The LSH RETRIEVAL LIST itself under the hash gate
+    * ([[VectorOps.cosineTopKLshFixed]]): the ranked top-10 (query_id,
+    * neighbor_id, cosine, rank) of the fixed-point LSH retrieval — same
+    * 4-plane/4-table/4-probe config and generated-oracle replay as
+    * q_vec_ann_recall (planes, buckets, XOR multiprobe, candidate join,
+    * round-6 ranking), but gating the LIST and its cosines rather than
+    * only the recall count: the flagship approximate-retrieval path is a
+    * cross-engine-gated fact end-to-end. */
+  val qVecAnnLshFixed: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.cosineTopKLshFixed(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nPlanes = 4, tables = 4, probes = 4)
+      .orderBy("query_id", "rank")
   }
 
   /** Product-quantization ANN (ADC scan over m=8 codes/vector — 32×

@@ -177,6 +177,92 @@ object DedupOps {
       .select("id_a", "id_b", "jac")
   }
 
+  /** The prime field of the fixed (oracle-replayable) MinHash family:
+    * p = 2³¹−1, so affine-map products stay under 2⁶² — exact BIGINT
+    * arithmetic in ANSI SQL and in Spark alike. */
+  val MinhashFixedP = 2147483647L
+
+  /** Fixed-seed affine-permutation coefficients over GF(p):
+    * h_s(x) = (a_s·x + b_s) mod p, a_s ∈ [1, p−1], b_s ∈ [0, p−1] — the
+    * universal-hash family of the classic MinHash construction (Broder
+    * 1997), with the PRNG seed pinned so the DuckDB oracle can embed the
+    * same coefficients as literals (the [[VectorOps.planes]] precedent). */
+  def minhashFixedCoeffs(n: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(20240814L)
+    Seq.fill(n)((1L + rnd.nextInt((MinhashFixedP - 1).toInt).toLong,
+      rnd.nextInt(MinhashFixedP.toInt).toLong))
+  }
+
+  /** 31-bit polynomial code-point hash of a string column —
+    * h = fold(31·acc + codePoint) mod p, the replayable stand-in for
+    * xxhash64 in the FIXED minhash variant. ASCII contract: Spark's
+    * `ascii` and SQL `unicode` agree on single-byte code points; callers
+    * gate non-ASCII rows out on BOTH engines (the declared query filters
+    * `[ -~]*`). Empty string hashes to 0 (guarded: Spark's
+    * sequence(1, 0) is DESCENDING, not empty). */
+  private def polyHash31(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)),
+          i => ascii(s.substr(i, lit(1))).cast(LongType)),
+        lit(0L), (acc, c) => (acc * 31L + c) % MinhashFixedP))
+
+  /** [[minhashLshNearDups]] with every hash on an ORACLE-SHARED family —
+    * the [[graft.operators.VectorOps.cosineTopKLshFixed]] treatment for
+    * MinHash: shingle codes are the 31-bit polynomial hash, the k-min
+    * signatures come from fixed-seed affine permutations over GF(2³¹−1)
+    * ([[minhashFixedCoeffs]]), and a band's bucket key is the literal
+    * comma-joined signature slice (no engine-specific hash anywhere).
+    * Same banding, same hot-bucket cap, same exact-Jaccard verify as the
+    * production path — so the WHOLE near-dup algorithm (signatures, band
+    * buckets, candidate join, verify) can be replayed by the DuckDB
+    * oracle and the candidate-pair set itself is a cross-engine-gated
+    * fact (q_dedup_minhash_fixed). The production xxhash64 variant stays
+    * the throughput path (its fused one-pass kernel beats 32 interpreted
+    * HOF transforms); this one exists to put the algorithm under the
+    * hash gate on a bounded slice. */
+  /** The (id, sh, sig) signature frame of the FIXED minhash family —
+    * public so DedupOpsSpec can driver-twin the exact arithmetic the
+    * DuckDB oracle replays. */
+  def minhashFixedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int, numHashes: Int): DataFrame = {
+    val coeffs = minhashFixedCoeffs(numHashes)
+    docs.select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          transform(shingles(col(textCol), k), s => polyHash31(s)))).as("sh"))
+      .withColumn("sig", array(coeffs.map { case (a, b) =>
+        coalesce(array_min(transform(col("sh"),
+          x => (x * a + b) % MinhashFixedP)), lit(-1L)) }: _*))
+  }
+
+  def minhashLshNearDupsFixed(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sigd = minhashFixedSignatures(docs, idCol, textCol, k,
+        bands * rowsPerBand)
+      .localCheckpoint() // two-sided self-join; same reuse as the prod path
+    val banded = sigd.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(transform(
+          sequence(b * rowsPerBand + 1, (b + 1) * rowsPerBand),
+          i => element_at(col("sig"), i).cast(StringType)), ","))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val capped = capHotBuckets(banded, maxBucket)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jac", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast(DoubleType) / size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
   /** Per-document 64-bit SimHash signatures through the native
     * [[graft.plans.SimHash64]] kernel: distinct tokens hashed once (XXH64
     * seed 42, bit-identical to `xxhash64`), all 64 bit-votes in one

@@ -64,6 +64,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("a floor can change the trained merges (q_bpe_merges_floored pin)") {
+    // five SINGLETON words jointly make (z,</w>) the unfloored winner
+    // (count 5 > 4); minFreq=2 removes every singleton from the
+    // DISTRIBUTED word table before the driver collect, so the floored
+    // run trains on 'aa' alone — divergence by design, pinning that the
+    // declared floored key is a genuinely different (bounded) computation
+    val docs = (Seq.fill(4)("aa")
+      ++ Seq("azz", "bzz", "czz", "dzz", "ezz")).toDF("text")
+    val unfloored = TextOps.bpeTrainMerges(docs, "text", nMerges = 1)
+    val floored = TextOps.bpeTrainMerges(docs, "text", nMerges = 1, minFreq = 2L)
+    assert(unfloored === Seq((1, "z", "</w>", 5L)))
+    assert(floored === Seq((1, "a", "</w>", 4L)))
+  }
+
   test("bpeEncodeDocs: hand-computed counts on the classic fixture") {
     // same corpus as the training fixture; merges (a,a),(b,</w>),(a,b</w>)
     // encode aaab → [aa,ab</w>] (2 toks), aab → [aa,b</w>] (2 toks)

@@ -51,6 +51,41 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhash FIXED variant: same contract as the production family; driver-twin signature") {
+    val pairs = DedupOps.minhashLshNearDupsFixed(docs, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))  // identical docs share every band
+    // NOTE no (1,2) assertion: banding is probabilistic per hash FAMILY —
+    // this family happens to put the clone's bands apart on the tiny
+    // fixture (P(catch) ≈ 1−(1−J⁴)⁸; the sf0.01 gate shows 25 verified
+    // pairs, same as production). Only soundness is contractual:
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // driver twin of the whole signature pipeline: poly-hash the shingles
+    // and take affine-permutation minima in plain Scala — the Spark
+    // column pipeline must agree bit-for-bit (the DuckDB oracle replays
+    // this same arithmetic, so the twin pins the cross-engine contract)
+    val p = DedupOps.MinhashFixedP
+    def poly(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c) % p)
+    val text = docs.filter(col("doc_id") === 1L).select("text").head.getString(0)
+    val words = text.split(" ", -1)
+    val sh = (0 until math.max(words.length - 3, 0) + 1)
+      .map(i => words.slice(i, i + 3).mkString(" ")).map(poly).distinct.sorted
+    val coeffs = DedupOps.minhashFixedCoeffs(32)
+    val expectedSig = coeffs.map { case (a, b) => sh.map(x => (x * a + b) % p).min }
+    val row = DedupOps.minhashFixedSignatures(
+        docs.filter(col("doc_id") === 1L), "doc_id", "text", k = 3,
+        numHashes = 32).head
+    assert(row.getSeq[Long](1) === sh)          // shingle poly-hashes agree
+    assert(row.getSeq[Long](2) === expectedSig) // 32 permutation minima agree
+    val exactPair = DedupOps.minhashLshNearDupsFixed(
+        docs.filter(col("doc_id").isin(1L, 4L)), "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect()
+    assert(exactPair.length === 1) // 1-4 identical: one verified pair, jac 1.0
+    assert(exactPair.head.getAs[Double]("jac") === 1.0)
+  }
+
   test("simhash hamming distance: 0 for identical, small for clone, large for unrelated") {
     val sigs = DedupOps.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
