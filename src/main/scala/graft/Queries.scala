@@ -2187,13 +2187,12 @@ object Queries {
       .orderBy("doc_id", "rn")
   }
 
-  /** MinHash+LSH near-dups — hash functions are engine-specific ⇒ rows-only.
-    * maxBucket=1000 opts into the hot-bucket backstop (the cap is opt-in
-    * since r9 — it drops whole cells, see DedupOps scaladoc). */
-  val qDedupMinhashLsh: Q = (s, d) =>
-    DedupOps.minhashLshNearDups(Tables.documents(s, d), "doc_id", "text",
-        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
-      .orderBy("id_a", "id_b")
+  // The production MinHash path (DedupOps.minhashLshNearDups — fused
+  // xxhash64 MinHashSignatures kernel, 8×4 banding, maxBucket=1000) held
+  // the q_dedup_minhash_lsh declared slot through r11; the slot now
+  // carries the oracle-gated fixed-family twin qDedupMinhashFixed (the
+  // link-predict replacement precedent), and the production kernel stays
+  // spec-exercised (DedupOpsSpec; the fused kernel in plans/MinHash.scala).
 
   /** MinHash+LSH ON AN ORACLE-SHARED HASH FAMILY, under the hash gate
     * ([[DedupOps.minhashLshNearDupsFixed]]): same shingles, banding
@@ -2572,19 +2571,12 @@ object Queries {
         "vec_id", "embedding", k = 8)
       .orderBy("pick")
 
-  /** LSH-bucketed approximate ANN — approximate by construction ⇒ rows-only.
-    * 4 planes = 16 buckets: sized so candidate lists stay a meaningful
-    * fraction of this corpus (more planes ⇒ exponentially more buckets ⇒
-    * vanishing recall at small N; at 10⁸+ vectors one raises planes to keep
-    * per-bucket lists bounded). 4 OR-tables + 2 multiprobe bit-flips on the
-    * query side: recall 0.69 on this corpus (AnnRecallSpec) — better than
-    * 8 plain tables (0.62) at HALF the corpus index size. */
-  val qVecAnnLsh: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    VectorOps.cosineTopKLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 10, nPlanes = 4, tables = 4, probes = 4)
-      .orderBy("query_id", "rank")
-  }
+  // The production double-kernel LSH retrieval (VectorOps.cosineTopKLsh —
+  // 4 planes/4 tables/4 probes, recall 0.69 floored in AnnRecallSpec)
+  // held the q_vec_ann_lsh declared slot through r11; the slot now
+  // carries the oracle-gated fixed-grid twin qVecAnnLshFixed (the
+  // link-predict replacement precedent), and the production kernel stays
+  // spec-exercised.
 
   /** LSH SIMILARITY JOIN between two corpora
     * ([[VectorOps.cosineSimJoinLsh]]): the even-id and odd-id halves of the

@@ -77,7 +77,6 @@ class PlanContractSpec extends SparkSpec {
     val intendedDense = Set(
       "q_vec_cosine_topk", // broadcast queries × corpus, non-equi by design
       "q_vec_ann_ivf",     // crossJoin against the broadcast 16-row codebook
-      "q_vec_ann_lsh",     // broadcast query buckets, non-equi residual
       "q_vec_ann_int8",    // broadcast queries × int8-code scan, non-equi
                            // by design — the quantized brute-force shape,
                            // same as cosine_topk at 1/4 the bandwidth
