@@ -20,7 +20,8 @@ object IngestProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config(graft.Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false")
       // per-micro-batch duration breakdown (walCommit/queryPlanning/
