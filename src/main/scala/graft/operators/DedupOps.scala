@@ -122,6 +122,11 @@ object DedupOps {
   private def capHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded // uncapped: skip the count pass
     else banded
+      // windowed count, NOT a broadcast blacklist: the window partitions
+      // on exactly the self-join keys, so its exchange is REUSED by the
+      // join (DedupOpsSpec asserts zero extra exchanges); a blacklist
+      // anti-join would add an agg shuffle + broadcast build per plan.
+      // (knnGraphLsh measured the opposite on ITS shape — see there.)
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("_bn") <= maxBucket)
       .drop("_bn")

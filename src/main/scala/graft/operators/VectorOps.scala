@@ -694,6 +694,10 @@ object VectorOps {
         .withColumnRenamed("col", "bucket")
       if (maxBucket == Int.MaxValue) bd
       else bd
+        // windowed count (the capHotBuckets exchange-reuse rationale);
+        // measured BETTER than a broadcast blacklist on this two-sided
+        // shape at sf0.1 (1.35 vs 1.61 s — two small sides, so the
+        // blacklist's per-side agg+broadcast build dominates)
         .withColumn("_bn", count(lit(1)).over(Window.partitionBy("table", "bucket")))
         .filter(col("_bn") <= maxBucket)
         .drop("_bn")
@@ -828,10 +832,19 @@ object VectorOps {
       .withColumnRenamed("col", "bucket")
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
-      else bandedAll
-        .withColumn("_bn", count(lit(1)).over(Window.partitionBy("table", "bucket")))
-        .filter(col("_bn") <= maxBucket)
-        .drop("_bn")
+      else {
+        // hot-cell cap as a BROADCAST BLACKLIST anti-join — measured A/B
+        // on THIS shape at sf0.1: blacklist 4.4 s vs windowed count 6.3 s
+        // vs localCheckpoint 4.7 s. Unlike capHotBuckets (where the
+        // window's exchange is provably reused by the self-join —
+        // DedupOpsSpec), here the corpus-wide 6-table banded frame makes
+        // the window's per-partition sort the dominant cost; over-cap
+        // cells are rare so the blacklist is metadata-scale
+        val hot = bandedAll.groupBy("table", "bucket")
+          .agg(count(lit(1)).as("_bn")).filter(col("_bn") > maxBucket)
+          .select("table", "bucket")
+        bandedAll.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+      }
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b, col("a.table") === col("b.table") &&
