@@ -577,6 +577,57 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Generated SimHash replay ([[graft.Queries.qDedupSimhashFixed]],
+    * [[graft.operators.DedupOps.simhashNearDupsFixed]]): distinct
+    * space-split tokens → 31-bit polynomial codes → 62 affine-derived bit
+    * votes (coefficients embedded as literals) → signature → the SAME
+    * 4×16-bit Manku block banding, hot-bucket cap, candidate join and
+    * exact bit_count(xor) Hamming verify as the Spark side. ASCII +
+    * doc_id slice gates as in [[minhashFixedSql]]. */
+  private def simhashFixedSql(maxDist: Int, maxDocId: Long,
+                              maxBucket: Int): String = {
+    val p = graft.operators.DedupOps.MinhashFixedP
+    val bits = graft.operators.DedupOps.SimhashFixedBits
+    val (as, bs) = graft.operators.DedupOps.simhashFixedCoeffs()
+    val aLits = as.mkString("[", ", ", "]")
+    val bLits = bs.mkString("[", ", ", "]")
+    // blocks = 4 over the "64-bit" layout: widths 16, offsets 0,16,32,48
+    // (simhashBandKeys with blocks=4; the top 2 bits of the 62-bit sig
+    // are always zero). maxDist=3 ⇒ bands are the 4 single blocks.
+    val bandKeys = (0 until 4).map(b =>
+      s"SELECT doc_id, sig, $b AS band, (sig >> ${16 * b}) & 65535 AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '^[ -~]*$$')),
+       |cs AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+       |    g -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(g) + 1),
+       |          j -> CAST(unicode(g[j]) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $p) AS BIGINT)) AS codes
+       |  FROM t),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range($bits), b ->
+       |    CASE WHEN list_sum(list_transform(codes,
+       |        x -> CASE WHEN (x * ($aLits)[b + 1] + ($bLits)[b + 1]) % $p
+       |          >= 1073741824 THEN 1 ELSE -1 END)) > 0
+       |    THEN 1::BIGINT << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM cs),
+       |bnd0 AS (
+       |  $bandKeys),
+       |bnd AS (SELECT doc_id, sig, band, bucket FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM bnd0)
+       |  WHERE bn <= $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Shared CTE body of the generated LSH replays: fixed-seed planes as
     * literals, bucket bits = integer fixed-point projection-sum signs,
     * XOR single-bit multiprobe, candidate (table,bucket) join, round-6
@@ -2217,6 +2268,8 @@ object OracleSql {
       tables = 4, probes = 4),
     "q_dedup_minhash_fixed" -> minhashFixedSql(k = 3, bands = 8,
       rowsPerBand = 4, threshold = 0.5, maxDocId = 600L, maxBucket = 1000),
+    "q_dedup_simhash_fixed" -> simhashFixedSql(maxDist = 3, maxDocId = 600L,
+      maxBucket = 1000),
 
     // exact k-NN graph on the 1/8 sample: all-pairs fixed-point cosine
     // (identical grid to q_dedup_embedding_exact), top-5 per node by

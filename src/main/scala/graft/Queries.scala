@@ -2213,10 +2213,27 @@ object Queries {
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dups — rows-only for the same reason; same opt-in cap. */
-  val qDedupSimhash: Q = (s, d) =>
-    DedupOps.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxDist = 3, maxBucket = 1000)
+  // The production SimHash path (DedupOps.simhashNearDups — fused XXH64
+  // SimHash64 kernel) held the q_dedup_simhash declared slot through r11;
+  // the slot now carries the oracle-gated fixed-family twin below, and
+  // the production kernel stays spec-exercised (DedupOpsSpec banding +
+  // hamming + blocks sweeps).
+
+  /** SimHash ON AN ORACLE-SHARED BIT FAMILY, under the hash gate
+    * ([[DedupOps.simhashNearDupsFixed]]): same tokenization, 4×16-bit
+    * Manku block banding, hot-bucket cap and exact-Hamming verify as
+    * q_dedup_simhash, but token codes are 31-bit polynomial hashes and
+    * the 62 signature bits come from fixed-seed affine bit functions over
+    * GF(2³¹−1) — every step (votes, signature, block keys, candidate
+    * join, bit_count(xor) verify) replayed by the generated DuckDB
+    * oracle. With the gated MinHash and ANN twins this puts ALL THREE
+    * near-dup families under the cross-engine hash gate. Same bounded
+    * slice + ASCII gate as q_dedup_minhash_fixed. */
+  val qDedupSimhashFixed: Q = (s, d) =>
+    DedupOps.simhashNearDupsFixed(
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 600 && col("text").rlike("^[ -~]*$")),
+        "doc_id", "text", maxDist = 3, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
   /** Dedup CLUSTERING — the transitive-closure step after pair generation:

@@ -268,6 +268,67 @@ object DedupOps {
       .select("id_a", "id_b", "jac")
   }
 
+  /** Bit width of the FIXED SimHash family: 62 keeps the signature (and
+    * every 2^b term in its construction) strictly positive in BIGINT on
+    * both engines — no sign-bit/overflow edge to reason about. */
+  val SimhashFixedBits = 62
+
+  /** Fixed-seed affine coefficients deriving the FIXED SimHash bit
+    * functions: bit_b(x) = [((a_b·x + b_b) mod p) ≥ 2³⁰] over the 31-bit
+    * polynomial token code — a universal-hash bit family, PRNG-pinned so
+    * the DuckDB oracle embeds the same coefficients as literals (the
+    * [[minhashFixedCoeffs]] precedent; distinct seed). */
+  def simhashFixedCoeffs(): (Seq[Long], Seq[Long]) = {
+    val rnd = new java.util.Random(20250814L)
+    val pairs = Seq.fill(SimhashFixedBits)(
+      (1L + rnd.nextInt((MinhashFixedP - 1).toInt).toLong,
+        rnd.nextInt(MinhashFixedP.toInt).toLong))
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** FIXED-family SimHash signatures — the [[minhashFixedSignatures]]
+    * treatment for SimHash: distinct space-split tokens (the
+    * [[graft.plans.SimHash64]] tokenization), 31-bit polynomial token
+    * codes, 62 affine-derived bit votes, bit set iff votes > 0 (the
+    * production kernel's strict tie rule). Every step is exact BIGINT
+    * arithmetic replayable in ANSI SQL; the production kernel stays the
+    * throughput path (one fused XXH64 pass vs 62 interpreted bit-hashes).
+    * ASCII contract as in [[minhashLshNearDupsFixed]]. */
+  def simhashFixedSignatures(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val (as, bs) = simhashFixedCoeffs()
+    val aLit = typedlit(as)
+    val bLit = typedlit(bs)
+    val pow2 = typedlit((0 until SimhashFixedBits).map(b => 1L << b))
+    val codes = transform(array_distinct(split(col(textCol), " ", -1)),
+      w => polyHash31(w))
+    val votes = aggregate(codes,
+      array_repeat(lit(0L), SimhashFixedBits),
+      (acc, x) => zip_with(acc,
+        transform(sequence(lit(0), lit(SimhashFixedBits - 1)), b =>
+          when((x * element_at(aLit, b + 1) + element_at(bLit, b + 1))
+            % MinhashFixedP >= 1073741824L, lit(1L)).otherwise(lit(-1L))),
+        (u, v) => u + v))
+    val sig = aggregate(
+      zip_with(votes, pow2, (v, p2) => when(v > 0, p2).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+  }
+
+  /** [[simhashNearDups]] on the FIXED family: fixed signatures through the
+    * SAME Manku block banding, hot-bucket cap, and exact-Hamming verify
+    * ([[simhashNearDupsFromSigs]], blocks = 4) — so the whole SimHash
+    * near-dup algorithm (signature bits, block keys, candidate join,
+    * Hamming verify) is replayable by the generated DuckDB oracle and the
+    * verified pair set is a cross-engine-gated fact
+    * (q_dedup_simhash_fixed). */
+  def simhashNearDupsFixed(docs: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3,
+                           maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashNearDupsFromSigs(
+      simhashFixedSignatures(docs, idCol, textCol).localCheckpoint(),
+      maxDist, blocks = 4, maxBucket = maxBucket)
+
   /** Per-document 64-bit SimHash signatures through the native
     * [[graft.plans.SimHash64]] kernel: distinct tokens hashed once (XXH64
     * seed 42, bit-identical to `xxhash64`), all 64 bit-votes in one

@@ -98,6 +98,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhash FIXED variant: clone contract; driver-twin 62-bit signature") {
+    val pairs = DedupOps.simhashNearDupsFixed(docs, "doc_id", "text",
+        maxDist = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical text -> identical signature
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // driver twin: recompute the full 62-bit signature in plain Scala —
+    // poly-hash each distinct token, 62 affine bit votes (strict >0 tie
+    // rule), power-of-two packing — the exact arithmetic the DuckDB
+    // oracle replays
+    val p = DedupOps.MinhashFixedP
+    def poly(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c) % p)
+    val (as, bs) = DedupOps.simhashFixedCoeffs()
+    val text = docs.filter(col("doc_id") === 1L).select("text").head.getString(0)
+    val codes = text.split(" ", -1).distinct.map(poly)
+    val expected = (0 until DedupOps.SimhashFixedBits).map { b =>
+      val vote = codes.map(x =>
+        if ((x * as(b) + bs(b)) % p >= 1073741824L) 1 else -1).sum
+      if (vote > 0) 1L << b else 0L
+    }.sum
+    val got = DedupOps.simhashFixedSignatures(
+      docs.filter(col("doc_id") === 1L), "doc_id", "text").head.getLong(1)
+    assert(got === expected)
+    assert(got >= 0L && got < (1L << 62), "signature stays in the 62-bit range")
+  }
+
   test("hot-bucket cap bounds degenerate mass-duplicate buckets") {
     // 1500 copies of the same boilerplate collapse to ONE signature: without
     // the (band, bucket) cap the band self-join would materialize ~1.1M
