@@ -547,7 +547,7 @@ object OracleSql {
          |    array_to_string(sig[${b * rowsPerBand + 1}:${(b + 1) * rowsPerBand}], ',') AS bucket
          |  FROM sig""".stripMargin).mkString("\n  UNION ALL\n  ")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '^[ -~]*$$')),
+       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '\\A[ -~]*\\z')),
        |sgl AS (SELECT doc_id, list_sort(list_distinct(list_transform(
        |    list_transform(range(1, greatest(len(w) - $k, 0) + 2),
        |      i -> array_to_string(w[i:i+${k - 1}], ' ')),
@@ -598,7 +598,7 @@ object OracleSql {
       s"SELECT doc_id, sig, $b AS band, (sig >> ${16 * b}) & 65535 AS bucket FROM sig")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH t AS (SELECT doc_id, text FROM documents
-       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '^[ -~]*$$')),
+       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '\\A[ -~]*\\z')),
        |cs AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
        |    g -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        list_transform(range(1, length(g) + 1),

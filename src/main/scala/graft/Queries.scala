@@ -2208,7 +2208,7 @@ object Queries {
   val qDedupMinhashFixed: Q = (s, d) =>
     DedupOps.minhashLshNearDupsFixed(
         Tables.documents(s, d)
-          .filter(col("doc_id") < 600 && col("text").rlike("^[ -~]*$")),
+          .filter(col("doc_id") < 600 && col("text").rlike("\\A[ -~]*\\z")),
         "doc_id", "text",
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
       .orderBy("id_a", "id_b")
@@ -2232,7 +2232,7 @@ object Queries {
   val qDedupSimhashFixed: Q = (s, d) =>
     DedupOps.simhashNearDupsFixed(
         Tables.documents(s, d)
-          .filter(col("doc_id") < 600 && col("text").rlike("^[ -~]*$")),
+          .filter(col("doc_id") < 600 && col("text").rlike("\\A[ -~]*\\z")),
         "doc_id", "text", maxDist = 3, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 

@@ -202,10 +202,12 @@ object Ingest {
       finally expected.remove(p, java.lang.Long.valueOf(token))
       val c = byPath.get(p)
       if (c == null) None
-      else {
-        byPath.remove(p, c) // stale-token entries are garbage either way
-        if (c.token == token) Some(c.rows) else None
-      }
+      else if (c.token == token) { byPath.remove(p, c); Some(c.rows) }
+      // another (newer, still-live) expectation's capture for the same
+      // path — leave it for its owner (ADVICE r12: removing it forced the
+      // concurrent writer into a full recount); listener overwrite on the
+      // next capture bounds growth, so a truly stale entry is harmless
+      else None
     }
   }
 

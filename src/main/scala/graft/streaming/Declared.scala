@@ -97,15 +97,20 @@ object Declared {
   /** One-time-per-process cache hygiene: crashed builds leave orphan
     * `*.build*` tmp dirs, and every data regeneration mints a new key and
     * strands the old entry — without a sweep the cache grows without
-    * bound. Age-gated (1 h): a LIVE concurrent builder's tmp dir, or an
-    * entry another running JVM just installed and still reads, is never
-    * touched. Stale ready entries go too: a key is derived from the input
-    * fingerprint, so an entry not freshened within the window belongs to
-    * regenerated-away data (reused entries re-touch their READY marker). */
+    * bound. Age-gated (6 h — well above any plausible single run or spec
+    * suite, since READY is re-touched only at stableSrc call time and a
+    * long-lived concurrent JVM may still be streaming from an entry it
+    * touched at its OWN start; ADVICE r12): a LIVE concurrent builder's
+    * tmp dir, or an entry another running JVM recently installed or
+    * reused, is never touched. Stale ready entries go too: a key is
+    * derived from the input fingerprint, so an entry not freshened within
+    * the window belongs to regenerated-away data (reused entries re-touch
+    * their READY marker). The sweep assumes no reader holds an entry open
+    * for longer than the cutoff without re-calling stableSrc. */
   private val sweptCacheRoot = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def sweepCacheRoot(root: java.io.File): Unit =
     if (sweptCacheRoot.compareAndSet(false, true)) {
-      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      val cutoff = System.currentTimeMillis() - 6L * 60 * 60 * 1000
       Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
         val ready = new java.io.File(d, "_GRAFT_READY")
         val stale =

@@ -25,9 +25,13 @@ import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileMana
   *    renames it into place on close — readers never observe partial
   *    content; `cancel()` discards the temp.
   *  - With `overwrite = false`, closing when the destination exists
-  *    throws Hadoop's `FileAlreadyExistsException` and KEEPS the winner's
-  *    file (the metadata-log "first writer wins" contract; the same
-  *    exists-then-rename window as the stock manager).
+  *    throws Hadoop's `FileAlreadyExistsException` and keeps the winner's
+  *    file (the metadata-log "first writer wins" contract). The install
+  *    is `Files.createLink` (link(2) fails atomically with EEXIST on
+  *    POSIX) rather than rename — rename(2) silently REPLACES a
+  *    destination created between an exists() pre-check and the move, so
+  *    a rename-based install has a lose-the-winner window under a true
+  *    race (ADVICE r12); the hard-link install does not.
   *  - `delete` is recursive and silent on missing paths.
   *
   * Local-mode only by construction (`file:` scheme required): production
@@ -75,18 +79,18 @@ class LocalCheckpointFileManager(root: Path, conf: Configuration)
         if (!terminated) {
           terminated = true
           underlyingStream.close()
-          if (!overwriteIfPossible && Files.exists(target)) {
-            // first writer won — drop ours, surface the Hadoop exception
-            // the metadata log expects (stock-manager contract)
-            Files.deleteIfExists(tmp)
-            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-              s"failed to rename $tmp to $path: destination exists")
-          }
-          try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: NioExists =>
-            Files.deleteIfExists(tmp)
-            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-              s"failed to rename $tmp to $path: destination exists")
+          if (overwriteIfPossible)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          else {
+            // exclusive install: link(2) fails atomically with EEXIST if
+            // a first writer won — unlike rename(2), which would silently
+            // replace a destination created after an exists() pre-check
+            try { Files.createLink(target, tmp); Files.deleteIfExists(tmp) }
+            catch { case _: NioExists =>
+              Files.deleteIfExists(tmp)
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                s"failed to rename $tmp to $path: destination exists")
+            }
           }
         }
       }

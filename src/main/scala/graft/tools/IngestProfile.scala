@@ -100,12 +100,13 @@ class ProfileStreamListener
       "latestOffset", "walCommit", "commitOffsets", "addBatch")
     val parts = keys.flatMap(k => Option(d.get(k)).map(v => s"$k=${v}ms"))
     val state = p.stateOperators.map(s =>
-      s"commit=${s.stateOperators_commitMs_safe}").mkString(",")
-    println(s"    [stream] ${p.name} batch ${p.batchId}: ${parts.mkString(" ")}")
+      s"stateUpdates=${s.allUpdatesMs_safe}ms").mkString(",")
+    println(s"    [stream] ${p.name} batch ${p.batchId}: ${parts.mkString(" ")}" +
+      (if (state.nonEmpty) s" $state" else ""))
   }
-  // stateOperators commit time isn't a public stable field across versions
+  // stateOperators update time isn't a public stable field across versions
   private implicit class SafeState(s: org.apache.spark.sql.streaming.StateOperatorProgress) {
-    def stateOperators_commitMs_safe: String =
+    def allUpdatesMs_safe: String =
       try s.allUpdatesTimeMs.toString catch { case _: Throwable => "?" }
   }
 }
