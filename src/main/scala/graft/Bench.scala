@@ -86,6 +86,32 @@ object Bench {
     }.map(_.pid()).toSeq
   }
 
+  /** Per-key MIN map of the committed quiet reference sweep
+    * (`BENCH_ref.json`, written at round close from a verified-quiet
+    * BENCH_full.json). VERDICT r12 #1: every in-sweep integrity check was
+    * a ratio of the sweep against ITSELF, so sustained contention that
+    * inflated one key 15× (median and min together — salvage's
+    * median/min > 1.8 trigger never fired) while leaving the whole-sweep
+    * ratio at 1.14 passed every gate. The reference map is the missing
+    * external anchor: a key whose min blows 2.5× past its committed quiet
+    * min gets re-measured in-JVM (stamped), so the driver's artifact of
+    * record self-repairs localized sustained contention too. Absent file
+    * → empty map (first round, or a fresh clone) — the self-ratio checks
+    * still run. */
+  def loadRefMins(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val key = txt.indexOf("\"queries_min\"")
+      val start = if (key < 0) -1 else txt.indexOf('{', key)
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + 1, txt.indexOf('}', start))
+        raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -192,17 +218,33 @@ object Bench {
     // contention (median and min inflated together) is what the probe
     // stamps + the co-tenant stamp are for — no in-JVM rerun can fix it.
     val flagged = primary.filter(r => r._3 > 0 && r._2 / r._3 > 1.8).map(_._1)
+    // Reference-anchored salvage (VERDICT r12 #1): a key whose MIN sits
+    // >2.5× its committed quiet reference min was inflated by SUSTAINED
+    // contention (median/min stays ≤1.8 — the self-ratio trigger is blind
+    // to it). Re-measure those too; if the key is genuinely slower now
+    // the re-measure confirms it and the stamp says so.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_ref.json")
+    val refMins = loadRefMins(refPath)
+    val refFlagged = primary.filter { r =>
+      refMins.get(r._1).exists(ref => ref > 0 && r._3 > 2.5 * ref)
+    }.map(_._1).filterNot(flagged.contains)
     val salvaged = scala.collection.mutable.ArrayBuffer[String]()
+    val refSalvaged = scala.collection.mutable.ArrayBuffer[String]()
+    val allFlagged = flagged ++ refFlagged
     val results: Seq[(String, Double, Double)] =
-      if (flagged.isEmpty) primary
+      if (allFlagged.isEmpty) primary
       else {
-        System.err.println(s"[bench] contention salvage: re-measuring ${flagged.size} key(s): ${flagged.mkString(",")}")
-        val remeasured = flagged
+        if (flagged.nonEmpty)
+          System.err.println(s"[bench] contention salvage: re-measuring ${flagged.size} key(s): ${flagged.mkString(",")}")
+        if (refFlagged.nonEmpty)
+          System.err.println(s"[bench] reference salvage (min >2.5x $refPath): re-measuring ${refFlagged.size} key(s): ${refFlagged.mkString(",")}")
+        val remeasured = allFlagged
           .map(k => k -> measure(k, SparkEntry.queries(k))).toMap
         primary.map { r =>
           remeasured.get(r._1) match {
             case Some(n) =>
-              if (n._2 < r._2) salvaged += r._1
+              if (n._2 < r._2)
+                (if (refFlagged.contains(r._1)) refSalvaged else salvaged) += r._1
               (r._1, math.min(n._2, r._2), math.min(n._3, r._3))
             case None => r
           }
@@ -252,6 +294,8 @@ object Bench {
       s""""cotenant_jvms_at_start":${cotenants.size},""" +
       s""""salvage_rerun":${flagged.map(jstr).mkString("[", ",", "]")},""" +
       s""""salvage_replaced":${salvaged.map(jstr).mkString("[", ",", "]")},""" +
+      s""""ref_flagged":${refFlagged.map(jstr).mkString("[", ",", "]")},""" +
+      s""""ref_replaced":${refSalvaged.map(jstr).mkString("[", ",", "]")},""" +
       s""""calib_ref":$CalibRef,"errors":$errJson"""
     val normTail =
       s""""total_min_norm":${ms3(totalMin * norm)},"value_norm":${ms3(total * norm)},"""
