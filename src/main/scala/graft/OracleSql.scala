@@ -679,6 +679,122 @@ object OracleSql {
        |  JOIN embeddings ON embeddings.vec_id = c.neighbor_id)""".stripMargin
   }
 
+  /** Fixed-point dot on the shared 1e-13 grid between two list exprs —
+    * the generic two-operand form of [[annLshDot]]. */
+  private def fixedDotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13""".stripMargin
+
+  /** Round-6 fixed-point cosine between embeddings aliased `ea`/`eb` —
+    * the verify/rank expression shared by the LSH self-join replays. */
+  private def fixedCosineSql: String =
+    s"""ROUND((${fixedDotSql("ea.embedding", "eb.embedding")})
+       |      / (SQRT(${fixedDotSql("ea.embedding", "ea.embedding")})
+       |         * SQRT(${fixedDotSql("eb.embedding", "eb.embedding")})), 6)""".stripMargin
+
+  /** Corpus-side banded CTEs shared by the LSH SELF-JOIN replays
+    * (q_dedup_embedding, q_dedup_embedding_cluster, q_vec_knn_graph_lsh):
+    * per-table fixed-grid bucket ids over the full embeddings corpus
+    * (planes as literals from the shared fixed-seed PRNG — the
+    * [[annLshCtes]] machinery) + the windowed hot-cell cap, mirroring
+    * [[graft.operators.VectorOps.cosineNearDupsLshFixed]] /
+    * [[graft.operators.VectorOps.knnGraphLshFixed]]. */
+  private def lshSelfJoinCtes(nPlanes: Int, dims: Int, tables: Int,
+                              maxBucket: Int): String = {
+    def bucketExpr(vec: String, seed: Long): String =
+      graft.operators.VectorOps.planes(nPlanes, dims, seed).zipWithIndex.map {
+        case (p, i) =>
+          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_sum(list_transform(list_zip($vec, $lits),
+             |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) >= 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
+      }.mkString("\n    + ")
+    val corpusBuckets = (0 until tables).map(t =>
+      s"""SELECT vec_id, $t AS tbl,
+         |    ${bucketExpr("embedding", 42L + t)} AS bucket FROM embeddings""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""cb0 AS (
+       |  $corpusBuckets),
+       |cb AS (SELECT vec_id, tbl, bucket FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bn FROM cb0)
+       |  WHERE bn <= $maxBucket)""".stripMargin
+  }
+
+  /** Generated fixed-grid LSH near-dup replay
+    * ([[graft.Queries.qDedupEmbedding]],
+    * [[graft.operators.VectorOps.cosineNearDupsLshFixed]]): banded corpus
+    * buckets, hot-cell cap, distinct `id_a < id_b` candidate pairs from
+    * any shared (table, bucket) cell, round-6 fixed-point cosine verify
+    * against `threshold` — the whole approximate near-dup algorithm in
+    * ANSI SQL. */
+  private def dedupEmbeddingLshSql(threshold: Double, nPlanes: Int,
+                                   dims: Int, tables: Int,
+                                   maxBucket: Int): String =
+    s"""WITH ${lshSelfJoinCtes(nPlanes, dims, tables, maxBucket)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |sc AS (SELECT c.id_a, c.id_b, $fixedCosineSql AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, cosine FROM sc WHERE cosine >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Generated fixed-grid LSH near-dup CLUSTER replay
+    * ([[graft.Queries.qDedupEmbeddingCluster]]): the
+    * [[dedupEmbeddingLshSql]] pair pipeline, then min-id connected
+    * components via recursive-CTE transitive closure (the q_er_cluster
+    * precedent — labels are algorithm-independent), every corpus row
+    * labeled (singletons of themselves), sizes attached. */
+  private def dedupEmbeddingClusterSql(threshold: Double, nPlanes: Int,
+                                       dims: Int, tables: Int,
+                                       maxBucket: Int): String =
+    s"""WITH RECURSIVE ${lshSelfJoinCtes(nPlanes, dims, tables, maxBucket)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |sc AS (SELECT c.id_a, c.id_b, $fixedCosineSql AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+       |p AS (SELECT id_a, id_b FROM sc WHERE cosine >= $threshold),
+       |und AS (SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |enodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach AS (
+       |  SELECT id, id AS r FROM enodes
+       |  UNION
+       |  SELECT und.b AS id, reach.r FROM reach JOIN und ON und.a = reach.id),
+       |lbl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |f AS (SELECT e.vec_id, COALESCE(l.comp, e.vec_id) AS cluster_id
+       |  FROM embeddings e LEFT JOIN lbl l ON l.id = e.vec_id)
+       |SELECT vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM f ORDER BY vec_id""".stripMargin
+
+  /** Generated fixed-grid LSH k-NN-graph replay
+    * ([[graft.Queries.qVecKnnGraphLsh]],
+    * [[graft.operators.VectorOps.knnGraphLshFixed]]): banded corpus
+    * buckets, hot-cell cap, distinct DIRECTED candidate edges from any
+    * shared (table, bucket) cell, per-node top-`k` by round-6 fixed-point
+    * cosine with neighbor-id tie-breaks. */
+  private def knnGraphLshSql(k: Int, nPlanes: Int, dims: Int, tables: Int,
+                             maxBucket: Int): String =
+    s"""WITH ${lshSelfJoinCtes(nPlanes, dims, tables, maxBucket)},
+       |cand AS (SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
+       |sc AS (SELECT c.node, c.nbr, $fixedCosineSql AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.node
+       |  JOIN embeddings eb ON eb.vec_id = c.nbr)
+       |SELECT node, neighbor_id, cosine, rank FROM (
+       |  SELECT node, nbr AS neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY cosine DESC, nbr) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY node, rank""".stripMargin
+
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
     * its streaming twin q_stream_sliding: each event lands in the two
     * half-hour-aligned windows covering it. */
@@ -2270,6 +2386,12 @@ object OracleSql {
       rowsPerBand = 4, threshold = 0.5, maxDocId = 600L, maxBucket = 1000),
     "q_dedup_simhash_fixed" -> simhashFixedSql(maxDist = 3, maxDocId = 600L,
       maxBucket = 1000),
+    "q_dedup_embedding" -> dedupEmbeddingLshSql(threshold = 0.3,
+      nPlanes = 4, dims = 64, tables = 4, maxBucket = 1000),
+    "q_dedup_embedding_cluster" -> dedupEmbeddingClusterSql(threshold = 0.38,
+      nPlanes = 4, dims = 64, tables = 4, maxBucket = 1000),
+    "q_vec_knn_graph_lsh" -> knnGraphLshSql(k = 5, nPlanes = 3, dims = 64,
+      tables = 6, maxBucket = 1000),
 
     // exact k-NN graph on the 1/8 sample: all-pairs fixed-point cosine
     // (identical grid to q_dedup_embedding_exact), top-5 per node by

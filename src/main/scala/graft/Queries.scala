@@ -2565,18 +2565,23 @@ object Queries {
         "vec_id", "embedding", k = 5)
       .orderBy("node", "rank")
 
-  /** LSH-bucketed k-NN graph ([[VectorOps.knnGraphLsh]]) over the FULL
-    * corpus — candidates share a (table, bucket) cell in any sign-LSH
-    * table, exact-ranked per node. 3 planes × 6 OR-tables: random 64-dim
-    * neighbors sit near cos≈0.25 (θ≈75°), so per-table collision is only
+  /** LSH-bucketed k-NN graph over the FULL corpus, under the HASH GATE
+    * ([[VectorOps.knnGraphLshFixed]] — the fixed-grid twin of the
+    * production [[VectorOps.knnGraphLsh]], which stays spec-exercised in
+    * AnnRecallSpec): candidates share a (table, bucket) cell in any
+    * sign-LSH table, exact-ranked per node on the oracle-shared
+    * fixed-point grid. 3 planes × 6 OR-tables: random 64-dim neighbors
+    * sit near cos≈0.25 (θ≈75°), so per-table collision is only
     * (1−θ/π)³≈0.2 — wider buckets + more tables buy recall 0.72 where
-    * 4×4 gives 0.40 (AnnRecallSpec sweep). Approximate by construction ⇒
-    * rows-only; floored vs [[VectorOps.knnGraphExact]]. maxBucket=1000
-    * (the DedupOps hot-cell convention) — a no-op on uniform buckets
-    * (AnnRecallSpec pins capped ≡ uncapped here) but the degenerate-cell
-    * backstop at corpus scale. */
+    * 4×4 gives 0.40 (AnnRecallSpec sweep). The DuckDB oracle replays the
+    * whole build (planes as literals → integer bucket signs → windowed
+    * hot-cell cap → candidate self-join → round-6 ranking), so the
+    * approximate k-NN-graph ALGORITHM is a cross-engine-gated fact.
+    * maxBucket=1000 (the DedupOps hot-cell convention) — a no-op on
+    * uniform buckets (AnnRecallSpec pins capped ≡ uncapped here) but the
+    * degenerate-cell backstop at corpus scale. */
   val qVecKnnGraphLsh: Q = (s, d) =>
-    VectorOps.knnGraphLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+    VectorOps.knnGraphLshFixed(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 5, nPlanes = 3, tables = 6, maxBucket = 1000)
       .orderBy("node", "rank")
 
@@ -2775,29 +2780,38 @@ object Queries {
           .cast(DoubleType) / lit(1e6)).as("centroid"))
       .orderBy("label", "pos")
 
-  /** Embedding-cosine near-dup pairs — rows-only (approximate: LSH-bucketed
-    * candidate generation, exact-cosine verify; see
-    * [[VectorOps.cosineNearDups]]). Threshold sized to the synthetic corpus
-    * (random-ish vectors top out near cosine 0.4; 0.3 yields a nonempty,
-    * bounded pair set — recall at that weak-similarity threshold is the
-    * documented LSH trade; true near-dups ≥0.9 recall ~0.96). */
+  /** Embedding-cosine near-dup pairs under the HASH GATE
+    * ([[VectorOps.cosineNearDupsLshFixed]] — the fixed-grid twin of the
+    * production [[VectorOps.cosineNearDups]], which stays spec-exercised
+    * in AnnRecallSpec): LSH-bucketed candidate generation on the
+    * oracle-shared fixed-point grid (4 planes × 4 OR-tables, windowed
+    * hot-cell cap 1000), round-6 fixed-point cosine verify. The DuckDB
+    * oracle replays the whole near-dup algorithm (planes as literals →
+    * integer bucket signs → cap → candidate join → verify). Threshold
+    * sized to the synthetic corpus (random-ish vectors top out near
+    * cosine 0.4; 0.3 yields a nonempty, bounded pair set — recall at that
+    * weak-similarity threshold is the documented LSH trade; true
+    * near-dups ≥0.9 recall ~0.96). */
   val qDedupEmbedding: Q = (s, d) =>
-    VectorOps.cosineNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.3)
+    VectorOps.cosineNearDupsLshFixed(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.3, nPlanes = 4, tables = 4,
+        maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
-  /** Embedding near-dup pairs → transitive CLUSTERS: the vector-side
-    * composition of [[operators.GraphOps.dedupClusters]] over the
-    * LSH-bucketed candidate pairs. Threshold 0.38 sits at the top of this
-    * corpus's similarity distribution (112 exact pairs over 500 vectors at
-    * sf0.01) so clusters stay small; the pair-query's weak 0.3 setting
-    * would blob half the corpus into one component — correct CC, useless
-    * dedup. Rows-only (pairs are approximate), but the clustering itself
-    * is exact given the pairs. */
+  /** Embedding near-dup pairs → transitive CLUSTERS, under the HASH GATE:
+    * [[operators.GraphOps.dedupClusters]] over the fixed-grid LSH pairs
+    * ([[VectorOps.cosineNearDupsLshFixed]], the q_dedup_embedding
+    * pipeline at 0.38). Threshold 0.38 sits at the top of this corpus's
+    * similarity distribution (112 exact pairs over 500 vectors at sf0.01)
+    * so clusters stay small; the pair-query's weak 0.3 setting would blob
+    * half the corpus into one component — correct CC, useless dedup. The
+    * min-id component labels are algorithm-independent integers, so the
+    * oracle replays them with a recursive-CTE transitive closure (the
+    * q_er_cluster precedent) over the same replayed pair set. */
   val qDedupEmbeddingCluster: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val pairs = VectorOps.cosineNearDups(emb, "vec_id", "embedding",
-      threshold = 0.38)
+    val pairs = VectorOps.cosineNearDupsLshFixed(emb, "vec_id", "embedding",
+      threshold = 0.38, nPlanes = 4, tables = 4, maxBucket = 1000)
     operators.GraphOps.dedupClusters(emb, "vec_id", pairs)
       .orderBy("vec_id")
   }

@@ -653,6 +653,71 @@ object VectorOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[cosineNearDups]] with every arithmetic step on the ORACLE-SHARED
+    * fixed-point grid (the [[cosineTopKLshFixed]] construction applied to
+    * the self-join dedup shape): bucket bits are the sign of
+    * `dotFixed(v, plane)` — an integer-sum sign, exact in ANSI SQL — the
+    * hot-cell cap is a windowed per-(table,bucket) count (replayable as
+    * `COUNT(*) OVER`), and the verify is the round-6 fixed-point cosine.
+    * Same buckets, candidates, and pairs as the production double-kernel
+    * path except where a projection sits within float-fold ulp of zero
+    * (never observed on the fixtures; AnnRecallSpec still floors the
+    * production path) — this twin exists so the LSH NEAR-DUP ALGORITHM
+    * itself is replayed by the DuckDB oracle (q_dedup_embedding), turning
+    * the spec-only recall floor into a cross-engine-gated fact.
+    *
+    * Verify is two-phase like [[cosineNearDupsFixed]]: the codegen'd
+    * double kernel prefilters candidates with a 2e-6 margin (|kernel −
+    * grid| ≤ 1e-6 per pair, so no true pair is dropped) and only the thin
+    * boundary shell pays the exact fixed-point re-score. Scale shape is
+    * the production kernel's: narrow (id, table, bucket) candidate
+    * generation, Σ bucket² join cost, cap before pairs materialize. */
+  def cosineNearDupsLshFixed(corpus: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, nPlanes: Int = 4,
+                             dims: Int = 64, tables: Int = 4,
+                             maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    def bucketOf(vec: Column, seed: Long): Column =
+      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
+        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
+          shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fnrm", norm(col("v")))
+      .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
+      .localCheckpoint()
+    val banded0 = side.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        bucketOf(col("v"), 42L + t)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else banded0
+        // windowed count, not a blacklist: oracle-replayable as
+        // COUNT(*) OVER and the exchange is reused by the self-join
+        .withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy("table", "bucket")))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
+    val candidates = banded.alias("a").join(banded.alias("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // any-table OR semantics
+    candidates
+      .join(side.select(col("id").as("id_a"), col("v").as("va"),
+        col("fnrm").as("fa"), col("xnrm").as("na")), Seq("id_a"))
+      .join(side.select(col("id").as("id_b"), col("v").as("vb"),
+        col("fnrm").as("fb"), col("xnrm").as("nb")), Seq("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("fa") * col("fb"))
+        >= threshold - 2e-6)
+      .withColumn("cosine", round(
+        dotFixed(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** LSH SIMILARITY JOIN between two corpora with DIFFERENT id spaces —
     * the missing piece of the retrieval algebra next to [[cosineTopKLsh]]
     * (query-batch retrieval) and [[cosineNearDups]] (self-join dedup):
@@ -861,6 +926,95 @@ object VectorOps {
     val w = Window.partitionBy("node")
       .orderBy(col("cosine").desc, col("nbr").asc)
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("node"), col("nbr").as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** [[knnGraphLsh]] with every arithmetic step on the ORACLE-SHARED
+    * fixed-point grid — the third self-join LSH twin next to
+    * [[cosineNearDupsLshFixed]] (pairs) and [[cosineTopKLshFixed]]
+    * (retrieval): bucket bits are integer fixed-point projection-sum
+    * signs, the hot-cell cap a windowed `COUNT(*) OVER` (both exactly
+    * replayable in ANSI SQL), candidates the (table, bucket) equi-self-
+    * join under any-table OR semantics, and the per-node ranking the
+    * round-6 fixed-point cosine with neighbor-id tie-breaks — DuckDB
+    * replays the WHOLE approximate k-NN-graph build (q_vec_knn_graph_lsh).
+    *
+    * Ranking is two-phase like [[knnGraphExact]]: the codegen'd double
+    * kernel scores every candidate edge, a per-node k-th-value prefilter
+    * with the proven 1e-5 margin keeps only the top-k boundary shell, and
+    * survivors pay the exact fixed-point re-score — the margin argument
+    * carries verbatim (|kernel − grid| ≤ 1e-6 per pair, 6-dp rounding
+    * moves ≤ 5e-7). */
+  def knnGraphLshFixed(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nPlanes: Int = 4, dims: Int = 64,
+                       tables: Int = 4,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    def bucketOf(vec: Column, seed: Long): Column =
+      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
+        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
+          shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fnrm", norm(col("v")))
+      .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
+      .localCheckpoint()
+    val banded0 = side.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        bucketOf(col("v"), 42L + t)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else banded0
+        .withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy("table", "bucket")))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
+    // bucket collisions are symmetric, so each UNORDERED pair is
+    // generated, deduped, and double-kernel-scored ONCE (half the join
+    // and dot work), then mirrored to both directions — the
+    // [[knnGraphExact]] `half` trick; the checkpoint feeds the two
+    // mirror consumers. Scores go immediately SKINNY (ids + dcos): the
+    // 2×64-float vectors must not ride through the window shuffles
+    // (measured 2× the whole key's cost when they did).
+    val half = banded.alias("a").join(banded.alias("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // any-table OR semantics
+      .join(side.select(col("id").as("id_a"), col("v").as("va"),
+        col("fnrm").as("fa")), Seq("id_a"))
+      .join(side.select(col("id").as("id_b"), col("v").as("vb"),
+        col("fnrm").as("fb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("fa") * col("fb"))).as("dcos"))
+      .localCheckpoint()
+    val scored = half
+      .select(col("id_a").as("node"), col("id_b").as("nbr"), col("dcos"))
+      .union(half
+        .select(col("id_b").as("node"), col("id_a").as("nbr"), col("dcos")))
+    val wFull = Window.partitionBy("node")
+      .orderBy(col("dcos").desc, col("nbr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val shell = scored
+      .withColumn("kth", nth_value(col("dcos"), k).over(wFull))
+      .filter(col("kth").isNull || col("dcos") >= col("kth") - 1e-5)
+      .select("node", "nbr")
+    // survivors (≈ k per node) re-attach vectors for the fixed re-score
+    val rescored = shell
+      .join(side.select(col("id").as("node"), col("v").as("va"),
+        col("xnrm").as("na")), Seq("node"))
+      .join(side.select(col("id").as("nbr"), col("v").as("vb"),
+        col("xnrm").as("nb")), Seq("nbr"))
+      .select(col("node"), col("nbr"), round(
+        dotFixed(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        .as("cosine"))
+    val w = Window.partitionBy("node")
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("node"), col("nbr").as("neighbor_id"), col("cosine"),
         col("rank"))
