@@ -274,7 +274,7 @@ object Ingest {
     // production common case, and every repeat engine/bench run) skip the
     // dominant per-batch job. No invalidation is ever needed: the key is
     // batch content, not registry state.
-    val cacheKey = shapeSig.map(sig => typeId + " " + sig)
+    val cacheKey = shapeSig.map(sig => typeId + "\u0000" + sig)
     val cachedSchema = cacheKey.flatMap(k => Option(schemaCache.get(k)))
     val parsed0 = cachedSchema match {
       case Some(known) =>
