@@ -179,9 +179,36 @@ object Declared {
   private def srcSchema(s: SparkSession, src: String): org.apache.spark.sql.types.StructType =
     srcSchemaCache.getOrElseUpdate(src, s.read.parquet(src).schema)
 
+  /** Cached per-(parent, shuffle-partitions) CHILD session for the rigs
+    * that need an isolated state-sizing conf: `newSession()` itself is
+    * ~2 ms, but the first query on a fresh SessionState pays ~270 ms of
+    * lazy analyzer/catalog init — a per-run child taxed every declared
+    * streaming key with it (≈14 rigs × 0.27 s across the family). One
+    * warmed child per sizing amortizes that to once per process. Nothing
+    * is ever mutated on a child after creation, and concurrent runs on a
+    * shared child are safe: checkpoint dirs are per-run and query names
+    * are [[uniqueName]]-suffixed (an ACTIVE duplicate name on one session
+    * would otherwise refuse to start). */
+  private val sizedSessions =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), SparkSession]
+  private def sized(s: SparkSession, partitions: Int): SparkSession =
+    sizedSessions.getOrElseUpdate((s, partitions), {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      c.sql("SELECT 1").collect() // pay SessionState init here, once
+      c
+    })
+
+  /** Monotonic suffix for streaming query names: cached child sessions
+    * mean two concurrent runs of one rig can share a StreamingQueryManager,
+    * where a duplicate ACTIVE query name refuses to start. */
+  private val qnCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def uniqueName(base: String): String =
+    base + "-" + qnCounter.incrementAndGet()
+
   /** File-source stream over `src`, `filesPerTrigger` files per
     * micro-batch. The reader is built on `s` — pass an isolated child
-    * session (newSession) when the run needs its own SQL conf (state
+    * session ([[sized]]) when the run needs its own SQL conf (state
     * sizing). Each call is an INDEPENDENT reader with its own progress. */
   private def srcReader(s: SparkSession, src: String,
                         filesPerTrigger: Int): DataFrame =
@@ -241,7 +268,7 @@ object Declared {
       events.select("event_id", "ts", "event_type", "value"),
       dir, nFiles = 3, filesPerTrigger = 1)
     stream.writeStream
-      .queryName("graft-stream-tumbling")
+      .queryName(uniqueName("graft-stream-tumbling"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -299,7 +326,7 @@ object Declared {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n"))
       .writeStream
-      .queryName("graft-stream-sliding")
+      .queryName(uniqueName("graft-stream-sliding"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
@@ -321,8 +348,7 @@ object Declared {
     // The override lives on an ISOLATED child session (same SparkContext,
     // own SQL conf), so queries planned concurrently on the caller's
     // session never see the 8-partition setting.
-    val s8 = s.newSession()
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val s8 = sized(s, 8)
     // 2 micro-batches, not 4: the cross-batch keyed state is exercised by
     // the second batch either way, and each extra batch pays a full
     // state-store commit across every shuffle partition
@@ -330,7 +356,7 @@ object Declared {
         dir, nFiles = 2, filesPerTrigger = 1)
       .dropDuplicates("user_id", "event_type")
       .writeStream
-      .queryName("graft-stream-dedup")
+      .queryName(uniqueName("graft-stream-dedup"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -353,8 +379,7 @@ object Declared {
                            dir: String): DataFrame = {
     val out = dir + "/out"
     // same isolated-session 8-partition state sizing as dedupKeys
-    val s8 = s.newSession()
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val s8 = sized(s, 8)
     // ts rides along as the watermark column; the projection back to the
     // key pair happens AFTER the stateful dedup
     fileStream(s8, events.select("user_id", "event_type", "ts"),
@@ -363,7 +388,7 @@ object Declared {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
       .writeStream
-      .queryName("graft-stream-dedup-wm")
+      .queryName(uniqueName("graft-stream-dedup-wm"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -387,12 +412,11 @@ object Declared {
     * on an unbounded stream. */
   def streamStreamJoin(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
-    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
     // 4, not 8: a stream-stream join commits FOUR state stores per
     // partition per batch (keyToNumValues + keyWithIndexToValue, each
     // side), so the fixed commit cost is double every other stateful
     // shape's — and the user_id key space is small
-    s8.conf.set("spark.sql.shuffle.partitions", "4")
+    val s8 = sized(s, 4)
     val src = writeSrc(
       events.select("event_id", "user_id", "event_type", "ts"), dir, 2)
     // two READERS, not one: each side tracks its own file progress, so the
@@ -411,7 +435,7 @@ object Declared {
       .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
         col("buy_id"), col("buy_ts"))
       .writeStream
-      .queryName("graft-stream-stream-join")
+      .queryName(uniqueName("graft-stream-stream-join"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -431,8 +455,7 @@ object Declared {
   def streamStaticJoin(s: SparkSession, events: DataFrame,
                        dir: String): DataFrame = {
     val out = dir + "/out"
-    val s8 = s.newSession()
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val s8 = sized(s, 8)
     val src = writeSrc(events.select("event_id", "user_id", "ts"), dir, 2)
     val stream = srcReader(s8, src, filesPerTrigger = 1)
     val profile = s8.read.parquet(src)
@@ -443,7 +466,7 @@ object Declared {
         col("first_ts"), col("n_events"),
         (col("ts") === col("first_ts")).as("is_first"))
       .writeStream
-      .queryName("graft-stream-static-join")
+      .queryName(uniqueName("graft-stream-static-join"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -479,11 +502,10 @@ object Declared {
   def streamStreamJoinOuter(s: SparkSession, events: DataFrame,
                             dir: String): DataFrame = {
     val out = dir + "/out"
-    val s8 = s.newSession() // isolated state sizing, same as dedupKeys
     // 4 state partitions — same 4-stores-per-partition argument as the
     // inner variant, and this one runs 3 micro-batches (1 sentinel)
     // plus the watermark-applying no-data batch
-    s8.conf.set("spark.sql.shuffle.partitions", "4")
+    val s8 = sized(s, 4)
     val ev = events.select("event_id", "user_id", "event_type", "ts")
     val (_, hi, cut) = tsMidpoint(ev)
     import s8.implicits._
@@ -511,7 +533,7 @@ object Declared {
       .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
         col("buy_id"), col("buy_ts"))
       .writeStream
-      .queryName("graft-stream-stream-join-outer")
+      .queryName(uniqueName("graft-stream-stream-join-outer"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -566,12 +588,11 @@ object Declared {
                     java.sql.Timestamp) => Seq[DataFrame])
       : (SparkSession, DataFrame) = {
     val (lo, hi, cut) = tsMidpoint(ev)
-    val s8 = s.newSession()
     // 4 state partitions (re-A/B'd r12 under the nio checkpoint manager:
     // 1.6s vs 1.75s warm on q_stream_sliding — the manager removed the
     // per-store commit forks that once made 8 the r9 winner); results are
     // partition-count invariant (PartitionInvarianceSpec)
-    s8.conf.set("spark.sql.shuffle.partitions", "4")
+    val s8 = sized(s, 4)
     val stream = orderedFileStream(s8,
       orderedHalves(ev, cut) ++ mkTrailers(s8, lo, hi), dir)
     (s8, stream)
@@ -609,7 +630,7 @@ object Declared {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
       .writeStream
-      .queryName("graft-stream-late-drop")
+      .queryName(uniqueName("graft-stream-late-drop"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -659,7 +680,7 @@ object Declared {
         gapUs)
       .filter(col("user_id") >= 0L)
       .writeStream
-      .queryName("graft-stream-session")
+      .queryName(uniqueName("graft-stream-session"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .format("parquet")
@@ -768,7 +789,7 @@ object Declared {
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
-      .queryName("graft-stream-cc")
+      .queryName(uniqueName("graft-stream-cc"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -804,8 +825,7 @@ object Declared {
     // so 4 shuffle partitions beats the session default (the
     // changesMaintain knob, A/B'd per key r11 — NOT the stateful-family
     // setting, whose state stores size to shuffle.partitions)
-    val s4 = s.newSession()
-    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val s4 = sized(s, 4)
     val src = writeSrc(
       events.select("event_id", "ts", "user_id", "event_type", "value"),
       dir, nFiles = 2)
@@ -818,7 +838,7 @@ object Declared {
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
-      .queryName("graft-stream-lww")
+      .queryName(uniqueName("graft-stream-lww"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -859,14 +879,13 @@ object Declared {
         .filter(col("word") =!= "")
     // stateless fold: 4 shuffle partitions (the changesMaintain knob,
     // A/B'd per key r11; sketch states are <=4k rows)
-    val s4 = s.newSession()
-    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val s4 = sized(s, 4)
     val src = writeSrc(docs, dir, nFiles = 2)
     val stream = srcReader(s4, src, filesPerTrigger = 1)
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
-      .queryName("graft-stream-heavy-hitters")
+      .queryName(uniqueName("graft-stream-heavy-hitters"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -901,8 +920,7 @@ object Declared {
     val ev = events.select(col("event_type"), col("ts"), col("value"))
     // stateless fold: 4 shuffle partitions (the changesMaintain knob,
     // A/B'd per key r11; the state is O(groups x grid bins))
-    val s4 = s.newSession()
-    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val s4 = sized(s, 4)
     val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -910,7 +928,7 @@ object Declared {
       StatsOps.ksCounts(df, "event_type",
         dayofweek(col("ts")).isin(1, 7), "value", gridScale = 1000L)
     stream.writeStream
-      .queryName("graft-stream-drift")
+      .queryName(uniqueName("graft-stream-drift"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -944,13 +962,12 @@ object Declared {
     val ev = events.select(col("event_type"), col("ts"), col("value"))
     // stateless fold: 4 shuffle partitions (the changesMaintain knob,
     // A/B'd per key r11; the state is five moments per group)
-    val s4 = s.newSession()
-    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val s4 = sized(s, 4)
     val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
-      .queryName("graft-stream-trend")
+      .queryName(uniqueName("graft-stream-trend"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -988,8 +1005,7 @@ object Declared {
   def scd2Maintain(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val ev = events.select("user_id", "event_id", "event_type", "ts")
     val (_, _, cut) = tsMidpoint(ev)
-    val s8 = s.newSession()
-    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val s8 = sized(s, 8)
     val stream = orderedFileStream(s8, orderedHalves(ev, cut), dir)
     val states = Seq(dir + "/state0", dir + "/state1")
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -998,7 +1014,7 @@ object Declared {
         tsCol = "ts", orderCols = Seq("ts", "event_id"),
         attrCols = Seq("event_type"))
     stream.writeStream
-      .queryName("graft-stream-scd2")
+      .queryName(uniqueName("graft-stream-scd2"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1081,12 +1097,11 @@ object Declared {
         col("value").as("value_before"), col("value").as("value_after"),
         lit(0).as("batch"))
     val cutUs = ((mm.getLong(0) + mm.getLong(1)) / 2 / DayUs) * DayUs + DayUs / 2
-    val s8 = s.newSession()
     // stateless foreachBatch fold (no state store): the per-batch work is
     // a small LWW window + diff, so 4 shuffle partitions beats 8 — this is
     // NOT the stateful-family knob (sliding/session/scd2 keep 8, re-A/B'd
     // r9; their state stores size to shuffle.partitions, this doesn't)
-    s8.conf.set("spark.sql.shuffle.partitions", "4")
+    val s8 = sized(s, 4)
     val stream = orderedFileStream(s8, Seq(
       ev.filter(unix_micros(col("ts")) < cutUs),
       ev.filter(unix_micros(col("ts")) >= cutUs)), dir)
@@ -1095,7 +1110,7 @@ object Declared {
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(crash)
     def run(): Unit = stream.writeStream
-      .queryName("graft-stream-changes")
+      .queryName(uniqueName("graft-stream-changes"))
       .option("checkpointLocation", dir + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
