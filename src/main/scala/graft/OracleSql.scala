@@ -772,6 +772,46 @@ object OracleSql {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM f ORDER BY vec_id""".stripMargin
 
+  /** Generated fixed-grid LSH A×B SIMILARITY-JOIN replay
+    * ([[graft.Queries.qVecSimJoin]],
+    * [[graft.operators.VectorOps.cosineSimJoinLshFixed]]): the even-id
+    * and odd-id halves banded separately with the SAME plane literals,
+    * per-side windowed hot-cell caps, cross-side (table, bucket)
+    * candidate join under any-table OR semantics, round-6 fixed-point
+    * cosine verify against `threshold`. */
+  private def vecSimJoinLshSql(threshold: Double, nPlanes: Int, dims: Int,
+                               tables: Int, maxBucket: Int): String = {
+    def bucketExpr(vec: String, seed: Long): String =
+      graft.operators.VectorOps.planes(nPlanes, dims, seed).zipWithIndex.map {
+        case (p, i) =>
+          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_sum(list_transform(list_zip($vec, $lits),
+             |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) >= 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
+      }.mkString("\n    + ")
+    def sideCtes(tag: String, parity: Int): String = {
+      val buckets = (0 until tables).map(t =>
+        s"""SELECT vec_id, $t AS tbl,
+           |    ${bucketExpr("embedding", 42L + t)} AS bucket FROM embeddings
+           |    WHERE vec_id % 2 = $parity""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""${tag}0 AS (
+         |  $buckets),
+         |$tag AS (SELECT vec_id, tbl, bucket FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bn FROM ${tag}0)
+         |  WHERE bn <= $maxBucket)""".stripMargin
+    }
+    s"""WITH ${sideCtes("ca", 0)},
+       |${sideCtes("cb", 1)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ca a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket),
+       |sc AS (SELECT c.id_a, c.id_b, $fixedCosineSql AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, cosine FROM sc WHERE cosine >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Generated fixed-grid LSH k-NN-graph replay
     * ([[graft.Queries.qVecKnnGraphLsh]],
     * [[graft.operators.VectorOps.knnGraphLshFixed]]): banded corpus
@@ -2392,6 +2432,8 @@ object OracleSql {
       nPlanes = 4, dims = 64, tables = 4, maxBucket = 1000),
     "q_vec_knn_graph_lsh" -> knnGraphLshSql(k = 5, nPlanes = 3, dims = 64,
       tables = 6, maxBucket = 1000),
+    "q_vec_sim_join" -> vecSimJoinLshSql(threshold = 0.38, nPlanes = 3,
+      dims = 64, tables = 4, maxBucket = 1000),
 
     // exact k-NN graph on the 1/8 sample: all-pairs fixed-point cosine
     // (identical grid to q_dedup_embedding_exact), top-5 per node by

@@ -2663,21 +2663,24 @@ object Queries {
   // link-predict replacement precedent), and the production kernel stays
   // spec-exercised.
 
-  /** LSH SIMILARITY JOIN between two corpora
-    * ([[VectorOps.cosineSimJoinLsh]]): the even-id and odd-id halves of the
-    * embeddings table as two DIFFERENT id spaces — "which A items align
-    * with which B items at cosine ≥ 0.38" (cross-corpus contamination /
-    * alignment, the one §2.B retrieval shape with no approximate variant
-    * until now: cosineTopKLsh is query-batch retrieval, cosineNearDups is
-    * self-join dedup). Shared fixed-seed planes, any-table OR candidates,
-    * exact-cosine verify, opt-in hot-cell cap at 1000. Approximate by
-    * construction ⇒ rows-only; AnnRecallSpec floors A×B recall ≥ 0.9 at
-    * the 0.9 alignment regime vs brute-force cross truth. */
+  /** LSH SIMILARITY JOIN between two corpora, under the HASH GATE
+    * ([[VectorOps.cosineSimJoinLshFixed]] — the fixed-grid twin of the
+    * production [[VectorOps.cosineSimJoinLsh]], which stays spec-exercised
+    * in AnnRecallSpec with its A×B recall floor): the even-id and odd-id
+    * halves of the embeddings table as two DIFFERENT id spaces — "which A
+    * items align with which B items at cosine ≥ 0.38" (cross-corpus
+    * contamination / alignment; cosineTopKLsh is query-batch retrieval,
+    * cosineNearDups is self-join dedup). Shared fixed-seed planes as
+    * integer bucket signs, per-side windowed hot-cell cap at 1000,
+    * any-table OR candidates, round-6 fixed-point verify — the DuckDB
+    * oracle replays the whole cross-corpus join, so the fourth LSH shape
+    * joins the other three under the cross-engine gate. */
   val qVecSimJoin: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    VectorOps.cosineSimJoinLsh(
+    VectorOps.cosineSimJoinLshFixed(
         emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", threshold = 0.38, tables = 4, maxBucket = 1000)
+        "vec_id", "embedding", threshold = 0.38, nPlanes = 3, tables = 4,
+        maxBucket = 1000)
       .orderBy("id_a", "id_b")
   }
 

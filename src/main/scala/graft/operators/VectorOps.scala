@@ -781,6 +781,64 @@ object VectorOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[cosineSimJoinLsh]] with every arithmetic step on the ORACLE-SHARED
+    * fixed-point grid — the A×B twin of [[cosineNearDupsLshFixed]]: both
+    * sides hash with the same fixed-seed planes via integer fixed-point
+    * projection-sum signs, EACH side's hot cells are capped with a
+    * windowed `COUNT(*) OVER` (a cell is dropped when either side exceeds
+    * the cap — the production kernel's contract), candidates share a
+    * (table, bucket) cell in any OR-table, and the verify is the round-6
+    * fixed-point cosine with the two-phase double-kernel margin. DuckDB
+    * replays the WHOLE cross-corpus similarity join (q_vec_sim_join). */
+  def cosineSimJoinLshFixed(left: DataFrame, right: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double,
+                            nPlanes: Int = 4, dims: Int = 64,
+                            tables: Int = 4,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
+    def bucketOf(vec: Column, seed: Long): Column =
+      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
+        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
+          shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("fnrm", norm(col("v")))
+        .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
+        .localCheckpoint()
+    def banded(side: DataFrame): DataFrame = {
+      val bd = side.select(col("id"),
+        posexplode(array((0 until tables).map(t =>
+          bucketOf(col("v"), 42L + t)): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+      if (maxBucket == Int.MaxValue) bd
+      else bd
+        .withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy("table", "bucket")))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
+    }
+    val a = prep(left)
+    val b = prep(right)
+    val candidates = banded(a).alias("a")
+      .join(banded(b).alias("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // any-table OR semantics
+    candidates
+      .join(a.select(col("id").as("id_a"), col("v").as("va"),
+        col("fnrm").as("fa"), col("xnrm").as("na")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("v").as("vb"),
+        col("fnrm").as("fb"), col("xnrm").as("nb")), Seq("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("fa") * col("fb"))
+        >= threshold - 2e-6)
+      .withColumn("cosine", round(
+        dotFixed(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** All-pairs exact near-dup on the cross-engine fixed-point grid — the
     * oracle-shareable ground truth ([[dotFixed]] + ROUND(·,6), replayable in
     * ANSI SQL). Two-phase: the codegen'd double kernel prefilters the n²

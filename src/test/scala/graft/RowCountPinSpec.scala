@@ -35,8 +35,7 @@ class RowCountPinSpec extends SparkSpec {
     "q_vec_ann_ivf" -> 50L,
     "q_vec_ann_ivfpq" -> 50L,
     "q_vec_ann_lsh_prod" -> 50L,
-    "q_vec_ann_pq" -> 50L,
-    "q_vec_sim_join" -> 55L
+    "q_vec_ann_pq" -> 50L
   )
 
   test("every declared key without an oracle has a pinned row count") {
