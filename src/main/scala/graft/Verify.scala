@@ -51,6 +51,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sf0.01 pins for the rows-only keys (ADVICE r13 #2): lets the local
+    // t2 gate (tools/check_oracle.py) compare each un-oracled key's row
+    // count against an exact expectation instead of skipping it.
+    val pins = RowCountPins.pinned.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"${q(k)}: $n" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/expected_rows.json"), pins)
     spark.stop()
   }
 }

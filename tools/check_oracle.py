@@ -77,14 +77,34 @@ def main(outdir, sfdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # sf0.01 row-count pins for the rows-only keys (ADVICE r13 #2): a key
+    # without an oracle still gets an exact size check instead of a SKIP.
+    # Pins are sf0.01-specific, so they only apply at that scale factor.
+    pins = {}
+    if os.path.basename(os.path.normpath(sfdir)) == "sf0.01":
+        try:
+            with open(f"{outdir}/expected_rows.json") as f:
+                pins = json.load(f)
+        except FileNotFoundError:
+            pass
     n_pass = n_fail = n_skip = 0
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
             continue
         if name not in oracles:
-            print(f"SKIP  {name}: no oracle (rows-only check)")
-            n_skip += 1
+            if name in pins:
+                n = con.execute(
+                    f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                if n == pins[name]:
+                    print(f"PASS  {name}: {n} rows (pinned count, no oracle)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL  {name}: rows {n} != pinned {pins[name]}")
+                    n_fail += 1
+            else:
+                print(f"SKIP  {name}: no oracle (rows-only check)")
+                n_skip += 1
             continue
         try:
             got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()

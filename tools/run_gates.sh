@@ -159,8 +159,10 @@ else:
 # sweep against itself — localized SUSTAINED contention (one key 15x with
 # median/min <= 1.3 and whole-sweep ratio ~1.1) passes them all. Compare
 # each key's min against the committed quiet reference map; Bench already
-# re-measured (and stamped) keys over 2.5x, so anything still over here
-# either was confirmed slow by its re-measure or predates the ref file.
+# re-measured (and stamped) keys over 2x (trigger dropped from 2.5x at r14
+# — VERDICT r13 #5: a real 2.13x drift slipped under 2.5x; the anchor map
+# is refreshed every round close so 2x clears quiet jitter), so anything
+# still over here was confirmed slow by its re-measure or predates the ref.
 try:
     ref = json.load(open("BENCH_ref.json")).get("queries_min", {})
 except Exception:
@@ -168,17 +170,17 @@ except Exception:
 if ref:
     qm = b.get("queries_min", {})
     over = sorted((k, qm[k], ref[k]) for k in qm
-                  if ref.get(k, 0) > 0 and qm[k] > 2.5 * ref[k])
+                  if ref.get(k, 0) > 0 and qm[k] > 2.0 * ref[k])
     stamped = set(b.get("ref_flagged", []) + b.get("salvage_rerun", []))
     if over:
-        print(f"[gates] {len(over)} key(s) min >2.5x the committed quiet reference (BENCH_ref.json):")
+        print(f"[gates] {len(over)} key(s) min >2x the committed quiet reference (BENCH_ref.json):")
         for k, v, r in over:
             tag = "re-measured in-sweep, confirmed" if k in stamped else "** UNCONFIRMED — bench ran without the ref? **"
             print(f"[gates]   {k}: {v}s vs ref {r}s ({tag})")
         if any(k not in stamped for k, _, _ in over):
             print("[gates] ** WARNING: unconfirmed reference outliers — rerun the bench with BENCH_ref.json present **")
     else:
-        print(f"[gates] reference check: all {len(qm)} keys within 2.5x of BENCH_ref.json mins")
+        print(f"[gates] reference check: all {len(qm)} keys within 2x of BENCH_ref.json mins")
 else:
     print("[gates] (no BENCH_ref.json — reference anchor check skipped)")
 # a query that THROWS must fail the gate — its recorded time is
