@@ -38,9 +38,15 @@ object Ingest {
     *                   injectable for deterministic tests (reference default
     *                   is now(); models.py:55-56).
     */
-  def ingest(spark: SparkSession, registry: SchemaRegistry,
+  def ingest(session: SparkSession, registry: SchemaRegistry,
              envelopes: DataFrame, messageCol: String = "message",
              ingestTime: Option[java.sql.Timestamp] = None): Report = {
+    // Bind to the session the batch's actions will actually EXECUTE on:
+    // inside foreachBatch the frame belongs to the micro-batch clone, not
+    // the caller's parent session — a WriteCounts listener registered on
+    // the parent never sees the clone's write commands, silently forcing
+    // the fallback count job every single micro-batch.
+    val spark = envelopes.sparkSession
     import spark.implicits._
 
     // Reference processes messages one-by-one; the batch equivalent groups
@@ -151,18 +157,36 @@ object Ingest {
 
     private val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit =
-        qe.executedPlan.collect {
-          case w: DataWritingCommandExec => w.cmd match {
-            case i: InsertIntoHadoopFsRelationCommand =>
-              val p = norm(qe.sparkSession, i.outputPath.toString)
-              val tok = expected.get(p)
-              if (tok != null)
-                w.cmd.metrics.get("numOutputRows").foreach(m =>
-                  byPath.put(p, Capture(tok.longValue(), m.value)))
+                             durationNs: Long): Unit = {
+        // V1 file writes run under AQE in Spark 4: qe.executedPlan's root
+        // is AdaptiveSparkPlanExec and the executed tree hides behind
+        // leaf-like wrappers (AdaptiveSparkPlanExec.executedPlan,
+        // QueryStageExec.plan) whose `children` is empty — a plain
+        // collect over qe.executedPlan sees only the wrapper and the
+        // command match silently never fires. Recurse through the
+        // wrappers; the PHYSICAL DataWritingCommandExec's command
+        // instance carries the task-committed numOutputRows metric (the
+        // logical plan's command is a planning-time copy whose metric
+        // stays 0 — reading it would capture the wrong count).
+        def visit(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+          p.foreach {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              visit(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              visit(q.plan)
+            case w: DataWritingCommandExec => w.cmd match {
+              case i: InsertIntoHadoopFsRelationCommand =>
+                val key = norm(qe.sparkSession, i.outputPath.toString)
+                val tok = expected.get(key)
+                if (tok != null)
+                  w.cmd.metrics.get("numOutputRows").foreach(m =>
+                    byPath.put(key, Capture(tok.longValue(), m.value)))
+              case _ =>
+            }
             case _ =>
           }
-        }
+        visit(qe.executedPlan)
+      }
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
     }
@@ -172,9 +196,16 @@ object Ingest {
       * (file:/x vs hdfs:/x). Qualification resolves the caller's string
       * and the command's outputPath to the same canonical form. */
     private def norm(spark: SparkSession, path: String): String = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(p).toUri.toString
+      val u = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(path)).toUri
+      // URI.toString is NOT canonical across empty-vs-null authority
+      // ("file:///tmp/x" vs "file:/tmp/x" name the same file but compare
+      // unequal) — the command's outputPath and the caller's string can
+      // arrive in either form. Rebuild from parts with the authority
+      // normalized away when absent/empty.
+      val auth = Option(u.getAuthority).filter(_.nonEmpty)
+      u.getScheme + auth.map("://" + _).getOrElse(":") + u.getPath
     }
 
     /** Register the listener (once per session), declare interest in
