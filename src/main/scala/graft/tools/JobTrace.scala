@@ -3,12 +3,44 @@ package graft.tools
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
-/** Per-JOB wall-time trace for one declared key: prints every Spark job's
-  * duration + call site during the LAST (warm) run, so fixed per-batch
-  * costs (planning gaps between jobs, driver-side work) are attributable.
+/** Conf-registered QueryExecutionListener with a process-global sink:
+  * `spark.sql.queryExecutionListeners` instantiates one per session —
+  * including `newSession()` children, which do NOT inherit
+  * programmatically-registered listeners — so child-session actions
+  * (streaming rigs' sized sessions and their micro-batch clones) land in
+  * the same trace. */
+class JobTraceQeListener extends org.apache.spark.sql.util.QueryExecutionListener {
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      durationNs: Long): Unit = JobTrace.record(funcName, qe, durationNs)
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      exception: Exception): Unit = ()
+}
+
+/** Per-JOB and per-ACTION wall-time trace for one declared key: prints
+  * every Spark job duration (call site) and every QueryExecutionListener
+  * action (duration INCLUDING planning, session attribution) during the
+  * LAST (warm) run — fixed per-batch costs and driver-side gaps between
+  * jobs become attributable. Listeners register BEFORE the warmups so
+  * child sessions created on the first run (streaming rigs cache sized
+  * children) inherit them; recording is gated to the final run.
   * Usage: SPARK_GRAFT_SF_DIR=… sbt "runMain graft.tools.JobTrace q_stream_compact [warmups]"
   */
 object JobTrace {
+  private val recording = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var t00 = System.nanoTime()
+  private val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private[tools] def record(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      durationNs: Long): Unit = if (recording.get()) {
+    val rel = (System.nanoTime() - t00) / 1e9
+    val head = qe.optimizedPlan.toString.linesIterator
+      .take(4).map(_.take(100)).mkString(" // ")
+    lines.add(f"[qe ] +$rel%7.3fs  ${durationNs / 1e6}%7.1fms  $funcName%-14s sess=${qe.sparkSession.hashCode()} $head")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,16 +55,12 @@ object JobTrace {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpointFileManagerClass",
         "graft.streaming.LocalCheckpointFileManager")
+      .config("spark.sql.queryExecutionListeners",
+        "graft.tools.JobTraceQeListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(key)
-    (1 to warmups).foreach { _ =>
-      fn(spark, sfDir).count()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val t00 = System.nanoTime()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val desc = Option(j.properties)
@@ -44,35 +72,24 @@ object JobTrace {
           .getOrElse("")
         starts.put(j.jobId, (j.time, desc))
       }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = if (recording.get()) {
         val (t0, desc) = starts.getOrDefault(j.jobId, (j.time, "?"))
         val rel = (System.nanoTime() - t00) / 1e9
         lines.add(f"[job] ${j.jobId}%4d +$rel%7.3fs  ${j.time - t0}%6dms  ${desc.take(110)}")
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    // per-ACTION durations including planning: funcName + top of the
-    // optimized plan attributes the driver-side gaps the job trace can't
-    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = {
-        val rel = (System.nanoTime() - t00) / 1e9
-        val head = qe.optimizedPlan.toString.linesIterator
-          .take(4).map(_.take(100)).mkString(" // ")
-        lines.add(f"[qe ] +$rel%7.3fs  ${durationNs / 1e6}%7.1fms  $funcName%-14s sess=${qe.sparkSession.hashCode()} uuid=${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(qe.sparkSession)} $head")
-      }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
+    (1 to warmups).foreach { _ =>
+      fn(spark, sfDir).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    spark.listenerManager.register(qeListener)
-    val t0 = System.nanoTime()
+    t00 = System.nanoTime()
+    recording.set(true)
     val n = fn(spark, sfDir).count()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val wall = (System.nanoTime() - t00) / 1e9
     Thread.sleep(500) // let the listener bus drain
     lines.forEach(l => println(l))
-    println(f"[jobtrace] $key warm run: wall $wall%.3fs rows=$n jobs=${lines.size}")
+    println(f"[jobtrace] $key warm run: wall $wall%.3fs rows=$n events=${lines.size}")
     spark.stop()
   }
 }
