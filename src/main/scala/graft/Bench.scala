@@ -136,7 +136,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // A/B knob (default on — the 100 TB-correct setting; see NOTES on
+      // the measured local-mode delta)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config(Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false")
       // local-mode rig: nio checkpoint manager dodges the no-native-lib

@@ -199,6 +199,39 @@ object Declared {
       c
     })
 
+  /** Alternating parquet state dirs for the foreachBatch fold rigs.
+    * Generation = the framework batchId (the restart/replay discipline —
+    * see the incrementalClusters scaladoc). Two per-micro-batch driver
+    * round trips are shaved off the naive read/write pair:
+    *  - writes land as ONE file (`coalesce(1)`): fold states are bounded
+    *    by construction (sketches, per-key LWW winners, moment vectors),
+    *    so one task commit beats N shuffle-partition file commits;
+    *  - re-reads pin the schema remembered from the first write, skipping
+    *    the per-batch parquet footer-inference job (fold state schemas
+    *    are fixed for the life of a run; falls back to footer inference
+    *    when no write was observed, e.g. resuming over a pre-crash state
+    *    in a fresh process).
+    * At 100 TB the state would live in a merge-capable keyed table and
+    * only touched keys would rewrite; the two-dir parquet swap is the
+    * local stand-in (a parquet read cannot overwrite its own inputs). */
+  private final class FoldState(dir: String) {
+    private val dirs = Seq(dir + "/state0", dir + "/state1")
+    private val schemaRef = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.types.StructType](null)
+    def write(df: DataFrame, gen: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(dirs((gen % 2).toInt))
+      schemaRef.compareAndSet(null, df.schema)
+    }
+    // reads take the session per call: the in-batch fold reads on the rig's
+    // sized child session while the end-of-stream read happens on whichever
+    // session the caller's downstream plan lives on (cross-session frames
+    // must not mix in one plan)
+    def read(r: SparkSession, gen: Long): DataFrame = Option(schemaRef.get) match {
+      case Some(sch) => r.read.schema(sch).parquet(dirs((gen % 2).toInt))
+      case None      => r.read.parquet(dirs((gen % 2).toInt))
+    }
+  }
+
   /** Monotonic suffix for streaming query names: cached child sessions
     * mean two concurrent runs of one rig can share a StreamingQueryManager,
     * where a duplicate ACTIVE query name refuses to start. */
@@ -786,7 +819,7 @@ object Declared {
     // state N−1 — a local counter would reset to 0 and silently rebootstrap
     // the labeling from empty, dropping every earlier edge. Replaying batch
     // N is idempotent: it rewrites state N%2 from the same prev + same rows.
-    val states = Seq(dir + "/state0", dir + "/state1")
+    val fs = new FoldState(dir)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .queryName(uniqueName("graft-stream-cc"))
@@ -797,9 +830,9 @@ object Declared {
           if (batchId == 0L) s.createDataFrame(java.util.List.of[Row](),
             StructType(Seq(StructField("id", LongType),
               StructField("component", LongType))))
-          else s.read.parquet(states(((batchId - 1) % 2).toInt))
-        graft.operators.GraphOps.incrementalComponents(prev, batch)
-          .write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          else fs.read(s, batchId - 1)
+        fs.write(
+          graft.operators.GraphOps.incrementalComponents(prev, batch), batchId)
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
@@ -808,7 +841,7 @@ object Declared {
       if (lastBatch.get() < 0L) s.createDataFrame(java.util.List.of[Row](),
         StructType(Seq(StructField("id", LongType),
           StructField("component", LongType))))
-      else s.read.parquet(states((lastBatch.get() % 2).toInt))
+      else fs.read(s, lastBatch.get())
     graft.operators.GraphOps.labelWithClusters(docs, idCol, labels)
   }
 
@@ -835,7 +868,7 @@ object Declared {
     // argument, same reasoning as incrementalClusters above: restarts and
     // replays must fold onto the RIGHT previous state, and LWW's
     // max-by-(ts,id) makes the replayed rewrite idempotent.
-    val states = Seq(dir + "/state0", dir + "/state1")
+    val fs = new FoldState(dir)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .queryName(uniqueName("graft-stream-lww"))
@@ -845,10 +878,9 @@ object Declared {
         // state reads on s4: cross-session frames must not mix in one plan
         val cur =
           if (batchId == 0L) batch
-          else batch.unionByName(s4.read.parquet(states(((batchId - 1) % 2).toInt)))
-        graft.operators.Upserts
-          .lwwView(cur, Seq("user_id"), "ts", Seq("event_id"))
-          .write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          else batch.unionByName(fs.read(s4, batchId - 1))
+        fs.write(graft.operators.Upserts
+          .lwwView(cur, Seq("user_id"), "ts", Seq("event_id")), batchId)
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
@@ -856,7 +888,7 @@ object Declared {
     // zero micro-batches (empty source) ⇒ no state dir was ever written —
     // return the empty frame in the source's shape
     if (lastBatch.get() < 0L) s.read.parquet(src).limit(0)
-    else s.read.parquet(states((lastBatch.get() % 2).toInt))
+    else fs.read(s, lastBatch.get())
   }
 
   /** Streaming HEAVY-HITTERS maintenance — the mergeable-summaries
@@ -882,7 +914,7 @@ object Declared {
     val s4 = sized(s, 4)
     val src = writeSrc(docs, dir, nFiles = 2)
     val stream = srcReader(s4, src, filesPerTrigger = 1)
-    val states = Seq(dir + "/state0", dir + "/state1")
+    val fs = new FoldState(dir)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .queryName(uniqueName("graft-stream-heavy-hitters"))
@@ -892,16 +924,15 @@ object Declared {
         val bs = HeavyHitters.sketchState(words(batch), "word", k)
         val next =
           if (batchId == 0L) bs
-          else HeavyHitters.mergeStates(
-            s4.read.parquet(states(((batchId - 1) % 2).toInt)), bs, "word", k)
-        next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          else HeavyHitters.mergeStates(fs.read(s4, batchId - 1), bs, "word", k)
+        fs.write(next, batchId)
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
       .start().awaitTermination()
     require(lastBatch.get() >= 0L,
       s"heavyHittersMaintain: stream at $dir committed no micro-batches")
-    val state = s.read.parquet(states((lastBatch.get() % 2).toInt))
+    val state = fs.read(s, lastBatch.get())
     HeavyHitters.exactFromState(words(s.read.parquet(src)),
       state, "word", k)
   }
@@ -922,7 +953,7 @@ object Declared {
     // A/B'd per key r11; the state is O(groups x grid bins))
     val s4 = sized(s, 4)
     val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
-    val states = Seq(dir + "/state0", dir + "/state1")
+    val fs = new FoldState(dir)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     def counts(df: DataFrame) =
       StatsOps.ksCounts(df, "event_type",
@@ -935,17 +966,15 @@ object Declared {
         val bs = counts(batch)
         val next =
           if (batchId == 0L) bs
-          else StatsOps.mergeCounts(
-            s4.read.parquet(states(((batchId - 1) % 2).toInt)), bs)
-        next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          else StatsOps.mergeCounts(fs.read(s4, batchId - 1), bs)
+        fs.write(next, batchId)
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
       .start().awaitTermination()
     require(lastBatch.get() >= 0L,
       s"driftMaintain: stream at $dir committed no micro-batches")
-    StatsOps.ksFromCounts(
-      s.read.parquet(states((lastBatch.get() % 2).toInt)), "event_type")
+    StatsOps.ksFromCounts(fs.read(s, lastBatch.get()), "event_type")
   }
 
   /** Streaming TREND maintenance — the drift monitor's OLS companion run
@@ -964,7 +993,7 @@ object Declared {
     // A/B'd per key r11; the state is five moments per group)
     val s4 = sized(s, 4)
     val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
-    val states = Seq(dir + "/state0", dir + "/state1")
+    val fs = new FoldState(dir)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     stream.writeStream
       .queryName(uniqueName("graft-stream-trend"))
@@ -974,18 +1003,15 @@ object Declared {
         val bs = StatsOps.olsCounts(batch, "event_type", "ts", "value")
         val next =
           if (batchId == 0L) bs
-          else StatsOps.olsMerge(
-            s4.read.parquet(states(((batchId - 1) % 2).toInt)), bs,
-            "event_type")
-        next.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          else StatsOps.olsMerge(fs.read(s4, batchId - 1), bs, "event_type")
+        fs.write(next, batchId)
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
       .start().awaitTermination()
     require(lastBatch.get() >= 0L,
       s"trendMaintain: stream at $dir committed no micro-batches")
-    StatsOps.olsFinish(
-      s.read.parquet(states((lastBatch.get() % 2).toInt)), "event_type")
+    StatsOps.olsFinish(fs.read(s, lastBatch.get()), "event_type")
   }
 
   /** Streaming SCD2 maintenance — the CDC "state over time" serving table
@@ -1007,7 +1033,7 @@ object Declared {
     val (_, _, cut) = tsMidpoint(ev)
     val s8 = sized(s, 8)
     val stream = orderedFileStream(s8, orderedHalves(ev, cut), dir)
-    val states = Seq(dir + "/state0", dir + "/state1")
+    val fs = new FoldState(dir)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     def fold(prev: DataFrame, batch: DataFrame): DataFrame =
       graft.operators.Temporal.scd2Fold(prev, batch, keyCols = Seq("user_id"),
@@ -1022,9 +1048,8 @@ object Declared {
           if (batchId == 0L) // zero-row bootstrap in the scd2 shape
             graft.operators.Temporal.scd2(batch.limit(0), Seq("user_id"),
               "ts", Seq("ts", "event_id"), Seq("event_type"))
-          else s8.read.parquet(states(((batchId - 1) % 2).toInt))
-        fold(prev, batch)
-          .write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          else fs.read(s8, batchId - 1)
+        fs.write(fold(prev, batch), batchId)
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
       }
@@ -1032,7 +1057,7 @@ object Declared {
     if (lastBatch.get() < 0L)
       graft.operators.Temporal.scd2(ev.limit(0), Seq("user_id"), "ts",
         Seq("ts", "event_id"), Seq("event_type"))
-    else s.read.parquet(states((lastBatch.get() % 2).toInt))
+    else fs.read(s, lastBatch.get())
   }
 
   /** Streaming CDC maintenance — the `table_changes` STREAM a downstream
@@ -1105,7 +1130,7 @@ object Declared {
     val stream = orderedFileStream(s8, Seq(
       ev.filter(unix_micros(col("ts")) < cutUs),
       ev.filter(unix_micros(col("ts")) >= cutUs)), dir)
-    val states = Seq(dir + "/state0", dir + "/state1")
+    val fs = new FoldState(dir)
     val logDir = dir + "/changes"
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(crash)
@@ -1116,7 +1141,7 @@ object Declared {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prev =
           if (batchId == 0L) batch.limit(0)
-          else s8.read.parquet(states(((batchId - 1) % 2).toInt))
+          else fs.read(s8, batchId - 1)
         // cur feeds BOTH writes (delta, then state — log-first is the
         // crash-ordering RestartRecoverySpec pins); cache so the LWW
         // window runs once per batch, not once per consumer
@@ -1124,14 +1149,16 @@ object Declared {
           if (batchId == 0L) batch else batch.unionByName(prev),
           Seq("user_id", "d"), "ts", Seq("event_id")).cache()
         try {
+          // per-batch deltas are bounded like fold states — one-file commit
           graft.operators.Upserts.snapshotDiffKeys(prev, cur,
               Seq("user_id", "d"), Seq("value"))
             .withColumn("batch", lit(batchId.toInt))
+            .coalesce(1)
             .write.mode("overwrite").parquet(logDir + s"/b$batchId")
           if (batchId == 1L && crashArmed.getAndSet(false))
             throw new RuntimeException(
               "graft-injected-crash: change log written, state + commit log not")
-          cur.write.mode("overwrite").parquet(states((batchId % 2).toInt))
+          fs.write(cur, batchId)
         } finally cur.unpersist()
         lastBatch.updateAndGet(m => math.max(m, batchId))
         ()
