@@ -311,6 +311,9 @@ object Declared {
           .select(col("window.start").as("window_start"),
             col("window.end").as("window_end"), col("event_type"),
             col("n"), col("sv"))
+          // partials are bounded (windows × types): one file per batch
+          // beats shuffle-partition-many tiny appends + their merge read
+          .coalesce(1)
           .write.mode("append").parquet(out)
         ()
       }
