@@ -137,9 +137,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // A/B knob (default on — the 100 TB-correct setting; see NOTES on
-      // the measured local-mode delta)
+      // the measured local-mode delta). Normalized so natural A/B values
+      // (1/0/on/off) can't crash the sweep at session build.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase match {
+          case "false" | "0" | "off" | "no" => "false"
+          case _                            => "true"
+        }))
       .config(Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false")
       // local-mode rig: nio checkpoint manager dodges the no-native-lib

@@ -634,15 +634,8 @@ object OracleSql {
     * fixed-point cosine scoring (`adots`). */
   private def annLshCtes(nPlanes: Int, dims: Int,
                          tables: Int, probes: Int): String = {
-    def fixedSum(vec: String, lits: String): String =
-      s"""list_sum(list_transform(list_zip($vec, $lits),
-         |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT)))""".stripMargin
     def bucketExpr(vec: String, seed: Long): String =
-      graft.operators.VectorOps.planes(nPlanes, dims, seed).zipWithIndex.map {
-        case (p, i) =>
-          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
-          s"(CASE WHEN ${fixedSum(vec, lits)} >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("\n    + ")
+      lshBucketSql(vec, nPlanes, dims, seed)
     val corpusBuckets = (0 until tables).map(t =>
       s"""SELECT vec_id, $t AS tbl,
          |    ${bucketExpr("embedding", 42L + t)} AS bucket FROM embeddings""".stripMargin)
@@ -679,6 +672,20 @@ object OracleSql {
        |  JOIN embeddings ON embeddings.vec_id = c.neighbor_id)""".stripMargin
   }
 
+  /** Fixed-grid LSH bucket expression: sign bits of the integer
+    * fixed-point projection sums, planes as literals from the shared
+    * fixed-seed PRNG — ONE definition for every generated LSH replay,
+    * mirroring the single VectorOps.bucketOfFixed on the Spark side (a
+    * change to the bucket encoding lands in all replays or none). */
+  private def lshBucketSql(vec: String, nPlanes: Int, dims: Int,
+                           seed: Long): String =
+    graft.operators.VectorOps.planes(nPlanes, dims, seed).zipWithIndex.map {
+      case (p, i) =>
+        val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(list_zip($vec, $lits),
+           |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) >= 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString("\n    + ")
+
   /** Fixed-point dot on the shared 1e-13 grid between two list exprs —
     * the generic two-operand form of [[annLshDot]]. */
   private def fixedDotSql(a: String, b: String): String =
@@ -702,12 +709,7 @@ object OracleSql {
   private def lshSelfJoinCtes(nPlanes: Int, dims: Int, tables: Int,
                               maxBucket: Int): String = {
     def bucketExpr(vec: String, seed: Long): String =
-      graft.operators.VectorOps.planes(nPlanes, dims, seed).zipWithIndex.map {
-        case (p, i) =>
-          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
-          s"""(CASE WHEN list_sum(list_transform(list_zip($vec, $lits),
-             |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) >= 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
-      }.mkString("\n    + ")
+      lshBucketSql(vec, nPlanes, dims, seed)
     val corpusBuckets = (0 until tables).map(t =>
       s"""SELECT vec_id, $t AS tbl,
          |    ${bucketExpr("embedding", 42L + t)} AS bucket FROM embeddings""".stripMargin)
@@ -782,12 +784,7 @@ object OracleSql {
   private def vecSimJoinLshSql(threshold: Double, nPlanes: Int, dims: Int,
                                tables: Int, maxBucket: Int): String = {
     def bucketExpr(vec: String, seed: Long): String =
-      graft.operators.VectorOps.planes(nPlanes, dims, seed).zipWithIndex.map {
-        case (p, i) =>
-          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
-          s"""(CASE WHEN list_sum(list_transform(list_zip($vec, $lits),
-             |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) >= 0 THEN ${1L << i} ELSE 0 END)""".stripMargin
-      }.mkString("\n    + ")
+      lshBucketSql(vec, nPlanes, dims, seed)
     def sideCtes(tag: String, parity: Int): String = {
       val buckets = (0 until tables).map(t =>
         s"""SELECT vec_id, $t AS tbl,

@@ -51,29 +51,19 @@ object Queries {
       catch { case _: Exception => }
     }
   }
-  /** stamp → staged parquet dir for a deterministic intermediate frame
-    * shared or re-derived across bench repeats (the ensureBucketed /
-    * ensureEncoded convention): built once per stamp, read back after.
-    * Unlike [[scratchDir]] dirs these survive [[cleanScratch]] — repeat
-    * runs must find them. Use ONLY for inputs whose derivation is priced
-    * by another declared key (staging away a key's own gated semantics
-    * would hollow the slot). */
-  private val stagedFrames =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedFrame(s: SparkSession, stamp: String)
+  /** Staged parquet dir for a deterministic intermediate frame shared or
+    * re-derived across bench repeats (the ensureBucketed / ensureEncoded
+    * convention; lifecycle + locking in [[Staging]]). Unlike [[scratchDir]]
+    * dirs these survive [[cleanScratch]] — repeat runs must find them.
+    * `inputs` are the source paths whose content fingerprint keys the
+    * staging (a regenerated table at the same path re-stages). */
+  private def stagedFrame(s: SparkSession, stamp: String,
+                          inputs: Seq[String])
                          (build: => DataFrame): DataFrame = {
-    val dir = stagedFrames.synchronized {
-      stagedFrames.get(stamp) match {
-        case Some(d0) if new java.io.File(d0).exists() => d0
-        case _ =>
-          val d0 = java.nio.file.Files
-            .createTempDirectory("graft-frame-stage").toString
-          build.write.mode("overwrite").parquet(d0)
-          stagedFrames(stamp) = d0
-          d0
-      }
-    }
-    s.read.parquet(dir)
+    val key = stamp + "@" + Staging.fingerprint(inputs)
+    s.read.parquet(Staging.dirFor(key, "graft-frame-stage") { d0 =>
+      build.write.mode("overwrite").parquet(d0)
+    })
   }
 
   /** Deterministic average built from decSum (both engines compute the
@@ -537,11 +527,13 @@ object Queries {
     implicit val spark: SparkSession = s
     operators.Bucketing.ensureBucketed(
       Tables.customer(s, d).select("c_custkey", "c_name"),
-      "graft_bkt_customer", "c_custkey", buckets = 8, stamp = d)
+      "graft_bkt_customer", "c_custkey", buckets = 8,
+      stamp = d + "@" + Staging.fingerprint(Seq(s"$d/customer.parquet")))
     operators.Bucketing.ensureBucketed(
       Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
         col("o_totalprice")),
-      "graft_bkt_orders", "c_custkey", buckets = 8, stamp = d)
+      "graft_bkt_orders", "c_custkey", buckets = 8,
+      stamp = d + "@" + Staging.fingerprint(Seq(s"$d/orders.parquet")))
     operators.Bucketing.bucketedJoin(s, "graft_bkt_customer",
         "graft_bkt_orders", "c_custkey")
       .groupBy("c_custkey")
@@ -2848,7 +2840,7 @@ object Queries {
     // class); this slot times the transitive clustering it exists to
     // prove — the q_join_bucketed pre-staging ruling applied to a
     // derived-frame input
-    val pairs = stagedFrame(s, s"embpairs38:$d")(
+    val pairs = stagedFrame(s, s"embpairs38:$d", Seq(s"$d/embeddings.parquet"))(
       VectorOps.cosineNearDupsLshFixed(emb, "vec_id", "embedding",
         threshold = 0.38, nPlanes = 4, tables = 4, maxBucket = 1000))
     operators.GraphOps.dedupClusters(emb, "vec_id", pairs)
@@ -2927,7 +2919,8 @@ object Queries {
     // staged once per input (ensureEncoded): the key times frame
     // iteration + per-frame decode, not a repeated identical encode
     val gifs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
-      "src_bytes", stamp = s"gif:$d", codec = operators.MultimodalOps.encodeGif)
+      "src_bytes", stamp = s"gif:$d", codec = operators.MultimodalOps.encodeGif,
+      inputs = Seq(s"$d/documents.parquet"))
     val feats = operators.MultimodalOps.decodeFeatures(s, gifs, "doc_id",
       "payload", operators.MultimodalOps.decodeGifFrames)
     feats.select(col("doc_id"), col("width"), col("height"), col("n_frames"),
@@ -2959,7 +2952,7 @@ object Queries {
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
     // staged once per input (ensureEncoded, shared with q_multimodal_resize)
     val pngs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
-      "src_bytes", stamp = s"png:$d")
+      "src_bytes", stamp = s"png:$d", inputs = Seq(s"$d/documents.parquet"))
     val feats = operators.MultimodalOps.decodeFeatures(s, pngs, "doc_id", "payload")
     feats.select(col("doc_id"), col("width"), col("height"),
         element_at(col("feature"), 1).cast(LongType).as("sum_r"),
@@ -2985,7 +2978,7 @@ object Queries {
       .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
     // staged once per input (ensureEncoded, shared with q_multimodal_decode)
     val pngs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
-      "src_bytes", stamp = s"png:$d")
+      "src_bytes", stamp = s"png:$d", inputs = Seq(s"$d/documents.parquet"))
     val small = operators.MultimodalOps.resizePayloads(s, pngs, "doc_id", "payload", 12, 10)
     val feats = operators.MultimodalOps.decodeFeatures(s, small, "doc_id", "payload")
     feats.select(col("doc_id"), col("width"), col("height"),

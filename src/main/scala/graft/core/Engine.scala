@@ -200,7 +200,7 @@ object Engine {
 
     def ingest(envelopes: DataFrame, messageCol: String = "message",
                ingestTime: Option[java.sql.Timestamp] = None): Ingest.Report =
-      Ingest.ingest(spark, registry, envelopes, messageCol, ingestTime)
+      Ingest.ingest(registry, envelopes, messageCol, ingestTime)
 
     /** Health check (reference GET /__heartbeat__,
       * tests/test_views.py:186-190): server/schema liveness booleans. */

@@ -38,7 +38,7 @@ object Ingest {
     *                   injectable for deterministic tests (reference default
     *                   is now(); models.py:55-56).
     */
-  def ingest(session: SparkSession, registry: SchemaRegistry,
+  def ingest(registry: SchemaRegistry,
              envelopes: DataFrame, messageCol: String = "message",
              ingestTime: Option[java.sql.Timestamp] = None): Report = {
     // Bind to the session the batch's actions will actually EXECUTE on:

@@ -297,35 +297,30 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  // stamp → staged parquet dir of (id, payload) media for that input
-  private val stagedMedia =
-    scala.collection.concurrent.TrieMap[String, String]()
-
   /** Idempotent [[encodePayloads]] staging shared by the declared
-    * decode/resize/gif keys (the Bucketing.ensureBucketed convention):
-    * the encode stage's output bytes are a pure function of the input
-    * rows, so the encoded corpus is written ONCE per (codec, input)
-    * stamp as a parquet dir and read back on repeat calls — the declared
-    * keys then time the DECODE/RESIZE semantics they exist to gate, not
-    * a repeated identical encode. First call still pays the encode,
-    * like a real ingest that stores media once and decodes many times.
-    * `df` is by-name so skipped stagings never build the encode plan. */
+    * decode/resize/gif keys (the Bucketing.ensureBucketed convention;
+    * lifecycle + per-key locking in [[graft.Staging]]): the encode
+    * stage's output bytes are a pure function of the input rows, so the
+    * encoded corpus is written ONCE per (codec, input) key as a parquet
+    * dir and read back on repeat calls — the declared keys then time the
+    * DECODE/RESIZE semantics they exist to gate, not a repeated identical
+    * encode. First call still pays the encode, like a real ingest that
+    * stores media once and decodes many times. The codec's lambda class
+    * name rides in the key (stable per call site within a JVM), so a
+    * stamp reused with a different codec re-stages instead of silently
+    * serving the other codec's payloads. `df` is by-name so skipped
+    * stagings never build the encode plan. */
   def ensureEncoded(spark: SparkSession, df: => DataFrame, idCol: String,
                     binCol: String, stamp: String,
-                    codec: Array[Byte] => Array[Byte] = encodePng): DataFrame =
-    stagedMedia.synchronized {
-      val dir = stagedMedia.get(stamp) match {
-        case Some(d) if new java.io.File(d).exists() => d
-        case _ =>
-          val d = java.nio.file.Files
-            .createTempDirectory("graft-media-stage").toString
-          encodePayloads(spark, df, idCol, binCol, codec)
-            .write.mode("overwrite").parquet(d)
-          stagedMedia(stamp) = d
-          d
-      }
-      spark.read.parquet(dir)
-    }
+                    codec: Array[Byte] => Array[Byte] = encodePng,
+                    inputs: Seq[String] = Nil): DataFrame = {
+    val key = stamp + "#" + codec.getClass.getName + "@" +
+      graft.Staging.fingerprint(inputs)
+    spark.read.parquet(graft.Staging.dirFor(key, "graft-media-stage") { d =>
+      encodePayloads(spark, df, idCol, binCol, codec)
+        .write.mode("overwrite").parquet(d)
+    })
+  }
 
   /** Partition-wise decode: the mapInPandas-shaped batch transform. Keeps
     * the id column, emits decoded feature columns. One decoder "session"

@@ -191,15 +191,44 @@ object VectorOps {
     * this variant exists so the LSH RETRIEVAL ALGORITHM itself can be
     * replayed by the DuckDB oracle, turning a spec-only recall floor into
     * a cross-engine-gated fact (q_vec_ann_recall). */
+  /** Fixed-grid LSH bucket: sign bits of the integer fixed-point
+    * projection sums against the shared fixed-seed hyperplanes — the
+    * oracle-replayable twin of [[lshBucket]]. ONE definition shared by all
+    * four gated LSH kernels (topK / near-dup / A×B join / k-NN graph) so
+    * the bucket encoding can never de-sync between a kernel and its
+    * oracle-generator siblings. */
+  private def bucketOfFixed(vec: Column, nPlanes: Int, dims: Int,
+                            seed: Long): Column =
+    planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
+      when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Shared banding stage of the gated self/cross LSH kernels: explode the
+    * OR-table fixed-grid buckets of an (id, v) side, then drop hot cells
+    * with the windowed `COUNT(*) OVER` cap (oracle-replayable; the
+    * exchange is reused by the downstream bucket join). */
+  private def bandedFixed(side: DataFrame, nPlanes: Int, dims: Int,
+                          tables: Int, maxBucket: Int): DataFrame = {
+    val bd = side.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        bucketOfFixed(col("v"), nPlanes, dims, 42L + t)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    if (maxBucket == Int.MaxValue) bd
+    else bd
+      .withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy("table", "bucket")))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+  }
+
   def cosineTopKLshFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
                          vecCol: String, k: Int, nPlanes: Int = 4,
                          dims: Int = 64, tables: Int = 4,
                          probes: Int = 0): DataFrame = {
     def bucketOf(vec: Column, seed: Long): Column =
-      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
-        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
-          shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
+      bucketOfFixed(vec, nPlanes, dims, seed)
     def withBuckets(df: DataFrame, vec: String, flips: Int): DataFrame = {
       val entries: Seq[Column] = (0 until tables).flatMap { t =>
         val base = bucketOf(col(vec), seed = 42L + t)
@@ -677,29 +706,13 @@ object VectorOps {
                              dims: Int = 64, tables: Int = 4,
                              maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    def bucketOf(vec: Column, seed: Long): Column =
-      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
-        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
-          shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
     val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fnrm", norm(col("v")))
       .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
       .localCheckpoint()
-    val banded0 = side.select(col("id"),
-      posexplode(array((0 until tables).map(t =>
-        bucketOf(col("v"), 42L + t)): _*)))
-      .withColumnRenamed("pos", "table")
-      .withColumnRenamed("col", "bucket")
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
-      else banded0
-        // windowed count, not a blacklist: oracle-replayable as
-        // COUNT(*) OVER and the exchange is reused by the self-join
-        .withColumn("_bn",
-          count(lit(1)).over(Window.partitionBy("table", "bucket")))
-        .filter(col("_bn") <= maxBucket)
-        .drop("_bn")
+    // windowed count, not a blacklist: oracle-replayable as COUNT(*) OVER
+    // and the exchange is reused by the self-join
+    val banded = bandedFixed(side, nPlanes, dims, tables, maxBucket)
     val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -796,29 +809,13 @@ object VectorOps {
                             tables: Int = 4,
                             maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    def bucketOf(vec: Column, seed: Long): Column =
-      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
-        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
-          shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
     def prep(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), col(vecCol).as("v"))
         .withColumn("fnrm", norm(col("v")))
         .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
         .localCheckpoint()
-    def banded(side: DataFrame): DataFrame = {
-      val bd = side.select(col("id"),
-        posexplode(array((0 until tables).map(t =>
-          bucketOf(col("v"), 42L + t)): _*)))
-        .withColumnRenamed("pos", "table")
-        .withColumnRenamed("col", "bucket")
-      if (maxBucket == Int.MaxValue) bd
-      else bd
-        .withColumn("_bn",
-          count(lit(1)).over(Window.partitionBy("table", "bucket")))
-        .filter(col("_bn") <= maxBucket)
-        .drop("_bn")
-    }
+    def banded(side: DataFrame): DataFrame =
+      bandedFixed(side, nPlanes, dims, tables, maxBucket)
     val a = prep(left)
     val b = prep(right)
     val candidates = banded(a).alias("a")
@@ -1010,27 +1007,11 @@ object VectorOps {
                        tables: Int = 4,
                        maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    def bucketOf(vec: Column, seed: Long): Column =
-      planes(nPlanes, dims, seed).zipWithIndex.map { case (p, i) =>
-        when(dotFixed(vec, typedlit(p.toSeq)) >= 0,
-          shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
     val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fnrm", norm(col("v")))
       .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
       .localCheckpoint()
-    val banded0 = side.select(col("id"),
-      posexplode(array((0 until tables).map(t =>
-        bucketOf(col("v"), 42L + t)): _*)))
-      .withColumnRenamed("pos", "table")
-      .withColumnRenamed("col", "bucket")
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
-      else banded0
-        .withColumn("_bn",
-          count(lit(1)).over(Window.partitionBy("table", "bucket")))
-        .filter(col("_bn") <= maxBucket)
-        .drop("_bn")
+    val banded = bandedFixed(side, nPlanes, dims, tables, maxBucket)
     // bucket collisions are symmetric, so each UNORDERED pair is
     // generated, deduped, and double-kernel-scored ONCE (half the join
     // and dot work), then mirrored to both directions — the

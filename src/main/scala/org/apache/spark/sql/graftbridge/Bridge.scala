@@ -17,14 +17,4 @@ object Bridge {
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
                            timeoutMs: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
-
-  /** `SparkSession.sessionUUID` is private[sql]; QueryExecutionListener
-    * events are routed by it (ExecutionListenerBus.shouldReport), so code
-    * that registers per-session listeners needs it to diagnose routing. */
-  def sessionUUID(s: org.apache.spark.sql.SparkSession): String =
-    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
-
-  def listQeListeners(s: org.apache.spark.sql.SparkSession)
-      : Array[org.apache.spark.sql.util.QueryExecutionListener] =
-    s.listenerManager.listListeners()
 }

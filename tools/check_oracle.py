@@ -94,8 +94,15 @@ def main(outdir, sfdir):
             continue
         if name not in oracles:
             if name in pins:
-                n = con.execute(
-                    f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                # same continue-on-error contract as the oracle branch: one
+                # unreadable output dir must not abort the remaining keys
+                try:
+                    n = con.execute(
+                        f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                except Exception as e:
+                    print(f"FAIL  {name}: pinned-count read error: {e}")
+                    n_fail += 1
+                    continue
                 if n == pins[name]:
                     print(f"PASS  {name}: {n} rows (pinned count, no oracle)")
                     n_pass += 1
