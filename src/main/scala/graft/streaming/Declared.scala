@@ -335,8 +335,10 @@ object Declared {
     * Batch-checkability: the source is two event-time-ordered halves, so
     * nothing real is ever late under the 1-day delay and mid-stream
     * watermark advances close windows genuinely incrementally; then ONE
-    * far-future sentinel file advances the watermark past every real
-    * window, and the trailing NO-DATA micro-batch (`noDataMicroBatches`,
+    * far-future sentinel (riding as the last rows of the second file —
+    * it only advances the end-of-stream watermark, so it needs no trigger
+    * of its own) pushes the watermark past every real window, and the
+    * trailing NO-DATA micro-batch (`noDataMicroBatches`,
     * default on — AvailableNow runs it when the watermark advanced)
     * applies the advance and flushes the remaining windows. Sentinels
     * are NOT filtered inside the streaming query (the filter would push
@@ -348,7 +350,8 @@ object Declared {
   def slidingAgg(s: SparkSession, events: DataFrame, dir: String): DataFrame = {
     val out = dir + "/out"
     val ev = events.select(col("ts"), col("event_type"))
-    val (s8, stream) = orderedHalvesStream(s, ev, dir) { (s8, _, hi) =>
+    val (s8, stream) = orderedHalvesStream(s, ev, dir,
+        trailersRideLastFile = true) { (s8, _, hi) =>
       import s8.implicits._
       def sentinel(days: Long) =
         Seq((new java.sql.Timestamp(hi.getTime + days * 24 * 3600 * 1000L),
@@ -519,8 +522,9 @@ object Declared {
     * so at a 1-day delay no real row is ever late AND no click's state is
     * evicted before its last possible partner arrives (files are
     * ts-ordered, so every purchase below the current watermark+delay has
-    * already been delivered); ONE far-future sentinel file per side
-    * (user −1 at hi + 30 d) finishes the job: it pushes both watermarks
+    * already been delivered); ONE far-future sentinel per side (user −1
+    * at hi + 30 d, riding as the last rows of the side's second file)
+    * finishes the job: it pushes both watermarks
     * past every real row's window, and the trailing NO-DATA micro-batch
     * (`spark.sql.streaming.noDataMicroBatches.enabled`, default on —
     * AvailableNow runs it when the watermark advanced; re-verified
@@ -539,8 +543,8 @@ object Declared {
                             dir: String): DataFrame = {
     val out = dir + "/out"
     // 4 state partitions — same 4-stores-per-partition argument as the
-    // inner variant, and this one runs 3 micro-batches (1 sentinel)
-    // plus the watermark-applying no-data batch
+    // inner variant; runs 2 micro-batches (sentinels ride the second
+    // file) plus the watermark-applying no-data batch
     val s8 = sized(s, 4)
     val ev = events.select("event_id", "user_id", "event_type", "ts")
     val (_, hi, cut) = tsMidpoint(ev)
@@ -553,8 +557,13 @@ object Declared {
         Seq((-1L, id, new java.sql.Timestamp(
           hi.getTime + days * 24 * 3600 * 1000)))
           .toDF("user_id", "event_id", "ts")
+      // the sentinel rides as the LAST ROWS of the second half (the
+      // orderedHalvesStream trailersRideLastFile argument): it only needs
+      // to advance the side's watermark at end-of-stream, so it doesn't
+      // need its own trigger — one fewer join-state commit cycle per side
+      val halves = orderedHalves(sd, cut)
       orderedFileStream(s8,
-        orderedHalves(sd, cut) ++ Seq(sentinel(-1L, 30)),
+        Seq(halves.head, halves.last.unionByName(sentinel(-1L, 30))),
         dir + sub)
         .select(col("user_id").as(uAlias), col("event_id").as(idAlias),
           col("ts").as(tsAlias))
@@ -619,7 +628,8 @@ object Declared {
                             cut: java.sql.Timestamp): Seq[DataFrame] =
     Seq(sd.filter(col("ts") < lit(cut)), sd.filter(col("ts") >= lit(cut)))
 
-  private def orderedHalvesStream(s: SparkSession, ev: DataFrame, dir: String)
+  private def orderedHalvesStream(s: SparkSession, ev: DataFrame, dir: String,
+      trailersRideLastFile: Boolean = false)
       (mkTrailers: (SparkSession, java.sql.Timestamp,
                     java.sql.Timestamp) => Seq[DataFrame])
       : (SparkSession, DataFrame) = {
@@ -629,8 +639,21 @@ object Declared {
     // per-store commit forks that once made 8 the r9 winner); results are
     // partition-count invariant (PartitionInvarianceSpec)
     val s8 = sized(s, 4)
-    val stream = orderedFileStream(s8,
-      orderedHalves(ev, cut) ++ mkTrailers(s8, lo, hi), dir)
+    val halves = orderedHalves(ev, cut)
+    val trailers = mkTrailers(s8, lo, hi)
+    // A trailer whose ONLY job is to advance the watermark past every real
+    // row at end-of-stream doesn't need its own trigger: as the LAST ROWS
+    // OF THE LAST FILE it advances the watermark after the same batch, the
+    // trailing no-data micro-batch still flushes/evicts, and the emitted
+    // real set is unchanged — one fewer full state-commit cycle per run.
+    // NOT valid when the trailer must arrive AFTER the watermark already
+    // passed it (dedupDropLate's planted late row needs its own batch).
+    val files =
+      if (trailersRideLastFile)
+        Seq(halves.head,
+          trailers.foldLeft(halves.last)((h, t) => h.unionByName(t)))
+      else halves ++ trailers
+    val stream = orderedFileStream(s8, files, dir)
     (s8, stream)
   }
 
@@ -683,10 +706,11 @@ object Declared {
     *  - the source is split into two EVENT-TIME-ORDERED files (ts below /
     *    above the range midpoint) — cross-batch order is the premise
     *    watermarking rests on, and it makes the per-key fold monotone;
-    *  - a third far-future SENTINEL file (user_id = −1, ts past every
-    *    timeout + delay) arrives last: its watermark advance times out
-    *    every open session, so end-of-stream closes everything — the
-    *    final no-data micro-batch emits the remaining sessions;
+    *  - a far-future SENTINEL row (user_id = −1, ts past every timeout +
+    *    delay) rides as the LAST ROWS of the second file: its watermark
+    *    advance times out every open session, so end-of-stream closes
+    *    everything — the final no-data micro-batch emits the remaining
+    *    sessions (no separate sentinel trigger needed);
     *  - the sentinel's own row is filtered from the output.
     * Mid-stream sessions close genuinely incrementally (arrival-driven
     * closure + timeouts as the watermark passes); state stays bounded at
@@ -698,7 +722,8 @@ object Declared {
     val out = dir + "/out"
     val gapUs = gapMinutes * 60L * 1000000L
     val ev = events.select(col("user_id"), col("ts"))
-    val (s8, stream) = orderedHalvesStream(s, ev, dir) { (s8, _, hi) =>
+    val (s8, stream) = orderedHalvesStream(s, ev, dir,
+        trailersRideLastFile = true) { (s8, _, hi) =>
       // sentinel: past every possible timeout (hi + gap) PLUS the watermark
       // delay, with margin — its arrival pushes the watermark beyond every
       // open session's close
