@@ -2228,6 +2228,21 @@ object OracleSql {
         |FROM t LEFT JOIN ov USING (doc_id)
         |WHERE t.doc_id % 20 <> 0 ORDER BY doc_id""".stripMargin,
 
+    "q_contamination_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 8, 0) + 2),
+        |    i -> array_to_string(w[i:i+7], ' ')))) AS gram FROM t),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 5 = 0),
+        |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 5 <> 0),
+        |tot AS (SELECT eval_id, COUNT(*) AS eval_grams FROM ev GROUP BY eval_id),
+        |p AS (SELECT eval_id, train_id, COUNT(*) AS shared_grams
+        |      FROM ev JOIN tr USING (gram) GROUP BY eval_id, train_id)
+        |SELECT p.eval_id, p.train_id, p.shared_grams, tot.eval_grams,
+        |  ROUND(p.shared_grams / CAST(tot.eval_grams AS DOUBLE), 6) AS containment
+        |FROM p JOIN tot USING (eval_id)
+        |ORDER BY eval_id, train_id""".stripMargin,
+
     "q_dedup_span" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, unnest(range(0, (len(w) - 1) // 10 + 1)) AS i, w FROM t),

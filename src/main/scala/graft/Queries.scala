@@ -1991,6 +1991,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Pair-level decontamination audit ([[operators.TextOps
+    * .contaminationPairs]]): every (eval doc, train doc) pair sharing a
+    * word 8-gram, with shared-gram count and containment ratio — the
+    * witness table behind q_decontaminate's verdicts (eval split = every
+    * 5th doc so the pair population is non-trivial at sf0.01). Exact
+    * string grams + long counts + round-6 shared-operand division ⇒ full
+    * oracle. */
+  val qContaminationPairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    TextOps.contaminationPairs(
+        train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        evalSet = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", k = 8)
+      .orderBy("eval_id", "train_id")
+  }
+
   /** Corpus-wide span-level exact dedup (CCNet line-dedup shape): 10-token
     * spans, first corpus occurrence survives, docs reconstructed from
     * surviving spans. Exact ⇒ full oracle. */

@@ -463,6 +463,42 @@ object TextOps {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Pair-level decontamination AUDIT — the witness table behind
+    * [[decontaminate]]'s per-doc verdicts: for every (eval doc, train doc)
+    * pair sharing at least one word `k`-gram, the count of the eval doc's
+    * distinct grams found in that train doc plus the containment ratio
+    * shared/|eval grams| — the statistic an LLM data pipeline inspects to
+    * tune the removal rule (and to tell verbatim leaks from idiom
+    * collisions) before anything is dropped.
+    *
+    * Scale shape mirrors [[decontaminate]]: BOTH eval-side frames (per-doc
+    * grams and per-doc totals) are bounded by the eval set's size and
+    * broadcast; the training corpus streams ONCE through a broadcast hash
+    * join, and only MATCHED (pair, gram) rows reach the aggregating
+    * shuffle — contamination is rare by construction, so the shuffle is
+    * output-scale, not corpus-scale. Grams travel verbatim so the DuckDB
+    * oracle shares the exact join key; at 100 TB they'd travel as
+    * xxhash64. The ratio divides two exactly-shared longs and rounds to
+    * 6 dp (the decAvg convention), so the output is cross-engine exact. */
+  def contaminationPairs(train: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    val grams = array_distinct(ngrams(col(textCol), k))
+    val evalGrams = broadcast(
+      evalSet.select(col(idCol).as("eval_id"), explode(grams).as("gram")))
+    val evalTotals = broadcast(
+      evalSet.select(col(idCol).as("eval_id"),
+        size(grams).cast(LongType).as("eval_grams")))
+    train.select(col(idCol).as("train_id"), explode(grams).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(evalTotals, Seq("eval_id"))
+      .withColumn("containment",
+        round(col("shared_grams").cast(DoubleType) / col("eval_grams"), 6))
+      .select("eval_id", "train_id", "shared_grams", "eval_grams",
+        "containment")
+  }
+
   /** Corpus-wide span-level exact dedup — the CCNet line-dedup shape
     * adapted to unstructured text: each doc splits into non-overlapping
     * `spanTokens`-token spans; a span survives only at its FIRST corpus

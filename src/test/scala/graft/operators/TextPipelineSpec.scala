@@ -37,6 +37,25 @@ class TextPipelineSpec extends SparkSpec {
       (3L, 0L, 0L, 1L)))
   }
 
+  test("contaminationPairs: shared counts, containment, no-overlap pairs absent") {
+    // eval 10: grams {a b, b c} (2 distinct); eval 20: {p q} (short doc)
+    val evalSet = Seq((10L, "a b c"), (20L, "p q")).toDF("doc_id", "text")
+    // train 1 shares both of eval 10's grams (and nothing of 20's);
+    // train 2 shares one; train 3 shares none → absent from the output
+    val train = Seq(
+      (1L, "a b c x"),   // grams {a b, b c, c x}
+      (2L, "z a b"),     // grams {z a, a b}
+      (3L, "q p")        // gram {q p} ≠ {p q}
+    ).toDF("doc_id", "text")
+    val got = TextOps.contaminationPairs(train, evalSet, "doc_id", "text", k = 2)
+      .orderBy("eval_id", "train_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (10L, 1L, 2L, 2L, 1.0),   // full containment: the verbatim-leak case
+      (10L, 2L, 1L, 2L, 0.5)))
+  }
+
   test("redactPii masks emails and long digit runs, leaves short numbers") {
     val got = Seq("mail bob@x-corp.example.com id 12345678 zip 12345")
       .toDF("t").select(TextOps.redactPii(col("t"))).as[String].head()
