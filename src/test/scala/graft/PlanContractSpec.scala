@@ -34,6 +34,15 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q_join_fuzzy").contains("BroadcastHashJoin"))
   }
 
+  test("contamination audit broadcasts the eval side; corpus never shuffles whole") {
+    // both eval frames (grams, totals) must reach the train-side gram
+    // stream as broadcasts — the only shuffle is the matched-pair agg
+    val p = plan("q_contamination_pairs")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join means the eval side stopped broadcasting:\n$p")
+  }
+
   test("projection reaches the scan (column pruning)") {
     val p = plan("q_project_filter")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
