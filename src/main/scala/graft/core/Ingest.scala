@@ -415,6 +415,10 @@ object Ingest {
         // tiny files — the small-files problem that otherwise eats a
         // table alive at 100 TB append rates (compaction still collapses
         // the per-append log over time)
+        // fixed 16-way sizing, NOT repartition(col) + AQE coalescing: the
+        // adaptive variant re-plans the exchange per write and measured
+        // 2.2 s vs 0.56 s on a streaming-scale append (r14 A/B) — stage
+        // materialization overhead dwarfs the 16 tiny task commits
         written.repartition(NumIdBuckets, col("_part"))
           .write.mode("append").partitionBy("_part")
           .parquet(tablePath)
