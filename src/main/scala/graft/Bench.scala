@@ -98,6 +98,18 @@ object Bench {
     * record self-repairs localized sustained contention too. Absent file
     * → empty map (first round, or a fresh clone) — the self-ratio checks
     * still run. */
+  /** SPARK_GRAFT_AQE A/B knob, normalized (1/0/on/off/yes/no accepted) —
+    * shared by every session builder that honors it. An UNRECOGNIZED
+    * value fails fast: silently defaulting a typo'd off-arm (e.g.
+    * "flase") to "true" would record an on-vs-on A/B as on-vs-off. */
+  private[graft] def aqeEnv: String =
+    sys.env.getOrElse("SPARK_GRAFT_AQE", "true").trim.toLowerCase match {
+      case "true" | "1" | "on" | "yes"  => "true"
+      case "false" | "0" | "off" | "no" => "false"
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_AQE='$other' — use true/false (or 1/0, on/off, yes/no)")
+    }
+
   def loadRefMins(path: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
@@ -137,13 +149,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // A/B knob (default on — the 100 TB-correct setting; see NOTES on
-      // the measured local-mode delta). Normalized so natural A/B values
-      // (1/0/on/off) can't crash the sweep at session build.
-      .config("spark.sql.adaptive.enabled",
-        (sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase match {
-          case "false" | "0" | "off" | "no" => "false"
-          case _                            => "true"
-        }))
+      // the measured local-mode delta)
+      .config("spark.sql.adaptive.enabled", Bench.aqeEnv)
       .config(Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false")
       // local-mode rig: nio checkpoint manager dodges the no-native-lib

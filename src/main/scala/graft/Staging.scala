@@ -4,21 +4,50 @@ package graft
   * across bench repeats (the stagedFrame / ensureEncoded convention): built
   * once per key, read back after. Centralizes the three lifecycle concerns
   * the ad-hoc per-map versions each half-handled:
-  *  - per-KEY build locking (`ConcurrentHashMap.compute` bin locks) —
-  *    unrelated stagings no longer serialize behind one build;
+  *  - per-KEY build locking (one memoizing holder per key; builds never
+  *    run inside the map's own bin locks) — unrelated stagings no longer
+  *    serialize behind one build;
   *  - deletion at JVM exit (shutdown hook) — staged corpora no longer
-  *    accumulate in the system temp dir across processes;
+  *    accumulate in the system temp dir across processes, including the
+  *    half-written dir of a FAILED build;
   *  - an input-content fingerprint folded into the key, so inputs
   *    regenerated at the SAME path mid-JVM re-stage instead of silently
   *    serving the stale corpus.
   * Use ONLY for inputs whose derivation is priced by another declared key
   * (staging away a key's own gated semantics would hollow the slot). */
 private[graft] object Staging {
+  /** Per-key memoized build: the lazy val gives one-build-per-holder
+    * semantics under the HOLDER's monitor, so a slow Spark build never
+    * runs inside ConcurrentHashMap.compute's bin lock (where it would
+    * serialize hash-colliding keys and break CHM's short-computation
+    * contract). */
+  private final class Holder(prefix: String, build: String => Unit) {
+    lazy val path: String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      created.add(d) // registered BEFORE the build so no outcome strands it
+      try build(d)
+      catch {
+        case e: Throwable =>
+          // a failed build must not strand its half-written dir (the
+          // holder stays uninitialized, so a retry re-runs the build)
+          try org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(d))
+          catch { case _: Exception => () }
+          throw e
+      }
+      d
+    }
+  }
+
   private val dirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Holder]()
+  // every temp dir ever created, independent of holder state — the
+  // shutdown hook must not touch Holder.path (forcing an unbuilt lazy val
+  // would RUN the build at JVM exit)
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    dirs.values.forEach { d =>
+    created.forEach { d =>
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
       catch { case _: Exception => () }
     }
@@ -26,10 +55,13 @@ private[graft] object Staging {
 
   /** Content fingerprint of input paths: (name, size, mtime) per file, one
     * listing level deep — enough to catch a regenerated parquet table at an
-    * unchanged path. Metadata-only; never reads file contents. */
+    * unchanged path. Metadata-only; never reads file contents. Missing
+    * paths fail fast: a typo'd input would otherwise fingerprint as a
+    * constant and silently disable the staleness detection. */
   def fingerprint(paths: Seq[String]): String = {
     val parts = paths.flatMap { p =>
       val f = new java.io.File(p)
+      require(f.exists(), s"Staging.fingerprint: input path missing: $p")
       val entries =
         if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
           .sortBy(_.getName)
@@ -44,12 +76,14 @@ private[graft] object Staging {
     * otherwise run `build` into a fresh temp dir. Callers fold the input
     * identity (path + [[fingerprint]]) and any algorithm identity (codec,
     * layout params) into `key`. */
-  def dirFor(key: String, prefix: String)(build: String => Unit): String =
-    dirs.compute(key, (_, d0) =>
-      if (d0 != null && new java.io.File(d0).exists()) d0
-      else {
-        val d = java.nio.file.Files.createTempDirectory(prefix).toString
-        build(d)
-        d
-      })
+  @scala.annotation.tailrec
+  def dirFor(key: String, prefix: String)(build: String => Unit): String = {
+    val h = dirs.computeIfAbsent(key, _ => new Holder(prefix, build))
+    val p = h.path // builds (once) under the holder's own lock
+    if (new java.io.File(p).exists()) p
+    else { // staged dir deleted externally: drop the holder and rebuild
+      dirs.remove(key, h)
+      dirFor(key, prefix)(build)
+    }
+  }
 }

@@ -483,16 +483,19 @@ object TextOps {
   def contaminationPairs(train: DataFrame, evalSet: DataFrame, idCol: String,
                          textCol: String, k: Int): DataFrame = {
     val grams = array_distinct(ngrams(col(textCol), k))
+    // ONE eval-side pass: the per-doc total rides next to each exploded
+    // gram (functionally dependent on eval_id), so no second scan, second
+    // broadcast, or totals re-join is needed
     val evalGrams = broadcast(
-      evalSet.select(col(idCol).as("eval_id"), explode(grams).as("gram")))
-    val evalTotals = broadcast(
-      evalSet.select(col(idCol).as("eval_id"),
-        size(grams).cast(LongType).as("eval_grams")))
+      evalSet.select(col(idCol).as("eval_id"), grams.as("grams"))
+        .select(col("eval_id"),
+          size(col("grams")).cast(LongType).as("eval_grams"),
+          explode(col("grams")).as("gram")))
     train.select(col(idCol).as("train_id"), explode(grams).as("gram"))
       .join(evalGrams, Seq("gram"))
       .groupBy("eval_id", "train_id")
-      .agg(count(lit(1)).as("shared_grams"))
-      .join(evalTotals, Seq("eval_id"))
+      .agg(count(lit(1)).as("shared_grams"),
+        max(col("eval_grams")).as("eval_grams"))
       .withColumn("containment",
         round(col("shared_grams").cast(DoubleType) / col("eval_grams"), 6))
       .select("eval_id", "train_id", "shared_grams", "eval_grams",

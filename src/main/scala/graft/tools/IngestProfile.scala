@@ -20,8 +20,7 @@ object IngestProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.enabled", graft.Bench.aqeEnv)
       .config(graft.Tables.NanosAsLong, "true")
       .config("spark.ui.enabled", "false")
       // per-micro-batch duration breakdown (walCommit/queryPlanning/

@@ -15,13 +15,20 @@ import sys
 
 def main(full_path="BENCH_full.json", ref_path="BENCH_ref.json"):
     full = json.load(open(full_path))
-    calib = min(full.get("calib_before_sec", 9), full.get("calib_after_sec", 9))
+    # max of the two stamps: contention during EITHER half of the sweep
+    # can inflate a new key's entry (existing keys are protected by the
+    # per-key min-merge, new entrants are not)
+    calib = max(full.get("calib_before_sec", 9), full.get("calib_after_sec", 9))
     calib_ref = full.get("calib_ref", 0.68)
     if calib > 1.25 * calib_ref:
         print(f"[refresh] REFUSED: sweep calib {calib:.3f} > 1.25x ref "
               f"{calib_ref:.2f} — contended host, anchor not refreshed")
         return 1
     new = full.get("queries_min", {})
+    if not new:
+        print(f"[refresh] REFUSED: {full_path} has no queries_min — "
+              "a truncated sweep must not wipe the anchor")
+        return 1
     try:
         old = json.load(open(ref_path)).get("queries_min", {})
     except FileNotFoundError:
