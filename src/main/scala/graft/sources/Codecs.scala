@@ -164,13 +164,6 @@ object Codecs {
     * (custom byte-level decode); everything downstream is codegen'd. */
   val decodeMessageUdf = udf(decodeMessage _)
 
-  /** Envelope projection (reference consumer.py:33-39): from a JSON message
-    * string column, extract `type_id` (null ⇒ invalid) and `data` (null ⇒
-    * `{}`). */
-  def envelope(jsonCol: Column): (Column, Column) = (
-    get_json_object(jsonCol, "$.type_id"),
-    coalesce(get_json_object(jsonCol, "$.data"), lit("{}")))
-
   /** type_id values are interpolated into warehouse filesystem paths
     * downstream (tables/, quarantine/) — only plain identifiers are valid.
     * The reference's Cassandra table names were implicitly constrained the
