@@ -100,4 +100,41 @@ class ShuffleBytesSpec extends SparkSpec {
       s"bloom semi shuffled $bloomed B vs plain $plain B — " +
         "scan-side pre-filter is not reducing the exchange")
   }
+
+  test("contamination audit shuffles matched pairs, not the corpus gram stream") {
+    import spark.implicits._
+    // decontamination regime: contamination is RARE — 2k train docs of
+    // ~24 unique grams each, only 20 of them (1%) lead with an eval
+    // doc's 10-token phrase (3 shared 8-grams per contaminated doc)
+    val evalRows = (0 until 5).map(j =>
+      (j.toLong, (1 to 10).map(i => s"s${j}_$i").mkString(" ")))
+    val trainRows = (0 until 2000).map { id =>
+      val base = (1 to 31).map(i => s"u${id}_$i").mkString(" ")
+      val txt =
+        if (id % 100 == 0) evalRows((id / 100) % 5)._2 + " " + base else base
+      (1000L + id, txt)
+    }
+    val evalSet = evalRows.toDF("doc_id", "text")
+    val train = trainRows.toDF("doc_id", "text")
+    // corpus-gram-stream baseline: every train gram crosses the wire
+    // (map-side combined, still gram-space-sized)
+    val full = shuffleWrite {
+      train.select(explode(array_distinct(
+          operators.TextOps.ngrams(col("text"), 8))).as("gram"))
+        .groupBy("gram").count()
+        .write.format("noop").mode("overwrite").save()
+    }
+    val audited = shuffleWrite {
+      operators.TextOps.contaminationPairs(train, evalSet, "doc_id", "text", 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(full > 0, "expected the gram-stream baseline to shuffle")
+    // the broadcast eval side keeps the corpus out of every exchange:
+    // only the ~20 matched (pair, gram) rows reach the aggregating
+    // shuffle — orders of magnitude under the gram stream, 10x is the
+    // conservative directional contract
+    assert(audited * 10 < full,
+      s"contamination audit shuffled $audited B vs gram stream $full B — " +
+        "the corpus gram stream is reaching an exchange")
+  }
 }
