@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pinned sf0.01 EXPECTATIONS for every declared key WITHOUT a DuckDB
+  * oracle (the "rows-only" tail). Two layers, both enforced in the suite
+  * (ResultPinSpec) and the local t2 gate ([[Verify]] exports →
+  * tools/check_oracle.py):
+  *
+  *  1. `pinned` — exact sf0.01 row count (ADVICE r13 #2). Catches size
+  *     regressions, but most of these counts are STRUCTURALLY INVARIANT
+  *     (VERDICT r14 #2: the five ANN keys return k×queries = 50 rows by
+  *     `row_number() <= k` construction regardless of WHICH neighbors are
+  *     returned), so a ranking bug passes every count pin.
+  *  2. `hashPinned` — a canonical Spark-side CONTENT hash of the whole
+  *     sf0.01 result ([[canonicalHash]]; the BpeSpec exact-output pin
+  *     generalized). Every rows-only key is deterministic (seeded data,
+  *     fixed hash seeds, integer tie-breaks), so a silent wrong answer —
+  *     one swapped neighbor, one drifted score — now FAILS the pin
+  *     instead of passing unobserved.
+  *
+  * Keys converted to the DuckDB hash gate drop off both maps — the oracle
+  * is strictly stronger. If a pin fails after an INTENTIONAL semantic
+  * change, re-derive it at sf0.01 (graft.tools.PinHashes prints both) and
+  * update it in the same commit as the change, stating why.
+  */
+object ResultPins {
+
+  /** Canonical content hash of a result, computed DISTRIBUTED (no row
+    * collect): columns sorted by name, each value rendered canonically
+    * ([[renderCol]]), rows folded with an order-independent combiner —
+    * `count` + the wrapping Long SUM of per-row xxhash64 — so the hash is
+    * invariant to partitioning and task order while still catching
+    * duplicate-row changes (a XOR fold would cancel identical pairs).
+    *
+    * Floats are rendered at 6 significant digits: every pinned pipeline
+    * is deterministic per-row, but grouped float SUMS (perplexity,
+    * DSIR log-ratios) can wobble at ~1e-15 relative under AQE's
+    * merge-order freedom; 6 digits is far above that and far below any
+    * real scoring regression. */
+  def canonicalHash(df: DataFrame): String = {
+    val cols = df.schema.fields.sortBy(_.name).map(f => renderCol(col(f.name), f.dataType))
+    val rowStr = concat_ws("", cols.toIndexedSeq: _*)
+    // sum as decimal(38,0) — a plain Long sum overflows under ANSI mode
+    // after ~2 rows of worst-case hashes; 38 digits hold ~10^18 rows, and
+    // the driver folds the exact sum back to 64 bits
+    val agg = df.select(rowStr.as("r"))
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("r")).cast(DecimalType(38, 0))).as("h"))
+      .head()
+    val n = agg.getLong(0)
+    val h =
+      if (agg.isNullAt(1)) 0L
+      else agg.getDecimal(1).toBigInteger
+        .mod(java.math.BigInteger.TWO.pow(64)).longValue()
+    f"$n%d:$h%016x"
+  }
+
+  /** Canonical rendering of one column: NULL marker, fixed-precision
+    * scientific floats, hex binary, recursively-rendered arrays; anything
+    * unexpected fails fast rather than hashing an unstable rendering. */
+  private def renderCol(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType =>
+      coalesce(format_string("%.6e", c.cast(DoubleType)), lit("NULL"))
+    case BinaryType => coalesce(hex(c), lit("NULL"))
+    case ArrayType(et, _) =>
+      coalesce(
+        concat(lit("["),
+          array_join(transform(c, x => renderElem(x, et)), ","), lit("]")),
+        lit("NULL"))
+    case _: StructType => coalesce(to_json(c), lit("NULL"))
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         StringType | DateType | TimestampType | _: DecimalType =>
+      coalesce(c.cast(StringType), lit("NULL"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"canonicalHash: unsupported column type $other — add a canonical rendering")
+  }
+
+  private def renderElem(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType =>
+      coalesce(format_string("%.6e", c.cast(DoubleType)), lit("NULL"))
+    case BinaryType => coalesce(hex(c), lit("NULL"))
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         StringType =>
+      coalesce(c.cast(StringType), lit("NULL"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"canonicalHash: unsupported array element type $other")
+  }
+
+  val pinned: Map[String, Long] = Map(
+    "q_agg_approx_distinct" -> 3L,
+    "q_agg_approx_percentile" -> 3L,
+    "q_bpe_encode" -> 500L,
+    "q_bpe_merges" -> 16L,
+    "q_bpe_merges_floored" -> 16L,
+    "q_dedup_minhash_prod" -> 25L,
+    "q_dedup_simhash_prod" -> 1034L,
+    "q_dsir_weights" -> 500L,
+    "q_lm_perplexity" -> 500L,
+    "q_multimodal_frames" -> 1234L,
+    "q_text_bm25" -> 25L,
+    "q_vec_ann_int8" -> 50L,
+    "q_vec_ann_ivf" -> 50L,
+    "q_vec_ann_ivfpq" -> 50L,
+    "q_vec_ann_lsh_prod" -> 50L,
+    "q_vec_ann_pq" -> 50L
+  )
+
+  /** sf0.01 canonical content hash per rows-only key (derive with
+    * `sbt "runMain graft.tools.PinHashes"`; stability proven by identical
+    * hashes at local[4] and local[8] — partition/merge-order independent,
+    * including the sketch keys and the grouped-float-sum ln keys). */
+  val hashPinned: Map[String, String] = Map(
+    "q_agg_approx_distinct" -> "3:32d4447a77294c4e",
+    "q_agg_approx_percentile" -> "3:dabffa4c514552da",
+    "q_bpe_encode" -> "500:b2e63d7c74e63ea1",
+    "q_bpe_merges" -> "16:0ea005163235b6e9",
+    "q_bpe_merges_floored" -> "16:0ea005163235b6e9",
+    "q_dedup_minhash_prod" -> "25:7af05ed74fa80e95",
+    "q_dedup_simhash_prod" -> "1034:65c4de89929f8417",
+    "q_dsir_weights" -> "500:a60fd25ec3948a06",
+    "q_lm_perplexity" -> "500:097df3aa8322d987",
+    "q_multimodal_frames" -> "1234:9400fa6cb70f756d",
+    "q_text_bm25" -> "25:9e0df9d2b1a7c1ef",
+    "q_vec_ann_int8" -> "50:19a07ea9cba9dc62",
+    "q_vec_ann_ivf" -> "50:5a80ee72f72e8934",
+    "q_vec_ann_ivfpq" -> "50:ccf63940969f04f2",
+    "q_vec_ann_lsh_prod" -> "50:b79cf4f85a89fd00",
+    "q_vec_ann_pq" -> "50:0c8dcb6dd30f9ddc"
+  )
+}

@@ -53,20 +53,23 @@ private[graft] object Staging {
     }
   }))
 
-  /** Content fingerprint of input paths: (name, size, mtime) per file, one
-    * listing level deep — enough to catch a regenerated parquet table at an
-    * unchanged path. Metadata-only; never reads file contents. Missing
-    * paths fail fast: a typo'd input would otherwise fingerprint as a
-    * constant and silently disable the staleness detection. */
+  /** Content fingerprint of input paths: (relative path, size, mtime) per
+    * REGULAR file, walked recursively (ADVICE r14 #2: a one-level listing
+    * saw only the subdirectory entry of a partitioned `_part=` layout,
+    * whose size/mtime need not change when files inside it are rewritten).
+    * Metadata-only; never reads file contents. Missing paths fail fast: a
+    * typo'd input would otherwise fingerprint as a constant and silently
+    * disable the staleness detection. */
   def fingerprint(paths: Seq[String]): String = {
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).sortBy(_.getName)
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.length}:${f.lastModified}")
     val parts = paths.flatMap { p =>
       val f = new java.io.File(p)
       require(f.exists(), s"Staging.fingerprint: input path missing: $p")
-      val entries =
-        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-          .sortBy(_.getName)
-        else Seq(f)
-      entries.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      walk(f, f.getName)
     }
     java.lang.Long.toHexString(
       parts.foldLeft(1125899906842597L)((h, s) => 31 * h + s.hashCode))

@@ -54,9 +54,27 @@ object Verify {
     // sf0.01 pins for the rows-only keys (ADVICE r13 #2): lets the local
     // t2 gate (tools/check_oracle.py) compare each un-oracled key's row
     // count against an exact expectation instead of skipping it.
-    val pins = RowCountPins.pinned.toSeq.sortBy(_._1)
+    val pins = ResultPins.pinned.toSeq.sortBy(_._1)
       .map { case (k, n) => s"${q(k)}: $n" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/expected_rows.json"), pins)
+    // Content-hash pins (VERDICT r14 #2): compute each pinned key's
+    // canonical Spark-side hash FROM THE DUMPED PARQUET (exactly what the
+    // count gate reads) and export expected vs actual for check_oracle.py.
+    // sf0.01-only — the pins are sf-specific, like the row counts.
+    if (new java.io.File(sfDir).getName == "sf0.01" && filters.isEmpty) {
+      val actual = ResultPins.hashPinned.keys.toSeq.sorted.flatMap { k =>
+        try Some(k -> ResultPins.canonicalHash(spark.read.parquet(s"$outDir/$k")))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] hash of $k failed: ${e.getMessage}")
+          None
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/actual_hashes.json"),
+        actual.map { case (k, h) => s"${q(k)}: ${q(h)}" }.mkString("{", ",", "}"))
+      Files.writeString(Paths.get(s"$outDir/expected_hashes.json"),
+        ResultPins.hashPinned.toSeq.sortBy(_._1)
+          .map { case (k, h) => s"${q(k)}: ${q(h)}" }.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }

@@ -275,6 +275,13 @@ object Ingest {
   def idBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(id), lit(NumIdBuckets))
 
+  /** Sub-batches at or under this row count append through a single write
+    * task (no exchange, 1 commit) — micro-batch scale, where a 16-way
+    * clustered shuffle is pure overhead. Above it the append shuffles into
+    * NumIdBuckets parallel writers. ~100k rows of envelope-width data is
+    * tens of MB — well inside one task at any executor sizing. */
+  val SmallAppendRows = 100000L
+
   /** One type's sub-batch: returns (written, quarantined).
     *
     * @param subTotal the sub-batch's row count when the caller already has
@@ -419,7 +426,21 @@ object Ingest {
         // adaptive variant re-plans the exchange per write and measured
         // 2.2 s vs 0.56 s on a streaming-scale append (r14 A/B) — stage
         // materialization overhead dwarfs the 16 tiny task commits
-        written.repartition(NumIdBuckets, col("_part"))
+        //
+        // SIZE-AWARE sizing (VERDICT r14 #2): a micro-batch-scale
+        // sub-batch (the streaming path; subTotal is known from the
+        // fan-out agg) writes through ONE task — the dynamic-partition
+        // writer still splits it into the same ≤16 bucket files, but the
+        // append pays 1 task commit and NO exchange instead of a 16-way
+        // shuffle + 16 commits, the dominant fixed cost of every
+        // streaming append. Rows are pre-sorted by the partition column
+        // so the single task streams file-by-file instead of holding 16
+        // open writers. Large batches (unknown or > SmallAppendRows) keep
+        // the clustered parallel write — one writer task would serialize
+        // a real bulk ingest on a 1000-executor cluster.
+        val smallAppend = subTotal.exists(_ <= SmallAppendRows)
+        (if (smallAppend) written.coalesce(1).sortWithinPartitions("_part")
+         else written.repartition(NumIdBuckets, col("_part")))
           .write.mode("append").partitionBy("_part")
           .parquet(tablePath)
         n = WriteCounts.take(spark, tablePath, writeTok)

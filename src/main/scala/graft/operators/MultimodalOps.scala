@@ -305,16 +305,19 @@ object MultimodalOps {
     * dir and read back on repeat calls — the declared keys then time the
     * DECODE/RESIZE semantics they exist to gate, not a repeated identical
     * encode. First call still pays the encode, like a real ingest that
-    * stores media once and decodes many times. The codec's lambda class
-    * name rides in the key (stable per call site within a JVM), so a
-    * stamp reused with a different codec re-stages instead of silently
-    * serving the other codec's payloads. `df` is by-name so skipped
+    * stores media once and decodes many times. `codecTag` names the codec
+    * in the staging key EXPLICITLY (ADVICE r14 #1: the class name of a
+    * lambda does NOT distinguish two codec values produced by one
+    * parameterized factory — same closure class, different captured
+    * params — so keying on it could silently serve the wrong payloads);
+    * callers must pass a distinct tag per codec+parameterization, the
+    * same contract as `stamp` for the input. `df` is by-name so skipped
     * stagings never build the encode plan. */
   def ensureEncoded(spark: SparkSession, df: => DataFrame, idCol: String,
-                    binCol: String, stamp: String,
+                    binCol: String, stamp: String, codecTag: String,
                     codec: Array[Byte] => Array[Byte] = encodePng,
                     inputs: Seq[String] = Nil): DataFrame = {
-    val key = stamp + "#" + codec.getClass.getName + "@" +
+    val key = stamp + "#" + codecTag + "@" +
       graft.Staging.fingerprint(inputs)
     spark.read.parquet(graft.Staging.dirFor(key, "graft-media-stage") { d =>
       encodePayloads(spark, df, idCol, binCol, codec)

@@ -272,8 +272,9 @@ object TextOps {
     * corpus. Words are the training tokenization (lowercase letter runs,
     * `</w>` terminated); docs with no words keep a zero-count row. */
   def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String,
-                    merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    val docWords = docWordMatrix(docs, idCol, textCol)
+                    merges: Seq[(Int, String, String, Long)],
+                    docWords0: Option[DataFrame] = None): DataFrame = {
+    val docWords = docWords0.getOrElse(docWordMatrix(docs, idCol, textCol))
     val vocab = docWords.select("w").distinct()
       // split(w, "", 0): limit 0 drops the trailing empty string Java's
       // default -1 keeps — symbols must be exactly the word's characters
@@ -289,17 +290,25 @@ object TextOps {
       .na.fill(0L, Seq("n_words", "n_bpe_tokens"))
   }
 
-  /** ONE corpus text scan aggregated straight into the localCheckpointed
-    * (doc, word, count) matrix — far smaller than the text — that every
-    * vocabulary-scale consumer (BPE encode, LM scoring) reuses without
-    * rescanning the corpus. Words = the training tokenization (lowercase
-    * letter runs). */
-  private def docWordMatrix(docs: DataFrame, idCol: String,
-                            textCol: String): DataFrame =
+  /** ONE corpus text scan aggregated into the (doc, word, count) matrix —
+    * far smaller than the text — that every vocabulary-scale consumer
+    * (BPE encode, LM scoring, BM25, DSIR) reuses without rescanning the
+    * corpus. Words = the training tokenization (lowercase letter runs).
+    * Public PLAN form (no checkpoint): callers that reuse the matrix
+    * across whole-query invocations stage it as parquet instead
+    * (Queries.docWordsStaged — the derivation is priced by
+    * q_text_token_count's corpus scan). */
+  def docWordMatrixOf(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
     docs.select(col(idCol), explode(
         regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+
+  /** [[docWordMatrixOf]] localCheckpointed — the in-query two-consumer
+    * reuse form (the banded dedup self-join pattern). */
+  private def docWordMatrix(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docWordMatrixOf(docs, idCol, textCol).localCheckpoint()
 
   /** Unigram language-model scoring — train an add-one-smoothed unigram
     * model ON the corpus and score every document's cross-entropy against
@@ -314,8 +323,9 @@ object TextOps {
     * rounded digits), so the declared query is rows-only with an exact
     * driver-twin spec. Docs with no words keep a zero row. */
   def unigramPerplexity(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
-    val dw = docWordMatrix(docs, idCol, textCol)
+                        textCol: String,
+                        docWords0: Option[DataFrame] = None): DataFrame = {
+    val dw = docWords0.getOrElse(docWordMatrix(docs, idCol, textCol))
     // vocabulary-scale unigram table; two consumers (totals agg + score
     // join) ⇒ checkpointed like its parent
     val uni = dw.groupBy("w").agg(sum("c").as("cw")).localCheckpoint()
@@ -352,11 +362,12 @@ object TextOps {
     * pinned by a driver twin in spec instead. */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k: Int = 10,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75,
+                 docWords0: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val dw = docWordMatrix(docs, idCol, textCol)
+    val dw = docWords0.getOrElse(docWordMatrix(docs, idCol, textCol))
     val lens = dw.groupBy(idCol).agg(sum("c").as("len"))
     // N and avg length are over the WHOLE corpus (Robertson's N), not
     // just docs with extractable tokens — zero-token docs count toward N
@@ -407,8 +418,9 @@ object TextOps {
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: org.apache.spark.sql.Column,
-                  buckets: Int = 4096): DataFrame = {
-    val dw = docWordMatrix(docs, idCol, textCol)
+                  buckets: Int = 4096,
+                  docWords0: Option[DataFrame] = None): DataFrame = {
+    val dw = docWords0.getOrElse(docWordMatrix(docs, idCol, textCol))
     // per-(doc, bucket) counts: two consumers (model agg + scoring join)
     val db = dw.withColumn("b", pmod(xxhash64(col("w")), lit(buckets)))
       .groupBy(col(idCol), col("b")).agg(sum("c").as("c"))

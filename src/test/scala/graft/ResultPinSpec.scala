@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Suite-side enforcement of [[ResultPins]] (see its scaladoc — the pins
+  * are also exported by [[Verify]] as `expected_rows.json` /
+  * `expected_hashes.json` so the local t2 gate checks them too): a
+  * pipeline change that alters the result SIZE or CONTENT of an
+  * un-oracled key fails the suite instead of passing unobserved.
+  */
+class ResultPinSpec extends SparkSpec {
+
+  private val pinned: Map[String, Long] = ResultPins.pinned
+  private val hashPinned: Map[String, String] = ResultPins.hashPinned
+
+  test("every declared key without an oracle has a pinned row count") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unpinned = rowsOnly -- pinned.keySet
+    assert(unpinned.isEmpty,
+      s"rows-only keys without a pinned sf0.01 count: $unpinned — " +
+        "add a pin here (or better, an oracle)")
+    val stale = pinned.keySet -- rowsOnly
+    assert(stale.isEmpty,
+      s"pinned keys that now have an oracle (drop the pin): $stale")
+  }
+
+  test("every rows-only key also has a pinned content hash (VERDICT r14 #2)") {
+    val unpinned = pinned.keySet -- hashPinned.keySet
+    assert(unpinned.isEmpty,
+      s"rows-only keys without a content-hash pin: $unpinned — " +
+        "derive with graft.tools.PinHashes")
+    val stale = hashPinned.keySet -- pinned.keySet
+    assert(stale.isEmpty, s"hash pins without a row pin (stale?): $stale")
+  }
+
+  pinned.toSeq.sortBy(_._1).foreach { case (key, expected) =>
+    test(s"$key returns exactly $expected rows at sf0.01") {
+      val n = SparkEntry.queries(key)(spark, sf("sf0.01")).count()
+      assert(n === expected,
+        s"$key row count drifted at sf0.01 (pinned $expected, got $n)")
+    }
+  }
+
+  hashPinned.toSeq.sortBy(_._1).foreach { case (key, expected) =>
+    test(s"$key matches its pinned sf0.01 content hash") {
+      val h = ResultPins.canonicalHash(SparkEntry.queries(key)(spark, sf("sf0.01")))
+      assert(h === expected,
+        s"$key CONTENT drifted at sf0.01 (pinned $expected, got $h) — " +
+          "if the change was intentional, re-derive with graft.tools.PinHashes " +
+          "and update ResultPins in the same commit")
+    }
+  }
+
+  test("a planted one-neighbor swap fails the hash pin (the pin has teeth)") {
+    // VERDICT r14 #2's acceptance test: the row-count pins were
+    // structurally invariant (k×queries rows regardless of WHICH
+    // neighbors), so prove the CONTENT pin catches exactly the bug class
+    // they missed — mutate one neighbor id in q_vec_ann_pq's result and
+    // assert the canonical hash moves off the pinned value.
+    val df = SparkEntry.queries("q_vec_ann_pq")(spark, sf("sf0.01"))
+    val idCol = df.schema.fieldNames.find(_.contains("id")).getOrElse(df.schema.fieldNames.head)
+    val minId = df.agg(min(col(idCol))).head().get(0).toString.toLong
+    val mutated = df.withColumn(idCol,
+      when(col(idCol) === lit(minId), lit(minId + 1)).otherwise(col(idCol)))
+    assert(mutated.count() === df.count(), "mutation must not change the row count")
+    val pin = hashPinned.get("q_vec_ann_pq")
+    assume(pin.isDefined, "q_vec_ann_pq hash not yet pinned")
+    assert(ResultPins.canonicalHash(mutated) !== pin.get,
+      "a swapped neighbor id produced the SAME canonical hash — pin is blind")
+  }
+
+  test("canonical hash is partition-order independent") {
+    val df = SparkEntry.queries("q_text_bm25")(spark, sf("sf0.01"))
+    val h1 = ResultPins.canonicalHash(df)
+    val h2 = ResultPins.canonicalHash(df.repartition(7))
+    val h3 = ResultPins.canonicalHash(df.coalesce(1))
+    assert(h1 === h2 && h1 === h3,
+      s"canonical hash depends on partitioning: $h1 / $h2 / $h3")
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MEASURED growth contracts (VERDICT r14 #5): the "100 TB story" table
+  * claims the candidate generation of the LSH dedup/ANN/graph pipelines is
+  * bucket-bounded — near-linear in corpus size, not all-pairs quadratic.
+  * This spec runs the same operator at TWO scale factors (sf0.01 →
+  * sf0.1, a measured ~3–10× input growth) and pins the growth EXPONENT
+  * e = ln(ratio)/ln(n_ratio) of
+  *   - total shuffle-write bytes (the candidate volume proxy: candidate
+  *     pairs cross the dropDuplicates / closing-join exchanges, so a
+  *     quadratic candidate blowup reads as e ≈ 2 here), and
+  *   - output rows,
+  * at well under 2. The pins carry observed values + slack — a hot-bucket
+  * cap regression (candidates going all-pairs) blows straight past them,
+  * while run-to-run noise (task framing, compression jitter) does not. */
+class ScaleGrowthSpec extends SparkSpec {
+
+  /** Shuffle-write bytes across the stages `act` triggers, scoped by job
+    * group (the ShuffleBytesSpec rig — suites share the JVM session). */
+  private val tagSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def shuffleWrite(act: => Unit): Long = {
+    val tag = s"graft-scale-growth-${tagSeq.incrementAndGet()}"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            tag == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(id => stages.add(id))
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (stages.contains(sc.stageInfo.stageId))
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+      act
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    bytes.get()
+  }
+
+  private def exponent(ratio: Double, nRatio: Double): Double =
+    math.log(math.max(ratio, 1.0)) / math.log(nRatio)
+
+  /** Run `pipeline` on both SFs; return (nRatio, bytesExp, rowsExp). */
+  private def growth(input: String => DataFrame,
+                     pipeline: DataFrame => DataFrame): (Double, Double, Double) = {
+    def measure(dir: String): (Long, Long, Long) = {
+      val in = input(dir)
+      val n = in.count()
+      var rows = 0L
+      val bytes = shuffleWrite { rows = pipeline(in).count() }
+      // operators localCheckpoint internally; don't let blocks accumulate
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      (n, bytes, rows)
+    }
+    val (n1, b1, r1) = measure(sf("sf0.01"))
+    val (n2, b2, r2) = measure(sf("sf0.1"))
+    val nRatio = n2.toDouble / n1
+    assert(nRatio > 2.0, s"fixture growth too small to measure: $n1 -> $n2")
+    (nRatio,
+      exponent(b2.toDouble / math.max(b1, 1L), nRatio),
+      exponent(r2.toDouble / math.max(r1, 1L), nRatio))
+  }
+
+  // Pins = observed exponent + ~0.3 slack (observed values in each
+  // assert message's comment). Quadratic candidate generation reads ~2.
+
+  test("minhash LSH near-dup candidate volume grows near-linearly") {
+    val (nr, be, re) = growth(
+      d => Tables.documents(spark, d),
+      docs => operators.DedupOps.minhashLshNearDups(docs, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000))
+    info(f"minhash: nRatio=$nr%.1f bytesExp=$be%.2f rowsExp=$re%.2f")
+    assert(be <= 1.5, f"shuffle-bytes exponent $be%.2f > 1.5 (nRatio $nr%.1f) — candidate generation no longer bucket-bounded")
+    assert(re <= 1.6, f"output-rows exponent $re%.2f > 1.6 — pair output growing superlinearly")
+  }
+
+  test("embedding LSH near-dup candidate volume grows near-linearly") {
+    val (nr, be, re) = growth(
+      d => Tables.embeddings(spark, d),
+      emb => operators.VectorOps.cosineNearDupsLshFixed(emb, "vec_id",
+        "embedding", threshold = 0.3, nPlanes = 4, tables = 4,
+        maxBucket = 1000))
+    info(f"embedding near-dup: nRatio=$nr%.1f bytesExp=$be%.2f rowsExp=$re%.2f")
+    assert(be <= 1.5, f"shuffle-bytes exponent $be%.2f > 1.5 (nRatio $nr%.1f) — candidate generation no longer bucket-bounded")
+    assert(re <= 1.6, f"output-rows exponent $re%.2f > 1.6 — pair output growing superlinearly")
+  }
+
+  test("LSH k-NN graph candidate volume grows near-linearly") {
+    val (nr, be, re) = growth(
+      d => Tables.embeddings(spark, d),
+      emb => operators.VectorOps.knnGraphLshFixed(emb, "vec_id", "embedding",
+        k = 5, nPlanes = 3, tables = 6, maxBucket = 1000))
+    info(f"knn graph: nRatio=$nr%.1f bytesExp=$be%.2f rowsExp=$re%.2f")
+    assert(be <= 1.5, f"shuffle-bytes exponent $be%.2f > 1.5 (nRatio $nr%.1f) — Σ bucket² no longer bounded")
+    // k-NN output is ≤ n·k by construction — exactly linear
+    assert(re <= 1.2, f"output-rows exponent $re%.2f > 1.2 — k-NN output must be ≤ n·k")
+  }
+
+  test("triangle count wedge volume stays orientation-bounded") {
+    // the q_graph_triangles co-order graph: part pairs within an order
+    def edges(d: String): DataFrame = {
+      val li = Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      li.alias("x").join(li.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+    }
+    def measure(d: String): (Long, Long) = {
+      val e = edges(d)
+      val n = e.count()
+      val bytes = shuffleWrite {
+        operators.GraphOps.triangleCount(e).count()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      (n, bytes)
+    }
+    val (n1, b1) = measure(sf("sf0.01"))
+    val (n2, b2) = measure(sf("sf0.1"))
+    val nRatio = n2.toDouble / n1
+    assert(nRatio > 2.0, s"fixture growth too small to measure: $n1 -> $n2")
+    val be = exponent(b2.toDouble / math.max(b1, 1L), nRatio)
+    info(f"triangles: edgeRatio=$nRatio%.1f bytesExp=$be%.2f")
+    // orientation bounds wedges at O(m^1.5) worst-case; this co-order
+    // graph's degree profile keeps it near-linear in edges
+    assert(be <= 1.5, f"shuffle-bytes exponent $be%.2f > 1.5 (edge ratio $nRatio%.1f) — wedge join no longer orientation-bounded")
+  }
+}

@@ -81,10 +81,23 @@ def main(outdir, sfdir):
     # without an oracle still gets an exact size check instead of a SKIP.
     # Pins are sf0.01-specific, so they only apply at that scale factor.
     pins = {}
+    hash_exp, hash_act = {}, {}
     if os.path.basename(os.path.normpath(sfdir)) == "sf0.01":
         try:
             with open(f"{outdir}/expected_rows.json") as f:
                 pins = json.load(f)
+        except FileNotFoundError:
+            pass
+        # content-hash pins (VERDICT r14 #2): Verify computes each pinned
+        # key's canonical Spark-side hash from the SAME dumped parquet this
+        # gate reads; a rows-only key whose content silently drifts now
+        # FAILS here instead of passing on its (structurally invariant)
+        # row count alone.
+        try:
+            with open(f"{outdir}/expected_hashes.json") as f:
+                hash_exp = json.load(f)
+            with open(f"{outdir}/actual_hashes.json") as f:
+                hash_act = json.load(f)
         except FileNotFoundError:
             pass
     n_pass = n_fail = n_skip = 0
@@ -103,12 +116,22 @@ def main(outdir, sfdir):
                     print(f"FAIL  {name}: pinned-count read error: {e}")
                     n_fail += 1
                     continue
-                if n == pins[name]:
-                    print(f"PASS  {name}: {n} rows (pinned count, no oracle)")
-                    n_pass += 1
-                else:
+                if n != pins[name]:
                     print(f"FAIL  {name}: rows {n} != pinned {pins[name]}")
                     n_fail += 1
+                elif name in hash_exp and name not in hash_act:
+                    print(f"FAIL  {name}: hash-pinned but Verify produced no "
+                          "actual hash (hash computation failed?)")
+                    n_fail += 1
+                elif hash_act.get(name, hash_exp.get(name)) != hash_exp.get(name):
+                    print(f"FAIL  {name}: content hash {hash_act[name]} != "
+                          f"pinned {hash_exp[name]}")
+                    n_fail += 1
+                else:
+                    tag = ("pinned count+hash" if name in hash_exp
+                           else "pinned count, no oracle")
+                    print(f"PASS  {name}: {n} rows ({tag})")
+                    n_pass += 1
             else:
                 print(f"SKIP  {name}: no oracle (rows-only check)")
                 n_skip += 1

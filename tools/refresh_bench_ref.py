@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Round-close BENCH_ref.json refresh (VERDICT r13 #5).
+"""Round-close BENCH_ref refresh (VERDICT r13 #5, r14 #4).
 
 Merges the committed anchor with the round's verified-quiet sweep
 (BENCH_full.json): per-key MIN of the two, so the anchor keeps tracking
@@ -7,14 +7,42 @@ best-known-quiet; keys no longer declared drop out, new keys enter at
 their sweep value. Refuses to run when the sweep's calibration stamps
 show a contended host (a noisy sweep must never loosen the anchor).
 
-Usage: python3 tools/refresh_bench_ref.py [BENCH_full.json] [BENCH_ref.json]
+Config policy (VERDICT r14 #4): local[4] and local[32] mins are not
+comparable, so anchors are PER-CONFIG — the default output path is
+`BENCH_ref.local<cpus>.json` derived from the sweep's own cpus stamp,
+and a merge into an anchor stamped with a DIFFERENT cpus is refused.
+
+Ratchet guard (ADVICE r14 #3): the per-key min-merge is one-way, so a
+single mis-measured anomalously FAST sample would permanently tighten a
+key's floor until every honest run flags. A key improving more than 3x
+below its old anchor is therefore NOT merged (kept at the old floor) and
+reported — if the speedup is real (an intentional optimization), rerun
+with --allow-improvement <key,key,...> in the same commit as the change.
+
+Usage: python3 tools/refresh_bench_ref.py [BENCH_full.json] [BENCH_ref.localN.json]
+           [--allow-improvement k1,k2]
 """
 import json
 import sys
 
 
-def main(full_path="BENCH_full.json", ref_path="BENCH_ref.json"):
+def main(argv):
+    allow = set()
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "--allow-improvement":
+            allow = set(next(it).split(","))
+        else:
+            args.append(a)
+    full_path = args[0] if len(args) > 0 else "BENCH_full.json"
     full = json.load(open(full_path))
+    cpus = str(full.get("cpus", ""))
+    if not cpus:
+        print(f"[refresh] REFUSED: {full_path} carries no cpus stamp — "
+              "cannot pick a per-config anchor")
+        return 1
+    ref_path = args[1] if len(args) > 1 else f"BENCH_ref.local{cpus}.json"
     # max of the two stamps: contention during EITHER half of the sweep
     # can inflate a new key's entry (existing keys are protected by the
     # per-key min-merge, new entrants are not)
@@ -30,20 +58,37 @@ def main(full_path="BENCH_full.json", ref_path="BENCH_ref.json"):
               "a truncated sweep must not wipe the anchor")
         return 1
     try:
-        old = json.load(open(ref_path)).get("queries_min", {})
+        ref = json.load(open(ref_path))
+        old = ref.get("queries_min", {})
+        old_cpus = str(ref.get("cpus", cpus))
+        if old_cpus != cpus:
+            print(f"[refresh] REFUSED: sweep cpus={cpus} but {ref_path} is "
+                  f"stamped cpus={old_cpus} — cross-config merge")
+            return 1
     except FileNotFoundError:
         old = {}
-    merged = {k: (min(v, old[k]) if k in old else v)
-              for k, v in sorted(new.items())}
+    merged, held = {}, []
+    for k, v in sorted(new.items()):
+        if k not in old:
+            merged[k] = v
+        elif v < old[k] / 3.0 and k not in allow:
+            merged[k] = old[k]
+            held.append(k)
+        else:
+            merged[k] = min(v, old[k])
     entered = sorted(set(new) - set(old))
     dropped = sorted(set(old) - set(new))
-    improved = sorted(k for k in new if k in old and new[k] < old[k])
+    improved = sorted(k for k in new if k in old and merged[k] < old[k])
     json.dump({"queries_min": merged, "refreshed_from": full.get("ts"),
-               "calib": calib}, open(ref_path, "w"), indent=0)
-    print(f"[refresh] {ref_path}: {len(merged)} keys "
+               "calib": calib, "cpus": cpus}, open(ref_path, "w"), indent=0)
+    print(f"[refresh] {ref_path} (cpus={cpus}): {len(merged)} keys "
           f"({len(improved)} improved, {len(entered)} new, {len(dropped)} dropped)")
+    if held:
+        print(f"[refresh] ratchet guard held {len(held)} implausible >3x "
+              f"improvement(s) at the old floor: {','.join(held)} — "
+              "if intentional, rerun with --allow-improvement")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    sys.exit(main(sys.argv[1:]))

@@ -41,6 +41,12 @@ if [ -n "$OTHER_JVMS" ]; then
   echo "[gates] ** REFUSING to bench: foreign sbt/spark JVM(s) still running: $OTHER_JVMS **"
   exit 1
 fi
+# Config policy (VERDICT r14 #4): the DRIVER's artifact of record runs at
+# local[32]; the committed workflow benches at the SAME parallelism so
+# round-over-round claims and the anchor min-merge never mix configs.
+# Anchors are per-config (BENCH_ref.local<cpus>.json — Bench picks the one
+# matching its cpus; refresh_bench_ref.py refuses cross-config merges).
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2>&1 | grep -oE '"value":[0-9.]+' | tail -1
 
@@ -163,26 +169,31 @@ else:
 # — VERDICT r13 #5: a real 2.13x drift slipped under 2.5x; the anchor map
 # is refreshed every round close so 2x clears quiet jitter), so anything
 # still over here was confirmed slow by its re-measure or predates the ref.
+ref_path = b.get("bench_ref_path") or f"BENCH_ref.local{b.get('cpus','')}.json"
 try:
-    ref = json.load(open("BENCH_ref.json")).get("queries_min", {})
+    ref = json.load(open(ref_path)).get("queries_min", {})
 except Exception:
-    ref = {}
+    ref_path = "BENCH_ref.json"
+    try:
+        ref = json.load(open(ref_path)).get("queries_min", {})
+    except Exception:
+        ref = {}
 if ref:
     qm = b.get("queries_min", {})
     over = sorted((k, qm[k], ref[k]) for k in qm
                   if ref.get(k, 0) > 0 and qm[k] > 2.0 * ref[k])
     stamped = set(b.get("ref_flagged", []) + b.get("salvage_rerun", []))
     if over:
-        print(f"[gates] {len(over)} key(s) min >2x the committed quiet reference (BENCH_ref.json):")
+        print(f"[gates] {len(over)} key(s) min >2x the committed quiet reference ({ref_path}):")
         for k, v, r in over:
             tag = "re-measured in-sweep, confirmed" if k in stamped else "** UNCONFIRMED — bench ran without the ref? **"
             print(f"[gates]   {k}: {v}s vs ref {r}s ({tag})")
         if any(k not in stamped for k, _, _ in over):
-            print("[gates] ** WARNING: unconfirmed reference outliers — rerun the bench with BENCH_ref.json present **")
+            print(f"[gates] ** WARNING: unconfirmed reference outliers — rerun the bench with {ref_path} present **")
     else:
-        print(f"[gates] reference check: all {len(qm)} keys within 2x of BENCH_ref.json mins")
+        print(f"[gates] reference check: all {len(qm)} keys within 2x of {ref_path} mins")
 else:
-    print("[gates] (no BENCH_ref.json — reference anchor check skipped)")
+    print("[gates] (no anchor file — reference anchor check skipped)")
 # a query that THROWS must fail the gate — its recorded time is
 # elapsed-to-throw and the correctness sweep may not have run yet
 errs = b.get("errors")
