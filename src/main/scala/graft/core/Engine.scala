@@ -64,8 +64,18 @@ object Engine {
       // maintenance loop would rewrite the table every batch, forever
       val collapsed0 = Upserts.lwwView(log, Seq("id"), "last_modified", ties)
       val hasPart = collapsed0.columns.contains("_part")
+      // SIZE-AWARE rewrite (the Ingest.SmallAppendRows policy applied to
+      // compaction): a micro-scale table (the streaming-maintenance case —
+      // a few appends of micro-batches) rewrites through ONE task, paying
+      // no clustering exchange and 1 commit for the same ≤16 bucket files;
+      // past the threshold the rewrite keeps the parallel bucket shuffle a
+      // 100 TB table needs. Listing bytes is the same metadata pass
+      // compactIfNeeded already does.
+      val smallTable = registry.dataBytes(typeId) < 128L * 1024 * 1024
       val collapsed =
-        if (hasPart) collapsed0.repartition(col("_part")) else collapsed0
+        if (!hasPart) collapsed0
+        else if (smallTable) collapsed0.coalesce(1).sortWithinPartitions("_part")
+        else collapsed0.repartition(col("_part"))
       val tmp = registry.tablePath(typeId) + ".compact"
       val writer = collapsed.write.mode("overwrite")
       (if (hasPart) writer.partitionBy("_part") else writer).parquet(tmp)

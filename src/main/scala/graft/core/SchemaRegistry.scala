@@ -97,6 +97,21 @@ final class SchemaRegistry(spark: SparkSession, val warehouseDir: String,
     n
   }
 
+  /** Total data bytes under a type's table — the same recursive listing
+    * as [[dataFileCount]] (compaction write-sizing input). */
+  def dataBytes(typeId: String): Long = {
+    val root = hpath(tablePath(typeId))
+    if (!fs.exists(root)) return 0L
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        n += f.getLen
+    }
+    n
+  }
+
   private def recoverIfNeeded(): Unit = healPath(descriptorsPath)
 
   private def descriptorsPath = s"$warehouseDir/descriptors"
