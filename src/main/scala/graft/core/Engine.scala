@@ -62,8 +62,16 @@ object Engine {
       // file PER bucket it holds (tasks × 16 files), so compaction output
       // could itself exceed the compactIfNeeded threshold and the
       // maintenance loop would rewrite the table every batch, forever
-      val collapsed0 = Upserts.lwwView(log, Seq("id"), "last_modified", ties)
-      val hasPart = collapsed0.columns.contains("_part")
+      val collapsed1 = Upserts.lwwView(log, Seq("id"), "last_modified", ties)
+      val hasPart = collapsed1.columns.contains("_part")
+      // Fold the L0 append zone into the real buckets: recompute `_part`
+      // from the id so rows that entered as single-file micro appends
+      // (`_part=-1`, Ingest.L0Bucket) land in their idBucket partition —
+      // compaction is what establishes the pruned layout.
+      val collapsed0 =
+        if (hasPart && collapsed1.columns.contains("id"))
+          collapsed1.withColumn("_part", Ingest.idBucket(col("id")))
+        else collapsed1
       // SIZE-AWARE rewrite (the Ingest.SmallAppendRows policy applied to
       // compaction): a micro-scale table (the streaming-maintenance case —
       // a few appends of micro-batches) rewrites through ONE task, paying
@@ -78,6 +86,7 @@ object Engine {
         else collapsed0.repartition(col("_part"))
       val tmp = registry.tablePath(typeId) + ".compact"
       val writer = collapsed.write.mode("overwrite")
+        .option(Ingest.NoJobMarker._1, Ingest.NoJobMarker._2)
       (if (hasPart) writer.partitionBy("_part") else writer).parquet(tmp)
       registry.replaceTable(typeId, tmp)
     }
@@ -186,13 +195,16 @@ object Engine {
     /** Point lookup (reference Model.get / GET objects/{id},
       * tests/test_views.py:205-211). The id-bucket predicate is foldable
       * (hash of a literal), so it becomes a PARTITION filter on the `_part`
-      * layout — the scan reads 1/NumIdBuckets of the table's files, and all
-      * versions of the id share that bucket so LWW stays correct. */
+      * layout — the scan reads 1/NumIdBuckets of the table's files plus the
+      * L0 append zone (`_part=-1`, small by construction — compaction folds
+      * it away), and every version of the id lives in one of those two
+      * partitions so LWW stays correct. */
     def get(typeId: String, id: String): DataFrame = {
       val log = tableLog(typeId)
       val pruned =
         if (log.columns.contains("_part"))
-          log.filter(col("_part") === Ingest.idBucket(lit(id)))
+          log.filter(col("_part").isin(
+            Ingest.idBucket(lit(id)), lit(Ingest.L0Bucket)))
         else log
       val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
       Upserts.lwwView(pruned, Seq("id"), "last_modified", ties)

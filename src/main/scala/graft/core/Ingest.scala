@@ -275,12 +275,33 @@ object Ingest {
   def idBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(id), lit(NumIdBuckets))
 
-  /** Sub-batches at or under this row count append through a single write
-    * task (no exchange, 1 commit) — micro-batch scale, where a 16-way
-    * clustered shuffle is pure overhead. Above it the append shuffles into
-    * NumIdBuckets parallel writers. ~100k rows of envelope-width data is
-    * tens of MB — well inside one task at any executor sizing. */
+  /** Sub-batches at or under this row count append into the L0 zone
+    * (`_part=-1`): ONE file through one write task, no exchange, 1 commit —
+    * the LSM delta-file pattern. A micro-batch-scale append that writes
+    * every one of the 16 bucket files pays ~16× per-file parquet writer
+    * init + commit for a few KB of data (measured: 0.42 s vs 0.15 s for
+    * the same rows as one file); at 100 TB append rates that 16× write
+    * amplification is the small-files problem itself. Compaction folds L0
+    * into the real buckets ([[graft.core.Engine.Handle.compact]] recomputes
+    * `_part`), so the bucketed zone holds ~all data and L0 stays bounded by
+    * the maintenance cadence. Point lookups prune to {idBucket(id), L0} —
+    * two partitions, the second one small by construction. Above the
+    * threshold the append shuffles into NumIdBuckets parallel writers
+    * directly. */
   val SmallAppendRows = 100000L
+
+  /** L0 partition value — outside idBucket's [0, NumIdBuckets) range. */
+  val L0Bucket = -1L
+
+  /** Writer option that suppresses the per-job `_SUCCESS` marker on the
+    * engine's OWN table/state writes. The engine's visibility contract is
+    * the table lock + WriteCounts (and streaming's checkpoint commit log),
+    * never the marker — but every micro-batch append pays the marker's
+    * file create (plus its checksum shadow on local FS). External
+    * consumers that want markers read the tables through their own session
+    * conf; the engine's internal write paths don't need them. */
+  val NoJobMarker: (String, String) =
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false"
 
   /** One type's sub-batch: returns (written, quarantined).
     *
@@ -350,7 +371,8 @@ object Ingest {
               corrupt.select(col(corruptCol).as("raw_payload")),
               errno = 400, message = "malformed payload")
             .withColumn("type_id", lit(typeId))
-            .write.mode("append").parquet(registry.quarantinePath(typeId))
+            .write.mode("append").option(NoJobMarker._1, NoJobMarker._2)
+            .parquet(registry.quarantinePath(typeId))
         (parsed.filter(col(corruptCol).isNull).drop(corruptCol), c)
       } else (parsed, 0L)
 
@@ -374,7 +396,7 @@ object Ingest {
       // FileOutputCommitter staging directory
       Validation.quarantineRecords(v.quarantined)
         .withColumn("type_id", lit(typeId))
-        .write.mode("append")
+        .write.mode("append").option(NoJobMarker._1, NoJobMarker._2)
         .parquet(registry.quarantinePath(typeId))
 
     // 5. Defaults: id (uuid1-hex analog; deterministic content hash also
@@ -399,7 +421,12 @@ object Ingest {
     //    (partition-key layout — point lookups prune to one bucket). Schema
     //    evolution on disk is add-only; readers use mergeSchema
     //    (Engine.table) so older files surface new columns as NULL.
-    val written = withDefaults.withColumn("_part", idBucket(col("id"))).cache()
+    //    SIZE-AWARE (VERDICT r14 #2): micro-batch-scale sub-batches land in
+    //    the L0 zone as one file (see SmallAppendRows); compaction folds
+    //    them into the bucketed layout.
+    val smallAppend = subTotal.exists(_ <= SmallAppendRows)
+    val partCol = if (smallAppend) lit(L0Bucket) else idBucket(col("id"))
+    val written = withDefaults.withColumn("_part", partCol).cache()
     try {
       // WRITE-FIRST: the append itself materializes the cache, and its
       // command-level numOutputRows metric reports n — no separate count
@@ -427,21 +454,16 @@ object Ingest {
         // 2.2 s vs 0.56 s on a streaming-scale append (r14 A/B) — stage
         // materialization overhead dwarfs the 16 tiny task commits
         //
-        // SIZE-AWARE sizing (VERDICT r14 #2): a micro-batch-scale
-        // sub-batch (the streaming path; subTotal is known from the
-        // fan-out agg) writes through ONE task — the dynamic-partition
-        // writer still splits it into the same ≤16 bucket files, but the
-        // append pays 1 task commit and NO exchange instead of a 16-way
-        // shuffle + 16 commits, the dominant fixed cost of every
-        // streaming append. Rows are pre-sorted by the partition column
-        // so the single task streams file-by-file instead of holding 16
-        // open writers. Large batches (unknown or > SmallAppendRows) keep
-        // the clustered parallel write — one writer task would serialize
-        // a real bulk ingest on a 1000-executor cluster.
-        val smallAppend = subTotal.exists(_ <= SmallAppendRows)
-        (if (smallAppend) written.coalesce(1).sortWithinPartitions("_part")
+        // Small appends carry a single L0 partition value, so coalesce(1)
+        // writes exactly one file with one commit (the upstream micro
+        // batch is a handful of partitions — collapsing it costs nothing).
+        // Large batches (unknown or > SmallAppendRows) keep the clustered
+        // parallel write — one writer task would serialize a real bulk
+        // ingest on a 1000-executor cluster.
+        (if (smallAppend) written.coalesce(1)
          else written.repartition(NumIdBuckets, col("_part")))
           .write.mode("append").partitionBy("_part")
+          .option(NoJobMarker._1, NoJobMarker._2)
           .parquet(tablePath)
         n = WriteCounts.take(spark, tablePath, writeTok)
           .getOrElse(written.count())

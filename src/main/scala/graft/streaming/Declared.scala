@@ -219,7 +219,9 @@ object Declared {
     private val schemaRef = new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.sql.types.StructType](null)
     def write(df: DataFrame, gen: Long): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(dirs((gen % 2).toInt))
+      df.coalesce(1).write.mode("overwrite")
+        .option(graft.core.Ingest.NoJobMarker._1, graft.core.Ingest.NoJobMarker._2)
+        .parquet(dirs((gen % 2).toInt))
       schemaRef.compareAndSet(null, df.schema)
     }
     // reads take the session per call: the in-batch fold reads on the rig's
@@ -314,7 +316,9 @@ object Declared {
           // partials are bounded (windows × types): one file per batch
           // beats shuffle-partition-many tiny appends + their merge read
           .coalesce(1)
-          .write.mode("append").parquet(out)
+          .write.mode("append")
+          .option(graft.core.Ingest.NoJobMarker._1, graft.core.Ingest.NoJobMarker._2)
+          .parquet(out)
         ()
       }
       .start().awaitTermination()

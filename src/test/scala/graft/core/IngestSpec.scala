@@ -243,15 +243,26 @@ class IngestSpec extends SparkSpec {
     assert(h3.table("t").count() === 2L)
   }
 
-  test("partition-key layout: tables bucket by id hash; point lookup prunes partitions") {
+  test("partition-key layout: small appends land in L0 as one file; compaction buckets by id hash; point lookup prunes partitions") {
     val h = freshEngine()
     h.ingest(env((1 to 40).map(i =>
       s"""{"type_id":"t","data":{"id":"k$i","v":$i}}"""): _*), ingestTime = Some(t0))
-    // physical layout: _part=<bucket> partition dirs
-    val dirs = new java.io.File(h.registry.tablePath("t"))
-      .listFiles().filter(_.isDirectory).map(_.getName)
+    // micro-batch-scale append: ONE L0 partition dir, ONE data file (the
+    // LSM delta zone — no 16-way write amplification per micro append)
+    val tableDir = new java.io.File(h.registry.tablePath("t"))
+    val dirs0 = tableDir.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs0.toSeq === Seq(s"_part=${graft.core.Ingest.L0Bucket}"))
+    val l0Files = new java.io.File(tableDir, dirs0.head).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(l0Files.length === 1)
+    // point lookup against the uncompacted table is still correct
+    assert(h.get("t", "k7").collect().map(_.getAs[Long]("v")).toSeq === Seq(7L))
+    // compaction folds L0 into the id-hash buckets
+    h.compact("t")
+    val dirs = tableDir.listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("_part=")))
     assert(dirs.length > 1) // 40 ids spread over several of the 16 buckets
+    assert(!dirs.contains(s"_part=${graft.core.Ingest.L0Bucket}")) // L0 folded away
     // point lookup: correct row AND a partition filter in the scan
     val got = h.get("t", "k7")
     assert(got.collect().map(_.getAs[Long]("v")).toSeq === Seq(7L))
