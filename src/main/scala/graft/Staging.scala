@@ -85,6 +85,8 @@ private[graft] object Staging {
     val p = h.path // builds (once) under the holder's own lock
     if (new java.io.File(p).exists()) p
     else { // staged dir deleted externally: drop the holder and rebuild
+      System.err.println(
+        s"[staging] staged dir for '$key' vanished ($p) — rebuilding")
       dirs.remove(key, h)
       dirFor(key, prefix)(build)
     }
