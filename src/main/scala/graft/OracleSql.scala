@@ -984,6 +984,22 @@ object OracleSql {
         |FROM events WHERE event_type = 'signup' AND event_id <= 2000
         |ORDER BY event_id""".stripMargin,
 
+    // LWW across the two physical zones: overwritten ids (odd, ≤750)
+    // serve the L0 micro-append's version (value+1000, ts+1 day), the
+    // rest serve the compacted bucketed generation
+    "q_engine_l0_lww" ->
+      """WITH b AS (SELECT event_id, user_id, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'signup' AND event_id <= 1500)
+        |SELECT event_id, user_id,
+        |  CASE WHEN event_id <= 750 AND event_id % 2 = 1
+        |    THEN value + 1000 ELSE value END AS value,
+        |  k,
+        |  CASE WHEN event_id <= 750 AND event_id % 2 = 1
+        |    THEN ts + INTERVAL 1 DAY ELSE ts END AS ts
+        |FROM b ORDER BY event_id""".stripMargin,
+
     // the pinned snapshot must serve the ORIGINAL values — the second
     // generation (value+1000, ts+1 day) is invisible at the as-of epoch
     "q_engine_timetravel" ->

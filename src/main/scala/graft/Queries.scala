@@ -283,6 +283,43 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** LWW serving across the TWO physical zones of the S19 layout — the L0
+    * append zone vs the bucketed zone ([[graft.core.Ingest.L0Bucket]]):
+    * gen-1 (signup ids ≤ 1500) is staged ingested AND compacted, so its
+    * rows live in the `_part=idBucket(id)` dirs; per call, gen-2 (odd ids
+    * ≤ 750, value+1000, LWW-winning ts+1 day) appends as a micro-batch and
+    * lands in `_part=-1`. The serve must LWW-merge ACROSS zones: overwritten
+    * ids serve the L0 version, everything else the bucketed one — a zone
+    * leak in either direction (L0 rows invisible to the serve, or a
+    * bucketed loser surviving its L0 overwrite) is a hash failure. The
+    * staged fixture is copied per call (the q_engine_compact lifecycle), so
+    * the slot times the micro-append + cross-zone serve it exists to gate. */
+  val qEngineL0Lww: Q = (s, d) => {
+    val (root, _) = stagedWarehouse(s, "l0lww", d) { h =>
+      val events = Tables.events(s, d)
+        .filter(col("event_type") === "signup" && col("event_id") <= 1500)
+      h.ingest(Flagship.envelopesFrom(s, events))
+      h.compact("signup")
+      Nil
+    }
+    val wh = scratchDir("ql0-wh")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$root/wh"), new java.io.File(wh))
+    val h = graft.core.Engine.bootstrap(s, wh)
+    val gen2 = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 750 &&
+        col("event_id") % 2 === 1)
+      .withColumn("value", col("value") + 1000)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY"))
+    h.ingest(Flagship.envelopesFrom(s, gen2))
+    h.table("signup").select(
+      col("id").cast(LongType).as("event_id"),
+      col("user_id"), col("value"),
+      col("props__k").as("k"),
+      col("last_modified").as("ts"))
+      .orderBy("event_id")
+  }
+
   /** Retention cohorts: users bucketed by first-seen week, activity counted
     * as distinct (user, week) pairs per cohort — the standard triangle
     * matrix. Two hash aggs + one broadcastable join on user_id; fully

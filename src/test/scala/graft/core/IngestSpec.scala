@@ -274,6 +274,24 @@ class IngestSpec extends SparkSpec {
     assert(!got.columns.contains("_part"))
   }
 
+  test("bulk appends (> SmallAppendRows) write the bucketed layout directly, no L0") {
+    // the declared sf-test ingests are all micro-batch scale and take the
+    // L0 path — this is the only coverage of the bulk clustered write
+    val h = freshEngine()
+    val n = Ingest.SmallAppendRows + 1
+    val envelopes = spark.range(n).select(concat(
+      lit("""{"type_id":"t","data":{"id":"k"""), col("id"),
+      lit("""","v":"""), col("id"), lit("}}")).as("message"))
+    h.ingest(envelopes, ingestTime = Some(t0))
+    val dirs = new java.io.File(h.registry.tablePath("t"))
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(!dirs.contains(s"_part=${Ingest.L0Bucket}"), "bulk append must not land in L0")
+    assert(dirs.length === Ingest.NumIdBuckets) // 100k ids cover all 16 buckets
+    assert(h.table("t").count() === n)
+    // point lookup prunes to one bucket dir and LWW-reads the right row
+    assert(h.get("t", "k77").collect().head.getAs[Long]("v") === 77L)
+  }
+
   test("compact collapses the log in place; pruned lookups and later LWW appends survive") {
     val h = freshEngine()
     h.ingest(env("""{"type_id":"t","data":{"id":"a","v":1}}""",
