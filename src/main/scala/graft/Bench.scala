@@ -156,6 +156,16 @@ object Bench {
       if (cotenants.nonEmpty)
         System.err.println(s"[bench] ** proceeding under co-tenant load (stamped): ${cotenants.mkString(",")} **")
     }
+    // Page-cache quiesce (found r15): a bench launched right after a heavy
+    // JVM phase (the full test suite, or the driver's verify step) reads
+    // ~15% slow across every IO-heavy key while BOTH CPU probes stay
+    // perfectly steady — gigabytes of dirty pages from the prior phase
+    // contend with the sweep's scratch writes via the kernel's writeback
+    // threads, which no CPU probe can see (measured: 95.4 s post-suite vs
+    // 81.8 s standalone, identical probes, same commit). One blocking
+    // sync up front flushes that backlog before anything is timed.
+    try { new ProcessBuilder("sync").inheritIO().start().waitFor() }
+    catch { case _: Exception => () } // best-effort (non-POSIX hosts)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
