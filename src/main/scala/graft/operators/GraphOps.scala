@@ -199,12 +199,68 @@ object GraphOps {
     * round's localCheckpoint'ed blocks, which the CALLER owns once
     * consumed (the [[pageRank]] contract); superseded rounds' blocks are
     * released here. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Vertex ordering for driver fast paths that must EXACTLY reproduce a
+    * Spark-side ordering tie-break (labelPropagation's `lbl ASC`):
+    * strings compare as UNSIGNED UTF-8 BYTES — Spark's binary string
+    * collation — because java.lang.String.compareTo is UTF-16 code-unit
+    * order, which DISAGREES with UTF-8 byte order beyond the BMP;
+    * integral types compare numerically. Any other vertex type returns
+    * None and the caller keeps the distributed rounds (a silently
+    * different driver collation would be a wrong-answer bug, not a perf
+    * choice). */
+  private def driverOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case StringType => Some(new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = {
+        val a = x.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    })
+    case LongType | IntegerType | ShortType | ByteType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue()))
+    case _ => None
+  }
+
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            driverFastPathEdges: Long = 1000000L): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+
+    // Adaptive driver fast path (the [[pageRank]] contract, extended r15:
+    // each distributed peel round pays ~0.25 s of per-round Catalyst
+    // planning alone, so a graph that fits on the driver computes the
+    // identical integer function there). Gated to vertex types whose
+    // driver-side equality matches Spark's ([[driverOrdering]]).
+    val vt = e.schema.fields(0).dataType
+    if (driverFastPathEdges > 0 && driverOrdering(vt).isDefined &&
+        e.schema.fields(1).dataType == vt && e.count() <= driverFastPathEdges) {
+      var es = e.collect().map(r => (r.get(0), r.get(1)))
+      for (_ <- 1 to rounds) {
+        val deg = scala.collection.mutable.Map[Any, Long]().withDefaultValue(0L)
+        es.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+        es = es.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+      }
+      val deg = scala.collection.mutable.Map[Any, Long]().withDefaultValue(0L)
+      es.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+      val spark = edges.sparkSession
+      e.unpersist()
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        deg.toSeq.map { case (v, d) =>
+          org.apache.spark.sql.Row(v, d) }.asJava,
+        StructType(Seq(StructField("v", vt), StructField("deg", LongType))))
+    }
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k)
         .select("v").localCheckpoint() // two semi-join consumers
@@ -545,11 +601,45 @@ object GraphOps {
     * @param rounds pinned synchronous update count
     * @return (node, community) for every node appearing in `edges`
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       driverFastPathEdges: Long = 1000000L): DataFrame = {
     val e0 = edges.select(col("src").as("a"), col("dst").as("b"))
       .filter(col("a") =!= col("b"))
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+
+    // Adaptive driver fast path (the [[pageRank]] contract, extended r15):
+    // the synchronous update + (count DESC, label ASC) tie-break is a pure
+    // function of the undirected edge set, reproduced exactly — label
+    // comparison through [[driverOrdering]] so the ASC tie-break matches
+    // Spark's binary string collation, else fall through to the rounds.
+    val vt = und.schema.fields(0).dataType
+    val ordOpt = if (und.schema.fields(1).dataType == vt)
+      driverOrdering(vt) else None
+    if (driverFastPathEdges > 0 && ordOpt.isDefined &&
+        und.count() <= driverFastPathEdges) {
+      implicit val ord: Ordering[Any] = ordOpt.get
+      val es = und.collect().map(r => (r.get(0), r.get(1)))
+      val nbrs = es.groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2) }
+      var lbl: Map[Any, Any] = nbrs.keysIterator.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lbl = nbrs.map { case (a, ns) =>
+          val counts = scala.collection.mutable.Map[Any, Long]()
+            .withDefaultValue(0L)
+          ns.foreach(b => counts(lbl(b)) += 1)
+          // (n DESC, lbl ASC): max count, smallest label among the tied
+          a -> counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+        }
+      }
+      val spark = edges.sparkSession
+      und.unpersist()
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        lbl.toSeq.map { case (v, l) =>
+          org.apache.spark.sql.Row(v, l) }.asJava,
+        StructType(Seq(
+          StructField("node", vt), StructField("community", vt))))
+    }
     var lbl = und.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
