@@ -519,6 +519,115 @@ class GraphOpsSpec extends SparkSpec {
     assert(at5.nonEmpty)
   }
 
+  /** Driver peel replay at a PINNED round count (the exact function
+    * [[GraphOps.kCore]] computes at a given depth — NOT the fixpoint),
+    * for both-path equivalence at depths short of convergence. Same
+    * directed-distinct set semantics as the operator's input prep. */
+  private def bruteKCoreRounds[V](edges: Seq[(V, V)], k: Int,
+                                  rounds: Int): Map[V, Long] = {
+    var cur = edges.filter(e => e._1 != e._2).distinct
+    for (_ <- 1 to rounds) {
+      val deg = cur.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      cur = cur.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+    }
+    cur.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  // Both-path equivalence for the r15 driver fast paths (VERDICT r15 #1:
+  // kCore and labelPropagation landed their ≤1M-edge driver cutover
+  // WITHOUT the pageRank-pattern cutover-parameterized specs, leaving the
+  // distributed rounds — the code that runs at production scale — covered
+  // by no test). Mirrors GraphOpsSpec's pageRank template exactly.
+  for ((label, cutover) <- Seq(("driver fast path", 1000000L),
+                               ("distributed rounds", 0L))) {
+    test(s"kCore [$label] reproduces the driver peel, incl. pre-fixpoint depths") {
+      // clique {1..4} is the 3-core; pendant chain 4-5-6 peels over two
+      // rounds (6 drops when 5's degree falls), so rounds=1 differs from
+      // rounds=2 — a depth-off-by-one in either path fails here
+      val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (5L, 6L))
+      for (rounds <- 1 to 3) {
+        val got = GraphOps.kCore(edges.toDF("src", "dst"), k = 3,
+            rounds = rounds, driverFastPathEdges = cutover)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === bruteKCoreRounds(edges, 3, rounds),
+          s"rounds=$rounds cutover=$cutover")
+      }
+    }
+
+    test(s"labelPropagation [$label] reproduces the replay on the bridged triangles") {
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+        (4L, 5L), (5L, 6L), (4L, 6L))
+      val got = GraphOps.labelPropagation(edges.toDF("src", "dst"),
+          rounds = 4, driverFastPathEdges = cutover)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === bruteLpa(edges, 4), s"cutover=$cutover")
+    }
+  }
+
+  test("kCore: distributed rounds equal the fast path on random string-vertex graphs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = Seq.fill(3 * n)(
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val k = 2 + rnd.nextInt(3)
+      val rounds = 1 + rnd.nextInt(4)
+      val df = edges.toDF("src", "dst")
+      val want = bruteKCoreRounds(edges, k, rounds)
+      val fast = GraphOps.kCore(df, k, rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dist = GraphOps.kCore(df, k, rounds, driverFastPathEdges = 0L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fast === want, s"trial $trial fast path diverged (k=$k rounds=$rounds)")
+      assert(dist === want, s"trial $trial distributed diverged (k=$k rounds=$rounds)")
+    }
+  }
+
+  test("labelPropagation: distributed rounds equal the fast path on random graphs") {
+    val rnd = new Random(19)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(10)
+      val edges = Seq.fill(6 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(4)
+        val want = bruteLpa(edges, rounds)
+        val fast = GraphOps.labelPropagation(edges.toDF("src", "dst"), rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val dist = GraphOps.labelPropagation(edges.toDF("src", "dst"), rounds,
+            driverFastPathEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(fast === want, s"trial $trial fast path diverged (rounds=$rounds)")
+        assert(dist === want, s"trial $trial distributed diverged (rounds=$rounds)")
+      }
+    }
+  }
+
+  test("labelPropagation: string tie-break is UTF-8 byte order on BOTH paths") {
+    // U+FFFF renders as UTF-8 bytes EF BF BF; U+1F600 (a supplementary
+    // char) as F0 9F 98 80 — so in Spark's binary collation U+FFFF sorts
+    // FIRST, while java.lang.String.compareTo (UTF-16 code units: FFFF vs
+    // the D83D surrogate) sorts it LAST. A driver fast path that used
+    // String.compareTo would pick the other label here and diverge.
+    val hi = "\uFFFF"
+    val emoji = new String(Character.toChars(0x1F600))
+    // node "z" sees one neighbor labeled hi and one labeled emoji (count
+    // tie) — the (count DESC, label ASC) tie-break decides via collation
+    val edges = Seq((hi, "z"), (emoji, "z"))
+    val fast = GraphOps.labelPropagation(edges.toDF("src", "dst"), rounds = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val dist = GraphOps.labelPropagation(edges.toDF("src", "dst"), rounds = 1,
+        driverFastPathEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fast === dist, "collation mismatch between driver and Spark paths")
+    assert(fast("z") === hi,
+      "tie-break picked the UTF-16-min label — driver collation is not binary")
+  }
+
   test("dedupClusters labels every doc; singletons are their own cluster") {
     val docs = (1L to 10L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
