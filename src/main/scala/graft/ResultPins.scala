@@ -42,7 +42,13 @@ object ResultPins {
     * real scoring regression. */
   def canonicalHash(df: DataFrame): String = {
     val cols = df.schema.fields.sortBy(_.name).map(f => renderCol(col(f.name), f.dataType))
-    val rowStr = concat_ws("", cols.toIndexedSeq: _*)
+    // column renderings join on U+001F (unit separator) so ("ab","c")
+    // and ("a","bc") hash differently; written as an ESCAPE because the
+    // raw byte is invisible — ADVICE r15 #2 misread it as no-separator,
+    // the same unreviewable-control-char hazard as VERDICT r13 #6. The
+    // byte cannot appear in a canonical rendering of the pinned keys
+    // (numbers/hex/NULL markers/tokenized words).
+    val rowStr = concat_ws("\u001f", cols.toIndexedSeq: _*)
     // sum as decimal(38,0) — a plain Long sum overflows under ANSI mode
     // after ~2 rows of worst-case hashes; 38 digits hold ~10^18 rows, and
     // the driver folds the exact sum back to 64 bits

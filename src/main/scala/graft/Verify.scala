@@ -22,6 +22,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stale-gate guard (ADVICE r15 #3): a FILTERED run re-dumps per-key
+    // parquet but skips the hash export below, so a reused outDir could
+    // pair freshly dumped (possibly regressed) parquet with the previous
+    // run's actual_hashes.json and false-PASS the content-hash check.
+    // Drop the side files up front so check_oracle.py sees hashes only
+    // when THIS run computed them against THIS run's dumps.
+    Seq("actual_hashes.json", "expected_hashes.json").foreach { f =>
+      Files.deleteIfExists(Paths.get(s"$outDir/$f"))
+    }
     // comma-separated substring filter for fast iteration (mirrors Bench's
     // SPARK_GRAFT_BENCH_FILTER); default "" = all queries
     val filters = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FILTER", "")

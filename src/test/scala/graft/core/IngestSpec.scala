@@ -330,6 +330,45 @@ class IngestSpec extends SparkSpec {
     assert(h.table("t").collect().head.getAs[Long]("v") === 4L)
   }
 
+  test("L0 maintenance contract: micro-append growth -> compactIfNeeded keeps the table bounded; lookups stay pruned mid-stream") {
+    // VERDICT r15 #5: the L0 zone's scaladoc claims it is "bounded by
+    // compaction cadence" — this pins the claim. A maintenance loop of 18
+    // micro-appends with the file-count policy after each one must (a)
+    // never observe the table above the policy's bound right after the
+    // check, (b) actually fire the policy repeatedly as L0 refills, and
+    // (c) keep point lookups partition-pruned and LWW-correct at EVERY
+    // intermediate zone mix (pure L0, pure buckets, buckets + refilling L0).
+    val h = freshEngine()
+    val maxFiles = 4
+    var compactions = 0
+    for (i <- 1 to 18) {
+      val ts = new java.sql.Timestamp(t0.getTime + i * 60000L)
+      h.ingest(env(s"""{"type_id":"t","data":{"id":"k${i % 3}","v":$i}}"""),
+        ingestTime = Some(ts))
+      // mid-stream lookup: correct LWW winner whatever zones hold the id
+      val got = h.get("t", s"k${i % 3}")
+      assert(got.collect().head.getAs[Long]("v") === i.toLong, s"append $i")
+      // and the scan is pruned — the {idBucket(id), L0} two-partition
+      // contract renders as a _part partition filter, never a full scan
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("_part"),
+        s"append $i: expected a _part partition filter:\n$plan")
+      if (h.compactIfNeeded("t", maxFiles = maxFiles)) compactions += 1
+      // the invariant the maintenance cadence guarantees: bounded file
+      // count after every policy pass (compaction rewrites to <= 3 bucket
+      // files here — 3 ids — so the bound holds with slack for new L0)
+      val n = h.registry.dataFileCount("t")
+      assert(n <= maxFiles, s"after append $i + policy: $n files > $maxFiles")
+    }
+    assert(compactions >= 3,
+      s"policy fired only $compactions times over 18 micro-appends — L0 is not being folded")
+    // L0 refills between compactions and the LAST state still serves: the
+    // final winners are the last write per id
+    val fin = h.table("t").orderBy("id").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("v"))).toSeq
+    assert(fin === Seq(("k0", 18L), ("k1", 16L), ("k2", 17L)))
+  }
+
   test("replaying the same batch is effectively idempotent (LWW absorbs the duplicate)") {
     val h = freshEngine()
     val batch = env(

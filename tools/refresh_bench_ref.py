@@ -60,7 +60,16 @@ def main(argv):
     try:
         ref = json.load(open(ref_path))
         old = ref.get("queries_min", {})
-        old_cpus = str(ref.get("cpus", cpus))
+        # An anchor WITHOUT a cpus stamp is the legacy mixed-config file —
+        # defaulting it to the sweep's cpus (ADVICE r15 #4) silently let
+        # exactly the cross-config merge this guard exists for. Refuse and
+        # point at the migration path instead.
+        old_cpus = str(ref.get("cpus", ""))
+        if not old_cpus:
+            print(f"[refresh] REFUSED: {ref_path} carries no cpus stamp "
+                  "(legacy mixed-config anchor) — start a per-config anchor "
+                  f"by merging into BENCH_ref.local{cpus}.json instead")
+            return 1
         if old_cpus != cpus:
             print(f"[refresh] REFUSED: sweep cpus={cpus} but {ref_path} is "
                   f"stamped cpus={old_cpus} — cross-config merge")

@@ -3,18 +3,18 @@
 # Usage: tools/run_gates.sh   (from /root/repo)
 set -euo pipefail
 
-echo "== 1/4 unit + behavioral specs"
+echo "== 1/5 unit + behavioral specs"
 sbt -batch test 2>&1 | grep -E '\*\*\*|Tests:' | tail -2
 
-echo "== 2/4 t1 smoke (flagship entry, sf0.001)"
+echo "== 2/5 t1 smoke (flagship entry, sf0.001)"
 sbt -batch "runMain graft.tools.Smoke" 2>&1 | grep -E 'rows=' | tail -1
 
-echo "== 3/4 t2 correctness (sf0.01 vs DuckDB oracle)"
+echo "== 3/5 t2 correctness (sf0.01 vs DuckDB oracle)"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft-gates" \
   2>&1 | grep -E '\[verify\].*failed' || true
 python3 tools/check_oracle.py /tmp/graft-gates /root/testdata/sf0.01 | tail -1
 
-echo "== 4/4 bench (sf0.1)"
+echo "== 4/5 bench (sf0.1)"
 # Sweep isolation (VERDICT r11 #1): REFUSE to start the artifact sweep
 # while any other sbt/spark JVM runs on the host — r11's contended driver
 # capture ran concurrently with a throughput remeasure and stamped 26
@@ -203,3 +203,13 @@ if errs:
         print(f"[gates]   {k}: {v}")
     raise SystemExit(1)
 EOF
+
+echo "== 5/5 distributed graph plans (sf0.1, driverFastPathEdges=0)"
+# VERDICT r15 #4: the declared graph queries all take the ≤1M-edge driver
+# fast path at sf scale, so the distributed rounds — the plans that run at
+# 100x — were never timed. The probe runs the exact declared configs with
+# the fast path off and records wall time + shuffle bytes per operator;
+# the artifact (GRAPH_DIST.json) makes a distributed-path regression
+# visible round-over-round.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.tools.GraphDistProbe" \
+  2>&1 | grep -oE '\{"probe":"graph_dist".*\}' | tail -1 | tee GRAPH_DIST.json
