@@ -208,7 +208,7 @@ object GraphOps {
     * None and the caller keeps the distributed rounds (a silently
     * different driver collation would be a wrong-answer bug, not a perf
     * choice). */
-  private def driverOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+  private[operators] def driverOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
     case StringType => Some(new Ordering[Any] {
       def compare(x: Any, y: Any): Int = {
         val a = x.asInstanceOf[String]

@@ -1128,7 +1128,8 @@ object VectorOps {
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, pool: Int, k: Int,
-                wRel: Long = 7L, wDiv: Long = 3L): DataFrame = {
+                wRel: Long = 7L, wDiv: Long = 3L,
+                driverFastPathRows: Long = 100000L): DataFrame = {
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(dotFixed(col("qv"), col("qv")))))
@@ -1145,6 +1146,80 @@ object VectorOps {
       .filter(col("rn") <= pool)
       .select(col("query_id"), col("cand"), col("rel6"), col("cv"), col("cn"))
       .localCheckpoint() // consumed by sims (×2) and every greedy round
+    // Adaptive driver fast path (the [[GraphOps.pageRank]] contract): the
+    // corpus-scale pool build above stays distributed, but everything
+    // after it is candidate-scale — queries×pool rows bounded by operator
+    // PARAMETERS, not data size — while the distributed greedy pays
+    // (k−1) rounds × several micro-jobs of pure planning/scheduling
+    // latency (measured ~2.3 s vs ~1.2 s for identical output at sf0.1).
+    // A pool that fits collects once; sims and the greedy recurrence
+    // replay on the driver with BIT-IDENTICAL arithmetic: dotFixed's
+    // floored 1e-13 long grid, Spark round's HALF_UP via
+    // BigDecimal.valueOf, and the cand ASC tie-break through
+    // [[GraphOps.driverOrdering]] (binary string collation). Unsupported
+    // id types or null scores fall through to the distributed rounds.
+    val candOrd = GraphOps.driverOrdering(rel.schema("cand").dataType)
+    val qidOrd = GraphOps.driverOrdering(rel.schema("query_id").dataType)
+    if (driverFastPathRows > 0 && candOrd.isDefined && qidOrd.isDefined &&
+        rel.count() <= driverFastPathRows) {
+      val rows = rel.collect()
+      if (!rows.exists(r => r.isNullAt(2) || r.isNullAt(3) || r.isNullAt(4))) {
+        implicit val ord: Ordering[Any] = candOrd.get
+        case class Cand(cand: Any, rel6: Long, v: Array[Double], n: Double)
+        val byQ = rows.groupBy(_.get(0)).view.mapValues(_.map { r =>
+          Cand(r.get(1), r.getLong(2),
+            r.getSeq[Any](3).iterator
+              .map(_.asInstanceOf[Number].doubleValue).toArray,
+            r.getDouble(4))
+        }).toMap
+        // sim6 exactly as the distributed column: floored long-grid dot,
+        // one IEEE divide+multiply, HALF_UP round at scale 0, cast long
+        def sim6(x: Cand, y: Cand): Long = {
+          var s = 0L
+          var i = 0
+          while (i < x.v.length) {
+            s += math.floor(x.v(i) * y.v(i) * 1e13).toLong; i += 1
+          }
+          java.math.BigDecimal.valueOf(s.toDouble / 1e13 / (x.n * y.n) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        }
+        val picks = byQ.toSeq.flatMap { case (qid, cands) =>
+          val selected = scala.collection.mutable.ArrayBuffer[Cand]()
+          val chosen = scala.collection.mutable.Set[Any]()
+          // (score DESC, cand ASC) argmax — reduce keeps the FIRST best so
+          // ties resolve to the ordering-min cand like row_number does
+          def best(rem: Seq[Cand], score: Cand => Long): Cand =
+            rem.reduceLeft { (x, y) =>
+              val sx = score(x); val sy = score(y)
+              if (sy > sx || (sy == sx && ord.lt(y.cand, x.cand))) y else x
+            }
+          for (j <- 1 to k) {
+            val rem = cands.filter(cd => !chosen.contains(cd.cand))
+            if (rem.nonEmpty && (j == 1 || selected.nonEmpty)) {
+              val pick =
+                if (j == 1) best(rem.toSeq, _.rel6)
+                else best(rem.toSeq, cd =>
+                  wRel * cd.rel6 - wDiv * selected.iterator.map(sim6(cd, _)).max)
+              selected += pick
+              chosen += pick.cand
+            }
+          }
+          selected.zipWithIndex.map { case (cd, i) => (qid, cd, i + 1) }
+        }
+        val spark = corpus.sparkSession
+        val schema = StructType(Seq(
+          StructField("query_id", rel.schema("query_id").dataType),
+          StructField("neighbor_id", rel.schema("cand").dataType),
+          StructField("pick", IntegerType, nullable = false),
+          StructField("rel6", LongType)))
+        rel.unpersist()
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(
+          picks.map { case (qid, cd, p) =>
+            org.apache.spark.sql.Row(qid, cd.cand, p, cd.rel6) }.asJava,
+          schema)
+      }
+    }
     // candidate-scale pairwise sims, directed (c1 scored against c2 ∈ selected)
     val a = rel.select(col("query_id"), col("cand").as("c1"),
       col("cv").as("v1"), col("cn").as("n1"))

@@ -91,17 +91,62 @@ class VectorTextOpsSpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(plain.take(2).map(_.getAs[Long]("neighbor_id")).toSet === Set(10L, 11L),
       "plain top-2 is the clone cluster")
-    val mmr = VectorOps.mmrRerank(corpus, queries, "vec_id", "embedding",
-        pool = 4, k = 3)
-      .orderBy("pick").collect()
-    val picks = mmr.map(_.getAs[Long]("neighbor_id")).toSeq
-    assert(picks.head === plain.head.getAs[Long]("neighbor_id"),
-      "pick 1 is the relevance argmax")
-    assert(picks(1) === 12L,
-      s"diversity must pull the diverse candidate to pick 2, got $picks")
-    // rel6 rides through: pick 1's grid value equals the plain cosine ×1e6
-    assert(mmr.head.getAs[Long]("rel6") ===
-      math.round(plain.head.getAs[Double]("cosine") * 1e6))
+    // both paths (the GraphOps both-path contract): the driver replay and
+    // the distributed greedy rounds must produce the identical selection
+    for (cutover <- Seq(100000L, 0L)) {
+      val mmr = VectorOps.mmrRerank(corpus, queries, "vec_id", "embedding",
+          pool = 4, k = 3, driverFastPathRows = cutover)
+        .orderBy("pick").collect()
+      val picks = mmr.map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(picks.head === plain.head.getAs[Long]("neighbor_id"),
+        s"pick 1 is the relevance argmax (cutover=$cutover)")
+      assert(picks(1) === 12L,
+        s"diversity must pull the diverse candidate to pick 2, got $picks (cutover=$cutover)")
+      // rel6 rides through: pick 1's grid value equals the plain cosine ×1e6
+      assert(mmr.head.getAs[Long]("rel6") ===
+        math.round(plain.head.getAs[Double]("cosine") * 1e6),
+        s"cutover=$cutover")
+    }
+  }
+
+  test("mmr re-rank: distributed rounds equal the driver replay on random vectors") {
+    // the driver fast path replays dotFixed's floored long grid, Spark's
+    // HALF_UP round, and the cand ASC tie-break — random floats probe all
+    // three (a grid or rounding drift shows up as a different pick order)
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(8)
+      val dim = 6
+      val corpus = (1L to n).map(i =>
+        (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+      val queries = Seq((100L, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)),
+        (101L, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+      def run(cutover: Long) =
+        VectorOps.mmrRerank(corpus, queries, "vec_id", "embedding",
+            pool = 6, k = 4, driverFastPathRows = cutover)
+          .collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Int]("pick"), r.getAs[Long]("rel6"))).toSet
+      assert(run(100000L) === run(0L), s"trial $trial: paths diverged")
+    }
+  }
+
+  test("mmr re-rank: string ids tie-break identically on both paths") {
+    // identical vectors force EVERY pick to the cand ASC tie-break — the
+    // exact surface where a driver collation bug would diverge
+    val v = Array(0.6f, 0.8f, 0.0f)
+    val corpus = Seq("b", "a", "c", "d").map((_, v)).toDF("vec_id", "embedding")
+    val queries = Seq(("q", Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run(cutover: Long) =
+      VectorOps.mmrRerank(corpus, queries, "vec_id", "embedding",
+          pool = 4, k = 3, driverFastPathRows = cutover)
+        .orderBy("pick").collect()
+        .map(r => (r.getAs[String]("neighbor_id"), r.getAs[Int]("pick"))).toSeq
+    val fast = run(100000L)
+    assert(fast === run(0L), "paths diverged on the tie-break")
+    assert(fast.map(_._1) === Seq("a", "b", "c"))
   }
 
   test("k-center farthest-first picks one representative per cluster") {
