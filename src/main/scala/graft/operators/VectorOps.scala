@@ -1286,10 +1286,78 @@ object VectorOps {
     *         selection time (1e6 for the seed), a coverage-radius trace
     */
   def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
+                    k: Int, driverFastPathRows: Long = 100000L): DataFrame = {
     val c = corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotFixed(col("cv"), col("cv"))))
       .localCheckpoint() // pair build (×2) + seed agg + k anti-joins
+    // Adaptive driver fast path (the [[mmrRerank]] construction): the
+    // distributed rounds pay (k−1) micro-jobs of planning latency over a
+    // parameter-bounded pool, and Gonzalez' traversal only ever needs each
+    // candidate's similarity to the NEWEST center (the running max equals
+    // the distributed per-round max over all selected), so the replay is
+    // O(k·n) dots — not the pool² the distributed sims materialize.
+    // Arithmetic is bit-identical: dotFixed's floored 1e-13 long grid,
+    // HALF_UP round via BigDecimal.valueOf, seed/argmin tie-breaks through
+    // [[GraphOps.driverOrdering]]. Unsupported id types or nulls fall
+    // through to the distributed rounds.
+    val candOrd = GraphOps.driverOrdering(c.schema("cand").dataType)
+    if (driverFastPathRows > 0 && candOrd.isDefined &&
+        c.count() <= driverFastPathRows) {
+      val rows = c.collect()
+      if (rows.nonEmpty &&
+          !rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
+        implicit val ord: Ordering[Any] = candOrd.get
+        case class Cand(cand: Any, v: Array[Double], n: Double)
+        val cands = rows.map { r =>
+          Cand(r.get(0),
+            r.getSeq[Any](1).iterator
+              .map(_.asInstanceOf[Number].doubleValue).toArray,
+            r.getDouble(2))
+        }
+        def sim6(x: Cand, y: Cand): Long = {
+          var s = 0L
+          var i = 0
+          while (i < x.v.length) {
+            s += math.floor(x.v(i) * y.v(i) * 1e13).toLong; i += 1
+          }
+          java.math.BigDecimal.valueOf(s.toDouble / 1e13 / (x.n * y.n) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        }
+        val seed = cands.reduceLeft((x, y) => if (ord.lt(y.cand, x.cand)) y else x)
+        val picks = scala.collection.mutable.ArrayBuffer((seed, 1, 1000000L))
+        val chosen = scala.collection.mutable.Set[Any](seed.cand)
+        val ms = scala.collection.mutable.Map[Any, Long]()
+        var newest = seed
+        for (j <- 2 to k) {
+          val rem = cands.filter(cd => !chosen.contains(cd.cand))
+          if (rem.nonEmpty) {
+            rem.foreach { cd =>
+              val s = sim6(cd, newest)
+              if (!ms.get(cd.cand).exists(_ >= s)) ms(cd.cand) = s
+            }
+            // (maxsim ASC, cand ASC) argmin; reduce keeps the FIRST best
+            val pick = rem.reduceLeft { (x, y) =>
+              val sx = ms(x.cand); val sy = ms(y.cand)
+              if (sy < sx || (sy == sx && ord.lt(y.cand, x.cand))) y else x
+            }
+            picks += ((pick, j, ms(pick.cand)))
+            chosen += pick.cand
+            newest = pick
+          }
+        }
+        val spark = corpus.sparkSession
+        val schema = StructType(Seq(
+          StructField("center_id", c.schema("cand").dataType),
+          StructField("pick", IntegerType, nullable = false),
+          StructField("maxsim6", LongType, nullable = false)))
+        c.unpersist()
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(
+          picks.toSeq.map { case (cd, p, m) =>
+            org.apache.spark.sql.Row(cd.cand, p, m) }.asJava,
+          schema)
+      }
+    }
     val a = c.select(col("cand").as("c1"), col("cv").as("v1"), col("cn").as("n1"))
     val b = c.select(col("cand").as("c2"), col("cv").as("v2"), col("cn").as("n2"))
     val sims = a.join(b, col("c1") =!= col("c2"))

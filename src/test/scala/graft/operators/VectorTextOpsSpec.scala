@@ -156,12 +156,51 @@ class VectorTextOpsSpec extends SparkSpec {
       Seq(4L, 5L, 6L).map((_, Array(0.0f, 1.0f, 0.0f))) ++
       Seq(7L, 8L, 9L).map((_, Array(0.0f, 0.0f, 1.0f))))
       .toDF("vec_id", "embedding")
-    val got = VectorOps.kCenterSelect(corpus, "vec_id", "embedding", k = 3)
-      .orderBy("pick").collect()
-      .map(r => (r.getAs[Long]("center_id"), r.getAs[Int]("pick"),
-        r.getAs[Long]("maxsim6")))
-    // seed = min id; ties at maxsim 0 break to the smallest id
-    assert(got.toSeq === Seq((1L, 1, 1000000L), (4L, 2, 0L), (7L, 3, 0L)))
+    for (cutover <- Seq(100000L, 0L)) {
+      val got = VectorOps.kCenterSelect(corpus, "vec_id", "embedding", k = 3,
+          driverFastPathRows = cutover)
+        .orderBy("pick").collect()
+        .map(r => (r.getAs[Long]("center_id"), r.getAs[Int]("pick"),
+          r.getAs[Long]("maxsim6")))
+      // seed = min id; ties at maxsim 0 break to the smallest id
+      assert(got.toSeq === Seq((1L, 1, 1000000L), (4L, 2, 0L), (7L, 3, 0L)),
+        s"cutover=$cutover")
+    }
+  }
+
+  test("k-center: distributed rounds equal the driver replay on random vectors") {
+    // random floats probe the replay's grid/rounding/running-max exactly
+    // like the mmr sweep; the running max-to-newest must equal the
+    // distributed per-round max over ALL selected centers
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val corpus = (1L to n).map(i =>
+        (i, Array.fill(5)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+      def run(cutover: Long) =
+        VectorOps.kCenterSelect(corpus, "vec_id", "embedding", k = 5,
+            driverFastPathRows = cutover)
+          .collect()
+          .map(r => (r.getAs[Long]("center_id"), r.getAs[Int]("pick"),
+            r.getAs[Long]("maxsim6"))).toSet
+      assert(run(100000L) === run(0L), s"trial $trial: paths diverged")
+    }
+  }
+
+  test("k-center: string ids seed and tie-break identically on both paths") {
+    val v = Array(0.6f, 0.8f)
+    val corpus = Seq("m", "b", "x", "a2").map((_, v)).toDF("vec_id", "embedding")
+    def run(cutover: Long) =
+      VectorOps.kCenterSelect(corpus, "vec_id", "embedding", k = 3,
+          driverFastPathRows = cutover)
+        .orderBy("pick").collect()
+        .map(r => (r.getAs[String]("center_id"), r.getAs[Int]("pick"))).toSeq
+    val fast = run(100000L)
+    assert(fast === run(0L), "paths diverged on seed/tie-break")
+    // identical vectors: seed = binary-min id, then maxsim ties (1e6)
+    // resolve by cand ASC
+    assert(fast.map(_._1) === Seq("a2", "b", "m"))
   }
 
   test("int8 quantization: codes in range, reconstruction within one scale unit") {
