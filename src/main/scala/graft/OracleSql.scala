@@ -1971,6 +1971,27 @@ object OracleSql {
         |    AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.03 ORDER BY id_a, id_b""".stripMargin,
 
+    "q_text_pii_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+        |  text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+        |  ' +1-555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+        |  CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+        |  ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |  CAST(doc_id % 100 AS VARCHAR) AS text
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
     "q_sample_weighted" ->
       """WITH t AS (SELECT doc_id, n_chars AS weight,
         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -1994,6 +1994,25 @@ object Queries {
         blockCols = Seq("lang", "source"), k = 3, threshold = 0.03)
       .orderBy("id_a", "id_b")
 
+  /** PII scrub ([[operators.TextOps.piiScrub]]): per-doc email / phone /
+    * IPv4 counts + the redacted text. The synthetic corpus carries no PII,
+    * so the query PLANTS one of each class deterministically from doc_id
+    * (both engines build the identical string) — the operator then has
+    * real matches to find and the redaction a real diff to make. Exact
+    * regex semantics shared by Java regex and RE2 ⇒ full oracle. */
+  val qTextPiiScrub: Q = (s, d) => {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"),
+        concat(lit("user"), col("doc_id"), lit("@example.com")),
+        concat(lit("+1-555-"), (col("doc_id") % 900 + 100).cast(StringType),
+          lit("-"), (col("doc_id") % 9000 + 1000).cast(StringType)),
+        concat(lit("10.0."), (col("doc_id") % 256).cast(StringType),
+          lit("."), (col("doc_id") % 100).cast(StringType))).as("text"))
+    TextOps.piiScrub(planted)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash sampling: reproducible ~12.5% sample via md5 prefix
     * — the sampling a training pipeline needs (stable across runs, engines,
     * partitionings; no RNG state). */

@@ -26,6 +26,32 @@ object TextOps {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpeishPattern), lit(0))
 
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before release. Covers the regex-detectable classes
+    * (emails, international-format phone numbers, IPv4 addresses);
+    * NER-based classes ride the same per-partition shape with a model at
+    * the codec slot. Counts are detected on the ORIGINAL text; redaction
+    * replaces each class with a typed tag, emails first so a later
+    * pattern can never half-match inside an already-redacted span. Pure
+    * codegen'd regexp_extract_all/regexp_replace — partition-local, no
+    * shuffle, linear in corpus bytes at any scale — and the patterns use
+    * only constructs Java regex and RE2 share (no lookaround, no
+    * backrefs), so the DuckDB oracle replays the identical function. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType)
+    docs
+      .withColumn("n_emails", n(EmailPattern))
+      .withColumn("n_phones", n(PhonePattern))
+      .withColumn("n_ips", n(Ipv4Pattern))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"))
+  }
+
   /** Corpus word count: explode + hash aggregate. */
   def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("word"))
@@ -149,6 +175,8 @@ object TextOps {
   /** PII masking patterns — lookaround-free so Java regex and RE2 agree. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumPattern = "[0-9]{7,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   /** Redact emails and ≥7-digit runs (ids, phones, accounts) — the masking
     * pass a corpus takes before training. Replace-all in one codegen'd

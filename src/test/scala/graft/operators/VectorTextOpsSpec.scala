@@ -262,6 +262,22 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(m.getAs[Double]("dedup_ratio") === 0.6)
   }
 
+  test("piiScrub counts and redacts emails, phones, IPv4 per class") {
+    val docs = Seq(
+      (1L, "write a@b.com and c.d+x@e.org now"),
+      (2L, "call +1-555-123-4567 or +44-201-555-0199"),
+      (3L, "host 192.168.1.254 gateway 10.0.0.1"),
+      (4L, "clean text no pii")).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"),
+        r.getAs[String]("redacted")))
+    assert(got(0) === ((1L, 2L, 0L, 0L, "write <EMAIL> and <EMAIL> now")))
+    assert(got(1) === ((2L, 0L, 2L, 0L, "call <PHONE> or <PHONE>")))
+    assert(got(2) === ((3L, 0L, 0L, 2L, "host <IP> gateway <IP>")))
+    assert(got(3) === ((4L, 0L, 0L, 0L, "clean text no pii")))
+  }
+
   test("bpe-ish tokenizer splits words, digits, punctuation") {
     val r = Seq("hello, world42 x!").toDF("text")
       .select(TextOps.bpeishTokens(col("text")).as("t"))
