@@ -153,10 +153,13 @@ object Bench {
     } catch { case _: Exception => -1L }
 
   /** Dirty-at-start above this ⇒ the sweep launched inside another
-    * phase's writeback shadow — stamp `run_shape:"post_suite"`. Quiet
-    * standalone launches observe a few MB; the post-suite shape starts in
-    * the hundreds of MB to GBs. */
-  val PostSuiteDirtyKb = 262144L
+    * phase's writeback shadow — stamp `run_shape:"post_suite"`. Measured
+    * floor: the sbt launch ITSELF dirties ~410 MB (target/ writes, logs)
+    * before Bench.main runs — observed 420–424 MB on three r16 launches
+    * with a fully synced host seconds earlier — so the threshold sits at
+    * 1 GiB: above every self-inflicted launch, far below the multi-GB
+    * residue of a 35-min suite or a full Verify pass. */
+  val PostSuiteDirtyKb = 1048576L
 
   /** Families flagged by the PREVIOUS round's driver artifact
     * (`segment_flagged` in the highest-numbered BENCH_r*.json under the
