@@ -832,6 +832,32 @@ object OracleSql {
        |  FROM sc)
        |WHERE rank <= $k ORDER BY node, rank""".stripMargin
 
+  /** Generated NN-descent refinement replay
+    * ([[graft.Queries.qVecKnnRefine]],
+    * [[graft.operators.VectorOps.knnGraphRefine]]): the LSH seed graph as
+    * a CTE, candidates = current neighbors ∪ neighbors-of-neighbors over
+    * forward edges (self-pairs dropped), exact round-6 fixed-point
+    * re-score, per-node top-`k` with neighbor-id tie-breaks. */
+  private def knnGraphRefineSql(k: Int, nPlanes: Int, dims: Int, tables: Int,
+                                maxBucket: Int): String =
+    s"""WITH g AS (${knnGraphLshSql(k, nPlanes, dims, tables, maxBucket)}),
+       |cands AS (SELECT DISTINCT node, cand FROM (
+       |    SELECT node, neighbor_id AS cand FROM g
+       |    UNION ALL
+       |    SELECT a.node AS node, b.neighbor_id AS cand
+       |    FROM g a JOIN g b ON a.neighbor_id = b.node)
+       |  WHERE node <> cand),
+       |sc AS (SELECT c.node, c.cand AS nbr, $fixedCosineSql AS cosine
+       |  FROM cands c
+       |  JOIN embeddings ea ON ea.vec_id = c.node
+       |  JOIN embeddings eb ON eb.vec_id = c.cand)
+       |SELECT node, neighbor_id, cosine, rank FROM (
+       |  SELECT node, nbr AS neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY cosine DESC, nbr) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY node, rank""".stripMargin
+
   /** Sliding 1 h / 30 min window counts — shared by q_window_sliding and
     * its streaming twin q_stream_sliding: each event lands in the two
     * half-hour-aligned windows covering it. */
@@ -2480,6 +2506,8 @@ object OracleSql {
     "q_dedup_embedding_cluster" -> dedupEmbeddingClusterSql(threshold = 0.38,
       nPlanes = 4, dims = 64, tables = 4, maxBucket = 1000),
     "q_vec_knn_graph_lsh" -> knnGraphLshSql(k = 5, nPlanes = 3, dims = 64,
+      tables = 6, maxBucket = 1000),
+    "q_vec_knn_refine" -> knnGraphRefineSql(k = 5, nPlanes = 3, dims = 64,
       tables = 6, maxBucket = 1000),
     "q_vec_sim_join" -> vecSimJoinLshSql(threshold = 0.38, nPlanes = 3,
       dims = 64, tables = 4, maxBucket = 1000),

@@ -2731,6 +2731,21 @@ object Queries {
         k = 5, nPlanes = 3, tables = 6, maxBucket = 1000)
       .orderBy("node", "rank")
 
+  /** One NN-DESCENT round ([[VectorOps.knnGraphRefine]]) over the declared
+    * LSH k-NN graph — the recall-push pass a production ANN-graph build
+    * runs after cheap bucketed seeding (neighbors-of-neighbors candidates,
+    * exact fixed-point re-score, top-5 cut). The oracle replays the LSH
+    * seed graph as a CTE and the descent round on top ⇒ full hash gate on
+    * a SECOND graph-refinement stage. */
+  val qVecKnnRefine: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    VectorOps.knnGraphRefine(emb, "vec_id", "embedding",
+        VectorOps.knnGraphLshFixed(emb, "vec_id", "embedding",
+          k = 5, nPlanes = 3, tables = 6, maxBucket = 1000),
+        k = 5)
+      .orderBy("node", "rank")
+  }
+
   /** MATRYOSHKA prefix-dimension funnel retrieval
     * ([[VectorOps.cosineTopKPrefix]]): coarse rank over the first 32 of 64
     * dims (half the scan bandwidth), exact re-rank of the top k·8 at full

@@ -1059,6 +1059,57 @@ object VectorOps {
         col("rank"))
   }
 
+  /** One NN-DESCENT refinement round (Dong, Moses & Li, WWW'11) over an
+    * approximate k-NN graph: "a neighbor of a neighbor is likely a
+    * neighbor". Candidates per node = its current neighbors ∪ its
+    * neighbors' neighbors (forward edges, the documented deterministic
+    * variant), rescored EXACTLY (round-6 fixed-point cosine — the
+    * [[knnGraphLshFixed]] grid) and cut back to top-`k` by
+    * (cosine DESC, id ASC). Composed with an LSH-bucketed graph this is
+    * the standard recall-push at scale: LSH gives a cheap O(n) seed graph,
+    * one descent round closes most of the gap to exact (recall floor
+    * pinned in AnnRecallSpec).
+    *
+    * Scale shape: the candidate set is ≤ k + k² SKINNY id pairs per node
+    * (O(n·k²) total — candidates ride the shuffles without vectors), two
+    * equi-joins re-attach vectors for scoring, one per-node window over
+    * ≤ k+k² rows cuts back to k. No corpus² term anywhere; growth pinned
+    * in ScaleGrowthSpec.
+    *
+    * @param graph (node, neighbor_id, ...) — any k-NN graph over `corpus`
+    * @return (node, neighbor_id, cosine, rank) — same schema as the
+    *         graph builders, so rounds compose
+    */
+  def knnGraphRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                     graph: DataFrame, k: Int): DataFrame = {
+    val g = graph.select(col("node"), col("neighbor_id").as("nbr"))
+      .localCheckpoint() // two self-join consumers
+    val nn = g.alias("a").join(g.alias("b"), col("a.nbr") === col("b.node"))
+      .select(col("a.node").as("node"), col("b.nbr").as("cand"))
+    val cands = g.select(col("node"), col("nbr").as("cand"))
+      .unionAll(nn)
+      .filter(col("node") =!= col("cand"))
+      .distinct()
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dotFixed(col("v"), col("v"))))
+    val scored = cands
+      .join(side.select(col("id").as("node"), col("v").as("va"),
+        col("nrm").as("na")), Seq("node"))
+      .join(side.select(col("id").as("cand"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("cand"))
+      .select(col("node"), col("cand").as("nbr"), round(
+        dotFixed(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        .as("cosine"))
+    val w = Window.partitionBy("node")
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    // g's blocks feed the result lazily — the CALLER owns them once the
+    // result is consumed (the [[GraphOps.pageRank]] contract)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("node"), col("nbr").as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** MATRYOSHKA (prefix-dimension) funnel retrieval: stage 1 ranks the
     * corpus by cosine over the first `prefixDims` dimensions only (the
     * MRL trick — nested representations make the prefix a valid coarse

@@ -127,6 +127,26 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(re <= 1.2, f"output-rows exponent $re%.2f > 1.2 — k-NN output must be ≤ n·k")
   }
 
+  test("NN-descent refinement candidate volume grows near-linearly") {
+    // candidates per node are ≤ k + k² by construction (current neighbors
+    // ∪ forward neighbors-of-neighbors), so total candidate volume — and
+    // the shuffle bytes carrying the skinny id pairs — must grow ~linearly
+    // with the corpus whatever the seed graph's bucket layout does
+    val (nr, be, re) = growth(
+      d => Tables.embeddings(spark, d),
+      (emb, n) => {
+        val seed = operators.VectorOps.knnGraphLshFixed(emb, "vec_id",
+          "embedding", k = 5, nPlanes = planesFor(n, 32), tables = 6,
+          maxBucket = 1000)
+        operators.VectorOps.knnGraphRefine(emb, "vec_id", "embedding",
+          seed, k = 5)
+      })
+    info(f"nn-descent refine: nRatio=$nr%.1f bytesExp=$be%.2f rowsExp=$re%.2f")
+    assert(be <= 1.5, f"shuffle-bytes exponent $be%.2f > 1.5 (nRatio $nr%.1f) — candidates no longer k²-bounded")
+    // refined output is ≤ n·k by construction — exactly linear
+    assert(re <= 1.2, f"output-rows exponent $re%.2f > 1.2 — refined graph must be ≤ n·k")
+  }
+
   test("contamination audit shuffle is match-scale, not corpus-scale") {
     // the eval side rides a BROADCAST (never a shuffle), and the train
     // side's exploded grams feed that broadcast join directly — the only

@@ -351,4 +351,34 @@ class AnnRecallSpec extends SparkSpec {
       assert(declared(q) === (fixed.getOrElse(q, Set.empty) & ex).size.toLong,
         s"query $q recall count drifted")
   }
+
+  test("one NN-descent round lifts the LSH k-NN graph's recall toward exact") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    def graphSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("node"))
+        .map { case (n, rows) => n -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    // exact top-5 graph on the full fixture = the ground truth
+    val exact = graphSets(VectorOps.knnGraphExact(emb, "vec_id", "embedding", k = 5))
+    val seedG = VectorOps.knnGraphLshFixed(emb, "vec_id", "embedding",
+      k = 5, nPlanes = 3, tables = 6, maxBucket = 1000)
+    val seed = graphSets(seedG)
+    val refined = graphSets(VectorOps.knnGraphRefine(emb, "vec_id", "embedding",
+      seedG, k = 5))
+    def recall(g: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (n, ex) =>
+        g.get(n).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0) }
+      per.sum / per.size
+    }
+    val rSeed = recall(seed); val rRef = recall(refined)
+    info(f"k-NN graph recall@5 — LSH seed: $rSeed%.2f, +1 NN-descent round: $rRef%.2f")
+    // the candidate set includes every current neighbor, so a round can
+    // only improve per-node recall; the lift floor is calibrated to THIS
+    // fixture (random vectors have no manifold structure, so
+    // neighbor-of-neighbor correlation is weak — measured 0.79 → 0.82;
+    // real embedding corpora see far larger lifts per Dong et al.)
+    assert(rRef >= rSeed, "descent round dropped recall — candidate set not a superset")
+    assert(rRef >= math.min(rSeed + 0.02, 0.95),
+      f"descent lift collapsed: $rSeed%.2f -> $rRef%.2f")
+  }
+
 }
