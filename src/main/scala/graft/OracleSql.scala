@@ -1010,6 +1010,21 @@ object OracleSql {
         |FROM events WHERE event_type = 'signup' AND event_id <= 2000
         |ORDER BY event_id""".stripMargin,
 
+    // vacuum at the post-gen-2 horizon: gens 1-2 collapse to their LWW
+    // winners (one surviving version), gen 3 (ids <= 500) survives
+    // verbatim ON TOP of the collapsed winner (two versions); the served
+    // value/ts are the overall LWW regardless
+    "q_engine_vacuum" ->
+      """WITH b AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'signup' AND event_id <= 2000)
+        |SELECT event_id, user_id,
+        |  CASE WHEN event_id <= 500 THEN value + 2000
+        |       WHEN event_id <= 1000 THEN value + 500 ELSE value END AS value,
+        |  CASE WHEN event_id <= 500 THEN ts + INTERVAL 2 HOUR
+        |       WHEN event_id <= 1000 THEN ts + INTERVAL 1 HOUR ELSE ts END AS ts,
+        |  CAST(CASE WHEN event_id <= 500 THEN 2 ELSE 1 END AS BIGINT) AS n_versions
+        |FROM b ORDER BY event_id""".stripMargin,
+
     // LWW across the two physical zones: overwritten ids (odd, ≤750)
     // serve the L0 micro-append's version (value+1000, ts+1 day), the
     // rest serve the compacted bucketed generation

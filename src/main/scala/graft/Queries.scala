@@ -320,6 +320,46 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** RETENTION-BOUNDED compaction ([[graft.core.Engine]]`.Handle.vacuum`,
+    * the Delta/Iceberg VACUUM analog): a three-generation history (base,
+    * ids ≤ 1000 overwritten +1 h, ids ≤ 500 overwritten again +2 h) is
+    * staged with the horizon pinned AFTER generation 2; per call the
+    * warehouse is copied, vacuumed at that horizon (gens 1–2 collapse to
+    * their LWW winners, gen 3 survives verbatim), and the query serves the
+    * table JOINED with per-id history version counts — so the hash gates
+    * BOTH directions of the contract: a lost suffix version (n_versions 2
+    * → 1 for ids ≤ 500) and an uncollapsed prefix (n_versions 1 → 2 for
+    * ids 501–1000) each fail, as does any served-value drift. */
+  val qEngineVacuum: Q = (s, d) => {
+    val (root, epochs) = stagedWarehouse(s, "vacuum3gen", d) { h =>
+      val base = Tables.events(s, d)
+        .filter(col("event_type") === "signup" && col("event_id") <= 2000)
+      h.ingest(Flagship.envelopesFrom(s, base))
+      h.ingest(Flagship.envelopesFrom(s, base
+        .filter(col("event_id") <= 1000)
+        .withColumn("value", col("value") + 500)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))))
+      val horizon = h.currentEpoch("signup")
+      h.ingest(Flagship.envelopesFrom(s, base
+        .filter(col("event_id") <= 500)
+        .withColumn("value", col("value") + 2000)
+        .withColumn("ts", col("ts") + expr("INTERVAL 2 HOUR"))))
+      Seq(horizon)
+    }
+    val wh = scratchDir("qvac-wh")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$root/wh"), new java.io.File(wh))
+    val h = graft.core.Engine.bootstrap(s, wh)
+    h.vacuum("signup", epochs.head)
+    val versions = h.history("signup").groupBy("id")
+      .agg(count(lit(1)).as("n_versions"))
+    h.table("signup").join(versions, Seq("id"))
+      .select(col("id").cast(LongType).as("event_id"),
+        col("user_id"), col("value"),
+        col("last_modified").as("ts"), col("n_versions"))
+      .orderBy("event_id")
+  }
+
   /** Retention cohorts: users bucketed by first-seen week, activity counted
     * as distinct (user, week) pairs per cohort — the standard triangle
     * matrix. Two hash aggs + one broadcastable join on user_id; fully

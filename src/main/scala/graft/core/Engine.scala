@@ -56,36 +56,65 @@ object Engine {
     def compact(typeId: String): Unit = registry.withTableLock(typeId) {
       val log = tableLog(typeId)
       val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
-      // the source dir is only touched AFTER the tmp write completes, so
-      // the single write job reads the live files directly — no staging copy.
-      // repartition on _part: without it each LWW shuffle task writes one
-      // file PER bucket it holds (tasks × 16 files), so compaction output
-      // could itself exceed the compactIfNeeded threshold and the
-      // maintenance loop would rewrite the table every batch, forever
-      val collapsed1 = Upserts.lwwView(log, Seq("id"), "last_modified", ties)
-      val hasPart = collapsed1.columns.contains("_part")
-      // Fold the L0 append zone into the real buckets: recompute `_part`
-      // from the id so rows that entered as single-file micro appends
-      // (`_part=-1`, Ingest.L0Bucket) land in their idBucket partition —
-      // compaction is what establishes the pruned layout.
-      val collapsed0 =
-        if (hasPart && collapsed1.columns.contains("id"))
-          collapsed1.withColumn("_part", Ingest.idBucket(col("id")))
-        else collapsed1
-      // SIZE-AWARE rewrite (the Ingest.SmallAppendRows policy applied to
-      // compaction): a micro-scale table (the streaming-maintenance case —
-      // a few appends of micro-batches) rewrites through ONE task, paying
-      // no clustering exchange and 1 commit for the same ≤16 bucket files;
-      // past the threshold the rewrite keeps the parallel bucket shuffle a
-      // 100 TB table needs. Listing bytes is the same metadata pass
-      // compactIfNeeded already does.
+      rewriteLog(typeId, Upserts.lwwView(log, Seq("id"), "last_modified", ties))
+    }
+
+    /** RETENTION-BOUNDED compaction — Delta/Iceberg VACUUM semantics over
+      * the parquet append log: versions superseded at or before
+      * `horizonEpoch` collapse to their LWW winners while EVERY version
+      * appended after the horizon survives verbatim. The serving view,
+      * point lookups, `tableAsOf`/`changesBetween` pinned at or after the
+      * horizon, and `history` above it are all bit-identical afterwards
+      * (the LWW order (last_modified, _ingest_epoch, _ingest_seq) is
+      * total, so collapsing a prefix to its per-id maxima preserves every
+      * suffix-inclusive maximum); only as-of reads pinned BEFORE the
+      * horizon degrade, exactly the [[compact]] retention contract but
+      * with a caller-chosen boundary instead of "now". The compaction a
+      * production table runs on a cadence: keep N days of CDC-readable
+      * history, fold everything older. */
+    def vacuum(typeId: String, horizonEpoch: Long): Unit =
+      registry.withTableLock(typeId) {
+        val log = tableLog(typeId)
+        require(log.columns.contains("_ingest_epoch"),
+          s"table '$typeId' carries no _ingest_epoch column — not an ingest-written table")
+        val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
+        val prefix = Upserts.lwwView(
+          log.filter(col("_ingest_epoch") <= horizonEpoch),
+          Seq("id"), "last_modified", ties)
+        val suffix = log.filter(col("_ingest_epoch") > horizonEpoch)
+        rewriteLog(typeId, prefix.unionByName(suffix))
+      }
+
+    /** Shared rewrite-and-swap tail of [[compact]]/[[vacuum]]. The source
+      * dir is only touched AFTER the tmp write completes, so the single
+      * write job reads the live files directly — no staging copy.
+      * Fold the L0 append zone into the real buckets: recompute `_part`
+      * from the id so rows that entered as single-file micro appends
+      * (`_part=-1`, Ingest.L0Bucket) land in their idBucket partition —
+      * the rewrite is what establishes the pruned layout. Repartition on
+      * _part: without it each LWW shuffle task writes one file PER bucket
+      * it holds (tasks × 16 files), so the output could itself exceed the
+      * compactIfNeeded threshold and the maintenance loop would rewrite
+      * the table every batch, forever. SIZE-AWARE (the
+      * Ingest.SmallAppendRows policy applied to rewrites): a micro-scale
+      * table (the streaming-maintenance case) rewrites through ONE task,
+      * paying no clustering exchange and 1 commit for the same ≤16 bucket
+      * files; past the threshold the rewrite keeps the parallel bucket
+      * shuffle a 100 TB table needs. Listing bytes is the same metadata
+      * pass compactIfNeeded already does. */
+    private def rewriteLog(typeId: String, rows: DataFrame): Unit = {
+      val hasPart = rows.columns.contains("_part")
+      val folded =
+        if (hasPart && rows.columns.contains("id"))
+          rows.withColumn("_part", Ingest.idBucket(col("id")))
+        else rows
       val smallTable = registry.dataBytes(typeId) < 128L * 1024 * 1024
-      val collapsed =
-        if (!hasPart) collapsed0
-        else if (smallTable) collapsed0.coalesce(1).sortWithinPartitions("_part")
-        else collapsed0.repartition(col("_part"))
+      val out =
+        if (!hasPart) folded
+        else if (smallTable) folded.coalesce(1).sortWithinPartitions("_part")
+        else folded.repartition(col("_part"))
       val tmp = registry.tablePath(typeId) + ".compact"
-      val writer = collapsed.write.mode("overwrite")
+      val writer = out.write.mode("overwrite")
         .option(Ingest.NoJobMarker._1, Ingest.NoJobMarker._2)
       (if (hasPart) writer.partitionBy("_part") else writer).parquet(tmp)
       registry.replaceTable(typeId, tmp)

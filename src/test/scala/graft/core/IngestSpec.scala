@@ -369,6 +369,55 @@ class IngestSpec extends SparkSpec {
     assert(fin === Seq(("k0", 18L), ("k1", 16L), ("k2", 17L)))
   }
 
+  test("vacuum: prefix collapses to LWW winners, suffix history survives, horizon reads exact") {
+    val h = freshEngine()
+    val t2 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    // gen 1: a,b,c — gen 2: a,b overwritten — horizon — gen 3: a again
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":1}}""",
+      """{"type_id":"t","data":{"id":"b","v":2}}""",
+      """{"type_id":"t","data":{"id":"c","v":3}}"""), ingestTime = Some(t0))
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":10}}""",
+      """{"type_id":"t","data":{"id":"b","v":20}}"""), ingestTime = Some(t1))
+    val horizon = h.currentEpoch("t")
+    h.ingest(env("""{"type_id":"t","data":{"id":"a","v":100}}"""),
+      ingestTime = Some(t2))
+    val latest = h.currentEpoch("t")
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("v"))).toSeq
+    val before = served(h.table("t"))
+    val asOfHorizonBefore = served(h.tableAsOf("t", horizon))
+    val changesBefore = h.changesBetween("t", horizon, latest, Seq("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("change"))).toSeq
+
+    h.vacuum("t", horizon)
+    assert(h.tableLog("t").count() === 4L,
+      "3 winners of gens 1-2 + gen-3's row must survive the vacuum")
+    // serving, horizon-pinned as-of, and horizon-anchored CDC are exact
+    assert(served(h.table("t")) === before)
+    assert(served(h.tableAsOf("t", horizon)) === asOfHorizonBefore)
+    assert(h.changesBetween("t", horizon, latest, Seq("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("change"))).toSeq
+      === changesBefore)
+    // history: suffix version survives (a has 2), prefix collapsed (b,c 1)
+    val versions = h.history("t").groupBy("id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(versions === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    // pre-horizon as-of reads DEGRADE: winners keep their ORIGINAL epochs
+    // (the compact contract), so a pin before the horizon sees only the
+    // surviving winners written <= the pin — a/b's gen-1 versions are
+    // gone (their winners carry gen-2's epoch), c's gen-1 row IS the winner
+    val asOfGen1 = served(h.tableAsOf("t", horizon - 1))
+    assert(asOfGen1 === Seq(("c", 3L)),
+      "pre-horizon as-of must serve only surviving winners written <= the pin")
+    // a later append still LWW-wins over vacuumed rows
+    h.ingest(env("""{"type_id":"t","data":{"id":"b","v":200}}"""),
+      ingestTime = Some(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+    assert(h.get("t", "b").collect().head.getAs[Long]("v") === 200L)
+  }
+
   test("replaying the same batch is effectively idempotent (LWW absorbs the duplicate)") {
     val h = freshEngine()
     val batch = env(
