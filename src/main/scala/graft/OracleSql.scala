@@ -2430,6 +2430,37 @@ object OracleSql {
         |    i -> bs[CAST((3 * i + 2) % n AS INT) + 1])) AS BIGINT) AS sum_b
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // dHash replay: the 9x8 NN-downsample grid's gray values from the
+    // byte->pixel rule ((r+g+b) // 3 at source pixel (x*w//9, y*h//8)),
+    // bit j = gray(x,y) > gray(x+1,y), packed MSB-first into hex nibbles;
+    // dedup groups by the hash under a min-id keeper
+    "q_multimodal_dhash" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
+        |    8 + (length(text) % 17) AS w,
+        |    8 + ((length(text) // 17) % 13) AS h
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |g AS (SELECT doc_id,
+        |    list_transform(range(0, 72), p ->
+        |      (bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9))) % n AS INT) + 1]
+        |       + bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9)) + 1) % n AS INT) + 1]
+        |       + bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9)) + 2) % n AS INT) + 1]) // 3) AS gv
+        |  FROM b),
+        |hx AS (SELECT doc_id,
+        |    array_to_string(list_transform(range(0, 16), k ->
+        |      substr('0123456789abcdef', CAST(1
+        |        + 8 * (CASE WHEN gv[CAST(((4*k)   // 8) * 9 + (4*k)   % 8 AS INT) + 1] > gv[CAST(((4*k)   // 8) * 9 + (4*k)   % 8 AS INT) + 2] THEN 1 ELSE 0 END)
+        |        + 4 * (CASE WHEN gv[CAST(((4*k+1) // 8) * 9 + (4*k+1) % 8 AS INT) + 1] > gv[CAST(((4*k+1) // 8) * 9 + (4*k+1) % 8 AS INT) + 2] THEN 1 ELSE 0 END)
+        |        + 2 * (CASE WHEN gv[CAST(((4*k+2) // 8) * 9 + (4*k+2) % 8 AS INT) + 1] > gv[CAST(((4*k+2) // 8) * 9 + (4*k+2) % 8 AS INT) + 2] THEN 1 ELSE 0 END)
+        |        +     (CASE WHEN gv[CAST(((4*k+3) // 8) * 9 + (4*k+3) % 8 AS INT) + 1] > gv[CAST(((4*k+3) // 8) * 9 + (4*k+3) % 8 AS INT) + 2] THEN 1 ELSE 0 END)
+        |      AS INT), 1)), '') AS dhash
+        |  FROM g)
+        |SELECT doc_id, dhash,
+        |  MIN(doc_id) OVER (PARTITION BY dhash) AS keeper_id,
+        |  COUNT(*) OVER (PARTITION BY dhash) AS n_copies
+        |FROM hx ORDER BY doc_id""".stripMargin,
+
     // nearest-neighbor resize to 12x10 replayed as pure index arithmetic:
     // target pixel p=(y*12+x) samples source pixel (x*w//12, y*h//10),
     // whose channels come from the shared byte->pixel rule

@@ -3142,6 +3142,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** PERCEPTUAL IMAGE DEDUP via dHash
+    * ([[operators.MultimodalOps.dHash]]): each staged PNG fingerprints to
+    * the 64-bit 9×8-gradient difference hash; docs sharing a hash group
+    * under a min-id keeper — the image-near-dup pass of a multimodal
+    * pipeline (robust to size/re-encode, unlike q_multimodal_dedup's
+    * byte-exact digest). The hash itself is under the gate: the oracle
+    * re-derives every sampled gray value from the byte→pixel rule and
+    * packs the same MSB-first nibbles. */
+  val qMultimodalDhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
+    val pngs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
+      "src_bytes", stamp = s"png:$d", codecTag = "png",
+      inputs = Seq(s"$d/documents.parquet"))
+    val hashed = operators.MultimodalOps.dhashPayloads(s, pngs, "doc_id", "payload")
+    val w = Window.partitionBy("dhash")
+    hashed
+      .withColumn("keeper_id", min("doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select("doc_id", "dhash", "keeper_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** REAL image RESIZE under the hash gate
     * ([[operators.MultimodalOps.resizePng]]): encode each document's bytes
     * as a PNG, nearest-neighbor resize the DECODED raster to a fixed

@@ -141,6 +141,71 @@ object MultimodalOps {
     baos.toByteArray
   }
 
+  /** Perceptual DIFFERENCE HASH (dHash) of a decoded image — the standard
+    * near-duplicate image fingerprint: NN-downsample the raster to a 9×8
+    * grayscale grid and set bit (y·8+x) when gray(x,y) > gray(x+1,y); two
+    * images whose hashes sit Hamming-close are visually near-identical
+    * whatever their size or lossless re-encode. Integer NN sampling
+    * (x·w/9, y·h/8 — the [[resizePng]] kernel) + integer grayscale
+    * ((r+g+b)/3 truncating) keep the 64 bits bit-deterministic, so the
+    * hash itself sits under the DuckDB gate via the byte→pixel rule.
+    * Returned as a 16-hex-char string, MSB-first (64 bits without BIGINT
+    * sign games); null for null/empty/undecodable payloads — the
+    * quarantine convention. */
+  def dHash(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        g(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    val hex = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(16)
+    var nib = 0
+    var cnt = 0
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        nib = (nib << 1) | (if (g(y)(x) > g(y)(x + 1)) 1 else 0)
+        cnt += 1
+        if (cnt % 4 == 0) { sb.append(hex.charAt(nib)); nib = 0 }
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-wise dHash: the batch fingerprint pass of an image-dedup
+    * pipeline — same shape as [[encodePayloads]] (one codec per
+    * partition, rows streamed, no shuffle), emitting (id, dhash). */
+  def dhashPayloads(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("dhash", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        Row(row.get(idIdx), dHash(bytes))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-wise RESIZE: the batch transform between encode and decode
     * — same shape as [[encodePayloads]] (one codec per partition, rows
     * streamed, no shuffle), emitting the resized PNG payload. */

@@ -409,6 +409,34 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(MultimodalOps.encodeGif(null).isEmpty)
   }
 
+  test("dHash: monotone gradients pin the bit order; equal payloads share a hash") {
+    // n=221 ⇒ dims exactly 8×8 (221%17=0, (221//17)%13=0) and 3·w·h=192
+    // ≤ 221, so no byte-rule wraparound: pixel i's gray = 3i+1, strictly
+    // increasing along every row ⇒ every dHash bit (gray(x)>gray(x+1)) is
+    // 0. The reversed ramp flips the comparisons — EXCEPT bit x=0 of each
+    // row: the 9-wide NN sample over an 8-wide raster duplicates the first
+    // column (sx = x*8/9 gives 0,0,1,…), so gray(0)=gray(1) and the bit
+    // stays 0 ⇒ 0111'1111 = 0x7f per row. Pins the bit order, the
+    // MSB-first nibble packing, the gray rule, AND the NN duplication.
+    val up = MultimodalOps.encodePng(Array.tabulate(221)(i => i.toByte))
+    val down = MultimodalOps.encodePng(Array.tabulate(221)(i => (220 - i).toByte))
+    assert(MultimodalOps.dHash(up) === "0000000000000000")
+    assert(MultimodalOps.dHash(down) === "7f7f7f7f7f7f7f7f")
+    assert(MultimodalOps.dHash(null) === null)
+    assert(MultimodalOps.dHash(Array.empty[Byte]) === null)
+    // distributed pass: byte-equal payloads share a hash, others don't (here)
+    val rows = Seq(
+      (1L, Array.tabulate(221)(i => i.toByte)),
+      (2L, Array.tabulate(221)(i => i.toByte)),
+      (3L, Array.tabulate(221)(i => (220 - i).toByte)))
+      .map { case (id, b) => (id, MultimodalOps.encodePng(b)) }
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.dhashPayloads(spark, rows, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === got(2L) && got(1L) === "0000000000000000")
+    assert(got(3L) === "7f7f7f7f7f7f7f7f")
+  }
+
   test("real PNG codec distributes: encodePayloads→decodeFeatures over a frame") {
     val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, null))
       .toDF("doc_id", "txt")
