@@ -2430,6 +2430,29 @@ object OracleSql {
         |    i -> bs[CAST((3 * i + 2) % n AS INT) + 1])) AS BIGINT) AS sum_b
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // WAV replay: sample i = (byte[(2i)%n] - 128) * 256 over
+    // 200 + n%300 samples at 8 kHz; energy/zero-crossings/peak in exact
+    // integer arithmetic — only a genuine RIFF header + PCM parse matches
+    "q_multimodal_audio" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
+        |    200 + (length(text) % 300) AS ns
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (SELECT doc_id, ns,
+        |    list_transform(range(0, ns),
+        |      i -> (bs[CAST((2 * i) % n AS INT) + 1] - 128) * 256) AS sm
+        |  FROM b)
+        |SELECT doc_id,
+        |  8000 AS sample_rate,
+        |  CAST(ns AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(sm, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+        |  CAST(list_sum(list_transform(range(1, ns),
+        |    i -> CASE WHEN CAST(sm[CAST(i AS INT)] AS BIGINT) * sm[CAST(i AS INT) + 1] < 0
+        |      THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // dHash replay: the 9x8 NN-downsample grid's gray values from the
     // byte->pixel rule ((r+g+b) // 3 at source pixel (x*w//9, y*h//8)),
     // bit j = gray(x,y) > gray(x+1,y), packed MSB-first into hex nibbles;

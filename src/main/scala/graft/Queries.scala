@@ -3142,6 +3142,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** REAL AUDIO codec under the hash gate
+    * ([[operators.MultimodalOps.encodeWav]]/`decodeAudio`): each document's
+    * bytes synthesize a genuine RIFF/WAVE PCM16-mono payload (44-byte
+    * canonical header + little-endian samples — any WAV reader plays it),
+    * which the decode side PARSES back (magic tags, format fields, PCM
+    * stream) to integer screening features: energy, zero crossings, peak.
+    * The oracle re-derives all three from the shared byte→sample rule, so
+    * only a genuine header+PCM round trip matches — the audio modality's
+    * q_multimodal_decode. */
+  val qMultimodalAudio: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
+    val wavs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
+      "src_bytes", stamp = s"wav:$d", codecTag = "wav",
+      codec = operators.MultimodalOps.encodeWav,
+      inputs = Seq(s"$d/documents.parquet"))
+    operators.MultimodalOps.audioFeatures(s, wavs, "doc_id", "payload")
+      .select("doc_id", "sample_rate", "n_samples", "energy",
+        "zero_crossings", "peak")
+      .orderBy("doc_id")
+  }
+
   /** PERCEPTUAL IMAGE DEDUP via dHash
     * ([[operators.MultimodalOps.dHash]]): each staged PNG fingerprints to
     * the 64-bit 9×8-gradient difference hash; docs sharing a hash group

@@ -141,6 +141,107 @@ object MultimodalOps {
     baos.toByteArray
   }
 
+  /** Deterministic PCM length for a payload of `nBytes` source bytes —
+    * 200–499 samples, the audio analog of [[imageDims]]: small enough for
+    * the DuckDB oracle to re-derive every sample, long enough to be a
+    * real waveform. Part of the hashed contract shared with the oracle. */
+  def audioSamples(nBytes: Int): Int = 200 + nBytes % 300
+
+  /** REAL WAV encode — a canonical 44-byte RIFF/WAVE PCM16-mono header +
+    * little-endian samples; the payload is a genuine audio file any WAV
+    * reader plays. The byte→sample rule (sample i = (byte[(2i)%n]−128)·256,
+    * a stride-2 sibling of the image rule) is part of the hashed contract
+    * the oracle replays. 8 kHz, [[audioSamples]] samples. */
+  def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty[Byte]
+    val n = bytes.length
+    val samples = audioSamples(n)
+    val dataLen = samples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sampleRate = 8000
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples) {
+      out.putShort((((bytes((2 * i) % n) & 0xff) - 128) * 256).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** REAL WAV decode + feature extraction — parses the RIFF/WAVE header
+    * (magic tags, PCM16 mono required), then computes the classic audio
+    * screening features over the actual PCM stream, all in exact integer
+    * arithmetic so the whole round trip sits under the DuckDB gate:
+    * energy = Σ s², zero crossings = #{i : s_{i−1}·s_i < 0},
+    * peak = max |s|. Returns zeros for null/empty/non-WAV payloads — the
+    * quarantine convention. */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    if (bytes == null || bytes.length < 44) return (0, 0, 0L, 0L, 0L)
+    val in = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4 = { val b = new Array[Byte](4); in.get(b); new String(b, "US-ASCII") }
+    if (tag4 != "RIFF") return (0, 0, 0L, 0L, 0L)
+    in.getInt // riff size
+    if (tag4 != "WAVE" || tag4 != "fmt ") return (0, 0, 0L, 0L, 0L)
+    val fmtLen = in.getInt
+    val audioFormat = in.getShort
+    val channels = in.getShort
+    val sampleRate = in.getInt
+    in.getInt // byte rate
+    in.getShort // block align
+    val bits = in.getShort
+    if (fmtLen != 16 || audioFormat != 1 || channels != 1 || bits != 16)
+      return (0, 0, 0L, 0L, 0L)
+    if (tag4 != "data") return (0, 0, 0L, 0L, 0L)
+    val dataLen = in.getInt
+    val samples = dataLen / 2
+    if (bytes.length < 44 + dataLen) return (0, 0, 0L, 0L, 0L)
+    var energy = 0L
+    var crossings = 0L
+    var peak = 0L
+    var prev = 0
+    var i = 0
+    while (i < samples) {
+      val s = in.getShort.toInt
+      energy += s.toLong * s
+      if (i > 0 && prev.toLong * s < 0) crossings += 1
+      if (math.abs(s) > peak) peak = math.abs(s)
+      prev = s
+      i += 1
+    }
+    (sampleRate, samples, energy, crossings, peak)
+  }
+
+  /** Partition-wise audio decode+features — the [[decodeFeatures]] shape
+    * for the audio modality. */
+  def audioFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                    binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("zero_crossings", LongType),
+      StructField("peak", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
+        val (sr, ns, e, zc, pk) = decodeAudio(bytes)
+        Row(row.get(idIdx), sr, ns, e, zc, pk)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Perceptual DIFFERENCE HASH (dHash) of a decoded image — the standard
     * near-duplicate image fingerprint: NN-downsample the raster to a 9×8
     * grayscale grid and set bit (y·8+x) when gray(x,y) > gray(x+1,y); two

@@ -409,6 +409,39 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(MultimodalOps.encodeGif(null).isEmpty)
   }
 
+  test("WAV codec: genuine RIFF payload, exact feature round trip, quarantine on garbage") {
+    // bytes {100, 200} alternate: samples alternate (100-128)*256 = -7168
+    // and (200-128)*256 = +18432 -> every adjacent pair crosses zero
+    val src = Array.tabulate(10)(i => (if (i % 2 == 0) 100 else 200).toByte)
+    val wav = MultimodalOps.encodeWav(src)
+    val ns = MultimodalOps.audioSamples(10) // 210
+    // the JDK's own audio stack parses it — a REAL wav file, not a blob
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate === 8000f)
+    assert(ais.getFormat.getChannels === 1)
+    assert(ais.getFrameLength === ns.toLong)
+    val (sr, n, energy, zc, peak) = MultimodalOps.decodeAudio(wav)
+    assert((sr, n) === ((8000, ns)))
+    // sample i reads byte (2i)%10 — always an EVEN index ⇒ every sample
+    // is -7168: zero energy variation, no crossings, peak 7168
+    assert(energy === ns.toLong * 7168L * 7168L)
+    assert(zc === 0L)
+    assert(peak === 7168L)
+    // an odd stride source: bytes {100,200,...} at (2i)%9 alternate parity
+    val src9 = Array.tabulate(9)(i => (if (i % 2 == 0) 100 else 200).toByte)
+    val (_, n9, _, zc9, peak9) = MultimodalOps.decodeAudio(
+      MultimodalOps.encodeWav(src9))
+    // (2i)%9 walks 0,2,4,6,8,1,3,5,7,0,… — 4 even→odd/odd→even parity
+    // flips per 9-sample period plus the wrap, each a sign change
+    assert(zc9 > 0L && peak9 === 18432L)
+    assert(n9 === MultimodalOps.audioSamples(9))
+    // quarantine: nulls, empties, and non-WAV bytes all zero out
+    assert(MultimodalOps.decodeAudio(null) === ((0, 0, 0L, 0L, 0L)))
+    assert(MultimodalOps.decodeAudio(Array.empty[Byte]) === ((0, 0, 0L, 0L, 0L)))
+    assert(MultimodalOps.decodeAudio(Array.fill(64)(7.toByte)) === ((0, 0, 0L, 0L, 0L)))
+  }
+
   test("dHash: monotone gradients pin the bit order; equal payloads share a hash") {
     // n=221 ⇒ dims exactly 8×8 (221%17=0, (221//17)%13=0) and 3·w·h=192
     // ≤ 221, so no byte-rule wraparound: pixel i's gray = 3i+1, strictly
