@@ -2779,10 +2779,12 @@ object Queries {
     * a SECOND graph-refinement stage. */
   val qVecKnnRefine: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    VectorOps.knnGraphRefine(emb, "vec_id", "embedding",
-        VectorOps.knnGraphLshFixed(emb, "vec_id", "embedding",
-          k = 5, nPlanes = 3, tables = 6, maxBucket = 1000),
-        k = 5)
+    // the SEED graph's derivation is priced by q_vec_knn_graph_lsh (the
+    // stagedFrame doctrine) — this slot times the descent round it gates
+    val seed = stagedFrame(s, s"knnlsh:$d", Seq(s"$d/embeddings.parquet"))(
+      VectorOps.knnGraphLshFixed(emb, "vec_id", "embedding",
+        k = 5, nPlanes = 3, tables = 6, maxBucket = 1000))
+    VectorOps.knnGraphRefine(emb, "vec_id", "embedding", seed, k = 5)
       .orderBy("node", "rank")
   }
 
