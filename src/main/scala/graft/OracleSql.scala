@@ -1794,6 +1794,20 @@ object OracleSql {
         |  AND p.buy_ts <= c.click_ts + INTERVAL 24 HOUR
         |ORDER BY c.user_id, click_id, buy_id""".stripMargin,
 
+    "q_stream_stream_join_full" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |  c.click_id, c.click_ts, p.buy_id, p.buy_ts
+        |FROM c FULL JOIN p ON c.user_id = p.user_id
+        |  AND p.buy_ts >= c.click_ts
+        |  AND p.buy_ts <= c.click_ts + INTERVAL 24 HOUR
+        |ORDER BY user_id, click_id, buy_id""".stripMargin,
+
     "q_stream_lww" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,

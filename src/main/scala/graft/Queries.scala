@@ -1736,6 +1736,18 @@ object Queries {
         scratchDir("stream-ss-join-outer")))
       .orderBy("user_id", "click_id", "buy_id")
 
+  /** Stream-stream FULL OUTER join under the oracle gate: both sides'
+    * null-extended rows come from the watermark/state-eviction machinery
+    * (an unmatched click and an unmatched purchase each emit only when
+    * both watermarks pass its window), putting BOTH directions of the
+    * eviction path under the hash
+    * ([[streaming.Declared.streamStreamJoinFull]]). */
+  val qStreamStreamJoinFull: Q = (s, d) =>
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("streamStreamJoinFull", d))(
+        streaming.Declared.streamStreamJoinFull(s, Tables.events(s, d),
+        scratchDir("stream-ss-join-full")))
+      .orderBy("user_id", "click_id", "buy_id")
+
   /** STREAMING sessionization under the oracle gate: flatMapGroupsWithState
     * with event-time timeout over time-ordered micro-batches; a far-future
     * sentinel closes every open session at end-of-stream (and is filtered

@@ -591,6 +591,56 @@ object Declared {
     s.read.parquet(out).filter(col("user_id") >= 0L)
   }
 
+  /** Stream-stream FULL OUTER join — the third eviction shape: BOTH
+    * sides' unmatched rows are produced by the watermark/state-eviction
+    * machinery (an unmatched click AND an unmatched purchase each emit
+    * null-extended only when both watermarks pass their join window), so
+    * this puts both directions of the eviction path under the hash gate.
+    * Same rig as [[streamStreamJoinOuter]] (per-side sentinels riding the
+    * last real file close every window at end-of-stream and are filtered
+    * out — unmatched rows surface them through COALESCE of the two user
+    * columns, never as null). */
+  def streamStreamJoinFull(s: SparkSession, events: DataFrame,
+                           dir: String): DataFrame = {
+    val out = dir + "/out"
+    val s8 = sized(s, 4)
+    val ev = events.select("event_id", "user_id", "event_type", "ts")
+    val (_, hi, cut) = tsMidpoint(ev)
+    import s8.implicits._
+    def side(tpe: String, uAlias: String, idAlias: String, tsAlias: String,
+             sub: String): DataFrame = {
+      val sd = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      def sentinel(id: Long, days: Long) =
+        Seq((-1L, id, new java.sql.Timestamp(
+          hi.getTime + days * 24 * 3600 * 1000)))
+          .toDF("user_id", "event_id", "ts")
+      val halves = orderedHalves(sd, cut)
+      orderedFileStream(s8,
+        Seq(halves.head, halves.last.unionByName(sentinel(-1L, 30))),
+        dir + sub)
+        .select(col("user_id").as(uAlias), col("event_id").as(idAlias),
+          col("ts").as(tsAlias))
+        .withWatermark(tsAlias, "1 day")
+    }
+    side("click", "c_user", "click_id", "click_ts", "/clicks")
+      .join(side("purchase", "b_user", "buy_id", "buy_ts", "/buys"),
+        col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"),
+        "full_outer")
+      .select(coalesce(col("c_user"), col("b_user")).as("user_id"),
+        col("click_id"), col("click_ts"), col("buy_id"), col("buy_ts"))
+      .writeStream
+      .queryName(uniqueName("graft-stream-stream-join-full"))
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start().awaitTermination()
+    s.read.parquet(out).filter(col("user_id") >= 0L)
+  }
+
   /** The shared construction both watermark-sensitive declared streams
     * rest on: split `ev` into two EVENT-TIME-ORDERED files on the range
     * midpoint of `ts` (one 1-row aggregate, metadata-scale collect;
