@@ -145,6 +145,33 @@ class DeclaredSpec extends SparkSpec {
     assert(streamed.filter(col("buy_id").isNull).count() > 0)
   }
 
+  test("full-outer stream-stream join: BOTH sides' eviction emits the batch full join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Queries.qStreamStreamJoinFull(spark, sf())
+    val ev = Tables.events(spark, sf())
+      .select("event_id", "user_id", "event_type", "ts")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val batch = c.join(p,
+        col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"),
+        "full_outer")
+      .select(coalesce(col("c_user"), col("b_user")).as("user_id"),
+        col("click_id"), col("click_ts"), col("buy_id"), col("buy_ts"))
+      .orderBy("user_id", "click_id", "buy_id")
+    assert(rows(streamed) == rows(batch))
+    // both eviction directions must actually fire
+    assert(streamed.filter(col("buy_id").isNull).count() > 0,
+      "no unmatched clicks — left eviction untested")
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "no unmatched purchases — right eviction untested")
+  }
+
   test("streaming sessionization equals batch session_window exactly") {
     // flatMapGroupsWithState sessions (arrival-closed mid-stream + sentinel
     // timeout flush) must reproduce the session_window aggregate: same
