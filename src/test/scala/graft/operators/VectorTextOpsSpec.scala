@@ -409,6 +409,40 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(MultimodalOps.encodeGif(null).isEmpty)
   }
 
+  test("piiScrub equals a java.util.regex replay on randomly planted PII") {
+    import java.util.regex.Pattern
+    val rnd = new scala.util.Random(17)
+    def word = ("" + ('a' + rnd.nextInt(26)).toChar) * (1 + rnd.nextInt(5))
+    def piiTok(kind: Int): String = kind match {
+      case 0 => s"u${rnd.nextInt(100)}@ex${rnd.nextInt(10)}.org"
+      case 1 => s"+${1 + rnd.nextInt(99)}-${100 + rnd.nextInt(900)}-" +
+        s"${100 + rnd.nextInt(900)}-${1000 + rnd.nextInt(9000)}"
+      case _ => s"${rnd.nextInt(256)}.${rnd.nextInt(256)}." +
+        s"${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+    }
+    val texts = (1L to 60L).map { id =>
+      val toks = Seq.fill(3 + rnd.nextInt(8))(word) ++
+        Seq.fill(rnd.nextInt(3))(piiTok(rnd.nextInt(3)))
+      (id, rnd.shuffle(toks).mkString(" "))
+    }
+    val got = TextOps.piiScrub(texts.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    val e = Pattern.compile(TextOps.EmailPattern)
+    val ip = Pattern.compile(TextOps.Ipv4Pattern)
+    val ph = Pattern.compile(TextOps.PhonePattern)
+    def n(p: Pattern, s: String) = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    texts.zip(got).foreach { case ((id, t), r) =>
+      assert(r.getAs[Long]("n_emails") === n(e, t), s"doc $id: $t")
+      assert(r.getAs[Long]("n_phones") === n(ph, t), s"doc $id: $t")
+      assert(r.getAs[Long]("n_ips") === n(ip, t), s"doc $id: $t")
+      val red = ph.matcher(ip.matcher(e.matcher(t).replaceAll("<EMAIL>"))
+        .replaceAll("<IP>")).replaceAll("<PHONE>")
+      assert(r.getAs[String]("redacted") === red, s"doc $id: $t")
+    }
+  }
+
   test("WAV codec: genuine RIFF payload, exact feature round trip, quarantine on garbage") {
     // bytes {100, 200} alternate: samples alternate (100-128)*256 = -7168
     // and (200-128)*256 = +18432 -> every adjacent pair crosses zero
