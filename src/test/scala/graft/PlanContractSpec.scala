@@ -79,6 +79,23 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), s"expected bucket-side SMJ:\n$p")
   }
 
+  test("per-row scrub/codec keys run without a hash exchange (partition-local)") {
+    // piiScrub is pure codegen'd regexp projection; the audio key is one
+    // partition-wise codec pass — at 100 TB both must stay scan-local
+    // (the only exchange is the declared orderBy's range partitioning)
+    for (k <- Seq("q_text_pii_scrub", "q_multimodal_audio")) {
+      val p = plan(k)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k should be partition-local (scan -> project/codec -> sort):\n$p")
+    }
+  }
+
+  test("NN-descent refine candidates ride equi-joins, never a nested loop") {
+    val p = plan("q_vec_knn_refine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"refine candidate generation degraded to a dense join:\n$p")
+  }
+
   test("nested-loop joins appear ONLY where the pair space is intentionally dense") {
     // brute-force/pairwise similarity shapes broadcast a tiny side by design;
     // everything else must stay hash/sort-merge — a BNLJ over two large
