@@ -152,6 +152,36 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => -1L }
 
+  /** Block-layer bytes this PROCESS caused to be read/written
+    * (`/proc/self/io` read_bytes/write_bytes) — the per-key IO witness
+    * (VERDICT r16 #6): med/min wall time caught every CPU regression this
+    * project has had, but the two escapes that reached the artifact of
+    * record (r15 page-cache shadow, r16 stream gap) were both IO, which no
+    * CPU probe sees. Deltas around each measure() call make an IO-inflated
+    * key attributable from the artifact alone. (-1,-1) on non-Linux. */
+  def procIo(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      try {
+        var r = -1L; var w = -1L
+        src.getLines().foreach { l =>
+          if (l.startsWith("read_bytes:")) r = l.split("\\s+")(1).toLong
+          else if (l.startsWith("write_bytes:")) w = l.split("\\s+")(1).toLong
+        }
+        (r, w)
+      } finally src.close()
+    } catch { case _: Exception => (-1L, -1L) }
+
+  /** Host-wide iowait ticks (`/proc/stat` cpu line, field 5) — catches IO
+    * stalls charged to kernel writeback threads rather than this process
+    * (the exact mechanism of the r15 post-suite shadow). -1 on non-Linux. */
+  def iowaitTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+")(5).toLong
+      finally src.close()
+    } catch { case _: Exception => -1L }
+
   /** Dirty-at-start above this ⇒ the sweep launched inside another
     * phase's writeback shadow — stamp `run_shape:"post_suite"`. Measured
     * floor: the sbt launch ITSELF dirties ~410 MB (target/ writes, logs)
@@ -172,13 +202,15 @@ object Bench {
     try {
       import scala.jdk.CollectionConverters._
       val re = raw"BENCH_r(\d+)\.json".r
-      val files = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        .iterator().asScala.flatMap { p =>
+      val dirStream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val files =
+        try dirStream.iterator().asScala.flatMap { p =>
           p.getFileName.toString match {
             case re(n) => Some(n.toInt -> p)
             case _     => None
           }
         }.toSeq
+        finally dirStream.close()
       if (files.isEmpty) Set.empty
       else {
         // the driver's BENCH_r{N}.json wraps the bench's JSON line inside
@@ -301,9 +333,17 @@ object Bench {
     // on any. Timings for errored keys still carry the elapsed-to-throw
     // wall time, which the err flag marks as meaningless.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-key IO stamps (VERDICT r16 #6): deltas of /proc/self/io +
+    // host iowait around each measure() call (all `runs` runs of the key).
+    // Salvage/rescue re-measures OVERWRITE the entry — the stamp describes
+    // the most recent sample of the key, matching the timing that survives
+    // the min-merge in the common case.
+    val ioStamps = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     def measure(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (String, Double, Double) = {
+      val (ior0, iow0) = procIo()
+      val iwt0 = iowaitTicks()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -324,6 +364,12 @@ object Bench {
         Queries.cleanScratch()
         t
       }.sorted
+      val (ior1, iow1) = procIo()
+      val iwt1 = iowaitTicks()
+      ioStamps(name) = (
+        if (ior0 >= 0 && ior1 >= 0) (ior1 - ior0) / 1024 else -1L,
+        if (iow0 >= 0 && iow1 >= 0) (iow1 - iow0) / 1024 else -1L,
+        if (iwt0 >= 0 && iwt1 >= 0) iwt1 - iwt0 else -1L)
       (name, times(times.size / 2), times.head)
     }
     val primary: Seq[(String, Double, Double)] =
@@ -491,6 +537,18 @@ object Bench {
       System.err.println(s"[bench] ** ${errors.size} QUERY(S) ERRORED — timings for these keys are meaningless **")
       errors.foreach { case (k, v) => System.err.println(s"[bench]   $k: $v") }
     }
+    // Family-level IO roll-up for the stdout line (the driver keeps only the
+    // tail of stdout — ~12 families fit where 200+ per-key maps would not);
+    // the full per-key maps go to BENCH_full.json below.
+    def famIoJson(pick: ((Long, Long, Long)) => Long): String =
+      ioStamps.toSeq.groupBy(kv => familyOf(kv._1)).toSeq.sortBy(_._1)
+        .map { case (fam, kvs) =>
+          val vs = kvs.map(kv => pick(kv._2)).filter(_ >= 0)
+          "\"" + fam + "\":" + (if (vs.isEmpty) -1L else vs.sum)
+        }.mkString("{", ",", "}")
+    def keyIoJson(pick: ((Long, Long, Long)) => Long): String =
+      ioStamps.map { case (k, v) => "\"" + k + "\":" + pick(v) }
+        .mkString("{", ",", "}")
     // provenance stamp: host cores + requested threads + wall timestamp +
     // the two probe times, so round-over-round diffs compare like with like
     val stamp =
@@ -511,6 +569,9 @@ object Bench {
       s""""segment_flagged":${segFlagged.map(jstr).mkString("[", ",", "]")},""" +
       s""""segment_replaced":${segReplaced.map(jstr).mkString("[", ",", "]")},""" +
       s""""bench_ref_path":${jstr(refPath)},""" +
+      s""""io_read_kb_family":${famIoJson(_._1)},""" +
+      s""""io_write_kb_family":${famIoJson(_._2)},""" +
+      s""""iowait_ticks_family":${famIoJson(_._3)},""" +
       s""""calib_ref":$CalibRef,"errors":$errJson"""
     val normTail =
       s""""total_min_norm":${ms3(totalMin * norm)},"value_norm":${ms3(total * norm)},"""
@@ -529,6 +590,8 @@ object Bench {
     // contention-rerun protocol writes its partial sample there on purpose.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
     val fullLine = s"""{"queries":${qmap(_._2)},"queries_min":${qmap(_._3)},""" +
+      s""""io_read_kb":${keyIoJson(_._1)},"io_write_kb":${keyIoJson(_._2)},""" +
+      s""""iowait_ticks":${keyIoJson(_._3)},""" +
       s""""sf":"$sfDir","n_queries":${results.size},$stamp,""" +
       s""""total_min":${ms3(totalMin)},$normTail"metric":"total","value":${ms3(total)},"unit":"sec"}"""
     if (filter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_FULL"))

@@ -2033,7 +2033,7 @@ object OracleSql {
         |  CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
         |  ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
         |  CAST(doc_id % 100 AS VARCHAR) AS text
-        |FROM documents)
+        |FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -2537,6 +2537,28 @@ object OracleSql {
         |  CAST(f // 2 AS INT) AS sample_idx,
         |  CAST(list_sum(list_transform(range(0, w * h),
         |    i -> bs[CAST((i + 7 * f) % n AS INT) + 1])) AS BIGINT) AS frame_sum
+        |FROM x ORDER BY doc_id, sample_idx""".stripMargin,
+
+    // Y4M video: replay the byte→plane rule for the sampled LUMA planes
+    // (plane p=0, frame f, pixel i = byte (i + 13f) mod n) — the decode
+    // side can only match by genuinely parsing header + FRAME markers +
+    // plane extents back out of the container bytes
+    "q_multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
+        |    8 + (length(text) % 17) AS w,
+        |    8 + ((length(text) // 17) % 13) AS h,
+        |    2 + (length(text) % 7) AS nf
+        |  FROM documents
+        |  WHERE doc_id < 2000 AND text IS NOT NULL AND length(text) > 0)
+        |, x AS (SELECT doc_id, n, bs, w, h, nf,
+        |    unnest(range(0, nf, 2)) AS f FROM b)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(f // 2 AS INT) AS sample_idx,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    i -> bs[CAST((i + 13 * f) % n AS INT) + 1])) AS BIGINT) AS frame_luma
         |FROM x ORDER BY doc_id, sample_idx""".stripMargin,
 
     // --- Similarity search ------------------------------------------

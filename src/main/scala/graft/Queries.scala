@@ -2053,7 +2053,9 @@ object Queries {
     * real matches to find and the redaction a real diff to make. Exact
     * regex semantics shared by Java regex and RE2 ⇒ full oracle. */
   val qTextPiiScrub: Q = (s, d) => {
-    val planted = Tables.documents(s, d).select(col("doc_id"),
+    val planted = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
       concat_ws(" ", col("text"),
         concat(lit("user"), col("doc_id"), lit("@example.com")),
         concat(lit("+1-555-"), (col("doc_id") % 900 + 100).cast(StringType),
@@ -3070,20 +3072,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling over decoded video metadata: every 2nd frame index of
-    * each payload's n_frames (stub-decoded — the JDK has no VIDEO codec;
-    * the image path is real, see q_multimodal_decode) — the
-    * pure-expression sampling plan a video pipeline schedules decode work
-    * from. Rows-only (n_frames comes from the stub codec). */
+  /** REAL VIDEO codec under the hash gate
+    * ([[operators.MultimodalOps.encodeY4m]]/`decodeVideoFrames`): each
+    * document's bytes become a genuine YUV4MPEG2 stream (plain-text
+    * header + raw C444 YUV planes, 2–8 frames — any Y4M reader plays it),
+    * which the decode side PARSES back (magic, W/H/C header tokens, FRAME
+    * markers, plane extents) and samples every 2nd frame with its exact
+    * integer luma sum ([[operators.MultimodalOps.frameSamplePlan]]). The
+    * oracle re-derives every sampled frame's luma from the shared
+    * byte→plane rule, so frame iteration, sampling, and per-frame plane
+    * decode all sit under the cross-engine hash — the video modality's
+    * q_multimodal_gif, with zero codec libraries on either side. */
   val qMultimodalFrames: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-    val feats = operators.MultimodalOps.decodeFeatures(s, docs, "doc_id",
-      "payload", operators.MultimodalOps.decodeStub)
-    feats.select(col("doc_id"), col("n_frames"),
+    // bounded slice + symmetric empty-payload guard — see qMultimodalGif
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
+    // staged once per input (ensureEncoded): the key times frame
+    // iteration + per-frame plane decode, not a repeated identical encode
+    val vids = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
+      "src_bytes", stamp = s"y4m:$d", codecTag = "y4m",
+      codec = operators.MultimodalOps.encodeY4m,
+      inputs = Seq(s"$d/documents.parquet"))
+    val feats = operators.MultimodalOps.decodeFeatures(s, vids, "doc_id",
+      "payload", operators.MultimodalOps.decodeVideoFrames)
+    feats.select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("feature"),
         posexplode(operators.MultimodalOps.frameSamplePlan(col("n_frames"), 2)))
-      .select(col("doc_id"), col("n_frames"),
-        col("pos").as("sample_idx"), col("col").cast(LongType).as("frame_idx"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("pos").as("sample_idx"),
+        element_at(col("feature"), (col("col") + 1).cast(IntegerType))
+          .cast(LongType).as("frame_luma"))
       .orderBy("doc_id", "sample_idx")
   }
 
@@ -3097,8 +3116,8 @@ object Queries {
     * with its exact per-frame pixel sum. The oracle re-derives every
     * sampled frame's sum from the byte rule — frame iteration, sampling,
     * and per-frame decode all sit under the cross-engine hash. The video
-    * stub (q_multimodal_frames) remains for the no-JDK-codec contract;
-    * THIS key is the real multi-frame path. */
+    * path (q_multimodal_frames) is its Y4M sibling; THIS key is the
+    * multi-frame IMAGE path. */
   val qMultimodalGif: Q = (s, d) => {
     // bounded slice: the gate is about the multi-frame codec SEMANTICS
     // (sequence encode, frame iteration, per-frame decode), not corpus

@@ -107,7 +107,6 @@ object ResultPins {
     "q_dedup_simhash_prod" -> 1034L,
     "q_dsir_weights" -> 500L,
     "q_lm_perplexity" -> 500L,
-    "q_multimodal_frames" -> 1234L,
     "q_text_bm25" -> 25L,
     "q_vec_ann_int8" -> 50L,
     "q_vec_ann_ivf" -> 50L,
@@ -130,7 +129,6 @@ object ResultPins {
     "q_dedup_simhash_prod" -> "1034:65c4de89929f8417",
     "q_dsir_weights" -> "500:a60fd25ec3948a06",
     "q_lm_perplexity" -> "500:097df3aa8322d987",
-    "q_multimodal_frames" -> "1234:9400fa6cb70f756d",
     "q_text_bm25" -> "25:9e0df9d2b1a7c1ef",
     "q_vec_ann_int8" -> "50:19a07ea9cba9dc62",
     "q_vec_ann_ivf" -> "50:5a80ee72f72e8934",

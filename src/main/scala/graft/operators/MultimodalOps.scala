@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * features are integer pixel sums, so decode output is bit-deterministic
   * across JVMs — which is what lets q_multimodal_decode sit under the
   * DuckDB hash gate (the oracle recomputes the sums from the shared
-  * byte→pixel rule). VIDEO decode remains a stub (`decodeStub` — the JDK
-  * has no video codec): deterministic fake n_frames/features from byte
-  * statistics, plumbing identical.
+  * byte→pixel rule). The VIDEO codec is REAL too: a zero-dependency
+  * YUV4MPEG2 (Y4M) container — plain-text header + raw YUV frame planes,
+  * the format every ffmpeg pipeline speaks — written by [[encodeY4m]] and
+  * parsed back by [[decodeVideoFrames]] with no libraries at all (the JDK
+  * ships no video codec; Y4M needs none).
   */
 object MultimodalOps {
 
@@ -85,7 +87,7 @@ object MultimodalOps {
     * integer pixel sums (exact in Float below 2^24; max here is
     * 24·20·255 ≈ 1.2·10^5). n_frames = 1: a PNG is a single frame.
     * Returns zeros for null/empty/undecodable payloads — the quarantine
-    * convention, matching [[decodeStub]]. */
+    * convention, matching [[decodeVideoFrames]]. */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     if (bytes == null || bytes.isEmpty) return (0, 0, 0, Array.empty[Float])
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -186,10 +188,12 @@ object MultimodalOps {
     if (bytes == null || bytes.length < 44) return (0, 0, 0L, 0L, 0L)
     val in = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def tag4 = { val b = new Array[Byte](4); in.get(b); new String(b, "US-ASCII") }
-    if (tag4 != "RIFF") return (0, 0, 0L, 0L, 0L)
+    def tag4() = { val b = new Array[Byte](4); in.get(b); new String(b, "US-ASCII") }
+    if (tag4() != "RIFF") return (0, 0, 0L, 0L, 0L)
     in.getInt // riff size
-    if (tag4 != "WAVE" || tag4 != "fmt ") return (0, 0, 0L, 0L, 0L)
+    val wave = tag4()
+    val fmt = tag4()
+    if (wave != "WAVE" || fmt != "fmt ") return (0, 0, 0L, 0L, 0L)
     val fmtLen = in.getInt
     val audioFormat = in.getShort
     val channels = in.getShort
@@ -199,10 +203,11 @@ object MultimodalOps {
     val bits = in.getShort
     if (fmtLen != 16 || audioFormat != 1 || channels != 1 || bits != 16)
       return (0, 0, 0L, 0L, 0L)
-    if (tag4 != "data") return (0, 0, 0L, 0L, 0L)
+    if (tag4() != "data") return (0, 0, 0L, 0L, 0L)
     val dataLen = in.getInt
+    if (dataLen < 0 || dataLen % 2 != 0 || bytes.length < 44 + dataLen)
+      return (0, 0, 0L, 0L, 0L)
     val samples = dataLen / 2
-    if (bytes.length < 44 + dataLen) return (0, 0, 0L, 0L, 0L)
     var energy = 0L
     var crossings = 0L
     var peak = 0L
@@ -419,25 +424,97 @@ object MultimodalOps {
     }
   }
 
-  /** STUBBED VIDEO decoder: deterministic fake decode of a media payload
-    * (the JDK has no video codec; a real deployment swaps in one here —
-    * the signature, bytes in / fixed-schema features out, is the
-    * contract). Unlike [[decodeImage]] this fakes a multi-frame
-    * n_frames, which is what the frame-sampling planner consumes. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    if (bytes == null || bytes.isEmpty) return (0, 0, 0, Array.empty[Float])
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 16 + (math.abs(h) % 64)
-    val height = 16 + (math.abs(h >> 8) % 64)
-    val nFrames = 1 + (math.abs(h >> 16) % 8)
-    // deterministic 8-dim "feature" from byte statistics
-    val feat = Array.tabulate(8) { i =>
-      var acc = 0L
-      var j = i
-      while (j < bytes.length) { acc += (bytes(j) & 0xff); j += 8 }
-      (acc % 1000).toFloat / 1000f
+  /** Deterministic frame count for a VIDEO payload of `nBytes` source
+    * bytes: 2–8 frames, the video analog of [[gifFrameCount]] (distinct
+    * rule so the two multi-frame paths can't mask each other under the
+    * gate). Part of the hashed contract shared with the oracle. */
+  def videoFrameCount(nBytes: Int): Int = 2 + nBytes % 7
+
+  /** REAL VIDEO encode — a genuine YUV4MPEG2 (Y4M) byte stream, the
+    * public uncompressed-video container (plain-text `YUV4MPEG2 W.. H..`
+    * header, then `FRAME\n` + raw Y/U/V planes per frame; C444 = full
+    * chroma planes, no subsampling arithmetic). Zero libraries needed on
+    * either side — the WAV precedent applied to video. The byte→plane
+    * rule (plane p∈{Y=0,U=1,V=2} of frame f, pixel i =
+    * bytes[(i + 13f + 11p) mod n]) is part of the hashed contract the
+    * oracle replays; any Y4M reader (ffmpeg, mplayer) plays the payload.
+    * [[imageDims]] sizes the raster, [[videoFrameCount]] the frame
+    * sequence. */
+  def encodeY4m(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty[Byte]
+    val n = bytes.length
+    val (w, h) = imageDims(n)
+    val frames = videoFrameCount(n)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val plane = w * h
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames * (frameMark.length + 3 * plane))
+    out.put(header)
+    var f = 0
+    while (f < frames) {
+      out.put(frameMark)
+      var p = 0
+      while (p < 3) {
+        var i = 0
+        while (i < plane) {
+          out.put(bytes((i + 13 * f + 11 * p) % n))
+          i += 1
+        }
+        p += 1
+      }
+      f += 1
     }
-    (width, height, nFrames, feat)
+    out.array()
+  }
+
+  /** REAL VIDEO decode: parses the Y4M container back — magic + header
+    * tokens (`W`/`H`/`C`, requiring the C444 layout this engine writes),
+    * then iterates `FRAME` markers and reads the three raw planes of each
+    * frame, contributing the frame's exact integer LUMA (Y-plane) sum to
+    * the feature vector: (w, h, nFrames, per-frame luma sums) — the video
+    * sibling of [[decodeGifFrames]], and exact integer arithmetic end to
+    * end so the whole round trip sits under the DuckDB hash gate.
+    * Zeros/empty for null/truncated/non-Y4M payloads — the quarantine
+    * convention. */
+  def decodeVideoFrames(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val none = (0, 0, 0, Array.empty[Float])
+    if (bytes == null || bytes.length < 10) return none
+    val magic = "YUV4MPEG2 "
+    var i = 0
+    while (i < 10) {
+      if (bytes(i) != magic.charAt(i).toByte) return none
+      i += 1
+    }
+    var eol = i
+    while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+    if (eol >= bytes.length) return none
+    val params = new String(bytes, i, eol - i, "US-ASCII").split(" ")
+    var w = -1; var h = -1; var chroma = "C420" // Y4M default when absent
+    params.foreach { t =>
+      if (t.startsWith("W")) w = try t.substring(1).toInt catch { case _: Exception => -1 }
+      else if (t.startsWith("H")) h = try t.substring(1).toInt catch { case _: Exception => -1 }
+      else if (t.startsWith("C")) chroma = t
+    }
+    if (w <= 0 || h <= 0 || chroma != "C444") return none
+    val plane = w * h
+    val sums = scala.collection.mutable.ArrayBuffer[Float]()
+    var pos = eol + 1
+    while (pos < bytes.length) {
+      // FRAME marker, optional parameters up to '\n'
+      if (pos + 5 > bytes.length ||
+          new String(bytes, pos, 5, "US-ASCII") != "FRAME") return none
+      var fe = pos + 5
+      while (fe < bytes.length && bytes(fe) != '\n') fe += 1
+      if (fe >= bytes.length || bytes.length < fe + 1 + 3 * plane) return none
+      var s = 0L
+      var j = fe + 1
+      val yEnd = fe + 1 + plane
+      while (j < yEnd) { s += bytes(j) & 0xff; j += 1 }
+      sums += s.toFloat
+      pos = fe + 1 + 3 * plane
+    }
+    if (sums.isEmpty) none else (w, h, sums.length, sums.toArray)
   }
 
   /** Partition-wise ENCODE: synthesize a real PNG payload per row from a
@@ -495,7 +572,7 @@ object MultimodalOps {
     * the id column, emits decoded feature columns. One decoder "session"
     * per partition (the `it =>` closure), rows streamed — the exact shape a
     * real GPU/codec pipeline needs for amortized init. `codec` defaults to
-    * the REAL ImageIO decoder; pass [[decodeStub]] for the video stand-in. */
+    * the REAL ImageIO decoder; pass [[decodeVideoFrames]] for video. */
   def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                      binCol: String,
                      codec: Array[Byte] => (Int, Int, Int, Array[Float]) = decodeImage)

@@ -308,21 +308,50 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(r(3L) === "de") // deterministic tie-break
   }
 
-  test("multimodal decode plumbing: schema, determinism, null payloads (video stub codec)") {
+  test("multimodal decode plumbing: schema, determinism, null payloads (Y4M video codec)") {
     val docs = Seq((1L, "payload-a"), (2L, "payload-b"), (3L, null))
       .toDF("doc_id", "txt")
-      .select(col("doc_id"), col("txt").cast("binary").as("payload"))
-    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload",
-      MultimodalOps.decodeStub)
+      .select(col("doc_id"), col("txt").cast("binary").as("src"))
+    val vids = MultimodalOps.encodePayloads(spark, docs, "doc_id", "src",
+      MultimodalOps.encodeY4m)
+    val f = MultimodalOps.decodeFeatures(spark, vids, "doc_id", "payload",
+      MultimodalOps.decodeVideoFrames)
     val rows = f.orderBy("doc_id").collect()
     assert(f.columns.toSeq === Seq("doc_id", "width", "height", "n_frames", "feature"))
-    assert(rows(0).getAs[Seq[Float]]("feature").length === 8)
+    // feature = one luma sum per frame
+    assert(rows(0).getAs[Seq[Float]]("feature").length ===
+      MultimodalOps.videoFrameCount("payload-a".getBytes("UTF-8").length))
     assert(rows(2).getAs[Int]("width") === 0) // null payload -> zero features
     // deterministic: same payload, same features
-    val again = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload",
-        MultimodalOps.decodeStub)
+    val again = MultimodalOps.decodeFeatures(spark, vids, "doc_id", "payload",
+        MultimodalOps.decodeVideoFrames)
       .orderBy("doc_id").collect()
     assert(rows.toSeq === again.toSeq)
+  }
+
+  test("real Y4M codec: encode→decode round-trips dims, frame count, exact luma sums") {
+    // plain-JVM twin: derive expected per-frame luma sums straight from the
+    // byte→plane rule — the decoder must recover them by genuinely parsing
+    // the container (header tokens, FRAME markers, plane extents)
+    for (txt <- Seq("payload-a", "x", "a much longer payload with spaces and 1234567890 digits")) {
+      val src = txt.getBytes("UTF-8")
+      val y4m = MultimodalOps.encodeY4m(src)
+      assert(new String(y4m.take(10), "US-ASCII") === "YUV4MPEG2 ")
+      val (ew, eh) = MultimodalOps.imageDims(src.length)
+      val enf = MultimodalOps.videoFrameCount(src.length)
+      val n = src.length
+      val expected = Array.tabulate(enf) { f =>
+        (0 until ew * eh).map(i => (src((i + 13 * f) % n) & 0xff).toLong).sum.toFloat
+      }
+      val (w, h, nf, sums) = MultimodalOps.decodeVideoFrames(y4m)
+      assert((w, h, nf) === ((ew, eh, enf)))
+      assert(sums.toSeq === expected.toSeq)
+    }
+    // quarantine convention: null / truncated / non-Y4M payloads -> zeros
+    assert(MultimodalOps.decodeVideoFrames(null)._3 === 0)
+    assert(MultimodalOps.decodeVideoFrames("not a video".getBytes)._3 === 0)
+    val whole = MultimodalOps.encodeY4m("payload-a".getBytes)
+    assert(MultimodalOps.decodeVideoFrames(whole.take(whole.length - 1))._3 === 0)
   }
 
   test("real PNG codec: encode→decode round-trips dims and exact channel sums") {
@@ -527,14 +556,17 @@ class VectorTextOpsSpec extends SparkSpec {
 
     val docs = Seq((1L, "payload-a"), (2L, "payload-b"))
       .toDF("doc_id", "txt")
-      .select(col("doc_id"), col("txt").cast("binary").as("payload"))
-    val f = MultimodalOps.decodeFeatures(spark, docs, "doc_id", "payload",
-      MultimodalOps.decodeStub)
-    val r = MultimodalOps.resizeFeatures(spark, f, "doc_id", "feature", 4)
+      .select(col("doc_id"), col("txt").cast("binary").as("src"))
+    val vids = MultimodalOps.encodePayloads(spark, docs, "doc_id", "src",
+      MultimodalOps.encodeY4m)
+    val f = MultimodalOps.decodeFeatures(spark, vids, "doc_id", "payload",
+      MultimodalOps.decodeVideoFrames)
+    // 9-byte payloads -> 4 frames (videoFrameCount) -> 4-dim luma feature
+    val r = MultimodalOps.resizeFeatures(spark, f, "doc_id", "feature", 2)
     val rows = r.orderBy("doc_id").collect()
     assert(r.columns.toSeq === Seq("doc_id", "feature_resized"))
-    assert(rows.forall(_.getSeq[Float](1).length === 4))
-    // resized cell = mean of its source slice (8 -> 4: pairwise means)
+    assert(rows.forall(_.getSeq[Float](1).length === 2))
+    // resized cell = mean of its source slice (4 -> 2: pairwise means)
     val feat = f.orderBy("doc_id").collect()(0).getSeq[Float](4)
     assert(rows(0).getSeq[Float](1)(0) === (feat(0) + feat(1)) / 2f)
 
