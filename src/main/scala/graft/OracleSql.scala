@@ -1079,6 +1079,47 @@ object OracleSql {
         |FROM b WHERE event_id % 5 = 0
         |ORDER BY event_id""".stripMargin,
 
+    // delete tombstones across all three read surfaces: cdc = deletes
+    // (every 3rd id, true before-image) + resurrect-updates (every 6th,
+    // value+5000, null values fold to no-change like q_engine_changes);
+    // served = post-compact state with deleted ids ABSENT even after a
+    // late old-timestamp append (tombstones retained through compaction);
+    // history (ids <= 120) = audit log with flagged tombstone versions,
+    // late rows (value+9000, original ts) LWW-ordered below them
+    "q_engine_delete" ->
+      """WITH b AS (SELECT event_id, value FROM events
+        |  WHERE event_type = 'signup' AND event_id <= 1200)
+        |SELECT event_id, 'cdc' AS phase, 'update' AS change,
+        |  value AS value_before, value + 5000 AS value,
+        |  CAST(NULL AS BOOLEAN) AS is_deleted, CAST(NULL AS INT) AS version
+        |FROM b WHERE event_id % 6 = 0 AND value IS NOT NULL
+        |UNION ALL
+        |SELECT event_id, 'cdc', 'delete', value, CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS BOOLEAN), CAST(NULL AS INT)
+        |FROM b WHERE event_id % 3 = 0 AND event_id % 6 <> 0
+        |UNION ALL
+        |SELECT event_id, 'served', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS DOUBLE),
+        |  CASE WHEN event_id % 6 = 0 THEN value + 5000 ELSE value END,
+        |  CAST(NULL AS BOOLEAN), CAST(NULL AS INT)
+        |FROM b WHERE NOT (event_id % 3 = 0 AND event_id % 6 <> 0)
+        |UNION ALL
+        |SELECT event_id, 'history', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS DOUBLE),
+        |  CASE WHEN event_id % 6 = 0 THEN value + 5000
+        |       WHEN event_id % 15 = 0 THEN value + 9000
+        |       WHEN event_id % 3 = 0 THEN CAST(NULL AS DOUBLE)
+        |       ELSE value END,
+        |  event_id % 3 = 0 AND event_id % 6 <> 0 AND event_id % 15 <> 0,
+        |  CAST(1 AS INT)
+        |FROM b WHERE event_id <= 120
+        |UNION ALL
+        |SELECT event_id, 'history', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE, CAST(2 AS INT)
+        |FROM b WHERE event_id <= 120
+        |  AND event_id % 15 = 0 AND event_id % 6 <> 0
+        |ORDER BY phase, event_id, version NULLS FIRST""".stripMargin,
+
     "q_retention_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |c AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week

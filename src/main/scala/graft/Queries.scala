@@ -360,6 +360,84 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** DELETE TOMBSTONES through the engine log
+    * ([[graft.core.Engine]]`.Handle.delete`, `Ingest.DeletedCol` — the
+    * Delta-delete-marker / Cassandra-tombstone analog the reference
+    * delegates to its store): base generation (ids ≤ 1200), every 3rd id
+    * DELETED at a far-future LWW position, every 6th id RESURRECTED an
+    * hour later (value+5000). One output frame gates all three read
+    * surfaces of the contract:
+    *   - phase `cdc`: [[graft.core.Engine.Handle.changesBetween]] across
+    *     the delete classifies `delete` with TRUE before-images and the
+    *     resurrections as `update` (materialized before maintenance runs,
+    *     like a real CDC consumer);
+    *   - phase `served`: post-[[graft.core.Engine.Handle.compact]] state —
+    *     deleted ids absent, resurrected ids serve the new value — AFTER a
+    *     late append whose `last_modified` PREDATES the tombstones
+    *     (value+9000, original ts): compaction must have RETAINED the
+    *     winning tombstones or those ids resurface and the hash fails;
+    *   - phase `history`: the audit log with tombstone versions visible
+    *     and flagged (`is_deleted`), late rows ordered below them. */
+  val qEngineDelete: Q = (s, d) => {
+    val (root, epochs) = stagedWarehouse(s, "del3gen", d) { h =>
+      val base = Tables.events(s, d)
+        .filter(col("event_type") === "signup" && col("event_id") <= 1200)
+      h.ingest(Flagship.envelopesFrom(s, base))
+      val e1 = h.currentEpoch("signup")
+      h.delete("signup",
+        base.filter(col("event_id") % 3 === 0)
+          .select(col("event_id").cast(StringType).as("id")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2031-01-01T00:00:00Z")))
+      h.ingest(Flagship.envelopesFrom(s, base
+        .filter(col("event_id") % 6 === 0)
+        .withColumn("value", col("value") + 5000)
+        .withColumn("ts",
+          lit("2031-01-01 01:00:00").cast(TimestampType))))
+      Seq(e1, h.currentEpoch("signup"))
+    }
+    val Seq(e1, e3) = epochs
+    val wh = scratchDir("qdel-wh")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$root/wh"), new java.io.File(wh))
+    val h = graft.core.Engine.bootstrap(s, wh)
+    // CDC across the delete, MATERIALIZED before maintenance mutates the
+    // log (the lazy frame would otherwise read swapped-away files)
+    val cdcDir = scratchDir("qdel-cdc")
+    h.changesBetween("signup", e1, e3, Seq("value"))
+      .write.mode("overwrite").parquet(cdcDir)
+    val cdc = s.read.parquet(cdcDir).select(
+      col("id").cast(LongType).as("event_id"), lit("cdc").as("phase"),
+      col("change"), col("value_before"),
+      col("value_after").as("value"),
+      lit(null).cast(BooleanType).as("is_deleted"),
+      lit(null).cast(IntegerType).as("version"))
+    // tombstones must survive the compaction rewrite...
+    h.compact("signup")
+    // ...and still LWW-win over a late append with an OLDER last_modified
+    val base = Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("event_id") <= 1200)
+    h.ingest(Flagship.envelopesFrom(s, base
+      .filter(col("event_id") % 15 === 0 && col("event_id") % 6 =!= 0)
+      .withColumn("value", col("value") + 9000)))
+    val served = h.table("signup").select(
+      col("id").cast(LongType).as("event_id"), lit("served").as("phase"),
+      lit(null).cast(StringType).as("change"),
+      lit(null).cast(DoubleType).as("value_before"),
+      col("value"),
+      lit(null).cast(BooleanType).as("is_deleted"),
+      lit(null).cast(IntegerType).as("version"))
+    val hist = h.history("signup").filter(col("id").cast(LongType) <= 120)
+      .select(col("id").cast(LongType).as("event_id"),
+        lit("history").as("phase"),
+        lit(null).cast(StringType).as("change"),
+        lit(null).cast(DoubleType).as("value_before"),
+        col("value"),
+        col("_deleted").as("is_deleted"),
+        col("version"))
+    cdc.unionByName(served).unionByName(hist)
+      .orderBy("phase", "event_id", "version")
+  }
+
   /** Retention cohorts: users bucketed by first-seen week, activity counted
     * as distinct (user, week) pairs per cohort — the standard triangle
     * matrix. Two hash aggs + one broadcastable join on user_id; fully

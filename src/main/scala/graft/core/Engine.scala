@@ -36,16 +36,27 @@ object Engine {
       registry.refreshIfStale()
       registry.get(typeId) match {
         case Some(reg) =>
-          import org.apache.spark.sql.types.{LongType, StructType}
-          val meta = Set("_ingest_epoch", "_ingest_seq", "_part")
+          import org.apache.spark.sql.types.{BooleanType, LongType, StructType}
+          val meta = Set("_ingest_epoch", "_ingest_seq", "_part", Ingest.DeletedCol)
           val full = StructType(reg.fields.filterNot(f => meta(f.name)))
             .add("_ingest_epoch", LongType).add("_ingest_seq", LongType)
+            .add(Ingest.DeletedCol, BooleanType) // tombstone marker (NULL in data files)
             .add("_part", LongType) // partition column, discovered from dirs
           spark.read.schema(full).parquet(path)
         case None =>
           spark.read.option("mergeSchema", "true").parquet(path)
       }
     }
+
+    /** Drop ids whose LWW winner is a delete tombstone, then hide the
+      * marker — the read-side half of the tombstone contract
+      * ([[Ingest.DeletedCol]]). Null-safe: rows written before the first
+      * delete surface the marker as NULL. */
+    private def dropTombstones(winners: DataFrame): DataFrame =
+      if (winners.columns.contains(Ingest.DeletedCol))
+        winners.filter(!coalesce(col(Ingest.DeletedCol), lit(false)))
+          .drop(Ingest.DeletedCol)
+      else winners
 
     /** Compaction: collapse the append log to its LWW view and atomically
       * swap the table directory (the Cassandra-compaction analog —
@@ -78,9 +89,16 @@ object Engine {
         require(log.columns.contains("_ingest_epoch"),
           s"table '$typeId' carries no _ingest_epoch column — not an ingest-written table")
         val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
-        val prefix = Upserts.lwwView(
+        val collapsed = Upserts.lwwView(
           log.filter(col("_ingest_epoch") <= horizonEpoch),
           Seq("id"), "last_modified", ties)
+        // age out tombstones past the horizon (gc_grace: the horizon must
+        // trail the max accepted write lateness — see Ingest.DeletedCol);
+        // [[compact]] retains them, only vacuum's explicit boundary drops
+        val prefix =
+          if (collapsed.columns.contains(Ingest.DeletedCol))
+            collapsed.filter(!coalesce(col(Ingest.DeletedCol), lit(false)))
+          else collapsed
         val suffix = log.filter(col("_ingest_epoch") > horizonEpoch)
         rewriteLog(typeId, prefix.unionByName(suffix))
       }
@@ -129,8 +147,27 @@ object Engine {
     def table(typeId: String): DataFrame = {
       val log = tableLog(typeId)
       val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
-      Upserts.lwwView(log, Seq("id"), "last_modified", ties)
+      dropTombstones(Upserts.lwwView(log, Seq("id"), "last_modified", ties))
         .drop("_ingest_epoch", "_ingest_seq", "_part")
+    }
+
+    /** DELETE by key (reference DELETE /types/{t}/objects/{id},
+      * tests/test_views.py:234-241 — delegated to a Cassandra tombstone
+      * there; an append-log tombstone here, [[Ingest.DeletedCol]]): appends
+      * one tombstone row per id at `deleteTime`'s LWW position. The id
+      * disappears from [[table]]/[[get]]/as-of views pinned after the
+      * tombstone, still serves before it, survives [[compact]], classifies
+      * as `delete` in [[changesBetween]], and ages out via [[vacuum]].
+      * A later upsert with a newer `last_modified` resurrects the id. */
+    def delete(typeId: String, doomed: DataFrame,
+               deleteTime: java.sql.Timestamp): Long =
+      Ingest.appendTombstones(spark, registry, typeId, doomed, deleteTime)
+
+    /** [[delete]] convenience for a driver-side id list. */
+    def delete(typeId: String, ids: Seq[String],
+               deleteTime: java.sql.Timestamp): Long = {
+      import spark.implicits._
+      delete(typeId, ids.toDF("id"), deleteTime)
     }
 
     /** Compact when the physical file count exceeds `maxFiles` — a
@@ -181,8 +218,9 @@ object Engine {
       require(log.columns.contains("_ingest_epoch"),
         s"table '$typeId' carries no _ingest_epoch column — not an ingest-written table")
       val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
-      Upserts.lwwView(log.filter(col("_ingest_epoch") <= epochMicros),
-          Seq("id"), "last_modified", ties)
+      dropTombstones(
+        Upserts.lwwView(log.filter(col("_ingest_epoch") <= epochMicros),
+          Seq("id"), "last_modified", ties))
         .drop("_ingest_epoch", "_ingest_seq", "_part")
     }
 
@@ -200,7 +238,14 @@ object Engine {
       val order = (col("last_modified").asc +: ties.map(col(_).asc)): Seq[org.apache.spark.sql.Column]
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(order: _*)
-      log.withColumn("version", row_number().over(w))
+      // tombstone versions stay VISIBLE in the audit log (a deletion is a
+      // version), flagged by the marker folded to a non-null boolean
+      val flagged =
+        if (log.columns.contains(Ingest.DeletedCol))
+          log.withColumn(Ingest.DeletedCol,
+            coalesce(col(Ingest.DeletedCol), lit(false)))
+        else log
+      flagged.withColumn("version", row_number().over(w))
         .drop("_ingest_epoch", "_ingest_seq", "_part")
     }
 
@@ -236,7 +281,7 @@ object Engine {
             Ingest.idBucket(lit(id)), lit(Ingest.L0Bucket)))
         else log
       val ties = Seq("_ingest_epoch", "_ingest_seq").filter(log.columns.contains)
-      Upserts.lwwView(pruned, Seq("id"), "last_modified", ties)
+      dropTombstones(Upserts.lwwView(pruned, Seq("id"), "last_modified", ties))
         .drop("_ingest_epoch", "_ingest_seq", "_part")
         .filter(col("id") === lit(id))
     }

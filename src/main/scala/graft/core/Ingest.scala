@@ -293,6 +293,58 @@ object Ingest {
   /** L0 partition value — outside idBucket's [0, NumIdBuckets) range. */
   val L0Bucket = -1L
 
+  /** Delete-tombstone marker column (ingest-meta, like `_ingest_epoch`):
+    * a log row with `_deleted = true` records that its id was DELETED at
+    * its `last_modified`/epoch position in the LWW order. The append-log
+    * analog of Delta's delete markers / Cassandra's tombstones (which is
+    * where the reference's deletes actually live — Cassandra writes a
+    * tombstone for DELETE, tests/test_views.py:234-241): serving views
+    * drop ids whose LWW winner is a tombstone, [[graft.core.Engine.Handle.compact]]
+    * RETAINS winning tombstones (so a late-arriving write with an older
+    * `last_modified` still loses after any number of compactions), and
+    * `vacuum(horizon)` ages them out — the gc_grace_seconds trade: the
+    * horizon must trail the maximum accepted write lateness, or an aged
+    * tombstone lets an older late write resurrect the row. */
+  val DeletedCol = "_deleted"
+
+  /** Append delete tombstones for the ids in `doomed` (any column named
+    * `id`, cast to the registered string key). One tombstone row per id:
+    * the key, `last_modified = deleteTime` (the position the delete takes
+    * in the LWW order — later writes win over it, older ones lose),
+    * `_deleted = true`, and the batch epoch/seq stamps every ingest write
+    * carries. Size-aware like [[ingestType]]'s append: metadata-scale
+    * deletes land as ONE L0 file (no exchange), bulk deletes shuffle into
+    * the bucketed layout. Returns the tombstone count. */
+  def appendTombstones(spark: SparkSession, registry: SchemaRegistry,
+                       typeId: String, doomed: DataFrame,
+                       deleteTime: java.sql.Timestamp): Long = {
+    val tablePath = registry.tablePath(typeId)
+    val tpath = new org.apache.hadoop.fs.Path(tablePath)
+    val hfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(tpath),
+      s"delete from '$typeId': table does not exist")
+    val rows = doomed.select(col("id").cast(StringType).as("id")).distinct()
+      .withColumn("last_modified", lit(deleteTime))
+      .withColumn(DeletedCol, lit(true))
+      .withColumn("_ingest_epoch", lit(batchEpochMicros()))
+      .withColumn("_ingest_seq", monotonically_increasing_id())
+      .cache()
+    try {
+      val n = rows.count()
+      val smallAppend = n <= SmallAppendRows
+      val partCol = if (smallAppend) lit(L0Bucket) else idBucket(col("id"))
+      val written = rows.withColumn("_part", partCol)
+      registry.withTableLock(typeId) {
+        (if (smallAppend) written.coalesce(1)
+         else written.repartition(NumIdBuckets, col("_part")))
+          .write.mode("append").partitionBy("_part")
+          .option(NoJobMarker._1, NoJobMarker._2)
+          .parquet(tablePath)
+      }
+      n
+    } finally rows.unpersist()
+  }
+
   /** Writer option that suppresses the per-job `_SUCCESS` marker on the
     * engine's OWN table/state writes. The engine's visibility contract is
     * the table lock + WriteCounts (and streaming's checkpoint commit log),

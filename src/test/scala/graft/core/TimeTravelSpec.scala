@@ -123,6 +123,61 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("delete tombstone: serving/lookup drop the id, as-of before the delete " +
+      "still serves it, a newer write resurrects it, CDC classifies the delete") {
+    val h = Engine.bootstrap(spark, tmpDir("tt-del"), overrideWarehouse = true)
+    ingestMsgs(h, Seq(
+      envelope("a", "2024-01-01 00:00:00", 1),
+      envelope("b", "2024-01-01 00:00:00", 2)))
+    val e1 = h.currentEpoch("tt")
+    h.delete("tt", Seq("a"),
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z")))
+    val e2 = h.currentEpoch("tt")
+    assert(served(h.table("tt")) === Set("b" -> 2),
+      "a deleted id must vanish from the serving view")
+    assert(h.get("tt", "a").isEmpty, "point lookup of a deleted id is empty")
+    assert(served(h.tableAsOf("tt", e1)) === Set("a" -> 1, "b" -> 2),
+      "a snapshot pinned before the delete still serves the row")
+    val changes = h.changesBetween("tt", e1, e2, Seq("v"))
+      .select(col("id"), col("change"), col("v_before").cast("int"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(changes === Set(("a", "delete", 1)),
+      "CDC across the delete classifies it with the true before-image")
+    // a LATER write resurrects the id
+    ingestMsgs(h, Seq(envelope("a", "2024-01-10 00:00:00", 10)))
+    assert(served(h.table("tt")) === Set("a" -> 10, "b" -> 2))
+  }
+
+  test("tombstones survive compaction (an older late write stays dead) and " +
+      "vacuum ages them out (the gc_grace trade)") {
+    val h = Engine.bootstrap(spark, tmpDir("tt-del2"), overrideWarehouse = true)
+    ingestMsgs(h, Seq(envelope("a", "2024-01-01 00:00:00", 1)))
+    h.delete("tt", Seq("a"),
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z")))
+    h.compact("tt")
+    // compaction retained the winning tombstone: a late append whose
+    // last_modified PREDATES it must still lose
+    ingestMsgs(h, Seq(envelope("a", "2024-01-02 00:00:00", 7)))
+    assert(served(h.table("tt")) === Set.empty[(String, Int)],
+      "post-compaction, an older late write must not resurrect a deleted id")
+    // the audit log shows the tombstone as a flagged version above the late row
+    val hist = h.history("tt")
+      .select(col("id"), col("version"), col("_deleted"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(hist === Set(("a", 1, false), ("a", 2, true)),
+      "history keeps tombstone versions visible and flagged")
+    // vacuum at the current horizon ages the tombstone (and everything it
+    // superseded) out of the log entirely
+    h.vacuum("tt", h.currentEpoch("tt"))
+    assert(served(h.table("tt")) === Set.empty[(String, Int)],
+      "vacuum of a tombstone winner removes the id, not resurrects it")
+    assert(h.history("tt").isEmpty, "aged-out tombstone leaves no log rows")
+    // ...after which an old-stamped write CAN resurrect — the documented
+    // gc_grace contract: the horizon must trail the max accepted lateness
+    ingestMsgs(h, Seq(envelope("a", "2024-01-03 00:00:00", 8)))
+    assert(served(h.table("tt")) === Set("a" -> 8))
+  }
+
   test("currentEpoch pins strictly increase across batches and refuse empty logs") {
     val h = Engine.bootstrap(spark, tmpDir("tt-ep"), overrideWarehouse = true)
     ingestMsgs(h, Seq(envelope("a", "2024-01-01 00:00:00", 1)))
