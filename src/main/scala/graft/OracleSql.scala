@@ -897,6 +897,84 @@ object OracleSql {
       s"\nSELECT node, r FROM r$iters ORDER BY node"
   }
 
+  /** Verify-time context for the GENERATED oracles below: set by
+    * [[graft.Verify]] before `oracle_sql.json` is serialized, so a
+    * data-dependent (but deterministic) training artifact — the IVF Lloyd
+    * codebook — can be embedded as literals into the oracle the way the
+    * fixed LSH planes / minhash coefficients already are (VERDICT r16 #4).
+    * Unset (unit tests, tools) → [[generated]] is empty and the affected
+    * keys fall back to their rows-only pins. */
+  @volatile private var trainCtx: Option[(org.apache.spark.sql.SparkSession, String)] = None
+  def setTrainingContext(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String): Unit =
+    trainCtx = Some((spark, sfDir))
+
+  private val generatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  /** Oracles whose SQL embeds a trained (deterministic, seed-pinned,
+    * DECIMAL-exact — [[graft.operators.VectorOps.lloydCentroids]]) artifact
+    * from the CURRENT test data: available only under a training context. */
+  def generated: Map[String, String] = trainCtx match {
+    case None => Map.empty
+    case Some((spark, d)) =>
+      generatedCache.computeIfAbsent(d,
+        _ => Map("q_vec_ann_ivf" -> ivfOracle(spark, d)))
+  }
+
+  /** IVF funnel replay (VERDICT r16 #4): training is DECIMAL-exact and
+    * seed-pinned (lowest-id seeds, xxhash64 cent ids — not expressible in
+    * DuckDB, hence the literal embed), so the oracle replays everything
+    * DOWNSTREAM of the codebook: cosine cell assignment with the kernel's
+    * (sim DESC, cid ASC) tie-break, nProbe=6 multi-probe, inverted-list
+    * candidate join, exact re-rank rounded to the shared 6 dp. Float→double
+    * promotion is exact and `Double.toString` round-trips, so the embedded
+    * centroid literals are the kernel's exact values. */
+  private def ivfOracle(spark: org.apache.spark.sql.SparkSession,
+                        d: String): String = {
+    val cents = graft.operators.VectorOps.lloydCentroids(
+      graft.Tables.embeddings(spark, d), "vec_id", "embedding",
+      k = 16, iters = 1)
+    val values = cents.map { case (cid, cv) =>
+      s"($cid, [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |    $values) AS t(cid, cv)),
+       |cn AS (SELECT cid, cv,
+       |    SQRT(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cents),
+       |e AS (SELECT vec_id, embedding,
+       |    SQRT(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vnrm
+       |  FROM embeddings),
+       |sims AS (SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2])) / (e.vnrm * c.cnrm) AS sim
+       |  FROM e, cn c),
+       |asg AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+       |    FROM sims) WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+       |    FROM sims WHERE vec_id < 5) WHERE r <= 6),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe, vnrm AS qnrm
+       |       FROM e WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    ROUND(list_sum(list_transform(list_zip(q.qe, n.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / (q.qnrm * n.vnrm), 6) AS cosine
+       |  FROM cand c JOIN qv q ON q.query_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     // --- CRUD / engine semantics -----------------------------------
     "q_point_lookup" ->
@@ -2710,6 +2788,51 @@ object OracleSql {
         |       * SQRT(CAST(list_sum(list_transform(list_zip(nv, nv),
         |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)), 6) AS cosine
         |  FROM cand WHERE prank <= 80),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM s2)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // int8 funnel replay (VERDICT r16 #4): the whole path is deterministic
+    // — trunc codes are exact (q_vec_quantize_int8's proven rule), the
+    // integer dot is exact, and the approx key's sqrt/divide are
+    // correctly-rounded IEEE ops on exactly-representable integers, so
+    // ranking matches bit-for-bit; stage 2 re-ranks the top k*5 on the
+    // shared 1e13 fixed-point cosine grid (the q_vec_ann_prefix pattern)
+    "q_vec_ann_int8" ->
+      """WITH enc AS (SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings),
+        |codes AS (SELECT vec_id, embedding,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(trunc(CAST(x AS DOUBLE) / scale) AS INT)) END AS c
+        |  FROM enc),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, c AS qc
+        |      FROM codes WHERE vec_id < 5),
+        |s1 AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.embedding AS nv,
+        |    CAST(list_sum(list_transform(list_zip(q.qc, c.c),
+        |      p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+        |    / SQRT(greatest(CAST(list_sum(list_transform(c.c,
+        |        x -> CAST(x AS BIGINT) * x)) AS DOUBLE), 1.0)) AS approx
+        |  FROM q, codes c WHERE c.vec_id <> q.query_id),
+        |cand AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY approx DESC, neighbor_id) AS arank FROM s1),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND((CAST(list_sum(list_transform(list_zip(qv, nv),
+        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |      / (SQRT(CAST(list_sum(list_transform(list_zip(qv, qv),
+        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
+        |       * SQRT(CAST(list_sum(list_transform(list_zip(nv, nv),
+        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)), 6) AS cosine
+        |  FROM cand WHERE arank <= 50),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

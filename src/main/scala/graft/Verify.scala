@@ -21,6 +21,9 @@ object Verify {
         "graft.streaming.LocalCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // enable the GENERATED oracles (trained-artifact literals, e.g. the
+    // IVF codebook) for this data dir before oracle_sql.json is serialized
+    OracleSql.setTrainingContext(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Stale-gate guard (ADVICE r15 #3): a FILTERED run re-dumps per-key
     // parquet but skips the hash export below, so a reused outDir could
