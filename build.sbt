@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}", // 32 local tasks in 8g was 250MB/task - GC churn cost ~11% on the heavy families (r15 A/B)
-)
+) ++
+  // A/B probe for the streaming-artifact investigation (VERDICT r16 #1):
+  // point java.io.tmpdir (and so every scratch/checkpoint dir) at e.g.
+  // /dev/shm to separate block-device sync-write latency from CPU cost.
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

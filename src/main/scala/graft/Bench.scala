@@ -182,6 +182,37 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => -1L }
 
+  /** Sync-write latency probe (VERDICT r16 #1): the CPU probes have an IO
+    * LATENCY blind spot — a host whose block device (or filesystem
+    * journal) serves fsync slowly inflates exactly the checkpoint/
+    * metadata-bound streaming keys while every CPU probe stays steady, and
+    * the r16 A/B proved the stream family is NOT slow for this reason on
+    * the builder's host (tmpfs scratch moved family IO 253 MB→60 KB and
+    * the wall time did not improve). This measures the mechanism directly
+    * in whatever environment the sweep actually runs in: median wall ms of
+    * `rounds` create→write(4 KB)→fsync→delete cycles in java.io.tmpdir —
+    * the exact operation a streaming micro-batch's checkpoint commit
+    * performs. Quiet local reference ≈0.1–0.3 ms; a reading 5–10× that in
+    * the artifact of record names slow-sync-IO from the JSON alone. */
+  def fsyncProbeMs(rounds: Int = 20): Double = {
+    val tmp = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val payload = new Array[Byte](4096)
+    val times = (1 to rounds).map { i =>
+      val p = tmp.resolve(s"graft-fsync-probe-$i")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { ch.write(java.nio.ByteBuffer.wrap(payload)); ch.force(true) }
+      finally ch.close()
+      val t = (System.nanoTime() - t0) / 1e6
+      java.nio.file.Files.deleteIfExists(p)
+      t
+    }.sorted
+    times(times.size / 2)
+  }
+
   /** Dirty-at-start above this ⇒ the sweep launched inside another
     * phase's writeback shadow — stamp `run_shape:"post_suite"`. Measured
     * floor: the sbt launch ITSELF dirties ~410 MB (target/ writes, logs)
@@ -313,6 +344,8 @@ object Bench {
     val calibBefore = calibrateMin()
     calibrateParallel() // JIT warmup for the parallel loop body
     val calibParBefore = calibrateParallelMin()
+    fsyncProbeMs(5) // warm the probe path (class load, first-touch)
+    val fsyncBefore = fsyncProbeMs()
     // 3 runs per query; report the MEDIAN as the headline (robust to one
     // GC/codegen spike) AND keep the MIN per query (robust to sustained
     // host contention, which inflates median and min differently — a
@@ -372,11 +405,28 @@ object Bench {
         if (iwt0 >= 0 && iwt1 >= 0) iwt1 - iwt0 else -1L)
       (name, times(times.size / 2), times.head)
     }
+    // Key-order A/B knob (VERDICT r16 #1): `stream_first` runs the
+    // q_stream_* family before everything else, so a full sweep can test
+    // whether ~180 earlier keys' accumulated JVM/page-cache state inflates
+    // the streaming readings. Sorted order stays the default — it is what
+    // keeps rounds comparable query-by-query. The choice is stamped.
+    val keyOrder = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "sorted") match {
+      case o @ ("sorted" | "stream_first") => o
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_ORDER='$other' — use sorted or stream_first")
+    }
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val orderedQueries =
+      if (keyOrder == "stream_first") {
+        val (st, rest) = sortedQueries.partition(_._1.startsWith("q_stream"))
+        st ++ rest
+      } else sortedQueries
     val primary: Seq[(String, Double, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      orderedQueries
         .filter(r => matches(r._1)).map { case (name, fn) => measure(name, fn) }
     val calibAfter = calibrateMin()
     val calibParAfter = calibrateParallelMin()
+    val fsyncAfter = fsyncProbeMs()
     // In-JVM contention salvage (VERDICT r11 #1): a key whose median is
     // >1.8× its own min was hit by TRANSIENT contention during the sweep —
     // re-measure exactly those keys now (the co-tenant may have drained)
@@ -556,6 +606,7 @@ object Bench {
       s""""ts":"${java.time.Instant.now()}",""" +
       s""""calib_before_sec":${ms3(calibBefore)},"calib_after_sec":${ms3(calibAfter)},""" +
       s""""calib_par_before_sec":${ms3(calibParBefore)},"calib_par_after_sec":${ms3(calibParAfter)},""" +
+      s""""fsync_ms_before":${ms3(fsyncBefore)},"fsync_ms_after":${ms3(fsyncAfter)},""" +
       s""""cotenant_jvms_at_start":${cotenants.size},""" +
       s""""run_shape":${jstr(runShape)},"dirty_kb_at_start":$dirtyAtStart,""" +
       s""""dirty_kb_after_sync":$dirtyNow,"sync_sec":${ms3(syncMs / 1000.0)},""" +
@@ -569,6 +620,8 @@ object Bench {
       s""""segment_flagged":${segFlagged.map(jstr).mkString("[", ",", "]")},""" +
       s""""segment_replaced":${segReplaced.map(jstr).mkString("[", ",", "]")},""" +
       s""""bench_ref_path":${jstr(refPath)},""" +
+      s""""key_order":${jstr(keyOrder)},""" +
+      s""""tmpdir":${jstr(sys.props.getOrElse("java.io.tmpdir", "/tmp"))},""" +
       s""""io_read_kb_family":${famIoJson(_._1)},""" +
       s""""io_write_kb_family":${famIoJson(_._2)},""" +
       s""""iowait_ticks_family":${famIoJson(_._3)},""" +

@@ -2723,6 +2723,11 @@ object OracleSql {
       tables = 4, probes = 4),
     "q_dedup_minhash_fixed" -> minhashFixedSql(k = 3, bands = 8,
       rowsPerBand = 4, threshold = 0.5, maxDocId = 600L, maxBucket = 1000),
+    // streaming index-maintenance twin: signatures fold per micro-batch,
+    // the candidate stage sees only the final index — batching-invariant,
+    // so the same generated replay hashes the streaming run
+    "q_stream_dedup_minhash" -> minhashFixedSql(k = 3, bands = 8,
+      rowsPerBand = 4, threshold = 0.5, maxDocId = 600L, maxBucket = 1000),
     "q_dedup_simhash_fixed" -> simhashFixedSql(maxDist = 3, maxDocId = 600L,
       maxBucket = 1000),
     "q_dedup_embedding" -> dedupEmbeddingLshSql(threshold = 0.3,

@@ -2490,6 +2490,25 @@ object Queries {
         k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
       .orderBy("id_a", "id_b")
 
+  /** STREAMING MinHash-index maintenance under the oracle gate
+    * ([[streaming.Declared.minhashIndexMaintain]]): the q_stream_heavy_hitters
+    * sketch-maintenance shape for the near-dup family — per-batch fixed
+    * signatures fold into a standing banded index, end-of-stream runs the
+    * identical capped candidate join + exact-Jaccard verify. Output equals
+    * batch [[qDedupMinhashFixed]] (signatures are per-document, the
+    * candidate stage sees only the final index), so the same generated
+    * DuckDB oracle hashes the streaming run. Same bounded slice + ASCII
+    * gate as q_dedup_minhash_fixed. */
+  val qStreamDedupMinhash: Q = (s, d) =>
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("minhashIndexMaintain", d))(
+        streaming.Declared.minhashIndexMaintain(s,
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 600 && col("text").rlike("\\A[ -~]*\\z")),
+        "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000,
+        scratchDir("stream-mh")))
+      .orderBy("id_a", "id_b")
+
   /** The PRODUCTION MinHash+LSH throughput path re-declared (VERDICT r12
     * #5): the fused xxhash64 [[plans.MinHash]] signature kernel, 8×4
     * banding, hot-bucket cap, exact-Jaccard verify — the kernel a real

@@ -243,10 +243,23 @@ object DedupOps {
   def minhashLshNearDupsFixed(docs: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                               threshold: Double = 0.5,
-                              maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sigd = minhashFixedSignatures(docs, idCol, textCol, k,
-        bands * rowsPerBand)
-      .localCheckpoint() // two-sided self-join; same reuse as the prod path
+                              maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashFixedPairsFromSigs(
+      minhashFixedSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
+        .localCheckpoint(), // two-sided self-join; same reuse as the prod path
+      bands, rowsPerBand, threshold, maxBucket)
+
+  /** Banding + hot-bucket cap + candidate join + exact-Jaccard verify of
+    * the FIXED family, from an already-materialized `(id, sh, sig)`
+    * signature frame — split out so the STREAMING index maintenance
+    * ([[graft.streaming.Declared.minhashIndexMaintain]]) can fold
+    * signatures incrementally per micro-batch and run the identical
+    * candidate stage over the standing index at rest. Callers pass a
+    * materialized frame (localCheckpoint or a parquet state read): the
+    * self-join reads both sides. */
+  def minhashFixedPairsFromSigs(sigd: DataFrame, bands: Int, rowsPerBand: Int,
+                                threshold: Double,
+                                maxBucket: Int): DataFrame = {
     val banded = sigd.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(transform(

@@ -1019,6 +1019,61 @@ object Declared {
       state, "word", k)
   }
 
+  /** Streaming MINHASH-INDEX maintenance — the LSH signature index kept
+    * incrementally (the q_stream_heavy_hitters sketch-maintenance shape
+    * for the near-dup family): documents arrive in 2 micro-batches; each
+    * batch pays the EXPENSIVE per-document work once — shingling + k-min
+    * fixed-family signatures ([[graft.operators.DedupOps
+    * .minhashFixedSignatures]]) — and the skinny `(id, sh, sig)` rows fold
+    * into the standing index by union (alternating state dirs + batchId
+    * generation, as heavyHittersMaintain; signatures are deterministic per
+    * document, so a replayed batch rewrites the same state). End-of-stream
+    * runs the identical banding + hot-bucket cap + candidate join +
+    * exact-Jaccard verify over the index at rest
+    * ([[graft.operators.DedupOps.minhashFixedPairsFromSigs]]). Signatures
+    * depend only on the document, and the candidate stage only on the
+    * final index, so the output is micro-batch-boundary INVARIANT — equal
+    * to batch [[graft.operators.DedupOps.minhashLshNearDupsFixed]] — and
+    * q_dedup_minhash_fixed's generated oracle hashes the streaming run.
+    * At 100 TB the index is the durable asset: per-batch cost stays linear
+    * in ARRIVING documents (the corpus-size re-shingle is never re-paid)
+    * and the banded join is the same capped-bucket plan as batch. */
+  def minhashIndexMaintain(s: SparkSession, docs: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int, bands: Int, rowsPerBand: Int,
+                           threshold: Double, maxBucket: Int,
+                           dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    // stateless fold: 4 shuffle partitions (the changesMaintain knob,
+    // A/B'd per key r11; per-batch signature rows are bounded by the slice)
+    val s4 = sized(s, 4)
+    val src = writeSrc(docs.select(col(idCol), col(textCol)), dir, nFiles = 2)
+    val stream = srcReader(s4, src, filesPerTrigger = 1)
+    val fs = new FoldState(dir)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .queryName(uniqueName("graft-stream-minhash"))
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = DedupOps.minhashFixedSignatures(batch, idCol, textCol, k,
+          bands * rowsPerBand)
+        val next =
+          if (batchId == 0L) bs
+          else fs.read(s4, batchId - 1).unionByName(bs)
+        fs.write(next, batchId)
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    if (lastBatch.get() < 0L) // empty source: no index was ever written
+      return s.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"),
+          lit(0.0).as("jac")).limit(0)
+    DedupOps.minhashFixedPairsFromSigs(fs.read(s, lastBatch.get()),
+      bands, rowsPerBand, threshold, maxBucket)
+  }
+
   /** Streaming DRIFT maintenance — the distribution-shift monitor run as a
     * stream: each micro-batch's per-(group, value-bin) two-sample counts
     * ([[graft.operators.StatsOps.ksCounts]] — the simplest mergeable

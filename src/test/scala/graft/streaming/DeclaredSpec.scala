@@ -222,6 +222,25 @@ class DeclaredSpec extends SparkSpec {
       rows(hb.table("signup").selectExpr(cols: _*).orderBy("id")))
   }
 
+  test("streaming minhash-index maintenance equals the one-shot batch near-dups") {
+    // per-batch signature folds + end-of-stream candidate stage must land
+    // on exactly the batch fixed-family pair set (signatures are
+    // per-document; the join sees only the final index)
+    val streamed = Queries.qStreamDedupMinhash(spark, sf())
+    val batch = Queries.qDedupMinhashFixed(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("minhash-index maintenance over an empty source: no pairs, right shape") {
+    import spark.implicits._
+    val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val got = graft.streaming.Declared.minhashIndexMaintain(spark, docs,
+      "doc_id", "text", k = 3, bands = 8, rowsPerBand = 4,
+      threshold = 0.5, maxBucket = 1000, tmpDir("declared-mh-empty"))
+    assert(got.columns.toSeq == Seq("id_a", "id_b", "jac"))
+    assert(got.isEmpty)
+  }
+
   test("streaming incremental clusters equal the one-shot batch clustering") {
     // incremental fold over 2 edge micro-batches must land on exactly the
     // batch CC labeling (stars ∪ new edges ≡ full history)
