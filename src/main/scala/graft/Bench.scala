@@ -338,6 +338,22 @@ object Bench {
       "part", "supplier", "nation", "region").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").schema catch { case _: Throwable => }
     }
+    // Streaming-machinery warmup OUTSIDE the timed loop (VERDICT r16 #1,
+    // mechanism named by the r17 key-order A/B: a full sweep with the
+    // stream family FIRST read it at 25.00 s vs 21.35 s sorted on the same
+    // quiet host — almost exactly the driver artifact's 25.34 — while
+    // total_min stayed equal, i.e. a ~3.7 s one-time class-load + C2
+    // compilation tax for the micro-batch engine lands on whichever keys
+    // exercise it first and decays over ~20 keys. Batch keys get their
+    // equivalent from the range/footer warmup above; the stream family got
+    // nothing. One untimed run of the cheapest declared streaming key
+    // loads MicroBatchExecution, the checkpoint manager, state machinery,
+    // the rigs' sized child sessions, and enqueues the C2 work before
+    // anything is measured.)
+    SparkEntry.queries.get("q_stream_trend").foreach { fn =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      Queries.cleanScratch()
+    }
     // calibration probe brackets the sweep (one discard run up front so
     // the measured probes aren't paying JIT warmup of the probe loop)
     calibrate()

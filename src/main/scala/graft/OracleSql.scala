@@ -918,8 +918,226 @@ object OracleSql {
   def generated: Map[String, String] = trainCtx match {
     case None => Map.empty
     case Some((spark, d)) =>
-      generatedCache.computeIfAbsent(d,
-        _ => Map("q_vec_ann_ivf" -> ivfOracle(spark, d)))
+      generatedCache.computeIfAbsent(d, { _ =>
+        val ivf = ivfOracle(spark, d)
+        Map("q_vec_ann_ivf" -> ivf,
+            // streaming index-maintenance twin: per-batch assignment folds
+            // into the standing inverted list, probe stage sees only the
+            // final index — batching-invariant, same replay
+            "q_stream_vec_ivf" -> ivf,
+            "q_vec_ann_pq" -> pqOracle(spark, d),
+            "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d))
+      })
+  }
+
+  /** Sequential double left-fold of the elementwise products of two
+    * DuckDB lists — bit-identical to the native kernel's
+    * `acc += a(i)·b(i)` loop ([[graft.plans.CodebookExpressions.dotAt]],
+    * `FloatVectorExpressions` dot): list_reduce folds left, 0.0+x == x
+    * exactly for the implicit first-element init, and float→double casts
+    * are exact. Plain `list_sum` is NOT used for the replayed dots — its
+    * summation order is an engine detail; the fold pins it. */
+  private def seqDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** IVF-PQ funnel replay — [[pqOracle]] composed with [[ivfOracle]]'s
+    * coarse stage, closing the last "residual-LUT float terms" question
+    * (VERDICT r16 #4): every float term IS replayable because each is
+    * either (a) a sequential-double fold ([[seqDot]] — the kernels' loop
+    * order), (b) an exact float subtraction (the residual: double-subtract
+    * then round-to-float equals IEEE float subtraction, both correctly
+    * rounded), or (c) a literal embed of a DECIMAL-exact seed-pinned
+    * training artifact (coarse centroids + residual books — xxhash64
+    * ids/codes are the only non-SQL-expressible step). The oracle replays
+    * coarse assignment (argmax sim, first-wins → ORDER BY sim DESC, cid),
+    * float residuals, residual PQ encode (argmin csq−2·dot, code-ascending
+    * first-wins), the per-(query, probed-cell) ADC terms qc/csq_c/qdot/
+    * cdot, the reconstructed-vector cosine with its 1e-12 floor, and the
+    * exact re-rank. The m-term SUMs carry the same hash-agg order freedom
+    * as [[pqOracle]] — margin-checked by the gate itself. */
+  private def ivfPqOracle(spark: org.apache.spark.sql.SparkSession,
+                          d: String): String = {
+    import org.apache.spark.sql.functions.col
+    val nCentroids = 16; val nProbe = 4; val m = 8; val ksub = 16
+    val dims = 64; val k = 10; val refine = 8
+    val dsub = dims / m
+    val emb = graft.Tables.embeddings(spark, d)
+    val coarse = graft.operators.VectorOps.lloydCentroids(
+      emb, "vec_id", "embedding", nCentroids, iters = 1)
+    val assigned = emb.select(col("vec_id").as("id"),
+        graft.plans.CodebookExpressions
+          .assignResidual(col("embedding"), coarse).as("a"))
+      .select(col("id"), col("a.cell").as("cell"), col("a.rv").as("rv"))
+    val books = graft.operators.VectorOps.pqBooks(
+      assigned, "id", "rv", m = m, ksub = ksub, dims = dims, iters = 1)
+    def csqOf(c: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    }
+    val centVals = coarse.map { case (cid, cv) =>
+      s"($cid, [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val bookVals = books.map { case (sub, code, cv) =>
+      s"($sub, CAST($code AS BIGINT), [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[], ${csqOf(cv).toString})"
+    }.mkString(",\n    ")
+    // float residual: double-subtract then round-to-float == IEEE float
+    // subtraction (exact intermediate, correct final rounding)
+    def floatResidual(v: String, c: String): String =
+      s"""list_transform(list_zip($v, $c),
+         |      p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS FLOAT))""".stripMargin
+    val rvSlice = s"a.rv[b.sub * $dsub + 1 : b.sub * $dsub + $dsub]"
+    val qrSlice = s"qc.qr[b.sub * $dsub + 1 : b.sub * $dsub + $dsub]"
+    val ccvSlice = s"qc.ccv[b.sub * $dsub + 1 : b.sub * $dsub + $dsub]"
+    s"""WITH cents AS (SELECT * FROM (VALUES
+       |    $centVals) AS t(cid, ccv)),
+       |books AS (SELECT * FROM (VALUES
+       |    $bookVals) AS t(sub, code, bcv, csq)),
+       |e AS (SELECT vec_id, embedding,
+       |    SQRT(${seqDot("embedding", "embedding")}) AS vnrm
+       |  FROM embeddings),
+       |sims AS (SELECT e.vec_id, c.cid, c.ccv,
+       |    ${seqDot("e.embedding", "c.ccv")}
+       |      / (e.vnrm * SQRT(${seqDot("c.ccv", "c.ccv")})) AS sim
+       |  FROM e, cents c),
+       |asg AS (SELECT s.vec_id, s.cid AS cell,
+       |    ${floatResidual("e.embedding", "s.ccv")} AS rv
+       |  FROM (SELECT vec_id, cid, ccv,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, cid) AS r FROM sims) s
+       |  JOIN e ON e.vec_id = s.vec_id WHERE s.r = 1),
+       |enc0 AS (SELECT a.vec_id, a.cell, b.sub, b.code, b.csq,
+       |    b.csq - 2.0 * ${seqDot(rvSlice, "b.bcv")} AS d2
+       |  FROM asg a, books b),
+       |codes AS (SELECT vec_id, cell, sub, code, csq FROM (
+       |    SELECT vec_id, cell, sub, code, csq,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY d2 ASC, code ASC) AS r
+       |    FROM enc0) WHERE r = 1),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe, vnrm AS qnrm
+       |       FROM e WHERE vec_id < 5),
+       |probes AS (SELECT query_id, cid AS cell, ccv, qnrm FROM (
+       |    SELECT q.query_id, c.cid, c.ccv, q.qnrm,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${seqDot("q.qe", "c.ccv")}
+       |          / (q.qnrm * SQRT(${seqDot("c.ccv", "c.ccv")})) DESC,
+       |        c.cid) AS r
+       |    FROM qv q, cents c) WHERE r <= $nProbe),
+       |qcells AS (SELECT p.query_id, p.cell, p.ccv, p.qnrm,
+       |    ${seqDot("p.ccv", "p.ccv")} AS csq_c,
+       |    ${seqDot("q.qe", "p.ccv")} AS qc,
+       |    ${floatResidual("q.qe", "p.ccv")} AS qr
+       |  FROM probes p JOIN qv q ON q.query_id = p.query_id),
+       |lut AS (SELECT qc.query_id, qc.cell, b.sub, b.code, qc.qnrm,
+       |    qc.qc, qc.csq_c, b.csq,
+       |    ${seqDot(qrSlice, "b.bcv")} AS qdot,
+       |    ${seqDot(ccvSlice, "b.bcv")} AS cdot
+       |  FROM qcells qc, books b),
+       |approx AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    ANY_VALUE(l.qnrm) AS qnrm,
+       |    (ANY_VALUE(l.qc) + SUM(l.qdot))
+       |      / (ANY_VALUE(l.qnrm) * SQRT(GREATEST(
+       |          ANY_VALUE(l.csq_c) + 2.0 * SUM(l.cdot) + SUM(l.csq),
+       |          1e-12))) AS approx
+       |  FROM codes c
+       |  JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, neighbor_id ASC) AS r
+       |    FROM approx) WHERE r <= ${k * refine}),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    ROUND(${seqDot("q.qe", "n.embedding")} / (q.qnrm * n.vnrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN qv q ON q.query_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** PQ funnel replay (VERDICT r16 #4, the IVF precedent extended to the
+    * compressed-domain half): training is DECIMAL-exact and seed-pinned
+    * ([[graft.operators.VectorOps.pqBooks]] — lowest-id seeds, xxhash64
+    * codes, hence the literal embed), so the oracle replays everything
+    * DOWNSTREAM of the books:
+    *
+    *  1. ENCODE: per (vector, subspace) the kernel's assignment rule
+    *     `argmin csq − 2·dot(v_sub, c)` with its strict-< first-wins tie
+    *     (book iteration order = code ascending → ORDER BY d2, code); csq
+    *     is PRECOMPUTED in Scala by the kernel's own sequential loop and
+    *     embedded (Double.toString round-trips), the dot replayed by the
+    *     sequential fold above;
+    *  2. ADC: per-query LUT dots replayed the same way; adot/vsq are the
+    *     m-term sums Spark folds in hash-agg order — double addition over
+    *     m=8 terms whose one ulp of order-freedom sits far inside the
+    *     candidate cut's margin on this data (the content-hash pin was
+    *     already stable across rounds for the same reason);
+    *  3. exact re-rank on the true vectors rounded to the shared 6 dp,
+    *     rank ≤ k by (cosine DESC, id) — the ivfOracle tail. */
+  private def pqOracle(spark: org.apache.spark.sql.SparkSession,
+                       d: String): String = {
+    val m = 8; val ksub = 16; val dims = 64; val k = 10; val refine = 8
+    val dsub = dims / m
+    val books = graft.operators.VectorOps.pqBooks(
+      graft.Tables.embeddings(spark, d), "vec_id", "embedding",
+      m = m, ksub = ksub, dims = dims, iters = 1)
+    // csq via the kernel's own sequential loop (PqEncodeCodes.csqs)
+    def csqOf(c: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    }
+    val values = books.map { case (sub, code, cv) =>
+      s"($sub, CAST($code AS BIGINT), [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[], ${csqOf(cv).toString})"
+    }.mkString(",\n    ")
+    val subSlice = s"e.embedding[b.sub * $dsub + 1 : b.sub * $dsub + $dsub]"
+    val qSlice = s"q.qe[b.sub * $dsub + 1 : b.sub * $dsub + $dsub]"
+    s"""WITH books AS (SELECT * FROM (VALUES
+       |    $values) AS t(sub, code, cv, csq)),
+       |e AS (SELECT vec_id, embedding,
+       |    SQRT(${seqDot("embedding", "embedding")}) AS vnrm
+       |  FROM embeddings),
+       |enc0 AS (SELECT e.vec_id, b.sub, b.code, b.csq,
+       |    b.csq - 2.0 * ${seqDot(subSlice, "b.cv")} AS d2
+       |  FROM e, books b),
+       |codes AS (SELECT vec_id, sub, code, csq FROM (
+       |    SELECT vec_id, sub, code, csq,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY d2 ASC, code ASC) AS r
+       |    FROM enc0) WHERE r = 1),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe, vnrm AS qnrm
+       |       FROM e WHERE vec_id < 5),
+       |lut AS (SELECT q.query_id, q.qnrm, b.sub, b.code,
+       |    ${seqDot(qSlice, "b.cv")} AS pdot
+       |  FROM qv q, books b),
+       |approx AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    ANY_VALUE(l.qnrm) AS qnrm,
+       |    SUM(l.pdot) / (ANY_VALUE(l.qnrm) * SQRT(SUM(c.csq))) AS approx
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, neighbor_id ASC) AS r
+       |    FROM approx) WHERE r <= ${k * refine}),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    ROUND(${seqDot("q.qe", "n.embedding")} / (q.qnrm * n.vnrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN qv q ON q.query_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** IVF funnel replay (VERDICT r16 #4): training is DECIMAL-exact and

@@ -3037,11 +3037,29 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-partitioned approximate ANN — rows-only (approximate). */
+  /** IVF-partitioned approximate ANN — hash-gated since r17 via the
+    * GENERATED codebook-literal oracle (OracleSql.ivfOracle). */
   val qVecAnnIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKIvf(emb, emb.filter(col("vec_id") < 5), "vec_id",
         "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** STREAMING IVF-index maintenance under the oracle gate
+    * ([[streaming.Declared.ivfIndexMaintain]]): the continuously-ingested
+    * ANN index — offline-trained coarse codebook, per-batch cell
+    * assignment folding into a standing inverted list, end-of-stream
+    * probe + exact-rank from the index at rest. Output equals batch
+    * [[qVecAnnIvf]] (assignment is per-vector, the probe stage sees only
+    * the final index), so the same GENERATED codebook-literal oracle
+    * hashes the streaming run. */
+  val qStreamVecIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("ivfIndexMaintain", d))(
+        streaming.Declared.ivfIndexMaintain(s, emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 6, scratchDir("stream-ivf")))
       .orderBy("query_id", "rank")
   }
 

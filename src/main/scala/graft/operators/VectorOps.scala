@@ -362,21 +362,44 @@ object VectorOps {
   def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nCentroids: Int = 16,
                     nProbe: Int = 6, kmeansIters: Int = 1): DataFrame = {
-    import graft.plans.FloatVectorExpressions.{dot, norm}
     val cents = lloydCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
+    ivfTopKFromIndex(ivfEncode(corpus, idCol, vecCol, cents),
+      queries, idCol, vecCol, cents, k, nProbe)
+  }
 
+  /** The IVF INDEX rows — `(neighbor_id, cell, nnorm, nv)`: every corpus
+    * vector assigned to its nearest coarse cell (pure projection through
+    * the native codebook kernel, no shuffle) plus the norm the exact
+    * re-rank needs. Split out of [[cosineTopKIvf]] so the STREAMING index
+    * maintenance ([[graft.streaming.Declared.ivfIndexMaintain]]) can fold
+    * arriving vectors into a standing inverted list per micro-batch — the
+    * FAISS/Milvus continuous-ingestion shape — and serve queries from the
+    * index at rest. */
+  def ivfEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                cents: Seq[Centroid]): DataFrame = {
+    import graft.plans.FloatVectorExpressions.norm
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+      .withColumn("cell",
+        graft.plans.CodebookExpressions.nearestCell(col("nv"), cents))
+  }
+
+  /** Probe + exact-rank stage of [[cosineTopKIvf]] over an
+    * already-materialized index frame (from [[ivfEncode]] or a standing
+    * streaming fold): queries probe their `nProbe` nearest cells, one
+    * equi-join on cell pulls the inverted lists, exact cosine re-ranks.
+    * Cost ∝ nProbe/nCentroids of the index — the inverted-file contract. */
+  def ivfTopKFromIndex(index: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, cents: Seq[Centroid], k: Int,
+                       nProbe: Int): DataFrame = {
+    import graft.plans.FloatVectorExpressions.{dot, norm}
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("qnorm", norm(col("qv")))
         .withColumn("cell", explode(transform(
           probeCells(col("qv"), col("qnorm"), cents, nProbe),
           c => c.getField("cid")))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("nnorm", norm(col("nv")))
-      .withColumn("cell",
-        graft.plans.CodebookExpressions.nearestCell(col("nv"), cents))
-
-    val scored = c.join(q, Seq("cell"))
+    val scored = index.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(
         dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))

@@ -1074,6 +1074,60 @@ object Declared {
       bands, rowsPerBand, threshold, maxBucket)
   }
 
+  /** Streaming IVF-INDEX maintenance — the ANN index kept incrementally,
+    * the FAISS/Milvus continuous-ingestion shape: the coarse codebook is
+    * the OFFLINE-TRAINED artifact (deterministic seed-pinned DECIMAL-exact
+    * Lloyd — [[graft.operators.VectorOps.lloydCentroids]]; production
+    * retrains it periodically, not per batch), and what streams is the
+    * INDEX: each micro-batch of arriving vectors pays cell assignment once
+    * (pure projection through the native codebook kernel,
+    * [[graft.operators.VectorOps.ivfEncode]]) and the skinny
+    * `(neighbor_id, cell, nnorm, nv)` rows fold into the standing inverted
+    * lists (alternating state dirs + batchId generation; assignment is
+    * per-vector, so a replayed batch rewrites the same state).
+    * End-of-stream serves queries from the index at rest with the
+    * identical probe + exact-rank stage
+    * ([[graft.operators.VectorOps.ivfTopKFromIndex]]). Assignment depends
+    * only on (vector, codebook) and the probe stage only on the final
+    * index, so the output is micro-batch-boundary INVARIANT — equal to
+    * batch [[graft.operators.VectorOps.cosineTopKIvf]] — and
+    * q_vec_ann_ivf's GENERATED oracle (codebook literals) hashes the
+    * streaming run. At 100 TB the per-batch cost stays linear in ARRIVING
+    * vectors and a query's cost ∝ nProbe/nCentroids of the standing index. */
+  def ivfIndexMaintain(s: SparkSession, emb: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       k: Int, nCentroids: Int, nProbe: Int,
+                       dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val cents = VectorOps.lloydCentroids(emb, idCol, vecCol, nCentroids,
+      iters = 1)
+    // stateless fold: 4 shuffle partitions (the changesMaintain knob;
+    // per-batch index rows are bounded by the arriving slice)
+    val s4 = sized(s, 4)
+    val src = writeSrc(emb.select(col(idCol), col(vecCol)), dir, nFiles = 2)
+    val stream = srcReader(s4, src, filesPerTrigger = 1)
+    val fs = new FoldState(dir)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .queryName(uniqueName("graft-stream-ivf"))
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = VectorOps.ivfEncode(batch, idCol, vecCol, cents)
+        val next =
+          if (batchId == 0L) bs
+          else fs.read(s4, batchId - 1).unionByName(bs)
+        fs.write(next, batchId)
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    require(lastBatch.get() >= 0L,
+      s"ivfIndexMaintain: stream at $dir committed no micro-batches")
+    VectorOps.ivfTopKFromIndex(fs.read(s, lastBatch.get()),
+      queries, idCol, vecCol, cents, k, nProbe)
+  }
+
   /** Streaming DRIFT maintenance — the distribution-shift monitor run as a
     * stream: each micro-batch's per-(group, value-bin) two-sample counts
     * ([[graft.operators.StatsOps.ksCounts]] — the simplest mergeable

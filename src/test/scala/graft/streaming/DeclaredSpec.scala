@@ -241,6 +241,15 @@ class DeclaredSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("streaming IVF-index maintenance equals the one-shot batch ANN") {
+    // per-batch cell-assignment folds + end-of-stream probe/rank must land
+    // on exactly the batch IVF top-k (assignment is per-vector given the
+    // offline-trained codebook; the probe stage sees only the final index)
+    val streamed = Queries.qStreamVecIvf(spark, sf())
+    val batch = Queries.qVecAnnIvf(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming incremental clusters equal the one-shot batch clustering") {
     // incremental fold over 2 edge micro-batches must land on exactly the
     // batch CC labeling (stars ∪ new edges ≡ full history)
