@@ -2455,6 +2455,17 @@ object OracleSql {
         |  array_to_string((list(doc ORDER BY doc))[1:100], ',') AS postings
         |FROM t WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
 
+    // streaming index-maintenance twin: per-batch df-add + first-cap
+    // posting re-truncation is associative (min-k summary), so the same
+    // replay hashes the streaming run
+    "q_stream_text_index" ->
+      """WITH t AS (SELECT DISTINCT doc_id AS doc,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS df_docs,
+        |  array_to_string((list(doc ORDER BY doc))[1:100], ',') AS postings
+        |FROM t WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+
     "q_chunk_tokens" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok FROM t)

@@ -2423,6 +2423,19 @@ object Queries {
       .withColumn("postings", array_join(col("postings"), ","))
       .orderBy("term")
 
+  /** STREAMING inverted-index maintenance under the oracle gate
+    * ([[streaming.Declared.invertedIndexMaintain]]): per-batch index
+    * builds fold into the standing index by df-add + first-cap posting
+    * re-truncation (a min-k summary — associative), so the final index
+    * equals batch [[qInvertedIndex]] for every batching and the same
+    * oracle hashes the streaming run. */
+  val qStreamTextIndex: Q = (s, d) =>
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("invertedIndexMaintain", d))(
+        streaming.Declared.invertedIndexMaintain(s, Tables.documents(s, d),
+        "doc_id", "text", cap = 100, scratchDir("stream-tidx")))
+      .withColumn("postings", array_join(col("postings"), ","))
+      .orderBy("term")
+
   /** Overlapping 64-token chunks at stride 48 — context-window splitting
     * for LLM training. Chunk body travels as md5. */
   val qChunkTokens: Q = (s, d) =>

@@ -1128,6 +1128,52 @@ object Declared {
       queries, idCol, vecCol, cents, k, nProbe)
   }
 
+  /** Streaming INVERTED-INDEX maintenance — the text-search index kept
+    * incrementally (the third standing index after the MinHash and IVF
+    * folds): each micro-batch of arriving documents pays tokenize +
+    * per-batch index build once ([[graft.operators.TextOps.invertedIndex]]
+    * — df counts + first-`cap` sorted postings), and the per-term rows
+    * fold into the standing index by the index's own MERGE: df adds
+    * (documents partition across batches, so no cross-batch dedup), and
+    * postings re-truncate to the first `cap` of the merged sorted lists —
+    * a min-k summary, whose union-then-truncate is associative, so the
+    * final index EQUALS the one-shot batch index for every batching and
+    * q_inverted_index's oracle hashes the streaming run. At 100 TB the
+    * per-batch cost stays linear in arriving documents and the state is
+    * O(vocabulary × cap) at rest — the continuously-updated search-index
+    * shape. */
+  def invertedIndexMaintain(s: SparkSession, docs: DataFrame,
+                            idCol: String, textCol: String, cap: Int,
+                            dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val s4 = sized(s, 4)
+    val src = writeSrc(docs.select(col(idCol), col(textCol)), dir, nFiles = 2)
+    val stream = srcReader(s4, src, filesPerTrigger = 1)
+    val fs = new FoldState(dir)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .queryName(uniqueName("graft-stream-textindex"))
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = TextOps.invertedIndex(batch, idCol, textCol, cap)
+        val next =
+          if (batchId == 0L) bs
+          else fs.read(s4, batchId - 1).unionByName(bs)
+            .groupBy("term")
+            .agg(sum(col("df_docs")).as("df_docs"),
+              slice(array_sort(flatten(collect_list(col("postings")))),
+                1, cap).as("postings"))
+        fs.write(next, batchId)
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    require(lastBatch.get() >= 0L,
+      s"invertedIndexMaintain: stream at $dir committed no micro-batches")
+    fs.read(s, lastBatch.get())
+  }
+
   /** Streaming DRIFT maintenance — the distribution-shift monitor run as a
     * stream: each micro-batch's per-(group, value-bin) two-sample counts
     * ([[graft.operators.StatsOps.ksCounts]] — the simplest mergeable

@@ -241,6 +241,14 @@ class DeclaredSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("streaming inverted-index maintenance equals the one-shot batch index") {
+    // per-batch df-add + first-cap posting re-truncation must land on
+    // exactly the batch index (min-k union is associative)
+    val streamed = Queries.qStreamTextIndex(spark, sf())
+    val batch = Queries.qInvertedIndex(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("streaming IVF-index maintenance equals the one-shot batch ANN") {
     // per-batch cell-assignment folds + end-of-stream probe/rank must land
     // on exactly the batch IVF top-k (assignment is per-vector given the
