@@ -338,6 +338,14 @@ object Bench {
       "part", "supplier", "nation", "region").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").schema catch { case _: Throwable => }
     }
+    // comma-separated substring terms, OR-matched (empty = every key) —
+    // run_gates.sh's contention rerun passes the flagged keys as one list.
+    // Parsed BEFORE the streaming warmup so a batch-only filtered run
+    // doesn't pay an untimed streaming query it can't benefit from.
+    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    val filterTerms = filter.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def matches(name: String): Boolean =
+      filterTerms.isEmpty || filterTerms.exists(name.contains)
     // Streaming-machinery warmup OUTSIDE the timed loop (VERDICT r16 #1,
     // mechanism named by the r17 key-order A/B: a full sweep with the
     // stream family FIRST read it at 25.00 s vs 21.35 s sorted on the same
@@ -350,10 +358,11 @@ object Bench {
     // loads MicroBatchExecution, the checkpoint manager, state machinery,
     // the rigs' sized child sessions, and enqueues the C2 work before
     // anything is measured.)
-    SparkEntry.queries.get("q_stream_trend").foreach { fn =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      Queries.cleanScratch()
-    }
+    if (SparkEntry.queries.keys.exists(k => k.startsWith("q_stream") && matches(k)))
+      SparkEntry.queries.get("q_stream_trend").foreach { fn =>
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        Queries.cleanScratch()
+      }
     // calibration probe brackets the sweep (one discard run up front so
     // the measured probes aren't paying JIT warmup of the probe loop)
     calibrate()
@@ -369,12 +378,6 @@ object Bench {
     // inflated calibration probe); sorted key order keeps rounds
     // comparable query-by-query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // comma-separated substring terms, OR-matched (empty = every key) —
-    // run_gates.sh's contention rerun passes the flagged keys as one list
-    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
-    val filterTerms = filter.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    def matches(name: String): Boolean =
-      filterTerms.isEmpty || filterTerms.exists(name.contains)
     // a throwing query must NOT make the sweep look faster (r9 VERDICT:
     // the old `catch → -1L` recorded near-zero time and reported
     // success) — record the first error message per key and surface it

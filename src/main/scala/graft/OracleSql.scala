@@ -919,14 +919,21 @@ object OracleSql {
     case None => Map.empty
     case Some((spark, d)) =>
       generatedCache.computeIfAbsent(d, { _ =>
-        val ivf = ivfOracle(spark, d)
+        // one coarse Lloyd training shared by the IVF and IVF-PQ replays:
+        // both declared paths train the identical codebook (k=16, 1 iter),
+        // so training once both halves the Verify-time Spark jobs and
+        // guarantees the two oracles can never embed divergent centroids
+        val cents = graft.operators.VectorOps.lloydCentroids(
+          graft.Tables.embeddings(spark, d), "vec_id", "embedding",
+          k = 16, iters = 1)
+        val ivf = ivfOracle(cents)
         Map("q_vec_ann_ivf" -> ivf,
             // streaming index-maintenance twin: per-batch assignment folds
             // into the standing inverted list, probe stage sees only the
             // final index — batching-invariant, same replay
             "q_stream_vec_ivf" -> ivf,
             "q_vec_ann_pq" -> pqOracle(spark, d),
-            "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d))
+            "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d, cents))
       })
   }
 
@@ -958,14 +965,13 @@ object OracleSql {
     * exact re-rank. The m-term SUMs carry the same hash-agg order freedom
     * as [[pqOracle]] — margin-checked by the gate itself. */
   private def ivfPqOracle(spark: org.apache.spark.sql.SparkSession,
-                          d: String): String = {
+                          d: String,
+                          coarse: Seq[graft.operators.VectorOps.Centroid]): String = {
     import org.apache.spark.sql.functions.col
-    val nCentroids = 16; val nProbe = 4; val m = 8; val ksub = 16
+    val nProbe = 4; val m = 8; val ksub = 16
     val dims = 64; val k = 10; val refine = 8
     val dsub = dims / m
     val emb = graft.Tables.embeddings(spark, d)
-    val coarse = graft.operators.VectorOps.lloydCentroids(
-      emb, "vec_id", "embedding", nCentroids, iters = 1)
     val assigned = emb.select(col("vec_id").as("id"),
         graft.plans.CodebookExpressions
           .assignResidual(col("embedding"), coarse).as("a"))
@@ -1148,25 +1154,20 @@ object OracleSql {
     * candidate join, exact re-rank rounded to the shared 6 dp. Float→double
     * promotion is exact and `Double.toString` round-trips, so the embedded
     * centroid literals are the kernel's exact values. */
-  private def ivfOracle(spark: org.apache.spark.sql.SparkSession,
-                        d: String): String = {
-    val cents = graft.operators.VectorOps.lloydCentroids(
-      graft.Tables.embeddings(spark, d), "vec_id", "embedding",
-      k = 16, iters = 1)
+  private def ivfOracle(
+      cents: Seq[graft.operators.VectorOps.Centroid]): String = {
     val values = cents.map { case (cid, cv) =>
       s"($cid, [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
     s"""WITH cents AS (SELECT * FROM (VALUES
        |    $values) AS t(cid, cv)),
        |cn AS (SELECT cid, cv,
-       |    SQRT(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cents),
+       |    SQRT(${seqDot("cv", "cv")}) AS cnrm FROM cents),
        |e AS (SELECT vec_id, embedding,
-       |    SQRT(list_sum(list_transform(embedding,
-       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vnrm
+       |    SQRT(${seqDot("embedding", "embedding")}) AS vnrm
        |  FROM embeddings),
        |sims AS (SELECT e.vec_id, c.cid,
-       |    list_sum(list_transform(list_zip(e.embedding, c.cv),
-       |      p -> CAST(p[1] AS DOUBLE) * p[2])) / (e.vnrm * c.cnrm) AS sim
+       |    ${seqDot("e.embedding", "c.cv")} / (e.vnrm * c.cnrm) AS sim
        |  FROM e, cn c),
        |asg AS (SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
@@ -1181,9 +1182,8 @@ object OracleSql {
        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id),
        |scored AS (SELECT c.query_id, c.neighbor_id,
-       |    ROUND(list_sum(list_transform(list_zip(q.qe, n.embedding),
-       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |      / (q.qnrm * n.vnrm), 6) AS cosine
+       |    ROUND(${seqDot("q.qe", "n.embedding")} / (q.qnrm * n.vnrm), 6)
+       |      AS cosine
        |  FROM cand c JOIN qv q ON q.query_id = c.query_id
        |  JOIN e n ON n.vec_id = c.neighbor_id),
        |ranked AS (SELECT query_id, neighbor_id, cosine,
@@ -3060,12 +3060,15 @@ object OracleSql {
         |    ORDER BY approx DESC, neighbor_id) AS arank FROM s1),
         |s2 AS (
         |  SELECT query_id, neighbor_id,
-        |    ROUND((CAST(list_sum(list_transform(list_zip(qv, nv),
-        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
-        |      / (SQRT(CAST(list_sum(list_transform(list_zip(qv, qv),
-        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)
-        |       * SQRT(CAST(list_sum(list_transform(list_zip(nv, nv),
-        |          p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13)), 6) AS cosine
+        |    ROUND(list_reduce(list_transform(list_zip(qv, nv),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |        (acc, x) -> acc + x)
+        |      / (SQRT(list_reduce(list_transform(list_zip(qv, qv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |          (acc, x) -> acc + x))
+        |       * SQRT(list_reduce(list_transform(list_zip(nv, nv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |          (acc, x) -> acc + x))), 6) AS cosine
         |  FROM cand WHERE arank <= 50),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cosine,

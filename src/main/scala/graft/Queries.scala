@@ -3031,7 +3031,10 @@ object Queries {
   /** Product-quantization ANN (ADC scan over m=8 codes/vector — 32×
     * smaller than the floats — then exact re-rank of the top 8·k):
     * recall@10 = 0.87 on the structureless random fixture (AnnRecallSpec;
-    * real clustered embeddings quantize better). Rows-only (approximate). */
+    * real clustered embeddings quantize better). Hash-gated since r17 via
+    * the GENERATED oracle (OracleSql.pqOracle — book literals + the
+    * kernels' sequential-double folds); the suite pin remains the
+    * no-training-context fallback. */
   val qVecAnnPq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKPq(emb, emb.filter(col("vec_id") < 5), "vec_id",
@@ -3040,8 +3043,10 @@ object Queries {
   }
 
   /** IVF-PQ ANN — the composed billion-scale layout (coarse inverted lists
-    * + product-quantized residuals + ADC scan + exact re-rank). Rows-only
-    * (approximate); recall floor in AnnRecallSpec. */
+    * + product-quantized residuals + ADC scan + exact re-rank). Hash-gated
+    * since r17 via the GENERATED oracle (OracleSql.ivfPqOracle — every
+    * float term replayed: sequential folds, exact float residuals, literal
+    * codebooks); recall floor in AnnRecallSpec; suite pin = fallback. */
   val qVecAnnIvfPq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     VectorOps.cosineTopKIvfPq(emb, emb.filter(col("vec_id") < 5), "vec_id",
@@ -3092,8 +3097,10 @@ object Queries {
   /** INT8-quantized retrieval ([[operators.VectorOps.cosineTopKInt8]]) —
     * the read half of q_vec_quantize_int8: integer-dot candidate ranking
     * over the 4×-smaller codes (exact integer arithmetic, deterministic
-    * at any parallelism), exact float re-rank of the top k·5. Rows-only
-    * (approximate); recall floor in AnnRecallSpec. */
+    * at any parallelism), exact float re-rank of the top k·5. Hash-gated
+    * since r17 via a STATIC oracle replaying the full funnel (trunc codes,
+    * integer approx rank, the kernels' sequential-double re-rank);
+    * recall floor in AnnRecallSpec. */
   val qVecAnnInt8: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     operators.VectorOps.cosineTopKInt8(emb, emb.filter(col("vec_id") < 5),

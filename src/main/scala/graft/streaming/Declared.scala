@@ -234,6 +234,37 @@ object Declared {
     }
   }
 
+  /** Shared scaffold of the foreachBatch FOLD rigs (heavy-hitters, drift,
+    * trend, LWW serve, and the three standing-index maintenances): one
+    * file-source stream over `src` at one file per trigger, AvailableNow,
+    * each micro-batch folded onto the previous [[FoldState]] generation
+    * (batchId-keyed — the restart/replay discipline: a replayed batch
+    * re-folds onto the RIGHT previous state and rewrites the same
+    * generation, so folds must be replay-idempotent, which every caller's
+    * fold is by construction: per-row transforms + associative merges).
+    * `fold(prev, batch)` gets None for batch 0. Returns the final state
+    * read on the CALLER's session `s` (cross-session frames must not mix
+    * in one plan), or None if the source produced no micro-batches. */
+  private def runFold(s4: SparkSession, s: SparkSession, src: String,
+                      dir: String, name: String)
+                     (fold: (Option[DataFrame], DataFrame) => DataFrame): Option[DataFrame] = {
+    val stream = srcReader(s4, src, filesPerTrigger = 1)
+    val fs = new FoldState(dir)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .queryName(uniqueName(name))
+      .option("checkpointLocation", dir + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = if (batchId == 0L) None else Some(fs.read(s4, batchId - 1))
+        fs.write(fold(prev, batch), batchId)
+        lastBatch.updateAndGet(m => math.max(m, batchId))
+        ()
+      }
+      .start().awaitTermination()
+    if (lastBatch.get() < 0L) None else Some(fs.read(s, lastBatch.get()))
+  }
+
   /** Monotonic suffix for streaming query names: cached child sessions
     * mean two concurrent runs of one rig can share a StreamingQueryManager,
     * where a duplicate ACTIVE query name refuses to start. */
@@ -944,33 +975,15 @@ object Declared {
     val src = writeSrc(
       events.select("event_id", "ts", "user_id", "event_type", "value"),
       dir, nFiles = 2)
-    val stream = srcReader(s4, src, filesPerTrigger = 1)
-    // two alternating state dirs: read state N, write state N+1 (a parquet
-    // read can't overwrite its own input files). Generation = the batchId
-    // argument, same reasoning as incrementalClusters above: restarts and
-    // replays must fold onto the RIGHT previous state, and LWW's
-    // max-by-(ts,id) makes the replayed rewrite idempotent.
-    val fs = new FoldState(dir)
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    stream.writeStream
-      .queryName(uniqueName("graft-stream-lww"))
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // state reads on s4: cross-session frames must not mix in one plan
-        val cur =
-          if (batchId == 0L) batch
-          else batch.unionByName(fs.read(s4, batchId - 1))
-        fs.write(graft.operators.Upserts
-          .lwwView(cur, Seq("user_id"), "ts", Seq("event_id")), batchId)
-        lastBatch.updateAndGet(m => math.max(m, batchId))
-        ()
-      }
-      .start().awaitTermination()
-    // zero micro-batches (empty source) ⇒ no state dir was ever written —
-    // return the empty frame in the source's shape
-    if (lastBatch.get() < 0L) s.read.parquet(src).limit(0)
-    else fs.read(s, lastBatch.get())
+    // LWW's max-by-(ts,id) makes the replayed rewrite idempotent (the
+    // runFold replay discipline)
+    runFold(s4, s, src, dir, "graft-stream-lww") { (prev, batch) =>
+      val cur = prev.fold(batch)(p => batch.unionByName(p))
+      graft.operators.Upserts.lwwView(cur, Seq("user_id"), "ts", Seq("event_id"))
+    }
+      // zero micro-batches (empty source) ⇒ no state dir was ever
+      // written — return the empty frame in the source's shape
+      .getOrElse(s.read.parquet(src).limit(0))
   }
 
   /** Streaming HEAVY-HITTERS maintenance — the mergeable-summaries
@@ -995,26 +1008,12 @@ object Declared {
     // A/B'd per key r11; sketch states are <=4k rows)
     val s4 = sized(s, 4)
     val src = writeSrc(docs, dir, nFiles = 2)
-    val stream = srcReader(s4, src, filesPerTrigger = 1)
-    val fs = new FoldState(dir)
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    stream.writeStream
-      .queryName(uniqueName("graft-stream-heavy-hitters"))
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val state = runFold(s4, s, src, dir, "graft-stream-heavy-hitters") {
+      (prev, batch) =>
         val bs = HeavyHitters.sketchState(words(batch), "word", k)
-        val next =
-          if (batchId == 0L) bs
-          else HeavyHitters.mergeStates(fs.read(s4, batchId - 1), bs, "word", k)
-        fs.write(next, batchId)
-        lastBatch.updateAndGet(m => math.max(m, batchId))
-        ()
-      }
-      .start().awaitTermination()
-    require(lastBatch.get() >= 0L,
-      s"heavyHittersMaintain: stream at $dir committed no micro-batches")
-    val state = fs.read(s, lastBatch.get())
+        prev.fold(bs)(p => HeavyHitters.mergeStates(p, bs, "word", k))
+    }.getOrElse(sys.error(
+      s"heavyHittersMaintain: stream at $dir committed no micro-batches"))
     HeavyHitters.exactFromState(words(s.read.parquet(src)),
       state, "word", k)
   }
@@ -1048,30 +1047,23 @@ object Declared {
     // A/B'd per key r11; per-batch signature rows are bounded by the slice)
     val s4 = sized(s, 4)
     val src = writeSrc(docs.select(col(idCol), col(textCol)), dir, nFiles = 2)
-    val stream = srcReader(s4, src, filesPerTrigger = 1)
-    val fs = new FoldState(dir)
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    stream.writeStream
-      .queryName(uniqueName("graft-stream-minhash"))
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bs = DedupOps.minhashFixedSignatures(batch, idCol, textCol, k,
-          bands * rowsPerBand)
-        val next =
-          if (batchId == 0L) bs
-          else fs.read(s4, batchId - 1).unionByName(bs)
-        fs.write(next, batchId)
-        lastBatch.updateAndGet(m => math.max(m, batchId))
-        ()
-      }
-      .start().awaitTermination()
-    if (lastBatch.get() < 0L) // empty source: no index was ever written
-      return s.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"),
-          lit(0.0).as("jac")).limit(0)
-    DedupOps.minhashFixedPairsFromSigs(fs.read(s, lastBatch.get()),
-      bands, rowsPerBand, threshold, maxBucket)
+    runFold(s4, s, src, dir, "graft-stream-minhash") { (prev, batch) =>
+      val bs = DedupOps.minhashFixedSignatures(batch, idCol, textCol, k,
+        bands * rowsPerBand)
+      prev.fold(bs)(_.unionByName(bs))
+    } match {
+      case Some(state) =>
+        DedupOps.minhashFixedPairsFromSigs(state,
+          bands, rowsPerBand, threshold, maxBucket)
+      case None =>
+        // empty source: no index was ever written — empty pair frame whose
+        // id types follow the CALLER's idCol (an empty batch read has the
+        // source schema), matching the non-empty path exactly
+        val idT = s.read.parquet(src).schema(idCol).dataType
+        s.emptyDataFrame
+          .select(lit(null).cast(idT).as("id_a"),
+            lit(null).cast(idT).as("id_b"), lit(0.0).as("jac")).limit(0)
+    }
   }
 
   /** Streaming IVF-INDEX maintenance — the ANN index kept incrementally,
@@ -1105,27 +1097,12 @@ object Declared {
     // per-batch index rows are bounded by the arriving slice)
     val s4 = sized(s, 4)
     val src = writeSrc(emb.select(col(idCol), col(vecCol)), dir, nFiles = 2)
-    val stream = srcReader(s4, src, filesPerTrigger = 1)
-    val fs = new FoldState(dir)
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    stream.writeStream
-      .queryName(uniqueName("graft-stream-ivf"))
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bs = VectorOps.ivfEncode(batch, idCol, vecCol, cents)
-        val next =
-          if (batchId == 0L) bs
-          else fs.read(s4, batchId - 1).unionByName(bs)
-        fs.write(next, batchId)
-        lastBatch.updateAndGet(m => math.max(m, batchId))
-        ()
-      }
-      .start().awaitTermination()
-    require(lastBatch.get() >= 0L,
-      s"ivfIndexMaintain: stream at $dir committed no micro-batches")
-    VectorOps.ivfTopKFromIndex(fs.read(s, lastBatch.get()),
-      queries, idCol, vecCol, cents, k, nProbe)
+    val index = runFold(s4, s, src, dir, "graft-stream-ivf") { (prev, batch) =>
+      val bs = VectorOps.ivfEncode(batch, idCol, vecCol, cents)
+      prev.fold(bs)(_.unionByName(bs))
+    }.getOrElse(sys.error(
+      s"ivfIndexMaintain: stream at $dir committed no micro-batches"))
+    VectorOps.ivfTopKFromIndex(index, queries, idCol, vecCol, cents, k, nProbe)
   }
 
   /** Streaming INVERTED-INDEX maintenance — the text-search index kept
@@ -1148,30 +1125,15 @@ object Declared {
     import graft.operators.TextOps
     val s4 = sized(s, 4)
     val src = writeSrc(docs.select(col(idCol), col(textCol)), dir, nFiles = 2)
-    val stream = srcReader(s4, src, filesPerTrigger = 1)
-    val fs = new FoldState(dir)
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    stream.writeStream
-      .queryName(uniqueName("graft-stream-textindex"))
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bs = TextOps.invertedIndex(batch, idCol, textCol, cap)
-        val next =
-          if (batchId == 0L) bs
-          else fs.read(s4, batchId - 1).unionByName(bs)
-            .groupBy("term")
-            .agg(sum(col("df_docs")).as("df_docs"),
-              slice(array_sort(flatten(collect_list(col("postings")))),
-                1, cap).as("postings"))
-        fs.write(next, batchId)
-        lastBatch.updateAndGet(m => math.max(m, batchId))
-        ()
-      }
-      .start().awaitTermination()
-    require(lastBatch.get() >= 0L,
-      s"invertedIndexMaintain: stream at $dir committed no micro-batches")
-    fs.read(s, lastBatch.get())
+    runFold(s4, s, src, dir, "graft-stream-textindex") { (prev, batch) =>
+      val bs = TextOps.invertedIndex(batch, idCol, textCol, cap)
+      prev.fold(bs)(_.unionByName(bs)
+        .groupBy("term")
+        .agg(sum(col("df_docs")).as("df_docs"),
+          slice(array_sort(flatten(collect_list(col("postings")))),
+            1, cap).as("postings")))
+    }.getOrElse(sys.error(
+      s"invertedIndexMaintain: stream at $dir committed no micro-batches"))
   }
 
   /** Streaming DRIFT maintenance — the distribution-shift monitor run as a
@@ -1189,29 +1151,17 @@ object Declared {
     // stateless fold: 4 shuffle partitions (the changesMaintain knob,
     // A/B'd per key r11; the state is O(groups x grid bins))
     val s4 = sized(s, 4)
-    val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
-    val fs = new FoldState(dir)
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val src = writeSrc(ev, dir, nFiles = 2)
     def counts(df: DataFrame) =
       StatsOps.ksCounts(df, "event_type",
         dayofweek(col("ts")).isin(1, 7), "value", gridScale = 1000L)
-    stream.writeStream
-      .queryName(uniqueName("graft-stream-drift"))
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val state = runFold(s4, s, src, dir, "graft-stream-drift") {
+      (prev, batch) =>
         val bs = counts(batch)
-        val next =
-          if (batchId == 0L) bs
-          else StatsOps.mergeCounts(fs.read(s4, batchId - 1), bs)
-        fs.write(next, batchId)
-        lastBatch.updateAndGet(m => math.max(m, batchId))
-        ()
-      }
-      .start().awaitTermination()
-    require(lastBatch.get() >= 0L,
-      s"driftMaintain: stream at $dir committed no micro-batches")
-    StatsOps.ksFromCounts(fs.read(s, lastBatch.get()), "event_type")
+        prev.fold(bs)(p => StatsOps.mergeCounts(p, bs))
+    }.getOrElse(sys.error(
+      s"driftMaintain: stream at $dir committed no micro-batches"))
+    StatsOps.ksFromCounts(state, "event_type")
   }
 
   /** Streaming TREND maintenance — the drift monitor's OLS companion run
@@ -1229,26 +1179,14 @@ object Declared {
     // stateless fold: 4 shuffle partitions (the changesMaintain knob,
     // A/B'd per key r11; the state is five moments per group)
     val s4 = sized(s, 4)
-    val stream = fileStream(s4, ev, dir, nFiles = 2, filesPerTrigger = 1)
-    val fs = new FoldState(dir)
-    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
-    stream.writeStream
-      .queryName(uniqueName("graft-stream-trend"))
-      .option("checkpointLocation", dir + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val src = writeSrc(ev, dir, nFiles = 2)
+    val state = runFold(s4, s, src, dir, "graft-stream-trend") {
+      (prev, batch) =>
         val bs = StatsOps.olsCounts(batch, "event_type", "ts", "value")
-        val next =
-          if (batchId == 0L) bs
-          else StatsOps.olsMerge(fs.read(s4, batchId - 1), bs, "event_type")
-        fs.write(next, batchId)
-        lastBatch.updateAndGet(m => math.max(m, batchId))
-        ()
-      }
-      .start().awaitTermination()
-    require(lastBatch.get() >= 0L,
-      s"trendMaintain: stream at $dir committed no micro-batches")
-    StatsOps.olsFinish(fs.read(s, lastBatch.get()), "event_type")
+        prev.fold(bs)(p => StatsOps.olsMerge(p, bs, "event_type"))
+    }.getOrElse(sys.error(
+      s"trendMaintain: stream at $dir committed no micro-batches"))
+    StatsOps.olsFinish(state, "event_type")
   }
 
   /** Streaming SCD2 maintenance — the CDC "state over time" serving table
