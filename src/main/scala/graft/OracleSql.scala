@@ -932,6 +932,10 @@ object OracleSql {
             // into the standing inverted list, probe stage sees only the
             // final index — batching-invariant, same replay
             "q_stream_vec_ivf" -> ivf,
+            // persisted partition-pruned index: materialized assignment ==
+            // computed assignment (parquet round-trip is bit-exact), same
+            // replay
+            "q_vec_ann_ivf_indexed" -> ivf,
             "q_vec_ann_pq" -> pqOracle(spark, d),
             "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d, cents))
       })

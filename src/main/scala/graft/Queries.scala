@@ -3064,6 +3064,37 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** PERSISTED, PARTITION-PRUNED IVF index — the production deployment
+    * shape for vector search at corpus scale: the index is a parquet
+    * table PARTITIONED BY the coarse cell ([[VectorOps.ivfEncode]] →
+    * `partitionBy("cell")`, staged once per input), the query planner
+    * collects the probed cells driver-side ([[VectorOps.ivfProbeCells]] —
+    * metadata scale), and the scan carries a LITERAL cell filter, so it
+    * lists and reads only nProbe/nCentroids of the index's FILES — the
+    * q_point_lookup partition-pruning treatment applied to ANN
+    * (PlanContractSpec asserts the PartitionFilters). Output equals
+    * [[qVecAnnIvf]] exactly (materialized assignment == computed
+    * assignment; doubles/floats round-trip parquet bit-exactly), so the
+    * same GENERATED codebook-literal oracle hashes it. */
+  val qVecAnnIvfIndexed: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 1)
+    val idxDir = Staging.dirFor(
+      "ivf-idx:" + d + "@" + Staging.fingerprint(Seq(s"$d/embeddings.parquet")),
+      "graft-ivf-index") { d0 =>
+      VectorOps.ivfEncode(emb, "vec_id", "embedding", cents)
+        .write.partitionBy("cell").mode("overwrite").parquet(d0)
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    val cells = VectorOps.ivfProbeCells(queries, "vec_id", "embedding",
+      cents, nProbe = 6)
+    val index = s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+    VectorOps.ivfTopKFromIndex(index, queries, "vec_id", "embedding",
+        cents, k = 10, nProbe = 6)
+      .orderBy("query_id", "rank")
+  }
+
   /** STREAMING IVF-index maintenance under the oracle gate
     * ([[streaming.Declared.ivfIndexMaintain]]): the continuously-ingested
     * ANN index — offline-trained coarse codebook, per-batch cell

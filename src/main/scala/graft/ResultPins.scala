@@ -116,7 +116,9 @@ object ResultPins {
     "q_vec_ann_lsh_prod" -> 50L,
     "q_vec_ann_pq" -> 50L,
     // streaming fold == batch q_vec_ann_ivf by construction, same pins
-    "q_stream_vec_ivf" -> 50L
+    "q_stream_vec_ivf" -> 50L,
+    // partition-pruned persisted index == batch q_vec_ann_ivf, same pins
+    "q_vec_ann_ivf_indexed" -> 50L
   )
 
   /** sf0.01 canonical content hash per rows-only key (derive with
@@ -137,6 +139,8 @@ object ResultPins {
     "q_vec_ann_ivf" -> "50:5a80ee72f72e8934",
     // streaming fold == batch q_vec_ann_ivf by construction, same hash
     "q_stream_vec_ivf" -> "50:5a80ee72f72e8934",
+    // partition-pruned persisted index == batch q_vec_ann_ivf, same hash
+    "q_vec_ann_ivf_indexed" -> "50:5a80ee72f72e8934",
     "q_vec_ann_ivfpq" -> "50:ccf63940969f04f2",
     "q_vec_ann_lsh_prod" -> "50:b79cf4f85a89fd00",
     "q_vec_ann_pq" -> "50:0c8dcb6dd30f9ddc"

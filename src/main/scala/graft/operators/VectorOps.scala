@@ -384,6 +384,24 @@ object VectorOps {
         graft.plans.CodebookExpressions.nearestCell(col("nv"), cents))
   }
 
+  /** Driver-side probe PLANNING: the distinct cells the query set probes
+    * (queries × nProbe ids — metadata scale by construction, the collect
+    * every ANN system's query planner performs). Feeding these into a
+    * partition filter over a cell-partitioned index table turns the probe
+    * into STATIC partition pruning: the scan lists and reads only the
+    * probed cells' files — nProbe/nCentroids of the index's FILES, not
+    * just its rows (the q_point_lookup treatment for vector search). */
+  def ivfProbeCells(queries: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[Centroid], nProbe: Int): Seq[Long] = {
+    import graft.plans.FloatVectorExpressions.norm
+    queries.select(col(vecCol).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+      .select(explode(transform(
+        probeCells(col("qv"), col("qnorm"), cents, nProbe),
+        c => c.getField("cid"))).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+  }
+
   /** Probe + exact-rank stage of [[cosineTopKIvf]] over an
     * already-materialized index frame (from [[ivfEncode]] or a standing
     * streaming fold): queries probe their `nProbe` nearest cells, one

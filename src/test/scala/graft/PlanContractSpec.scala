@@ -90,6 +90,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index scan partition-prunes to the probed cells") {
+    // the q_point_lookup treatment for ANN: the cell-partitioned index
+    // table's scan must carry a literal PartitionFilter on the probed
+    // cells, so only nProbe/nCentroids of the index's FILES are listed
+    // and read — at corpus scale this is the difference between an index
+    // and a full scan
+    val p = plan("q_vec_ann_ivf_indexed")
+    assert(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r.findFirstIn(p).isDefined,
+      s"indexed ANN scan lost its literal cell partition filter:\n$p")
+  }
+
   test("NN-descent refine candidates ride equi-joins, never a nested loop") {
     val p = plan("q_vec_knn_refine")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
