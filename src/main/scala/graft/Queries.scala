@@ -3078,18 +3078,29 @@ object Queries {
     * same GENERATED codebook-literal oracle hashes it. */
   val qVecAnnIvfIndexed: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val cents = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
-      k = 16, iters = 1)
+    // the trained codebook is PART of the persisted index (the FAISS
+    // layout): staged alongside the inverted lists, so a reused index
+    // never re-pays the Lloyd training collects — readers pay one
+    // metadata-scale (k rows) codebook read instead
     val idxDir = Staging.dirFor(
       "ivf-idx:" + d + "@" + Staging.fingerprint(Seq(s"$d/embeddings.parquet")),
       "graft-ivf-index") { d0 =>
-      VectorOps.ivfEncode(emb, "vec_id", "embedding", cents)
-        .write.partitionBy("cell").mode("overwrite").parquet(d0)
+      val trained = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 1)
+      import s.implicits._
+      trained.toDF("cent_id", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(d0 + "/cents")
+      VectorOps.ivfEncode(emb, "vec_id", "embedding", trained)
+        .write.partitionBy("cell").mode("overwrite").parquet(d0 + "/lists")
     }
+    val cents: Seq[VectorOps.Centroid] = s.read.parquet(idxDir + "/cents")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
     val queries = emb.filter(col("vec_id") < 5)
     val cells = VectorOps.ivfProbeCells(queries, "vec_id", "embedding",
       cents, nProbe = 6)
-    val index = s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+    val index = s.read.parquet(idxDir + "/lists")
+      .filter(col("cell").isin(cells: _*))
     VectorOps.ivfTopKFromIndex(index, queries, "vec_id", "embedding",
         cents, k = 10, nProbe = 6)
       .orderBy("query_id", "rank")

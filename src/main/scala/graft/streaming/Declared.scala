@@ -1062,7 +1062,10 @@ object Declared {
         val idT = s.read.parquet(src).schema(idCol).dataType
         s.emptyDataFrame
           .select(lit(null).cast(idT).as("id_a"),
-            lit(null).cast(idT).as("id_b"), lit(0.0).as("jac")).limit(0)
+            lit(null).cast(idT).as("id_b"),
+            // null-cast, not lit(0.0): the non-empty path's jac is a
+            // division, hence NULLABLE — schema equality includes nullability
+            lit(null).cast(DoubleType).as("jac")).limit(0)
     }
   }
 

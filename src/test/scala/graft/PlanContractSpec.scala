@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Planning-only (`executedPlan` is built, nothing runs) except for the
   * engine queries, which materialize a warehouse during construction and
-  * are excluded from the sweep.
+  * are excluded from the sweep, and q_vec_ann_ivf_indexed, whose
+  * CONSTRUCTION trains/stages the persisted index (once per input — the
+  * partition-pruning assertion needs the real partitioned scan, so the
+  * build cost is accepted in its dedicated test; the no-BNLJ sweep then
+  * reuses the staged dir).
   */
 class PlanContractSpec extends SparkSpec {
 
