@@ -534,9 +534,15 @@ object OracleSql {
     * LSH-planes precedent), literal band buckets, hot-bucket cap,
     * candidate join, exact-Jaccard verify. ASCII gate `[ -~]*` on both
     * engines keeps `ascii`/`unicode` code points identical. */
-  private def minhashFixedSql(k: Int, bands: Int, rowsPerBand: Int,
-                              threshold: Double, maxDocId: Long,
-                              maxBucket: Int): String = {
+  /** The FIXED-family MinHash candidate pipeline as a reusable CTE chain
+    * (`t` → `sgl` → `sig` → `bnd0` → `bnd` → `cand` → `mh_pairs`) reading
+    * (doc_id, text) from `inputRel` — so the standalone near-dup keys and
+    * composed pipelines (q_pipeline_pretrain's dedup stage) share ONE
+    * generated replay. `mh_pairs` carries the verified (id_a, id_b, jac)
+    * at `threshold`. */
+  private def minhashFixedCtes(inputRel: String, k: Int, bands: Int,
+                               rowsPerBand: Int, threshold: Double,
+                               maxBucket: Int): String = {
     val p = graft.operators.DedupOps.MinhashFixedP
     val coeffs = graft.operators.DedupOps.minhashFixedCoeffs(bands * rowsPerBand)
     val sigEntries = coeffs.map { case (a, b) =>
@@ -546,8 +552,7 @@ object OracleSql {
       s"""SELECT doc_id, $b AS band,
          |    array_to_string(sig[${b * rowsPerBand + 1}:${(b + 1) * rowsPerBand}], ',') AS bucket
          |  FROM sig""".stripMargin).mkString("\n  UNION ALL\n  ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '\\A[ -~]*\\z')),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $inputRel),
        |sgl AS (SELECT doc_id, list_sort(list_distinct(list_transform(
        |    list_transform(range(1, greatest(len(w) - $k, 0) + 2),
        |      i -> array_to_string(w[i:i+${k - 1}], ' ')),
@@ -565,15 +570,24 @@ object OracleSql {
        |  WHERE bn <= $maxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
-       |    AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, jac FROM (
+       |    AND a.doc_id < b.doc_id),
+       |mh_pairs AS (SELECT id_a, id_b, jac FROM (
        |  SELECT c.id_a, c.id_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
        |  FROM cand c
        |  JOIN sgl sa ON sa.doc_id = c.id_a
        |  JOIN sgl sb ON sb.doc_id = c.id_b)
-       |WHERE jac >= $threshold
+       |WHERE jac >= $threshold)""".stripMargin
+  }
+
+  private def minhashFixedSql(k: Int, bands: Int, rowsPerBand: Int,
+                              threshold: Double, maxDocId: Long,
+                              maxBucket: Int): String = {
+    val input = s"""(SELECT doc_id, text FROM documents
+       |  WHERE doc_id < $maxDocId AND regexp_matches(text, '\\A[ -~]*\\z'))""".stripMargin
+    s"""WITH ${minhashFixedCtes(input, k, bands, rowsPerBand, threshold, maxBucket)}
+       |SELECT id_a, id_b, jac FROM mh_pairs
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -2956,6 +2970,29 @@ object OracleSql {
       tables = 4, probes = 4),
     "q_dedup_minhash_fixed" -> minhashFixedSql(k = 3, bands = 8,
       rowsPerBand = 4, threshold = 0.5, maxDocId = 600L, maxBucket = 1000),
+    // end-to-end pipeline: quality gate -> exact dedup -> minhash near-dup
+    // removal (the shared generated CTE body over the survivors) -> chunk;
+    // one CTE chain so the stage INTERACTIONS sit under the hash
+    "q_pipeline_pretrain" ->
+      s"""WITH d0 AS (SELECT doc_id, n_chars, text FROM documents
+         |  WHERE doc_id < 600 AND regexp_matches(text, '\\A[ -~]*\\z')),
+         |qual AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, string_split(text, ' ') AS w FROM d0)
+         |  WHERE len(w) >= 5
+         |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+         |sv AS (SELECT qual.doc_id, qual.text FROM qual JOIN keep USING (doc_id)),
+         |${minhashFixedCtes("sv", k = 3, bands = 8, rowsPerBand = 4,
+              threshold = 0.5, maxBucket = 1000)},
+         |dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
+         |ded AS (SELECT sv.doc_id, sv.text FROM sv ANTI JOIN dropped USING (doc_id)),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+         |st AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok FROM tw)
+         |SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(len(w[start_tok+1:start_tok+64]) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(w[start_tok+1:start_tok+64], ' ')) AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     // streaming index-maintenance twin: signatures fold per micro-batch,
     // the candidate stage sees only the final index — batching-invariant,
     // so the same generated replay hashes the streaming run

@@ -2522,6 +2522,43 @@ object Queries {
         scratchDir("stream-mh")))
       .orderBy("id_a", "id_b")
 
+  /** END-TO-END PRE-TRAINING DATA PIPELINE under ONE hash gate — the
+    * library's operators composed the way a real corpus build runs them,
+    * so the INTERACTION of the stages (filter → dedup → near-dup → chunk)
+    * is itself a cross-engine-gated fact, not just each stage alone:
+    *
+    *  1. quality gate ([[TextOps.qualityMetrics]]): n_words ≥ 5 and
+    *     distinct-token ratio ≥ 0.3 (the Gopher-style cheap filters);
+    *  2. exact dedup ([[DedupOps.exact]]): min-id keeper per md5(text);
+    *  3. near-dup removal ([[DedupOps.minhashLshNearDupsFixed]]): the
+    *     fixed-family banded MinHash pairs; every pair's HIGHER id drops
+    *     (deterministic keeper-wins policy);
+    *  4. context-window chunking ([[TextOps.chunkTokens]]): 64-token
+    *     windows at stride 48, chunk bodies as md5.
+    *
+    * Same bounded slice + ASCII gate as q_dedup_minhash_fixed; the DuckDB
+    * oracle replays all four stages as one CTE chain (the minhash stage
+    * via the shared [[OracleSql]] generated-CTE body). At 100 TB each
+    * stage keeps its own scale contract (per-row filters, one-shuffle
+    * dedup, capped banded join, pure-expression chunking) — composition
+    * adds no new shuffle beyond the stages' own. */
+  val qPipelinePretrain: Q = (s, d) => {
+    val d0 = Tables.documents(s, d)
+      .filter(col("doc_id") < 600 && col("text").rlike("\\A[ -~]*\\z"))
+    val qual = TextOps.qualityMetrics(d0)
+      .filter(col("n_words") >= 5 && col("dedup_ratio") >= 0.3)
+      .select("doc_id", "text")
+    val keepers = DedupOps.exact(qual, "text", "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+    val sv = qual.join(keepers, "doc_id")
+    val pairs = DedupOps.minhashLshNearDupsFixed(sv, "doc_id", "text",
+      k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000)
+    val ded = sv.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    TextOps.chunkTokens(ded, "doc_id", "text", winSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** The PRODUCTION MinHash+LSH throughput path re-declared (VERDICT r12
     * #5): the fused xxhash64 [[plans.MinHash]] signature kernel, 8×4
     * banding, hot-bucket cap, exact-Jaccard verify — the kernel a real
