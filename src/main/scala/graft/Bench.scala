@@ -194,24 +194,34 @@ object Bench {
     * the exact operation a streaming micro-batch's checkpoint commit
     * performs. Quiet local reference ≈0.1–0.3 ms; a reading 5–10× that in
     * the artifact of record names slow-sync-IO from the JSON alone. */
-  def fsyncProbeMs(rounds: Int = 20): Double = {
-    val tmp = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val payload = new Array[Byte](4096)
-    val times = (1 to rounds).map { i =>
-      val p = tmp.resolve(s"graft-fsync-probe-$i")
-      val t0 = System.nanoTime()
-      val ch = java.nio.channels.FileChannel.open(p,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try { ch.write(java.nio.ByteBuffer.wrap(payload)); ch.force(true) }
-      finally ch.close()
-      val t = (System.nanoTime() - t0) / 1e6
-      java.nio.file.Files.deleteIfExists(p)
-      t
-    }.sorted
-    times(times.size / 2)
-  }
+  def fsyncProbeMs(rounds: Int = 20): Double =
+    try {
+      val tmp = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      val payload = new Array[Byte](4096)
+      // per-process unique names: a co-tenant JVM's probe must not unlink
+      // or pre-create this one's files mid-measurement (the contended runs
+      // are exactly the ones the witness exists to attribute)
+      val tag = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      val times = (1 to rounds).map { i =>
+        val p = tmp.resolve(s"graft-fsync-probe-$tag-$i")
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { ch.write(java.nio.ByteBuffer.wrap(payload)); ch.force(true) }
+        finally ch.close()
+        val t = (System.nanoTime() - t0) / 1e6
+        java.nio.file.Files.deleteIfExists(p)
+        t
+      }.sorted
+      times(times.size / 2)
+    } catch {
+      // degrade like the sibling witnesses (procIo/iowaitTicks): a broken
+      // tmpdir (e.g. a typo'd SPARK_GRAFT_TMPDIR) must flag the stamp,
+      // not abort the sweep before any artifact exists
+      case _: Exception => -1.0
+    }
 
   /** Dirty-at-start above this ⇒ the sweep launched inside another
     * phase's writeback shadow — stamp `run_shape:"post_suite"`. Measured

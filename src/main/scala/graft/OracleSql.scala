@@ -967,6 +967,26 @@ object OracleSql {
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
        |      (acc, x) -> acc + x)""".stripMargin
 
+  /** The kernel's own csq loop ([[graft.plans.CodebookExpressions]]
+    * PqEncodeCodes.csqs: sequential `acc += c(i)·c(i)` over doubles) —
+    * computed HERE so the embedded literal is bit-identical to what the
+    * engine's encode compares against. One definition shared by the PQ
+    * and IVF-PQ replays (a one-sided edit must be impossible). */
+  private def csqOf(c: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** PQ book entries as a DuckDB VALUES body — shared by the PQ and
+    * IVF-PQ replays; Double.toString round-trips, so the literals are the
+    * kernels' exact float-promoted values. */
+  private def bookValues(
+      books: Seq[graft.operators.VectorOps.BookEntry]): String =
+    books.map { case (sub, code, cv) =>
+      s"($sub, CAST($code AS BIGINT), [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[], ${csqOf(cv).toString})"
+    }.mkString(",\n    ")
+
   /** IVF-PQ funnel replay — [[pqOracle]] composed with [[ivfOracle]]'s
     * coarse stage, closing the last "residual-LUT float terms" question
     * (VERDICT r16 #4): every float term IS replayable because each is
@@ -996,17 +1016,10 @@ object OracleSql {
       .select(col("id"), col("a.cell").as("cell"), col("a.rv").as("rv"))
     val books = graft.operators.VectorOps.pqBooks(
       assigned, "id", "rv", m = m, ksub = ksub, dims = dims, iters = 1)
-    def csqOf(c: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
-      acc
-    }
     val centVals = coarse.map { case (cid, cv) =>
       s"($cid, [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
-    val bookVals = books.map { case (sub, code, cv) =>
-      s"($sub, CAST($code AS BIGINT), [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[], ${csqOf(cv).toString})"
-    }.mkString(",\n    ")
+    val bookVals = bookValues(books)
     // float residual: double-subtract then round-to-float == IEEE float
     // subtraction (exact intermediate, correct final rounding)
     def floatResidual(v: String, c: String): String =
@@ -1112,15 +1125,7 @@ object OracleSql {
     val books = graft.operators.VectorOps.pqBooks(
       graft.Tables.embeddings(spark, d), "vec_id", "embedding",
       m = m, ksub = ksub, dims = dims, iters = 1)
-    // csq via the kernel's own sequential loop (PqEncodeCodes.csqs)
-    def csqOf(c: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
-      acc
-    }
-    val values = books.map { case (sub, code, cv) =>
-      s"($sub, CAST($code AS BIGINT), [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[], ${csqOf(cv).toString})"
-    }.mkString(",\n    ")
+    val values = bookValues(books)
     val subSlice = s"e.embedding[b.sub * $dsub + 1 : b.sub * $dsub + $dsub]"
     val qSlice = s"q.qe[b.sub * $dsub + 1 : b.sub * $dsub + $dsub]"
     s"""WITH books AS (SELECT * FROM (VALUES
@@ -3078,7 +3083,7 @@ object OracleSql {
     // ranking matches bit-for-bit; stage 2 re-ranks the top k*5 on the
     // shared 1e13 fixed-point cosine grid (the q_vec_ann_prefix pattern)
     "q_vec_ann_int8" ->
-      """WITH enc AS (SELECT vec_id, embedding,
+      s"""WITH enc AS (SELECT vec_id, embedding,
         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
         |      / 127.0 AS scale
         |  FROM embeddings),
@@ -3101,15 +3106,9 @@ object OracleSql {
         |    ORDER BY approx DESC, neighbor_id) AS arank FROM s1),
         |s2 AS (
         |  SELECT query_id, neighbor_id,
-        |    ROUND(list_reduce(list_transform(list_zip(qv, nv),
-        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-        |        (acc, x) -> acc + x)
-        |      / (SQRT(list_reduce(list_transform(list_zip(qv, qv),
-        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-        |          (acc, x) -> acc + x))
-        |       * SQRT(list_reduce(list_transform(list_zip(nv, nv),
-        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-        |          (acc, x) -> acc + x))), 6) AS cosine
+        |    ROUND(${seqDot("qv", "nv")}
+        |      / (SQRT(${seqDot("qv", "qv")})
+        |       * SQRT(${seqDot("nv", "nv")})), 6) AS cosine
         |  FROM cand WHERE arank <= 50),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cosine,

@@ -3119,8 +3119,13 @@ object Queries {
     // layout): staged alongside the inverted lists, so a reused index
     // never re-pays the Lloyd training collects — readers pay one
     // metadata-scale (k rows) codebook read instead
+    // key = training params + a layout version tag + the input fingerprint
+    // (the ensureEncoded codecTag / Declared planSig staleness doctrine):
+    // BUMP `enc-v1` whenever lloydCentroids or ivfEncode semantics change,
+    // or a stale on-disk index would be served under the old key
     val idxDir = Staging.dirFor(
-      "ivf-idx:" + d + "@" + Staging.fingerprint(Seq(s"$d/embeddings.parquet")),
+      "ivf-idx:k=16,iters=1,enc-v1:" + d + "@" +
+        Staging.fingerprint(Seq(s"$d/embeddings.parquet")),
       "graft-ivf-index") { d0 =>
       val trained = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
         k = 16, iters = 1)
