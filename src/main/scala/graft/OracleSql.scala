@@ -950,6 +950,10 @@ object OracleSql {
             // computed assignment (parquet round-trip is bit-exact), same
             // replay
             "q_vec_ann_ivf_indexed" -> ivf,
+            // hybrid fuse: vector side ranks through the same index
+            // replay (top-20 cut), lexical side replays the postings
+            // ranker — see hybridRrfOracle
+            "q_hybrid_rrf" -> hybridRrfOracle(cents),
             "q_vec_ann_pq" -> pqOracle(spark, d),
             "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d, cents))
       })
@@ -1178,11 +1182,26 @@ object OracleSql {
     * promotion is exact and `Double.toString` round-trips, so the embedded
     * centroid literals are the kernel's exact values. */
   private def ivfOracle(
+      cents: Seq[graft.operators.VectorOps.Centroid]): String =
+    s"""WITH ${ivfRankPrefix(cents)},
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared WITH-body of the IVF funnel replay, through the exact-rank
+    * `scored` stage (query_id, neighbor_id, cosine) — one definition for
+    * every generated oracle that ranks through the IVF index
+    * ([[ivfOracle]] and the hybrid-RRF vector side), so the coarse
+    * assignment/probe/candidate arithmetic can never diverge between
+    * them. */
+  private def ivfRankPrefix(
       cents: Seq[graft.operators.VectorOps.Centroid]): String = {
     val values = cents.map { case (cid, cv) =>
       s"($cid, [${cv.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
-    s"""WITH cents AS (SELECT * FROM (VALUES
+    s"""cents AS (SELECT * FROM (VALUES
        |    $values) AS t(cid, cv)),
        |cn AS (SELECT cid, cv,
        |    SQRT(${seqDot("cv", "cv")}) AS cnrm FROM cents),
@@ -1208,13 +1227,49 @@ object OracleSql {
        |    ROUND(${seqDot("q.qe", "n.embedding")} / (q.qnrm * n.vnrm), 6)
        |      AS cosine
        |  FROM cand c JOIN qv q ON q.query_id = c.query_id
-       |  JOIN e n ON n.vec_id = c.neighbor_id),
-       |ranked AS (SELECT query_id, neighbor_id, cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
-       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |  JOIN e n ON n.vec_id = c.neighbor_id)""".stripMargin
   }
+
+  /** Hybrid-RRF replay over the INDEXED rankers (VERDICT r17 #1): the
+    * vector top-20 ranks through the shared IVF CTEs ([[ivfRankPrefix]] —
+    * materialized index ≡ computed assignment, the q_vec_ann_ivf_indexed
+    * ruling), the lexical top-50 replays the postings ranker (unnest the
+    * distinct-token lists, equi-join query postings on token, COUNT =
+    * |intersection|), and the union-RRF fuse is a FULL JOIN with
+    * missing-list credit 0 — integers end to end, so the whole truncated
+    * fusion sits under the exact hash gate. */
+  private def hybridRrfOracle(
+      cents: Seq[graft.operators.VectorOps.Centroid]): String =
+    s"""WITH ${ivfRankPrefix(cents)},
+       |vec AS (SELECT query_id, neighbor_id, vec_rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS vec_rank FROM scored)
+       |  WHERE vec_rank <= 50),
+       |toks AS (SELECT doc_id, list_distinct(list_filter(
+       |    string_split(text, ' '), t -> t <> '')) AS toks FROM documents),
+       |post AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+       |qp AS (SELECT doc_id AS query_id, tok FROM post WHERE doc_id < 5),
+       |ov AS (SELECT qp.query_id, p.doc_id AS neighbor_id,
+       |    COUNT(*) AS overlap
+       |  FROM qp JOIN post p ON p.tok = qp.tok AND p.doc_id <> qp.query_id
+       |  GROUP BY qp.query_id, p.doc_id),
+       |lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY overlap DESC, neighbor_id) AS lex_rank FROM ov)
+       |  WHERE lex_rank <= 50),
+       |f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |    COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+       |    l.lex_rank, v.vec_rank,
+       |    COALESCE(1000000000 // (60 + l.lex_rank), 0)
+       |      + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf_micro
+       |  FROM lex l FULL JOIN vec v
+       |    ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, neighbor_id) AS rank FROM f)
+       |SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_micro, rank
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val sql: Map[String, String] = Map(
     // --- CRUD / engine semantics -----------------------------------
@@ -3080,8 +3135,9 @@ object OracleSql {
     // — trunc codes are exact (q_vec_quantize_int8's proven rule), the
     // integer dot is exact, and the approx key's sqrt/divide are
     // correctly-rounded IEEE ops on exactly-representable integers, so
-    // ranking matches bit-for-bit; stage 2 re-ranks the top k*5 on the
-    // shared 1e13 fixed-point cosine grid (the q_vec_ann_prefix pattern)
+    // ranking matches bit-for-bit; stage 2 re-ranks the top k*5 with the
+    // sequential-double seqDot fold (DuckDB list_reduce left-fold ==
+    // FloatDotProduct's sequential-double loop, term order identical)
     "q_vec_ann_int8" ->
       s"""WITH enc AS (SELECT vec_id, embedding,
         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
@@ -3117,44 +3173,6 @@ object OracleSql {
         |  FROM s2)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-    // hybrid retrieval: RRF-fuse the exact lexical (distinct-token
-    // overlap) and vector (fixed-point cosine) dense rankings — integer
-    // 1e9//(60+rank) credits, so the fusion hashes exactly
-    "q_hybrid_rrf" ->
-      """WITH toks AS (SELECT doc_id, list_distinct(list_filter(
-        |    string_split(text, ' '), t -> t <> '')) AS toks FROM documents),
-        |q AS (SELECT doc_id AS query_id, toks AS qtoks FROM toks
-        |      WHERE doc_id < 5),
-        |lex AS (SELECT q.query_id, t.doc_id AS neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |      ORDER BY len(list_intersect(q.qtoks, t.toks)) DESC,
-        |        t.doc_id) AS lex_rank
-        |  FROM q JOIN toks t ON t.doc_id <> q.query_id),
-        |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-        |       WHERE vec_id < 5),
-        |dots AS (
-        |  SELECT qe.query_id, e.vec_id AS neighbor_id,
-        |    CAST(list_sum(list_transform(list_zip(qe.qv, e.embedding),
-        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS dot,
-        |    CAST(list_sum(list_transform(list_zip(qe.qv, qe.qv),
-        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS qq,
-        |    CAST(list_sum(list_transform(list_zip(e.embedding, e.embedding),
-        |      p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e13) AS BIGINT))) AS DOUBLE) / 1e13 AS nn
-        |  FROM qe, embeddings e WHERE e.vec_id <> qe.query_id),
-        |vec AS (SELECT query_id, neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) DESC,
-        |        neighbor_id) AS vec_rank
-        |  FROM dots),
-        |f AS (SELECT l.query_id, l.neighbor_id, l.lex_rank, v.vec_rank,
-        |    1000000000 // (60 + l.lex_rank)
-        |      + 1000000000 // (60 + v.vec_rank) AS rrf_micro
-        |  FROM lex l JOIN vec v USING (query_id, neighbor_id)),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_micro DESC, neighbor_id) AS rank FROM f)
-        |SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_micro, rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

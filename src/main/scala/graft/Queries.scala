@@ -2868,17 +2868,62 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** HYBRID RETRIEVAL via reciprocal-rank fusion
-    * ([[VectorOps.rrfFuse]]): a lexical ranking (distinct-token overlap
-    * with the query document — exact integers) and a vector ranking (the
-    * q_vec_cosine_topk fixed-point cosine) fuse by RRF micro-credit into
-    * one top-10 — the lexical+semantic combiner production search stacks
-    * run, over the shared doc_id/vec_id space. Both rankings are DENSE
-    * (5 broadcast queries × corpus — the cosine_topk brute-force ruling;
-    * the scale path swaps in the ANN/BM25-postings rankers, fusion
-    * unchanged), so RRF is exact, not top-N-truncated. Hash-green: ranks
-    * and credits are integers end to end. */
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion over the INDEXED rankers
+    * ([[VectorOps.rrfFuseUnion]]) — each side eats its own scale cooking
+    * (VERDICT r17 #1): the lexical ranking is a POSTINGS ranker (inverted
+    * index on token, one equi-join against the broadcast 5-query postings,
+    * map-side-combined overlap counts — cost ∝ matched postings, never
+    * queries × corpus), the vector ranking is the PERSISTED
+    * PARTITION-PRUNED IVF index ([[ivfIndexedTopK]] — the scan reads
+    * nProbe/nCentroids of the index's files), and each contributes its
+    * top-50; fusion is union-RRF (a candidate absent from one list earns
+    * no credit from it — Cormack et al.'s formulation for truncated
+    * lists). Hash-green via the GENERATED codebook-literal oracle
+    * (OracleSql.hybridRrfOracle): overlap counts, ranks, and credits are
+    * integers; the IVF side replays through the shared ivfRank CTEs. The
+    * dense brute-force fusion stays spec-side as the recall ground truth
+    * ([[qHybridRrfDense]], HybridRecallSpec). */
   val qHybridRrf: Q = (s, d) => {
+    val lex = lexPostingsTopN(s, d, n = 50)
+    val vec = ivfIndexedTopK(s, d, k = 50)
+      .select("query_id", "neighbor_id", "rank")
+    VectorOps.rrfFuseUnion(lex, vec,
+        rankAName = "lex_rank", rankBName = "vec_rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Lexical POSTINGS ranker: distinct-token overlap with the query
+    * document computed through an inverted index — corpus postings
+    * equi-join the broadcast query postings, overlap = COUNT per
+    * (query, doc) pair (tokens are distinct per doc, so the count IS
+    * |intersection|), top-`n` per query by (overlap DESC, id). The
+    * sparse-retrieval shape: cost ∝ postings matched, with the
+    * aggregation map-side combined on the shuffle up. */
+  private[graft] def lexPostingsTopN(s: SparkSession, d: String,
+                                     n: Int): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(array_remove(split(col("text"), " "), "")).as("toks"))
+    val post = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val qpost = broadcast(post.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("tok")))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("neighbor_id").asc)
+    post.join(qpost, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= n)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** The DENSE brute-force hybrid fusion — both rankings exact over the
+    * full corpus (queries × corpus, the cosine_topk ruling), inner-pool
+    * RRF ([[VectorOps.rrfFuse]]). NOT declared: it is the recall GROUND
+    * TRUTH the indexed [[qHybridRrf]] is measured against in
+    * HybridRecallSpec — the reference ranking a production stack can't
+    * afford to serve but must track. */
+  private[graft] val qHybridRrfDense: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"),
       array_distinct(array_remove(split(col("text"), " "), "")).as("toks"))
     val qd = broadcast(docs.filter(col("doc_id") < 5)
@@ -3113,39 +3158,51 @@ object Queries {
     * [[qVecAnnIvf]] exactly (materialized assignment == computed
     * assignment; doubles/floats round-trip parquet bit-exactly), so the
     * same GENERATED codebook-literal oracle hashes it. */
-  val qVecAnnIvfIndexed: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    // the trained codebook is PART of the persisted index (the FAISS
-    // layout): staged alongside the inverted lists, so a reused index
-    // never re-pays the Lloyd training collects — readers pay one
-    // metadata-scale (k rows) codebook read instead
-    // key = training params + a layout version tag + the input fingerprint
-    // (the ensureEncoded codecTag / Declared planSig staleness doctrine):
-    // BUMP `enc-v1` whenever lloydCentroids or ivfEncode semantics change,
-    // or a stale on-disk index would be served under the old key
-    val idxDir = Staging.dirFor(
+  val qVecAnnIvfIndexed: Q = (s, d) =>
+    ivfIndexedTopK(s, d, k = 10).orderBy("query_id", "rank")
+
+  /** The staged PERSISTED IVF index for `d`'s embeddings — trained
+    * codebook + cell-partitioned inverted lists, the FAISS on-disk layout.
+    * The codebook is PART of the index: staged alongside the lists, so a
+    * reused index never re-pays the Lloyd training collects — readers pay
+    * one metadata-scale (k rows) codebook read instead. Shared by every
+    * declared reader of the production index shape ([[qVecAnnIvfIndexed]],
+    * [[qHybridRrf]]'s vector ranker).
+    * key = training params + a layout version tag + the input fingerprint
+    * (the ensureEncoded codecTag / Declared planSig staleness doctrine):
+    * BUMP `enc-v1` whenever lloydCentroids or ivfEncode semantics change,
+    * or a stale on-disk index would be served under the old key. */
+  private def stagedIvfIndexDir(s: SparkSession, d: String): String =
+    Staging.dirFor(
       "ivf-idx:k=16,iters=1,enc-v1:" + d + "@" +
         Staging.fingerprint(Seq(s"$d/embeddings.parquet")),
       "graft-ivf-index") { d0 =>
+      val emb = Tables.embeddings(s, d)
       val trained = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
         k = 16, iters = 1)
-      import s.implicits._
-      trained.toDF("cent_id", "cv").coalesce(1)
+      VectorOps.codebookDF(s, trained).coalesce(1)
         .write.mode("overwrite").parquet(d0 + "/cents")
       VectorOps.ivfEncode(emb, "vec_id", "embedding", trained)
         .write.partitionBy("cell").mode("overwrite").parquet(d0 + "/lists")
     }
+
+  /** Probe + exact-rank top-`k` of the declared query set (vec_id < 5)
+    * against the staged persisted index: driver-side probe planning
+    * ([[VectorOps.ivfProbeCells]] — metadata scale) feeds a LITERAL cell
+    * filter, so the scan lists and reads only nProbe/nCentroids of the
+    * index's FILES (PlanContractSpec asserts the PartitionFilters). */
+  private def ivfIndexedTopK(s: SparkSession, d: String, k: Int,
+                             nProbe: Int = 6): DataFrame = {
+    val idxDir = stagedIvfIndexDir(s, d)
     val cents: Seq[VectorOps.Centroid] = s.read.parquet(idxDir + "/cents")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq.sortBy(_._1)
-    val queries = emb.filter(col("vec_id") < 5)
-    val cells = VectorOps.ivfProbeCells(queries, "vec_id", "embedding",
-      cents, nProbe = 6)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+    val cells = VectorOps.ivfProbeCells(queries, "embedding", cents, nProbe)
     val index = s.read.parquet(idxDir + "/lists")
       .filter(col("cell").isin(cells: _*))
     VectorOps.ivfTopKFromIndex(index, queries, "vec_id", "embedding",
-        cents, k = 10, nProbe = 6)
-      .orderBy("query_id", "rank")
+      cents, k, nProbe)
   }
 
   /** STREAMING IVF-index maintenance under the oracle gate

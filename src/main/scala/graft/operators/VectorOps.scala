@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -86,8 +86,10 @@ object VectorOps {
     * fuse over the candidates BOTH rankers scored (identical pools here —
     * dense rankings over a shared id space). The carried-through input
     * ranks are named by `rankAName`/`rankBName` — the helper is
-    * ranker-agnostic; callers pick output names matching their rankers
-    * (q_hybrid_rrf passes lex_rank/vec_rank to match its hashed oracle).
+    * ranker-agnostic; callers pick output names matching their rankers.
+    * For TRUNCATED top-N rankings use [[rrfFuseUnion]] (the declared
+    * q_hybrid_rrf shape); this inner-pool form is the dense-rankings
+    * ground truth (Queries.qHybridRrfDense, HybridRecallSpec).
     * Per-query cost is the two input rankings' size — the fusion itself
     * is one equi-join + one window, nothing quadratic. */
   def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60, topK: Int = 10,
@@ -102,6 +104,36 @@ object VectorOps {
     aa.join(bb, Seq("query_id", "neighbor_id"))
       .withColumn("rrf_micro",
         expr(s"1000000000 div ($k0 + `$rankAName`) + 1000000000 div ($k0 + `$rankBName`)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col(rankAName),
+        col(rankBName), col("rrf_micro"), col("rank"))
+  }
+
+  /** RRF over the UNION of two TRUNCATED rankings (full-outer fuse): the
+    * production shape when each ranker contributes only its top-N — a
+    * candidate absent from one list simply earns no credit from it
+    * (Cormack et al. 2009 sums only over the lists containing the
+    * document; [[rrfFuse]]'s inner pool is the dense-rankings special
+    * case). Carried input ranks stay NULL where absent. Per-query cost is
+    * the two top-N lists — queries × N rows per side, metadata scale
+    * regardless of corpus size, which is exactly why hybrid search fuses
+    * AFTER each ranker's own index has cut its list. */
+  def rrfFuseUnion(a: DataFrame, b: DataFrame, k0: Int = 60, topK: Int = 10,
+                   rankAName: String = "rank_a",
+                   rankBName: String = "rank_b"): DataFrame = {
+    val aa = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").as(rankAName))
+    val bb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").as(rankBName))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+    aa.join(bb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000000 div ($k0 + `$rankAName`)").cast(LongType),
+          lit(0L)) +
+        coalesce(expr(s"1000000000 div ($k0 + `$rankBName`)").cast(LongType),
+          lit(0L)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col(rankAName),
@@ -347,10 +379,16 @@ object VectorOps {
   /** [[lloydCentroids]] rendered as a (cent_id, cv) DataFrame — for callers
     * that persist or join the codebook as a table. */
   def lloydCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
+                    k: Int, iters: Int = 2): DataFrame =
+    codebookDF(corpus.sparkSession,
+      lloydCentroids(corpus, idCol, vecCol, k, iters))
+
+  /** The one definition of the codebook-as-DataFrame layout: (cent_id, cv).
+    * Callers that already hold trained centroids (e.g. to also feed
+    * [[ivfEncode]]) stage through this instead of re-deriving the schema. */
+  def codebookDF(spark: SparkSession, cents: Seq[Centroid]): DataFrame = {
     import spark.implicits._
-    lloydCentroids(corpus, idCol, vecCol, k, iters).toDF("cent_id", "cv")
+    cents.toDF("cent_id", "cv")
   }
 
   /** IVF-style approximate top-k over Lloyd-trained coarse centroids
@@ -391,7 +429,7 @@ object VectorOps {
     * into STATIC partition pruning: the scan lists and reads only the
     * probed cells' files — nProbe/nCentroids of the index's FILES, not
     * just its rows (the q_point_lookup treatment for vector search). */
-  def ivfProbeCells(queries: DataFrame, idCol: String, vecCol: String,
+  def ivfProbeCells(queries: DataFrame, vecCol: String,
                     cents: Seq[Centroid], nProbe: Int): Seq[Long] = {
     import graft.plans.FloatVectorExpressions.norm
     queries.select(col(vecCol).as("qv"))

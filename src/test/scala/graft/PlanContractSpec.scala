@@ -105,6 +105,19 @@ class PlanContractSpec extends SparkSpec {
       s"indexed ANN scan lost its literal cell partition filter:\n$p")
   }
 
+  test("hybrid RRF rides the indexed rankers: pruned IVF scan, no dense join") {
+    // VERDICT r17 #1: the declared hybrid must eat its own scale cooking —
+    // the vector side through the persisted cell-partitioned index
+    // (literal PartitionFilter), the lexical side through postings
+    // equi-joins; neither ranker may degrade to a queries × corpus
+    // nested loop
+    val p = plan("q_hybrid_rrf")
+    assert(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r.findFirstIn(p).isDefined,
+      s"hybrid's IVF side lost its literal cell partition filter:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"hybrid ranker degraded to a dense join:\n$p")
+  }
+
   test("NN-descent refine candidates ride equi-joins, never a nested loop") {
     val p = plan("q_vec_knn_refine")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -131,9 +144,6 @@ class PlanContractSpec extends SparkSpec {
                            // all-pairs by definition (LSH variant scales)
       "q_vec_ann_prefix",  // broadcast queries × corpus funnel, non-equi
                            // by design — the matryoshka brute-force shape
-      "q_hybrid_rrf",      // both input rankings are broadcast 5-query ×
-                           // corpus scans (the cosine_topk ruling); the
-                           // fusion itself is an equi-join + window
       "q_vec_mmr",         // broadcast queries × corpus pool build +
                            // candidate-scale pairwise sims, non-equi by
                            // design (pool ≤ 20 per query after the limit)

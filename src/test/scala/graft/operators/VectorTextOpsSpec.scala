@@ -58,6 +58,35 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L))
   }
 
+  test("rrfFuseUnion: union pool — single-list candidates kept at zero-credit") {
+    // same lists as the inner-pool test: 9 (lex-only) and 8 (vec-only)
+    // must survive with NULL carried rank on the missing side and credit
+    // from the present side only; 1 (both lists, rank 1+1) beats both
+    val lex = Seq((0L, 1L, 1), (0L, 9L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val vec = Seq((0L, 1L, 1), (0L, 8L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val got = VectorOps.rrfFuseUnion(lex, vec).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 8L, 9L))
+    // 1e9 div 61 = 16393442, div 62 = 16129032
+    assert(got(0).getAs[Long]("rrf_micro") === 2 * 16393442L)
+    assert(got(1).getAs[Long]("rrf_micro") === 16129032L) // vec-only
+    assert(got(1).isNullAt(got(1).fieldIndex("rank_a")))  // no lex rank
+    assert(got(2).getAs[Long]("rrf_micro") === 16129032L) // lex-only;
+    // 8 beats 9 on the id tie-break at equal credit
+    assert(got(2).isNullAt(got(2).fieldIndex("rank_b")))
+  }
+
+  test("rrfFuseUnion equals rrfFuse when both rankings are dense") {
+    val lex = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val vec = Seq((0L, 2L, 1), (0L, 3L, 2), (0L, 1L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val inner = VectorOps.rrfFuse(lex, vec).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("rrf_micro")))
+    val union = VectorOps.rrfFuseUnion(lex, vec).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("rrf_micro")))
+    assert(inner.toSeq === union.toSeq)
+  }
+
   test("IVF ANN returns ranked bucket-mates; embedding near-dup finds close pairs") {
     val emb = graft.Tables.embeddings(spark, sf())
     val ivf = VectorOps.cosineTopKIvf(emb, emb.filter($"vec_id" < 2),
