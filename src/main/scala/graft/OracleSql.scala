@@ -1271,6 +1271,32 @@ object OracleSql {
        |SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_micro, rank
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Four-stage end-to-end pipeline replay (quality gate → exact dedup →
+    * minhash near-dup removal via the shared [[minhashFixedCtes]] body →
+    * chunking) — ONE definition shared by the batch key and its streaming
+    * composition twin (both are the same function of the corpus; the
+    * stream is batching-invariant by construction). */
+  private lazy val pipelinePretrainSql: String =
+    s"""WITH d0 AS (SELECT doc_id, n_chars, text FROM documents
+       |  WHERE doc_id < 600 AND regexp_matches(text, '\\A[ -~]*\\z')),
+       |qual AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, string_split(text, ' ') AS w FROM d0)
+       |  WHERE len(w) >= 5
+       |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+       |sv AS (SELECT qual.doc_id, qual.text FROM qual JOIN keep USING (doc_id)),
+       |${minhashFixedCtes("sv", k = 3, bands = 8, rowsPerBand = 4,
+            threshold = 0.5, maxBucket = 1000)},
+       |dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
+       |ded AS (SELECT sv.doc_id, sv.text FROM sv ANTI JOIN dropped USING (doc_id)),
+       |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+       |st AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok FROM tw)
+       |SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(len(w[start_tok+1:start_tok+64]) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(w[start_tok+1:start_tok+64], ' ')) AS chunk_md5
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
   val sql: Map[String, String] = Map(
     // --- CRUD / engine semantics -----------------------------------
     "q_point_lookup" ->
@@ -3033,26 +3059,11 @@ object OracleSql {
     // end-to-end pipeline: quality gate -> exact dedup -> minhash near-dup
     // removal (the shared generated CTE body over the survivors) -> chunk;
     // one CTE chain so the stage INTERACTIONS sit under the hash
-    "q_pipeline_pretrain" ->
-      s"""WITH d0 AS (SELECT doc_id, n_chars, text FROM documents
-         |  WHERE doc_id < 600 AND regexp_matches(text, '\\A[ -~]*\\z')),
-         |qual AS (SELECT doc_id, text FROM (
-         |    SELECT doc_id, text, string_split(text, ' ') AS w FROM d0)
-         |  WHERE len(w) >= 5
-         |    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3),
-         |keep AS (SELECT MIN(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
-         |sv AS (SELECT qual.doc_id, qual.text FROM qual JOIN keep USING (doc_id)),
-         |${minhashFixedCtes("sv", k = 3, bands = 8, rowsPerBand = 4,
-              threshold = 0.5, maxBucket = 1000)},
-         |dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
-         |ded AS (SELECT sv.doc_id, sv.text FROM sv ANTI JOIN dropped USING (doc_id)),
-         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
-         |st AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok FROM tw)
-         |SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
-         |  CAST(start_tok AS BIGINT) AS start_tok,
-         |  CAST(len(w[start_tok+1:start_tok+64]) AS BIGINT) AS chunk_len,
-         |  md5(array_to_string(w[start_tok+1:start_tok+64], ' ')) AS chunk_md5
-         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pipeline_pretrain" -> pipelinePretrainSql,
+    // streaming composition twin: per-batch quality+digest+signature folds,
+    // end-of-stream keepers/pairs/chunking over the state at rest —
+    // batching-invariant, so the same four-stage replay hashes the stream
+    "q_stream_pipeline_pretrain" -> pipelinePretrainSql,
     // streaming index-maintenance twin: signatures fold per micro-batch,
     // the candidate stage sees only the final index — batching-invariant,
     // so the same generated replay hashes the streaming run

@@ -2559,6 +2559,24 @@ object Queries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** The END-TO-END pipeline run as ONE STREAM under the same hash gate
+    * ([[streaming.Declared.pipelinePretrainMaintain]], VERDICT r17 #2):
+    * quality gate + digest + MinHash signatures per micro-batch, exact
+    * keepers + banded near-dup + chunking over the state at rest — the
+    * streaming folds composed the way a production corpus build actually
+    * runs them, so their INTERACTION is gated. Output equals batch
+    * [[qPipelinePretrain]] (keeper min is order-free; every end-of-stream
+    * stage sees only the final state), so the same four-stage CTE oracle
+    * hashes the streaming run. Same bounded slice + ASCII gate. */
+  val qStreamPipelinePretrain: Q = (s, d) =>
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("pipelinePretrainMaintain", d))(
+        streaming.Declared.pipelinePretrainMaintain(s,
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 600 && col("text").rlike("\\A[ -~]*\\z")),
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 1000,
+        scratchDir("stream-pipeline")))
+      .orderBy("doc_id", "chunk_idx")
+
   /** The PRODUCTION MinHash+LSH throughput path re-declared (VERDICT r12
     * #5): the fused xxhash64 [[plans.MinHash]] signature kernel, 8×4
     * banding, hot-bucket cap, exact-Jaccard verify — the kernel a real

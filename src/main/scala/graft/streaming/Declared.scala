@@ -1069,6 +1069,73 @@ object Declared {
     }
   }
 
+  /** Streaming END-TO-END PRE-TRAINING PIPELINE — the composed corpus
+    * build ([[graft.Queries.qPipelinePretrain]]'s four stages) run as ONE
+    * AvailableNow stream, so the INTERACTION of the streaming folds is
+    * gated, not just each fold alone (VERDICT r17 #2):
+    *
+    *  - per micro-batch (the expensive per-document work, paid once per
+    *    arriving document): quality gate (per-row metrics → filter), then
+    *    content digest + fixed-family MinHash signatures
+    *    ([[graft.operators.DedupOps.minhashFixedSignatures]]); the skinny
+    *    `(id, digest, sh, sig)` rows fold into the standing state by union
+    *    (alternating state dirs + batchId generation, as
+    *    [[minhashIndexMaintain]]);
+    *  - end of stream (the index-at-rest stages): exact-dedup keepers =
+    *    min id per digest over the FINAL state (min is order-free, so
+    *    keeper selection is batching-invariant even when a later batch
+    *    delivers a smaller id for a seen digest — the reason survivorship
+    *    must NOT be applied per batch), the identical banded candidate
+    *    join + exact-Jaccard verify over the keepers' signatures, pair
+    *    losers dropped, and context-window chunking over the survivors'
+    *    text re-read from the source at rest (the heavyHittersMaintain
+    *    exact-pass shape).
+    *
+    * Signatures and digests depend only on the document, and every
+    * end-of-stream stage only on the final state, so the output is
+    * micro-batch-boundary INVARIANT — equal to batch
+    * [[graft.Queries.qPipelinePretrain]] — and the same four-stage CTE
+    * oracle hashes the streaming run. Cost note vs batch: the stream signs
+    * every QUALITY-passing document (exact-dup losers included) because
+    * survivorship is only final at end-of-stream; that per-duplicate
+    * signature is the price of invariance, linear in arrivals, and the
+    * state stays skinny (one row per quality doc). */
+  def pipelinePretrainMaintain(s: SparkSession, docs: DataFrame,
+                               k: Int, bands: Int, rowsPerBand: Int,
+                               threshold: Double, maxBucket: Int,
+                               dir: String): DataFrame = {
+    import graft.operators.{DedupOps, TextOps}
+    // stateless fold: 4 shuffle partitions (the changesMaintain knob;
+    // per-batch state rows are bounded by the arriving slice)
+    val s4 = sized(s, 4)
+    val src = writeSrc(docs.select(col("doc_id"), col("text"),
+      col("n_chars")), dir, nFiles = 2)
+    val state = runFold(s4, s, src, dir, "graft-stream-pipeline") {
+      (prev, batch) =>
+        val qual = TextOps.qualityMetrics(batch)
+          .filter(col("n_words") >= 5 && col("dedup_ratio") >= 0.3)
+          .select("doc_id", "text")
+        val bs = DedupOps.minhashFixedSignatures(qual, "doc_id", "text",
+            k, bands * rowsPerBand)
+          .join(qual.select(col("doc_id").as("id"),
+            md5(col("text")).as("digest")), "id")
+        prev.fold(bs)(_.unionByName(bs))
+    }.getOrElse(sys.error(
+      s"pipelinePretrainMaintain: stream at $dir committed no micro-batches"))
+    val keepers = state.groupBy("digest").agg(min(col("id")).as("id"))
+      .select("id")
+    val index = state.join(keepers, "id").select("id", "sh", "sig")
+      .localCheckpoint() // two-sided self-join below (the batch-path reuse)
+    val pairs = DedupOps.minhashFixedPairsFromSigs(index, bands, rowsPerBand,
+      threshold, maxBucket)
+    val survivors = keepers
+      .join(pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"))
+    val ded = s.read.parquet(src).join(survivors, "doc_id")
+      .select("doc_id", "text")
+    TextOps.chunkTokens(ded, "doc_id", "text", winSize = 64, stride = 48)
+  }
+
   /** Streaming IVF-INDEX maintenance — the ANN index kept incrementally,
     * the FAISS/Milvus continuous-ingestion shape: the coarse codebook is
     * the OFFLINE-TRAINED artifact (deterministic seed-pinned DECIMAL-exact

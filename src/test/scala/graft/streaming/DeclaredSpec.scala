@@ -231,6 +231,16 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("streaming end-to-end pretrain pipeline equals the one-shot batch build") {
+    // the COMPOSED folds (quality gate + digest + signatures per batch;
+    // keepers, banded near-dup, chunking over the state at rest) must land
+    // on exactly the batch pipeline's chunk set — keeper min is
+    // order-free, every end-of-stream stage sees only the final state
+    val streamed = Queries.qStreamPipelinePretrain(spark, sf())
+    val batch = Queries.qPipelinePretrain(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("minhash-index maintenance over an empty source: no pairs, right shape") {
     import spark.implicits._
     val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
