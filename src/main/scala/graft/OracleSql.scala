@@ -1297,6 +1297,25 @@ object OracleSql {
        |  md5(array_to_string(w[start_tok+1:start_tok+64], ' ')) AS chunk_md5
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Shared byte→pixel→gray replay for the dHash family: `b` = the
+    * encodePng byte/dims rule over non-empty documents, `g` = the 9×8
+    * NN-sampled integer grayscale grid (gv, 72 values row-major) — ONE
+    * definition for every oracle that re-derives the perceptual hash
+    * (q_multimodal_dhash and q_multimodal_decontaminate). */
+  private val mmDhashGrayCtes: String =
+    """b AS (SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
+      |    8 + (length(text) % 17) AS w,
+      |    8 + ((length(text) // 17) % 13) AS h
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |g AS (SELECT doc_id,
+      |    list_transform(range(0, 72), p ->
+      |      (bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9))) % n AS INT) + 1]
+      |       + bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9)) + 1) % n AS INT) + 1]
+      |       + bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9)) + 2) % n AS INT) + 1]) // 3) AS gv
+      |  FROM b)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // --- CRUD / engine semantics -----------------------------------
     "q_point_lookup" ->
@@ -2924,18 +2943,7 @@ object OracleSql {
     // bit j = gray(x,y) > gray(x+1,y), packed MSB-first into hex nibbles;
     // dedup groups by the hash under a min-id keeper
     "q_multimodal_dhash" ->
-      """WITH b AS (SELECT doc_id, length(text) AS n,
-        |    list_transform(range(1, length(text) + 1),
-        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS bs,
-        |    8 + (length(text) % 17) AS w,
-        |    8 + ((length(text) // 17) % 13) AS h
-        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-        |g AS (SELECT doc_id,
-        |    list_transform(range(0, 72), p ->
-        |      (bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9))) % n AS INT) + 1]
-        |       + bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9)) + 1) % n AS INT) + 1]
-        |       + bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9)) + 2) % n AS INT) + 1]) // 3) AS gv
-        |  FROM b),
+      s"""WITH $mmDhashGrayCtes,
         |hx AS (SELECT doc_id,
         |    array_to_string(list_transform(range(0, 16), k ->
         |      substr('0123456789abcdef', CAST(1
@@ -2949,6 +2957,42 @@ object OracleSql {
         |  MIN(doc_id) OVER (PARTITION BY dhash) AS keeper_id,
         |  COUNT(*) OVER (PARTITION BY dhash) AS n_copies
         |FROM hx ORDER BY doc_id""".stripMargin,
+
+    // image-modality cross-split decontamination: dHash re-derived from
+    // the shared gray grid as 4 x 16-bit MSB-first blocks, leaked-eval
+    // plant (every 10th doc under id+1e6), Manku band join with the
+    // hot-bucket cap, per-block bit_count(xor) Hamming verify <= 3
+    "q_multimodal_decontaminate" ->
+      s"""WITH $mmDhashGrayCtes,
+        |blk AS (SELECT doc_id, list_transform(range(0, 4), k ->
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN gv[CAST(((16*k+j) // 8) * 9 + (16*k+j) % 8 AS INT) + 1]
+        |              > gv[CAST(((16*k+j) // 8) * 9 + (16*k+j) % 8 AS INT) + 2]
+        |           THEN (1::BIGINT << CAST(15 - j AS INT))
+        |           ELSE 0::BIGINT END)) AS BIGINT)) AS blocks
+        |  FROM g),
+        |tr AS (SELECT doc_id AS id, blocks, 't' AS side FROM blk),
+        |ev AS (SELECT doc_id + 1000000 AS id, blocks, 'e' AS side FROM blk
+        |       WHERE doc_id % 10 = 0),
+        |u AS (SELECT * FROM tr UNION ALL SELECT * FROM ev),
+        |bnd0 AS (SELECT id, side, blocks, gs.k AS band,
+        |    blocks[gs.k + 1] AS bucket
+        |  FROM u, generate_series(0, 3) AS gs(k)),
+        |bnd AS (SELECT id, side, blocks, band, bucket FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+        |    FROM bnd0) WHERE bn <= 1000),
+        |cand AS (SELECT DISTINCT a.id AS eval_id, t2.id AS train_id,
+        |    a.blocks AS eb, t2.blocks AS tb
+        |  FROM bnd a JOIN bnd t2 ON a.band = t2.band AND a.bucket = t2.bucket
+        |    AND a.side = 'e' AND t2.side = 't')
+        |SELECT eval_id, train_id, hamming FROM (
+        |  SELECT eval_id, train_id, CAST(
+        |      bit_count(xor(eb[1], tb[1])) + bit_count(xor(eb[2], tb[2]))
+        |    + bit_count(xor(eb[3], tb[3])) + bit_count(xor(eb[4], tb[4]))
+        |    AS INTEGER) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 3
+        |ORDER BY eval_id, train_id""".stripMargin,
 
     // nearest-neighbor resize to 12x10 replayed as pure index arithmetic:
     // target pixel p=(y*12+x) samples source pixel (x*w//12, y*h//10),

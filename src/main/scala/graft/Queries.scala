@@ -3516,6 +3516,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** MULTIMODAL CROSS-SPLIT DECONTAMINATION under the hash gate
+    * ([[operators.MultimodalOps.dhashDecontaminate]], VERDICT r17 #4):
+    * the train/eval contamination audit for the IMAGE modality — the
+    * perceptual companion to q_decontaminate. The eval set is PLANTED as
+    * a leaked benchmark: every 10th document's image resurfaces under a
+    * fresh eval id (+1,000,000) — the scenario decontamination exists to
+    * catch (disjoint mod-splits of this corpus share no perceptual
+    * near-dups, which would gate an empty join); each eval frame must
+    * therefore surface its source (Hamming 0) plus any other
+    * Hamming ≤ 3 train neighbors. dHash blocks, banding, cap, and the
+    * per-block bit_count(xor) verify are all integer — the DuckDB oracle
+    * re-derives every block from the shared byte→pixel rule (the
+    * q_multimodal_dhash replay) and replays the banded A×B join. */
+  val qMultimodalDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("src_bytes"))
+    // staged once per input (ensureEncoded, shared with q_multimodal_decode)
+    val pngs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
+      "src_bytes", stamp = s"png:$d", codecTag = "png",
+      inputs = Seq(s"$d/documents.parquet"))
+    val hashed = operators.MultimodalOps
+      .dhashPayloads(s, pngs, "doc_id", "payload")
+      .filter(col("dhash").isNotNull)
+    val train = hashed
+    val evalSet = hashed.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("dhash"))
+    operators.MultimodalOps.dhashDecontaminate(train, evalSet,
+        "doc_id", "dhash", maxDist = 3, maxBucket = 1000)
+      .orderBy("eval_id", "train_id")
+  }
+
   /** REAL image RESIZE under the hash gate
     * ([[operators.MultimodalOps.resizePng]]): encode each document's bytes
     * as a PNG, nearest-neighbor resize the DECODED raster to a fixed

@@ -312,6 +312,55 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** MULTIMODAL CROSS-SPLIT DECONTAMINATION: perceptual near-match pairs
+    * between an eval image set and the training corpus, from their dHash
+    * fingerprints — the image analog of TextOps.decontaminate (an eval
+    * benchmark frame that leaked into the training corpus, resized or
+    * losslessly re-encoded, still fingerprints Hamming-close). Manku-style
+    * block banding on the 64-bit hash: 4 × 16-bit blocks, so every pair
+    * within Hamming distance 3 shares at least one block verbatim
+    * (pigeonhole); candidates equi-join on (block index, block value) with
+    * a hot-bucket cap BEFORE any pair materializes (the DedupOps
+    * convention), then exact per-block `bit_count(xor)` Hamming verifies.
+    * At 100 TB the train side is the corpus and the eval side is a
+    * benchmark (thousands of frames): candidates stay ∝ matched buckets,
+    * never |eval|×|train|. Inputs carry (idCol, hashCol=16-hex dHash);
+    * output (eval_id, train_id, hamming ≤ maxDist). */
+  def dhashDecontaminate(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, hashCol: String,
+                         maxDist: Int = 3,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 4 × 16-bit blocks of the MSB-first hex hash: conv keeps every block
+    // in [0, 65535] — no 64-bit sign games on either engine
+    def blocks(df: DataFrame) = df.withColumn("blocks",
+      array((0 until 4).map(k =>
+        conv(substring(col(hashCol), 4 * k + 1, 4), 16, 10)
+          .cast(LongType)): _*))
+    val t = blocks(train)
+      .select(col(idCol).as("id"), col("blocks"), lit("t").as("side"))
+    val e = blocks(evalSet)
+      .select(col(idCol).as("id"), col("blocks"), lit("e").as("side"))
+    val banded = t.unionByName(e).select(col("id"), col("side"),
+      col("blocks"), posexplode(col("blocks")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val w = Window.partitionBy("band", "bucket")
+    val capped = banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket)
+    val a = capped.filter(col("side") === "e").alias("a")
+    val b = capped.filter(col("side") === "t").alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("eval_id"), col("b.id").as("train_id"),
+        col("a.blocks").as("eb"), col("b.blocks").as("tb"))
+      .dropDuplicates("eval_id", "train_id")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(eb, tb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= maxDist)
+      .select("eval_id", "train_id", "hamming")
+  }
+
   /** Partition-wise RESIZE: the batch transform between encode and decode
     * — same shape as [[encodePayloads]] (one codec per partition, rows
     * streamed, no shuffle), emitting the resized PNG payload. */
