@@ -1316,6 +1316,25 @@ object OracleSql {
       |       + bs[CAST((3 * (((p // 9) * h // 8) * w + ((p % 9) * w // 9)) + 2) % n AS INT) + 1]) // 3) AS gv
       |  FROM b)""".stripMargin
 
+  /** VALUES literal of the declared grant matrix — generated from the
+    * SAME Seq the Spark query builds its table from
+    * ([[graft.operators.Permissions.demoGrants]]), so the gate's two
+    * sides can never diverge. */
+  private def permissionsGateSql: String = {
+    val values = graft.operators.Permissions.demoGrants.map {
+      case (u, t, r, c, w) => s"('$u', '$t', $r, $c, $w)"
+    }.mkString(",\n    ")
+    s"""WITH perms(user_id, type_id, can_read, can_create, can_write) AS (
+       |  VALUES
+       |    $values)
+       |SELECT p.user_id, d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM documents d JOIN perms p
+       |  ON p.type_id = d.source AND p.can_read
+       |GROUP BY p.user_id, d.source
+       |ORDER BY p.user_id, d.source""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     // --- CRUD / engine semantics -----------------------------------
     "q_point_lookup" ->
@@ -1403,6 +1422,11 @@ object OracleSql {
     "q_required_filter" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    // S24 read-permission gate: grant matrix as a VALUES literal generated
+    // from the same Seq the Spark query uses; can_read=false and missing
+    // rows both deny (the 403 contract)
+    "q_permissions_gate" -> permissionsGateSql,
 
     "q_null_strip" ->
       """SELECT event_id, v FROM (

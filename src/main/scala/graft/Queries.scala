@@ -2130,6 +2130,26 @@ object Queries {
     * (both engines build the identical string) — the operator then has
     * real matches to find and the redaction a real diff to make. Exact
     * regex semantics shared by Java regex and RE2 ⇒ full oracle. */
+  /** PER-TYPE READ-PERMISSION GATE under the hash gate
+    * ([[operators.Permissions.gateReadsAll]], VERDICT r17 #6 — the last
+    * spec-only reference surface, S24's test_views 403 contract, as a
+    * declared key): the shared grant matrix
+    * ([[operators.Permissions.demoGrants]] — grants, an explicit deny, a
+    * write-only row, and users with missing rows) broadcast-joins the
+    * corpus on type; the served view is per-(user, type) doc counts +
+    * char sums, so a wrongly-passed row changes the hash. The oracle
+    * embeds the SAME Seq as its VALUES literal — one definition, no
+    * drift. At 100 TB the grant matrix is metadata (users × types) and
+    * the gate is a map-side broadcast filter on the scan. */
+  val qPermissionsGate: Q = (s, d) => {
+    val perms = operators.Permissions.table(s, operators.Permissions.demoGrants)
+    operators.Permissions.gateReadsAll(Tables.documents(s, d), "source", perms)
+      .groupBy(col("user_id"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("user_id", "source")
+  }
+
   val qTextPiiScrub: Q = (s, d) => {
     val planted = Tables.documents(s, d)
       .filter(col("text").isNotNull)

@@ -45,4 +45,35 @@ object Permissions {
         col("type_id") === typeId && col("can_read") === true)
         .select(col("type_id").as("__grant"))),
       expr("true"), "left_semi")
+
+  /** Multi-tenant read gate: every (row, user) pair where the user holds
+    * can_read on the row's type — the fan-out form serving uses to build
+    * per-tenant views in one pass. One broadcast hash join against the
+    * metadata-scale grant matrix; a user with no grant row for a type is
+    * simply absent (the 403-on-missing contract), as is a can_read=false
+    * row. */
+  def gateReadsAll(df: DataFrame, typeCol: String,
+                   perms: DataFrame): DataFrame =
+    df.join(broadcast(perms.filter(col("can_read") === true)
+        .select(col("user_id"), col("type_id"))),
+      col(typeCol) === col("type_id"))
+      .drop("type_id")
+
+  /** The declared demo grant matrix (q_permissions_gate) — ONE definition
+    * shared by the Spark query and the DuckDB oracle's VALUES literal, so
+    * the two sides can never diverge. Exercises all three outcomes: grant
+    * (can_read=true), explicit deny (can_read=false), and missing row
+    * (deny) — 'carol' holds exactly one grant, everything else about her
+    * is absent. */
+  val demoGrants: Seq[(String, String, Boolean, Boolean, Boolean)] = Seq(
+    ("alice", "src0", true, true, true),
+    ("alice", "src1", true, false, false),
+    ("alice", "src2", false, false, false), // explicit deny
+    ("alice", "src3", true, false, true),
+    ("alice", "src4", true, true, false),
+    ("bob", "src2", true, true, true),
+    ("bob", "src3", false, true, true), // write-only: reads still deny
+    ("bob", "src5", true, false, false),
+    ("bob", "src7", true, false, false),
+    ("carol", "src9", true, false, false))
 }

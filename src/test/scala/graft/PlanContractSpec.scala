@@ -38,6 +38,15 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q_join_fuzzy").contains("BroadcastHashJoin"))
   }
 
+  test("permission gate is a broadcast join on the grant matrix") {
+    // the grant matrix is metadata-scale; a hash-exchange on the corpus's
+    // type column to meet it would be the full-shuffle regression the
+    // broadcast gate exists to avoid
+    val p = plan("q_permissions_gate")
+    assert(p.contains("BroadcastHashJoin"), s"grant matrix must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet grants:\n$p")
+  }
+
   test("contamination audit broadcasts the eval side; corpus never shuffles whole") {
     // both eval frames (grams, totals) must reach the train-side gram
     // stream as broadcasts — the only shuffle is the matched-pair agg

@@ -27,4 +27,14 @@ class PermissionsSpec extends SparkSpec {
     assert(Permissions.gateRead(data, perms, "bob", "t2").count() === 0)
     assert(Permissions.gateRead(data, perms, "carol", "t1").count() === 0)
   }
+
+  test("gateReadsAll fans out rows to exactly the can_read grant holders") {
+    val data = Seq((1L, "t1"), (2L, "t2"), (3L, "t9")).toDF("id", "typ")
+    val got = Permissions.gateReadsAll(data, "typ", perms)
+      .select("id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // t1 readable by alice+bob, t2 denied for bob (can_read=false) and
+    // ungranted for alice, t9 has no rows at all
+    assert(got === Set((1L, "alice"), (1L, "bob")))
+  }
 }
