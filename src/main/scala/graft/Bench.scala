@@ -87,8 +87,10 @@ object Bench {
   }
 
   /** Per-key MIN map of the committed quiet reference sweep
-    * (`BENCH_ref.json`, written at round close from a verified-quiet
-    * BENCH_full.json). VERDICT r12 #1: every in-sweep integrity check was
+    * (`BENCH_ref.local<cpus>.json`, written at round close from a
+    * verified-quiet BENCH_full.json — one anchor file per parallelism
+    * config, nothing merged across configs). VERDICT r12 #1: every
+    * in-sweep integrity check was
     * a ratio of the sweep against ITSELF, so sustained contention that
     * inflated one key 15× (median and min together — salvage's
     * median/min > 1.8 trigger never fired) while leaving the whole-sweep
@@ -475,16 +477,14 @@ object Bench {
     // refreshed every round close, so 2× leaves headroom over quiet
     // run-to-run jitter (~1.3×) while catching drifts the old trigger
     // missed.
-    // Per-config anchor (VERDICT r14 #4): local[4] and local[32] mins are
-    // not comparable (scheduling, shuffle width, per-task overheads differ),
-    // and the r14 anchor min-merged both configs. Prefer the anchor captured
-    // at THIS run's parallelism when one exists; the bare BENCH_ref.json
-    // stays as fallback so a fresh clone still gets reference salvage.
-    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse {
-      val perCfg = s"BENCH_ref.local$cpus.json"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(perCfg))) perCfg
-      else "BENCH_ref.json"
-    }
+    // Per-config anchor (VERDICT r14 #4, single-source since r18 per
+    // VERDICT r17 #7): local[4] and local[32] mins are not comparable
+    // (scheduling, shuffle width, per-task overheads differ). The ONLY
+    // anchor source is BENCH_ref.local<cpus>.json for THIS run's
+    // parallelism; no legacy mixed-config fallback — a config with no
+    // captured anchor gets no reference salvage rather than a wrong one.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      s"BENCH_ref.local$cpus.json")
     val refMins = loadRefMins(refPath)
     val refFlagged = primary.filter { r =>
       refMins.get(r._1).exists(ref => ref > 0 && r._3 > 2.0 * ref)

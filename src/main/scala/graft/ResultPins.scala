@@ -106,6 +106,10 @@ object ResultPins {
     "q_dedup_minhash_prod" -> 25L,
     "q_dedup_simhash_prod" -> 1034L,
     "q_dsir_weights" -> 500L,
+    // hybrid RRF rides the generated-oracle IVF replay since r18 (the
+    // q_vec_ann_ivf precedent): oracle-gated in Verify, pin-covered in
+    // the suite where the training context is absent
+    "q_hybrid_rrf" -> 50L,
     "q_lm_perplexity" -> 500L,
     "q_text_bm25" -> 25L,
     // q_vec_ann_ivf keeps its pin although Verify's GENERATED oracle now
@@ -134,6 +138,7 @@ object ResultPins {
     "q_dedup_minhash_prod" -> "25:7af05ed74fa80e95",
     "q_dedup_simhash_prod" -> "1034:65c4de89929f8417",
     "q_dsir_weights" -> "500:a60fd25ec3948a06",
+    "q_hybrid_rrf" -> "50:d7be284412a92bce",
     "q_lm_perplexity" -> "500:097df3aa8322d987",
     "q_text_bm25" -> "25:9e0df9d2b1a7c1ef",
     "q_vec_ann_ivf" -> "50:5a80ee72f72e8934",
@@ -144,5 +149,56 @@ object ResultPins {
     "q_vec_ann_ivfpq" -> "50:ccf63940969f04f2",
     "q_vec_ann_lsh_prod" -> "50:b79cf4f85a89fd00",
     "q_vec_ann_pq" -> "50:0c8dcb6dd30f9ddc"
+  )
+
+  /** sf0.1 pins (VERDICT r17 #3): the sf0.01 pins above catch a kernel
+    * regression only at the small SF; these extend the same row-count +
+    * content-hash gate to the BENCH scale, so a scale-dependent wrong
+    * answer (a cap binding differently, a skew path activating, an
+    * overflow) is caught without the oracle. Derived with
+    * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain
+    * graft.tools.PinHashes"`; stability proven by identical hashes at
+    * local[4] and local[8]. Keys mirror the sf0.01 maps (every key that
+    * is rows-only in SUITE context, where the generated oracles are
+    * unavailable). */
+  val pinnedSf10: Map[String, Long] = Map(
+    "q_agg_approx_distinct" -> 3L,
+    "q_agg_approx_percentile" -> 3L,
+    "q_bpe_encode" -> 5000L,
+    "q_bpe_merges" -> 16L,
+    "q_bpe_merges_floored" -> 16L,
+    "q_dedup_minhash_prod" -> 25L,
+    "q_dedup_simhash_prod" -> 30855L,
+    "q_dsir_weights" -> 5000L,
+    "q_hybrid_rrf" -> 50L,
+    "q_lm_perplexity" -> 5000L,
+    "q_stream_vec_ivf" -> 50L,
+    "q_text_bm25" -> 25L,
+    "q_vec_ann_ivf" -> 50L,
+    "q_vec_ann_ivf_indexed" -> 50L,
+    "q_vec_ann_ivfpq" -> 50L,
+    "q_vec_ann_lsh_prod" -> 50L,
+    "q_vec_ann_pq" -> 50L
+  )
+
+  val hashPinnedSf10: Map[String, String] = Map(
+    "q_agg_approx_distinct" -> "3:e4beab785f0300af",
+    "q_agg_approx_percentile" -> "3:5926421cd81758bf",
+    "q_bpe_encode" -> "5000:0fd1d40406fac821",
+    "q_bpe_merges" -> "16:cd55bee9bda9dd0d",
+    "q_bpe_merges_floored" -> "16:cd55bee9bda9dd0d",
+    "q_dedup_minhash_prod" -> "25:f8e2ed0dd421b513",
+    "q_dedup_simhash_prod" -> "30855:f6aeb60c2604d0be",
+    "q_dsir_weights" -> "5000:1b94aa8f7a4df4fd",
+    "q_hybrid_rrf" -> "50:0c46166e8f742e03",
+    "q_lm_perplexity" -> "5000:29648648c4577c0c",
+    // streaming fold == batch q_vec_ann_ivf == persisted index, same hash
+    "q_stream_vec_ivf" -> "50:39a52bbe40637588",
+    "q_text_bm25" -> "25:3ad061187bc2ee77",
+    "q_vec_ann_ivf" -> "50:39a52bbe40637588",
+    "q_vec_ann_ivf_indexed" -> "50:39a52bbe40637588",
+    "q_vec_ann_ivfpq" -> "50:ac0ba9d6c570a596",
+    "q_vec_ann_lsh_prod" -> "50:a8ad7efc971dfcfe",
+    "q_vec_ann_pq" -> "50:a38e94e7ea499c21"
   )
 }

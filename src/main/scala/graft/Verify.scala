@@ -63,18 +63,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // sf0.01 pins for the rows-only keys (ADVICE r13 #2): lets the local
-    // t2 gate (tools/check_oracle.py) compare each un-oracled key's row
-    // count against an exact expectation instead of skipping it.
-    val pins = ResultPins.pinned.toSeq.sortBy(_._1)
-      .map { case (k, n) => s"${q(k)}: $n" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/expected_rows.json"), pins)
+    // Per-SF pins for the rows-only keys (ADVICE r13 #2; sf0.1 layer
+    // VERDICT r17 #3): lets the local t2 gate (tools/check_oracle.py)
+    // compare each un-oracled key's row count against an exact
+    // expectation instead of skipping it. Pins are SF-specific — an
+    // unpinned SF exports nothing rather than the wrong scale's counts.
+    val sfName = new java.io.File(sfDir).getName
+    val (rowPins, hashPins) = sfName match {
+      case "sf0.01" => (ResultPins.pinned, ResultPins.hashPinned)
+      case "sf0.1" => (ResultPins.pinnedSf10, ResultPins.hashPinnedSf10)
+      case _ => (Map.empty[String, Long], Map.empty[String, String])
+    }
+    if (rowPins.nonEmpty) {
+      val pins = rowPins.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"${q(k)}: $n" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/expected_rows.json"), pins)
+    }
     // Content-hash pins (VERDICT r14 #2): compute each pinned key's
     // canonical Spark-side hash FROM THE DUMPED PARQUET (exactly what the
     // count gate reads) and export expected vs actual for check_oracle.py.
-    // sf0.01-only — the pins are sf-specific, like the row counts.
-    if (new java.io.File(sfDir).getName == "sf0.01" && filters.isEmpty) {
-      val actual = ResultPins.hashPinned.keys.toSeq.sorted.flatMap { k =>
+    if (hashPins.nonEmpty && filters.isEmpty) {
+      val actual = hashPins.keys.toSeq.sorted.flatMap { k =>
         try Some(k -> ResultPins.canonicalHash(spark.read.parquet(s"$outDir/$k")))
         catch { case e: Throwable =>
           System.err.println(s"[verify] hash of $k failed: ${e.getMessage}")
@@ -84,7 +93,7 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/actual_hashes.json"),
         actual.map { case (k, h) => s"${q(k)}: ${q(h)}" }.mkString("{", ",", "}"))
       Files.writeString(Paths.get(s"$outDir/expected_hashes.json"),
-        ResultPins.hashPinned.toSeq.sortBy(_._1)
+        hashPins.toSeq.sortBy(_._1)
           .map { case (k, h) => s"${q(k)}: ${q(h)}" }.mkString("{", ",", "}"))
     }
     spark.stop()

@@ -51,6 +51,30 @@ class ResultPinSpec extends SparkSpec {
     }
   }
 
+  test("sf0.1 pin maps mirror the rows-only key set (VERDICT r17 #3)") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert((rowsOnly -- ResultPins.pinnedSf10.keySet).isEmpty,
+      s"rows-only keys without an sf0.1 row pin: ${rowsOnly -- ResultPins.pinnedSf10.keySet}")
+    assert(ResultPins.pinnedSf10.keySet === ResultPins.hashPinnedSf10.keySet,
+      "sf0.1 row and hash pin maps must cover the same keys")
+    assert((ResultPins.pinnedSf10.keySet -- rowsOnly).isEmpty,
+      s"stale sf0.1 pins for keys that now have a static oracle: ${ResultPins.pinnedSf10.keySet -- rowsOnly}")
+  }
+
+  ResultPins.hashPinnedSf10.toSeq.sortBy(_._1).foreach { case (key, expected) =>
+    test(s"$key matches its pinned sf0.1 content hash") {
+      // the canonical hash embeds the row count ("n:hash"), so this also
+      // enforces pinnedSf10's counts without a second job per key
+      val h = ResultPins.canonicalHash(SparkEntry.queries(key)(spark, sf("sf0.1")))
+      assert(h === expected,
+        s"$key CONTENT drifted at sf0.1 (pinned $expected, got $h) — " +
+          "if the change was intentional, re-derive with graft.tools.PinHashes " +
+          "at SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and update ResultPins " +
+          "in the same commit")
+      assert(h.takeWhile(_ != ':').toLong === ResultPins.pinnedSf10(key))
+    }
+  }
+
   test("a planted one-neighbor swap fails the hash pin (the pin has teeth)") {
     // VERDICT r14 #2's acceptance test: the row-count pins were
     // structurally invariant (k×queries rows regardless of WHICH

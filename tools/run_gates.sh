@@ -169,15 +169,12 @@ else:
 # — VERDICT r13 #5: a real 2.13x drift slipped under 2.5x; the anchor map
 # is refreshed every round close so 2x clears quiet jitter), so anything
 # still over here was confirmed slow by its re-measure or predates the ref.
+# single anchor source per config (VERDICT r17 #7) — no legacy fallback
 ref_path = b.get("bench_ref_path") or f"BENCH_ref.local{b.get('cpus','')}.json"
 try:
     ref = json.load(open(ref_path)).get("queries_min", {})
 except Exception:
-    ref_path = "BENCH_ref.json"
-    try:
-        ref = json.load(open(ref_path)).get("queries_min", {})
-    except Exception:
-        ref = {}
+    ref = {}
 if ref:
     qm = b.get("queries_min", {})
     over = sorted((k, qm[k], ref[k]) for k in qm
