@@ -2938,8 +2938,11 @@ object Queries {
     * sparse-retrieval shape: cost ∝ postings matched, with the
     * aggregation map-side combined on the shuffle up. */
   private[graft] def lexPostingsTopN(s: SparkSession, d: String,
-                                     n: Int): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"),
+                                     n: Int): DataFrame =
+    lexPostingsTopN(Tables.documents(s, d), n)
+
+  private[graft] def lexPostingsTopN(docsIn: DataFrame, n: Int): DataFrame = {
+    val docs = docsIn.select(col("doc_id"),
       array_distinct(array_remove(split(col("text"), " "), "")).as("toks"))
     val post = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
     val qpost = broadcast(post.filter(col("doc_id") < 5)

@@ -167,6 +167,20 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(re <= 1.5, f"output-rows exponent $re%.2f > 1.5 — pair output growing superlinearly")
   }
 
+  test("hybrid postings ranker shuffle is matched-postings-scale; output capped") {
+    // q_hybrid_rrf's lexical side (VERDICT r17 #1): the 5-query postings
+    // ride a BROADCAST, so the only exchanges are the matched-pair
+    // overlap agg and the per-query window — shuffle bytes must track
+    // matched postings (~linear in corpus at fixed query count), and the
+    // output stays top-N-capped regardless of corpus size (rowsExp ≈ 0).
+    val (nr, be, re) = growth(
+      d => Tables.documents(spark, d),
+      (docs, _) => Queries.lexPostingsTopN(docs, n = 50))
+    info(f"postings ranker: nRatio=$nr%.1f bytesExp=$be%.2f rowsExp=$re%.2f")
+    assert(be <= 1.5, f"shuffle-bytes exponent $be%.2f > 1.5 (nRatio $nr%.1f) — the postings ranker shuffle is no longer matched-postings-scale")
+    assert(re <= 0.2, f"output-rows exponent $re%.2f > 0.2 — the top-N cap stopped binding")
+  }
+
   test("triangle count wedge volume stays orientation-bounded") {
     // the q_graph_triangles co-order graph: part pairs within an order
     def edges(d: String): DataFrame = {
