@@ -19,8 +19,14 @@ below its old anchor is therefore NOT merged (kept at the old floor) and
 reported — if the speedup is real (an intentional optimization), rerun
 with --allow-improvement <key,key,...> in the same commit as the change.
 
+Reset (r18): a key whose SEMANTICS changed (redefined implementation)
+keeps a stale floor under the min-merge — the old min measures a
+different computation. --reset <key,key> makes the listed keys enter at
+the sweep value, discarding the old floor; use it in the same commit as
+the redefinition, stating why.
+
 Usage: python3 tools/refresh_bench_ref.py [BENCH_full.json] [BENCH_ref.localN.json]
-           [--allow-improvement k1,k2]
+           [--allow-improvement k1,k2] [--reset k1,k2]
 """
 import json
 import sys
@@ -28,11 +34,14 @@ import sys
 
 def main(argv):
     allow = set()
+    reset = set()
     args = []
     it = iter(argv)
     for a in it:
         if a == "--allow-improvement":
             allow = set(next(it).split(","))
+        elif a == "--reset":
+            reset = set(next(it).split(","))
         else:
             args.append(a)
     full_path = args[0] if len(args) > 0 else "BENCH_full.json"
@@ -78,7 +87,10 @@ def main(argv):
         old = {}
     merged, held = {}, []
     for k, v in sorted(new.items()):
-        if k not in old:
+        if k in reset:
+            merged[k] = v  # semantics changed: old floor measures a
+            # different computation — enter at the sweep value
+        elif k not in old:
             merged[k] = v
         elif v < old[k] / 3.0 and k not in allow:
             merged[k] = old[k]
@@ -88,6 +100,9 @@ def main(argv):
     entered = sorted(set(new) - set(old))
     dropped = sorted(set(old) - set(new))
     improved = sorted(k for k in new if k in old and merged[k] < old[k])
+    if reset:
+        print(f"[refresh] reset to sweep value (redefined keys): "
+              f"{','.join(sorted(reset & set(new)))}")
     json.dump({"queries_min": merged, "refreshed_from": full.get("ts"),
                "calib": calib, "cpus": cpus}, open(ref_path, "w"), indent=0)
     print(f"[refresh] {ref_path} (cpus={cpus}): {len(merged)} keys "
