@@ -951,8 +951,8 @@ object OracleSql {
             // replay
             "q_vec_ann_ivf_indexed" -> ivf,
             // hybrid fuse: vector side ranks through the same index
-            // replay (top-20 cut), lexical side replays the postings
-            // ranker — see hybridRrfOracle
+            // replay (top-50 cut), lexical side replays the postings
+            // ranker (top-50) — see hybridRrfOracle
             "q_hybrid_rrf" -> hybridRrfOracle(cents),
             "q_vec_ann_pq" -> pqOracle(spark, d),
             "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d, cents))

@@ -2124,12 +2124,6 @@ object Queries {
         blockCols = Seq("lang", "source"), k = 3, threshold = 0.03)
       .orderBy("id_a", "id_b")
 
-  /** PII scrub ([[operators.TextOps.piiScrub]]): per-doc email / phone /
-    * IPv4 counts + the redacted text. The synthetic corpus carries no PII,
-    * so the query PLANTS one of each class deterministically from doc_id
-    * (both engines build the identical string) — the operator then has
-    * real matches to find and the redaction a real diff to make. Exact
-    * regex semantics shared by Java regex and RE2 ⇒ full oracle. */
   /** PER-TYPE READ-PERMISSION GATE under the hash gate
     * ([[operators.Permissions.gateReadsAll]], VERDICT r17 #6 — the last
     * spec-only reference surface, S24's test_views 403 contract, as a
@@ -2150,6 +2144,12 @@ object Queries {
       .orderBy("user_id", "source")
   }
 
+  /** PII scrub ([[operators.TextOps.piiScrub]]): per-doc email / phone /
+    * IPv4 counts + the redacted text. The synthetic corpus carries no PII,
+    * so the query PLANTS one of each class deterministically from doc_id
+    * (both engines build the identical string) — the operator then has
+    * real matches to find and the redaction a real diff to make. Exact
+    * regex semantics shared by Java regex and RE2 ⇒ full oracle. */
   val qTextPiiScrub: Q = (s, d) => {
     val planted = Tables.documents(s, d)
       .filter(col("text").isNotNull)

@@ -31,7 +31,11 @@ object Verify {
     // run's actual_hashes.json and false-PASS the content-hash check.
     // Drop the side files up front so check_oracle.py sees hashes only
     // when THIS run computed them against THIS run's dumps.
-    Seq("actual_hashes.json", "expected_hashes.json").foreach { f =>
+    // expected_rows.json included since r18: its write is conditional on
+    // the SF being pinned, so an unpinned-SF rerun into a reused outDir
+    // would otherwise pair fresh dumps with a previous scale's counts
+    Seq("actual_hashes.json", "expected_hashes.json",
+        "expected_rows.json").foreach { f =>
       Files.deleteIfExists(Paths.get(s"$outDir/$f"))
     }
     // comma-separated substring filter for fast iteration (mirrors Bench's

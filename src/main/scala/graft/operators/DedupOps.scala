@@ -119,7 +119,8 @@ object DedupOps {
     * pair stream's. Same count-prefilter shape as [[keyedPairs]]: the
     * windowed count partitions on exactly the join keys, so the exchange is
     * computed once and reused by the join itself. */
-  private def capHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+  private[operators] def capHotBuckets(banded: DataFrame,
+                                       maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded // uncapped: skip the count pass
     else banded
       // windowed count, NOT a broadcast blacklist: the window partitions

@@ -345,9 +345,9 @@ object MultimodalOps {
       col("blocks"), posexplode(col("blocks")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val w = Window.partitionBy("band", "bucket")
-    val capped = banded.withColumn("bn", count(lit(1)).over(w))
-      .filter(col("bn") <= maxBucket)
+    // one definition of the hot-cell guard (DedupOps) — keeps the
+    // uncapped short-circuit and the window-reuse rationale in one place
+    val capped = DedupOps.capHotBuckets(banded, maxBucket)
     val a = capped.filter(col("side") === "e").alias("a")
     val b = capped.filter(col("side") === "t").alias("b")
     a.join(b, col("a.band") === col("b.band") &&

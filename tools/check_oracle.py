@@ -77,12 +77,14 @@ def main(outdir, sfdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    # sf0.01 row-count pins for the rows-only keys (ADVICE r13 #2): a key
-    # without an oracle still gets an exact size check instead of a SKIP.
-    # Pins are sf0.01-specific, so they only apply at that scale factor.
+    # Per-SF row-count pins for the rows-only keys (ADVICE r13 #2; sf0.1
+    # layer VERDICT r17 #3): a key without an oracle still gets an exact
+    # size check instead of a SKIP. Verify exports the pins matching the
+    # SF it ran at (sf0.01 and sf0.1 are pinned; other SFs export none),
+    # so this gate just loads whatever the paired Verify run wrote.
     pins = {}
     hash_exp, hash_act = {}, {}
-    if os.path.basename(os.path.normpath(sfdir)) == "sf0.01":
+    if os.path.basename(os.path.normpath(sfdir)) in ("sf0.01", "sf0.1"):
         try:
             with open(f"{outdir}/expected_rows.json") as f:
                 pins = json.load(f)
