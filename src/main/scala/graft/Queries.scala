@@ -3232,12 +3232,20 @@ object Queries {
     * ([[VectorOps.ivfProbeCells]] — metadata scale) feeds a LITERAL cell
     * filter, so the scan lists and reads only nProbe/nCentroids of the
     * index's FILES (PlanContractSpec asserts the PartitionFilters). */
+  // the opened-index handle: a serving process reads the codebook once
+  // per index, not once per query — memoized per idxDir (immutable once
+  // staged; a regenerated input lands at a NEW dir via the fingerprint)
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[VectorOps.Centroid]]
+
   private def ivfIndexedTopK(s: SparkSession, d: String, k: Int,
                              nProbe: Int = 6): DataFrame = {
     val idxDir = stagedIvfIndexDir(s, d)
-    val cents: Seq[VectorOps.Centroid] = s.read.parquet(idxDir + "/cents")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
+    val cents: Seq[VectorOps.Centroid] =
+      codebookCache.getOrElseUpdate(idxDir,
+        s.read.parquet(idxDir + "/cents")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1))
     val queries = Tables.embeddings(s, d).filter(col("vec_id") < 5)
     val cells = VectorOps.ivfProbeCells(queries, "embedding", cents, nProbe)
     val index = s.read.parquet(idxDir + "/lists")
