@@ -261,21 +261,31 @@ object OracleSql {
     * relevance argmax, each later pick maximizes wRel·rel6 − wDiv·max sim6
     * to the already-selected set — (score DESC, cand ASC) is a total order
     * so both engines replay the identical selection. */
-  private def mmrSql(pool: Int, k: Int, wRel: Long, wDiv: Long): String = {
+  private def mmrSql(pool: Int, k: Int, wRel: Long, wDiv: Long): String =
+    s"""WITH side AS (SELECT vec_id, embedding AS v,
+       |    SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM side WHERE vec_id < 5),
+       |rel0 AS (SELECT q.query_id, s.vec_id AS cand, s.v AS cv, s.nrm AS cn,
+       |    CAST(ROUND(${dotSql("q.qv", "s.v")} / (q.qn * s.nrm) * 1000000)
+       |      AS BIGINT) AS rel6
+       |  FROM q, side s WHERE s.vec_id <> q.query_id),
+       |rel AS MATERIALIZED (SELECT query_id, cand, cv, cn, rel6 FROM (
+       |    SELECT rel0.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel6 DESC, cand) AS rn FROM rel0)
+       |  WHERE rn <= $pool),
+       |${mmrGreedyCtes(k, wRel, wDiv)}
+       |${mmrFinalSelect(k)}""".stripMargin
+
+  /** The unrolled greedy rounds over a materialized
+    * `rel(query_id, cand, cv, cn, rel6)` CTE — ONE definition shared by
+    * [[mmrSql]] (own relevance pool) and the hybrid→MMR composition
+    * ([[hybridMmrOracle]]), mirroring the engine's shared
+    * `VectorOps.mmrGreedy`. Pairwise sims are named `psims` (the
+    * composed oracle's IVF prefix already owns `sims`). */
+  private def mmrGreedyCtes(k: Int, wRel: Long, wDiv: Long): String = {
     val head =
-      s"""WITH side AS (SELECT vec_id, embedding AS v,
-         |    SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-         |  FROM side WHERE vec_id < 5),
-         |rel0 AS (SELECT q.query_id, s.vec_id AS cand, s.v AS cv, s.nrm AS cn,
-         |    CAST(ROUND(${dotSql("q.qv", "s.v")} / (q.qn * s.nrm) * 1000000)
-         |      AS BIGINT) AS rel6
-         |  FROM q, side s WHERE s.vec_id <> q.query_id),
-         |rel AS MATERIALIZED (SELECT query_id, cand, cv, cn, rel6 FROM (
-         |    SELECT rel0.*, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY rel6 DESC, cand) AS rn FROM rel0)
-         |  WHERE rn <= $pool),
-         |sims AS MATERIALIZED (SELECT x.query_id, x.cand AS c1, y.cand AS c2,
+      s"""psims AS MATERIALIZED (SELECT x.query_id, x.cand AS c1, y.cand AS c2,
          |    CAST(ROUND(${dotSql("x.cv", "y.cv")} / (x.cn * y.cn) * 1000000)
          |      AS BIGINT) AS sim6
          |  FROM rel x JOIN rel y
@@ -286,27 +296,28 @@ object OracleSql {
          |  WHERE rn = 1)""".stripMargin
     val steps = (2 to k).map { j =>
       s"""m$j AS (SELECT s.query_id, s.c1 AS cand, MAX(s.sim6) AS ms
-         |  FROM sims s JOIN sel${j - 1} p
+         |  FROM psims s JOIN sel${j - 1} p
          |    ON p.query_id = s.query_id AND p.cand = s.c2
          |  GROUP BY 1, 2),
          |n$j AS (SELECT query_id, cand, $j AS pick, rel6 FROM (
-         |    SELECT r.query_id, r.cand, r.rel6, ROW_NUMBER() OVER (
-         |        PARTITION BY r.query_id
-         |        ORDER BY $wRel * r.rel6 - $wDiv * m.ms DESC, r.cand) AS rn
-         |    FROM rel r
-         |    JOIN m$j m ON m.query_id = r.query_id AND m.cand = r.cand
+         |    SELECT rr.query_id, rr.cand, rr.rel6, ROW_NUMBER() OVER (
+         |        PARTITION BY rr.query_id
+         |        ORDER BY $wRel * rr.rel6 - $wDiv * m.ms DESC, rr.cand) AS rn
+         |    FROM rel rr
+         |    JOIN m$j m ON m.query_id = rr.query_id AND m.cand = rr.cand
          |    LEFT JOIN sel${j - 1} p
-         |      ON p.query_id = r.query_id AND p.cand = r.cand
+         |      ON p.query_id = rr.query_id AND p.cand = rr.cand
          |    WHERE p.cand IS NULL)
          |  WHERE rn = 1),
          |sel$j AS MATERIALIZED (SELECT * FROM sel${j - 1}
          |  UNION ALL SELECT * FROM n$j)""".stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$steps
-       |SELECT query_id, cand AS neighbor_id, pick, rel6 FROM sel$k
-       |ORDER BY query_id, pick""".stripMargin
+    head + ",\n" + steps
   }
+
+  private def mmrFinalSelect(k: Int): String =
+    s"""SELECT query_id, cand AS neighbor_id, pick, rel6 FROM sel$k
+       |ORDER BY query_id, pick""".stripMargin
 
   /** Per-group OLS trend: exact integer sufficient statistics (HUGEINT
     * product sums mirror Spark's DECIMAL(38) accumulators), one shared
@@ -954,6 +965,9 @@ object OracleSql {
             // replay (top-50 cut), lexical side replays the postings
             // ranker (top-50) — see hybridRrfOracle
             "q_hybrid_rrf" -> hybridRrfOracle(cents),
+            // RAG serving capstone: hybrid top-20 candidates re-scored +
+            // MMR-diversified via the shared greedy CTEs
+            "q_hybrid_mmr" -> hybridMmrOracle(cents),
             "q_vec_ann_pq" -> pqOracle(spark, d),
             "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d, cents))
       })
@@ -1240,7 +1254,17 @@ object OracleSql {
     * fusion sits under the exact hash gate. */
   private def hybridRrfOracle(
       cents: Seq[graft.operators.VectorOps.Centroid]): String =
-    s"""WITH ${ivfRankPrefix(cents)},
+    s"""WITH ${hybridFuseCtes(cents)}
+       |SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_micro, rank
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared WITH-body of the hybrid union-RRF fuse, through the full
+    * fused ranking `r` — one definition for [[hybridRrfOracle]] (top-10
+    * cut) and the RAG composition [[hybridMmrOracle]] (top-20 candidate
+    * cut feeding the MMR greedy). */
+  private def hybridFuseCtes(
+      cents: Seq[graft.operators.VectorOps.Centroid]): String =
+    s"""${ivfRankPrefix(cents)},
        |vec AS (SELECT query_id, neighbor_id, vec_rank FROM (
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1267,9 +1291,31 @@ object OracleSql {
        |  FROM lex l FULL JOIN vec v
        |    ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY rrf_micro DESC, neighbor_id) AS rank FROM f)
-       |SELECT query_id, neighbor_id, lex_rank, vec_rank, rrf_micro, rank
-       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |    ORDER BY rrf_micro DESC, neighbor_id) AS rank FROM f)""".stripMargin
+
+  /** RAG serving replay: the hybrid fuse's top-20 candidates
+    * ([[hybridFuseCtes]]) re-scored on the dotFixed cosine grid and run
+    * through the shared unrolled MMR greedy ([[mmrGreedyCtes]]) —
+    * retrieve broadly, re-rank precisely, diversify; the whole serving
+    * stack under ONE hash. Mirrors `Queries.qHybridMmr` /
+    * `VectorOps.mmrRerankOver` exactly: relevance is the re-ranker's own
+    * cosine (retrieval credit is rank-scale, not similarity-scale). */
+  private def hybridMmrOracle(
+      cents: Seq[graft.operators.VectorOps.Centroid]): String =
+    s"""WITH ${hybridFuseCtes(cents)},
+       |hyb AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 20),
+       |side AS (SELECT vec_id, embedding AS v,
+       |    SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM side WHERE vec_id < 5),
+       |rel AS MATERIALIZED (SELECT h.query_id, s.vec_id AS cand,
+       |    s.v AS cv, s.nrm AS cn,
+       |    CAST(ROUND(${dotSql("q.qv", "s.v")} / (q.qn * s.nrm) * 1000000)
+       |      AS BIGINT) AS rel6
+       |  FROM hyb h JOIN side s ON s.vec_id = h.neighbor_id
+       |  JOIN q ON q.query_id = h.query_id),
+       |${mmrGreedyCtes(k = 5, wRel = 7L, wDiv = 3L)}
+       |${mmrFinalSelect(5)}""".stripMargin
 
   /** Four-stage end-to-end pipeline replay (quality gate → exact dedup →
     * minhash near-dup removal via the shared [[minhashFixedCtes]] body →

@@ -2930,6 +2930,36 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** HYBRID RETRIEVE → MMR DIVERSIFIED RE-RANK under ONE hash gate — the
+    * SERVING-side capstone (the [[qPipelinePretrain]] pattern applied to
+    * the query path): the stages a production RAG stack runs per query,
+    * composed so their INTERACTION is gated, not just each stage alone:
+    *
+    *  1. retrieve broadly: postings lexical top-50 + persisted
+    *     partition-pruned IVF top-50, union-RRF fused, top-20 candidates
+    *     ([[qHybridRrf]]'s rankers and fuse);
+    *  2. re-rank precisely + diversify: the candidates' vectors fetched
+    *     by broadcast id-join, relevance RE-SCORED on the dotFixed cosine
+    *     grid (retrieval credit is rank-scale, not similarity-scale), and
+    *     [[VectorOps.mmrRerankOver]]'s greedy picks 5 with the 7:3
+    *     relevance:diversity objective.
+    *
+    * The oracle composes the SAME shared CTE bodies (hybridFuseCtes +
+    * mmrGreedyCtes) the component keys replay, so a drift in either stage
+    * OR in how they hand off breaks the hash. Integer grids end to end. */
+  val qHybridMmr: Q = (s, d) => {
+    val lex = lexPostingsTopN(s, d, n = 50)
+    val vec = ivfIndexedTopK(s, d, k = 50)
+      .select("query_id", "neighbor_id", "rank")
+    val cands = VectorOps.rrfFuseUnion(lex, vec, topK = 20,
+        rankAName = "lex_rank", rankBName = "vec_rank")
+      .select("query_id", "neighbor_id")
+    val emb = Tables.embeddings(s, d)
+    VectorOps.mmrRerankOver(cands, emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "pick")
+  }
+
   /** Lexical POSTINGS ranker: distinct-token overlap with the query
     * document computed through an inverted index — corpus postings
     * equi-join the broadcast query postings, overlap = COUNT per

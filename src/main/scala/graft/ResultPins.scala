@@ -110,6 +110,9 @@ object ResultPins {
     // q_vec_ann_ivf precedent): oracle-gated in Verify, pin-covered in
     // the suite where the training context is absent
     "q_hybrid_rrf" -> 50L,
+    // RAG serving composition (hybrid -> MMR) — generated-oracle-gated in
+    // Verify, pin-covered in the suite (the q_vec_ann_ivf precedent)
+    "q_hybrid_mmr" -> 25L,
     "q_lm_perplexity" -> 500L,
     "q_text_bm25" -> 25L,
     // q_vec_ann_ivf keeps its pin although Verify's GENERATED oracle now
@@ -138,6 +141,7 @@ object ResultPins {
     "q_dedup_minhash_prod" -> "25:7af05ed74fa80e95",
     "q_dedup_simhash_prod" -> "1034:65c4de89929f8417",
     "q_dsir_weights" -> "500:a60fd25ec3948a06",
+    "q_hybrid_mmr" -> "25:aee937ba3fb802c5",
     "q_hybrid_rrf" -> "50:d7be284412a92bce",
     "q_lm_perplexity" -> "500:097df3aa8322d987",
     "q_text_bm25" -> "25:9e0df9d2b1a7c1ef",
@@ -170,6 +174,7 @@ object ResultPins {
     "q_dedup_minhash_prod" -> 25L,
     "q_dedup_simhash_prod" -> 30855L,
     "q_dsir_weights" -> 5000L,
+    "q_hybrid_mmr" -> 25L,
     "q_hybrid_rrf" -> 50L,
     "q_lm_perplexity" -> 5000L,
     "q_stream_vec_ivf" -> 50L,
@@ -190,6 +195,7 @@ object ResultPins {
     "q_dedup_minhash_prod" -> "25:f8e2ed0dd421b513",
     "q_dedup_simhash_prod" -> "30855:f6aeb60c2604d0be",
     "q_dsir_weights" -> "5000:1b94aa8f7a4df4fd",
+    "q_hybrid_mmr" -> "25:55118a1213202923",
     "q_hybrid_rrf" -> "50:0c46166e8f742e03",
     "q_lm_perplexity" -> "5000:29648648c4577c0c",
     // streaming fold == batch q_vec_ann_ivf == persisted index, same hash

@@ -1276,8 +1276,49 @@ object VectorOps {
       .filter(col("rn") <= pool)
       .select(col("query_id"), col("cand"), col("rel6"), col("cv"), col("cn"))
       .localCheckpoint() // consumed by sims (×2) and every greedy round
+    mmrGreedy(rel, k, wRel, wDiv, driverFastPathRows)
+  }
+
+  /** MMR over an EXPLICIT per-query candidate set (query_id, neighbor_id)
+    * instead of [[mmrRerank]]'s own relevance pool — the RAG serving
+    * composition: a retrieval stage (e.g. the hybrid union-RRF fuse)
+    * nominates candidates, the re-ranker fetches their vectors and runs
+    * the identical greedy. Relevance is RE-SCORED on the cosine grid (the
+    * re-ranker's own signal — retrieval credit is rank-scale, not
+    * similarity-scale). Scale shape: the candidate list is queries×N rows
+    * (metadata) and BROADCASTS into the corpus scan, so the vector fetch
+    * is one map-side joined pass; everything after is candidate-scale. */
+  def mmrRerankOver(candidates: DataFrame, corpus: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, wRel: Long = 7L, wDiv: Long = 3L,
+                    driverFastPathRows: Long = 100000L): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotFixed(col("qv"), col("qv")))))
+    val c = corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotFixed(col("cv"), col("cv"))))
+    val rel = c.join(broadcast(candidates
+        .select(col("query_id"), col("neighbor_id").as("cand"))), Seq("cand"))
+      .join(q, Seq("query_id"))
+      .withColumn("rel6",
+        round(dotFixed(col("qv"), col("cv")) / (col("qn") * col("cn"))
+          * lit(1e6)).cast(LongType))
+      .select(col("query_id"), col("cand"), col("rel6"), col("cv"), col("cn"))
+      .localCheckpoint() // consumed by sims (×2) and every greedy round
+    mmrGreedy(rel, k, wRel, wDiv, driverFastPathRows)
+  }
+
+  /** The greedy MMR recurrence over a materialized
+    * (query_id, cand, rel6, cv, cn) pool — shared by [[mmrRerank]] (own
+    * relevance pool) and [[mmrRerankOver]] (caller-nominated candidates);
+    * both paths (driver replay / distributed rounds) produce the
+    * identical selection (VectorTextOpsSpec both-path sweeps). */
+  private def mmrGreedy(rel: DataFrame, k: Int, wRel: Long, wDiv: Long,
+                        driverFastPathRows: Long): DataFrame = {
+    val wPool = Window.partitionBy("query_id")
+      .orderBy(col("rel6").desc, col("cand").asc)
     // Adaptive driver fast path (the [[GraphOps.pageRank]] contract): the
-    // corpus-scale pool build above stays distributed, but everything
+    // caller's corpus-scale pool build stays distributed, but everything
     // after it is candidate-scale — queries×pool rows bounded by operator
     // PARAMETERS, not data size — while the distributed greedy pays
     // (k−1) rounds × several micro-jobs of pure planning/scheduling
@@ -1336,7 +1377,7 @@ object VectorOps {
           }
           selected.zipWithIndex.map { case (cd, i) => (qid, cd, i + 1) }
         }
-        val spark = corpus.sparkSession
+        val spark = rel.sparkSession
         val schema = StructType(Seq(
           StructField("query_id", rel.schema("query_id").dataType),
           StructField("neighbor_id", rel.schema("cand").dataType),

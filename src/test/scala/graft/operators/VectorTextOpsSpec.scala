@@ -178,6 +178,38 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(fast.map(_._1) === Seq("a", "b", "c"))
   }
 
+  test("mmrRerankOver: caller-nominated candidates bound the pool; both paths agree") {
+    // candidate-restricted MMR (the RAG composition's re-rank stage): only
+    // nominated ids may be picked — the top-relevance corpus vector that
+    // is NOT a candidate must never appear; both greedy paths identical
+    val rnd = new scala.util.Random(47)
+    val corpus = (1L to 16L).map(i =>
+      (i, Array.fill(5)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array.fill(5)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cands = Seq((100L, 2L), (100L, 3L), (100L, 5L), (100L, 7L),
+      (100L, 11L), (100L, 13L)).toDF("query_id", "neighbor_id")
+    def run(cutover: Long) =
+      VectorOps.mmrRerankOver(cands, corpus, queries, "vec_id", "embedding",
+          k = 4, driverFastPathRows = cutover)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("pick"), r.getAs[Long]("rel6"))).toSet
+    val fast = run(100000L)
+    assert(fast === run(0L), "paths diverged")
+    val pickedIds = fast.map(_._2)
+    assert(pickedIds.subsetOf(Set(2L, 3L, 5L, 7L, 11L, 13L)),
+      s"picked a non-candidate: $pickedIds")
+    assert(fast.size === 4)
+    // pick 1 is the relevance argmax WITHIN the candidate set
+    val relTop = VectorOps.cosineTopK(corpus, queries, "vec_id", "embedding",
+        k = 16).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("neighbor_id"))
+      .find(Set(2L, 3L, 5L, 7L, 11L, 13L)).get
+    assert(fast.find(_._3 == 1).get._2 === relTop)
+  }
+
   test("k-center farthest-first picks one representative per cluster") {
     // three orthogonal clusters of identical vectors: the traversal must
     // take exactly one member of each before ever revisiting a cluster
