@@ -261,11 +261,18 @@ object OracleSql {
     * relevance argmax, each later pick maximizes wRel·rel6 − wDiv·max sim6
     * to the already-selected set — (score DESC, cand ASC) is a total order
     * so both engines replay the identical selection. */
-  private def mmrSql(pool: Int, k: Int, wRel: Long, wDiv: Long): String =
-    s"""WITH side AS (SELECT vec_id, embedding AS v,
+  /** `side` (every vector + fixed-grid norm) and `q` (the vec_id < 5
+    * query set) CTEs — ONE definition shared by [[mmrSql]] and
+    * [[hybridMmrOracle]], mirroring the engine's shared mmrQueryNorms/
+    * withCandNorm (a one-sided edit must be impossible — r18 review). */
+  private def mmrNormCtes: String =
+    s"""side AS (SELECT vec_id, embedding AS v,
        |    SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-       |  FROM side WHERE vec_id < 5),
+       |  FROM side WHERE vec_id < 5)""".stripMargin
+
+  private def mmrSql(pool: Int, k: Int, wRel: Long, wDiv: Long): String =
+    s"""WITH $mmrNormCtes,
        |rel0 AS (SELECT q.query_id, s.vec_id AS cand, s.v AS cv, s.nrm AS cn,
        |    CAST(ROUND(${dotSql("q.qv", "s.v")} / (q.qn * s.nrm) * 1000000)
        |      AS BIGINT) AS rel6
@@ -1304,10 +1311,7 @@ object OracleSql {
       cents: Seq[graft.operators.VectorOps.Centroid]): String =
     s"""WITH ${hybridFuseCtes(cents)},
        |hyb AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 20),
-       |side AS (SELECT vec_id, embedding AS v,
-       |    SQRT(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-       |  FROM side WHERE vec_id < 5),
+       |$mmrNormCtes,
        |rel AS MATERIALIZED (SELECT h.query_id, s.vec_id AS cand,
        |    s.v AS cv, s.nrm AS cn,
        |    CAST(ROUND(${dotSql("q.qv", "s.v")} / (q.qn * s.nrm) * 1000000)

@@ -330,7 +330,6 @@ object MultimodalOps {
                          idCol: String, hashCol: String,
                          maxDist: Int = 3,
                          maxBucket: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // 4 × 16-bit blocks of the MSB-first hex hash: conv keeps every block
     // in [0, 65535] — no 64-bit sign games on either engine
     def blocks(df: DataFrame) = df.withColumn("blocks",

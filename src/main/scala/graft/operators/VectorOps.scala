@@ -1256,22 +1256,40 @@ object VectorOps {
     * @return (query_id, neighbor_id, pick, rel6) — pick ∈ 1..k in
     *         selection order, rel6 = round(cosine·1e6)
     */
+  // ONE definition of the MMR normalization/grid arithmetic, shared by
+  // [[mmrRerank]] and [[mmrRerankOver]] so the two entry points cannot
+  // drift one-sidedly (the mmrGreedy extraction's purpose, applied to
+  // the pool-build side too — r18 review):
+  //  - mmrQueryNorms: broadcast (query_id, qv, qn) on the fixed grid;
+  //  - withCandNorm: appends cn to a (cand, cv) frame — mmrRerank applies
+  //    it corpus-wide (the pool build needs every row), mmrRerankOver
+  //    AFTER the candidate id-probe so the fetch pass stays norm-free;
+  //  - mmrRel6: round(cosine·1e6), the relevance column both share.
+  private def mmrQueryNorms(queries: DataFrame, idCol: String,
+                            vecCol: String): DataFrame =
+    broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotFixed(col("qv"), col("qv")))))
+
+  private def withCandNorm(df: DataFrame): DataFrame =
+    df.withColumn("cn", sqrt(dotFixed(col("cv"), col("cv"))))
+
+  private def mmrRel6: Column =
+    round(dotFixed(col("qv"), col("cv")) / (col("qn") * col("cn"))
+      * lit(1e6)).cast(LongType)
+
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, pool: Int, k: Int,
                 wRel: Long = 7L, wDiv: Long = 3L,
                 driverFastPathRows: Long = 100000L): DataFrame = {
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", sqrt(dotFixed(col("qv"), col("qv")))))
-    val c = corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(dotFixed(col("cv"), col("cv"))))
+    val q = mmrQueryNorms(queries, idCol, vecCol)
+    val c = withCandNorm(
+      corpus.select(col(idCol).as("cand"), col(vecCol).as("cv")))
     val wPool = Window.partitionBy("query_id")
       .orderBy(col("rel6").desc, col("cand").asc)
     // the pool: one corpus scan, top-`pool` per query on the integer grid
     val rel = c.join(q, col("cand") =!= col("query_id"))
-      .withColumn("rel6",
-        round(dotFixed(col("qv"), col("cv")) / (col("qn") * col("cn"))
-          * lit(1e6)).cast(LongType))
+      .withColumn("rel6", mmrRel6)
       .withColumn("rn", row_number().over(wPool))
       .filter(col("rn") <= pool)
       .select(col("query_id"), col("cand"), col("rel6"), col("cv"), col("cn"))
@@ -1292,17 +1310,18 @@ object VectorOps {
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, wRel: Long = 7L, wDiv: Long = 3L,
                     driverFastPathRows: Long = 100000L): DataFrame = {
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", sqrt(dotFixed(col("qv"), col("qv")))))
-    val c = corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(dotFixed(col("cv"), col("cv"))))
-    val rel = c.join(broadcast(candidates
-        .select(col("query_id"), col("neighbor_id").as("cand"))), Seq("cand"))
+    val q = mmrQueryNorms(queries, idCol, vecCol)
+    // the fetch pass is a pure id-probe: the norm is appended AFTER the
+    // broadcast candidate join, so only queries×N candidate rows pay the
+    // per-row dot+sqrt — not the corpus (r18 review: Catalyst does not
+    // hoist a projection above the join on its own)
+    val rel = withCandNorm(
+        corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
+          .join(broadcast(candidates
+            .select(col("query_id"), col("neighbor_id").as("cand"))),
+            Seq("cand")))
       .join(q, Seq("query_id"))
-      .withColumn("rel6",
-        round(dotFixed(col("qv"), col("cv")) / (col("qn") * col("cn"))
-          * lit(1e6)).cast(LongType))
+      .withColumn("rel6", mmrRel6)
       .select(col("query_id"), col("cand"), col("rel6"), col("cv"), col("cn"))
       .localCheckpoint() // consumed by sims (×2) and every greedy round
     mmrGreedy(rel, k, wRel, wDiv, driverFastPathRows)
