@@ -325,7 +325,14 @@ object MultimodalOps {
     * At 100 TB the train side is the corpus and the eval side is a
     * benchmark (thousands of frames): candidates stay ∝ matched buckets,
     * never |eval|×|train|. Inputs carry (idCol, hashCol=16-hex dHash);
-    * output (eval_id, train_id, hamming ≤ maxDist). */
+    * output (eval_id, train_id, hamming ≤ maxDist).
+    *
+    * INPUT CONTRACT (ADVICE r18 #3, the DedupOps distinct-rows precedent):
+    * hashCol must be EXACTLY 16 lowercase hex chars — the [[dHash]]/
+    * [[dHashAll]] output format. A shorter/malformed value would conv() a
+    * partial substring (or NULL) into wrong/absent buckets silently;
+    * callers feeding hashes from any other source validate first
+    * (e.g. `length(h)=16 AND h RLIKE '^[0-9a-f]+$'`). */
   def dhashDecontaminate(train: DataFrame, evalSet: DataFrame,
                          idCol: String, hashCol: String,
                          maxDist: Int = 3,

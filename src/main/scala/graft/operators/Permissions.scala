@@ -51,13 +51,24 @@ object Permissions {
     * per-tenant views in one pass. One broadcast hash join against the
     * metadata-scale grant matrix; a user with no grant row for a type is
     * simply absent (the 403-on-missing contract), as is a can_read=false
-    * row. */
+    * row.
+    *
+    * The grant columns join under internal aliases (`__grant_*`) so an
+    * input that already carries a `type_id` column can never collide with
+    * the grant matrix's; `user_id` IS the output column this gate appends,
+    * so that name is reserved on the input (checked, fails fast — ADVICE
+    * r18 #1: an input user_id would otherwise survive ambiguously). */
   def gateReadsAll(df: DataFrame, typeCol: String,
-                   perms: DataFrame): DataFrame =
+                   perms: DataFrame): DataFrame = {
+    require(!df.columns.contains("user_id"),
+      "gateReadsAll appends user_id — the input must not already carry one")
     df.join(broadcast(perms.filter(col("can_read") === true)
-        .select(col("user_id"), col("type_id"))),
-      col(typeCol) === col("type_id"))
-      .drop("type_id")
+        .select(col("user_id").as("__grant_user"),
+          col("type_id").as("__grant_type"))),
+      col(typeCol) === col("__grant_type"))
+      .withColumn("user_id", col("__grant_user"))
+      .drop("__grant_user", "__grant_type")
+  }
 
   /** The declared demo grant matrix (q_permissions_gate) — ONE definition
     * shared by the Spark query and the DuckDB oracle's VALUES literal, so

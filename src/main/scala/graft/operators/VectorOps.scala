@@ -1305,7 +1305,12 @@ object VectorOps {
     * re-ranker's own signal — retrieval credit is rank-scale, not
     * similarity-scale). Scale shape: the candidate list is queries×N rows
     * (metadata) and BROADCASTS into the corpus scan, so the vector fetch
-    * is one map-side joined pass; everything after is candidate-scale. */
+    * is one map-side joined pass; everything after is candidate-scale.
+    *
+    * A retrieval stage that nominates the QUERY DOCUMENT itself is
+    * self-excluded here (cand ≠ query_id, matching [[mmrRerank]]'s pool
+    * contract — ADVICE r18 #2: rel6 = 1e6 would otherwise make it the
+    * guaranteed first pick). */
   def mmrRerankOver(candidates: DataFrame, corpus: DataFrame,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, wRel: Long = 7L, wDiv: Long = 3L,
@@ -1319,7 +1324,8 @@ object VectorOps {
         corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"))
           .join(broadcast(candidates
             .select(col("query_id"), col("neighbor_id").as("cand"))),
-            Seq("cand")))
+            Seq("cand"))
+          .filter(col("cand") =!= col("query_id")))
       .join(q, Seq("query_id"))
       .withColumn("rel6", mmrRel6)
       .select(col("query_id"), col("cand"), col("rel6"), col("cv"), col("cn"))

@@ -61,8 +61,18 @@ class ResultPinSpec extends SparkSpec {
       s"stale sf0.1 pins for keys that now have a static oracle: ${ResultPins.pinnedSf10.keySet -- rowsOnly}")
   }
 
+  // ADVICE r18 #4 (suite latency): these 18 keys run at 10× data and a few
+  // (pq/ivfpq) train codebooks per call — the dominant ResultPinSpec cost.
+  // The staged IVF index and codebook reads are already shared (Staging
+  // .dirFor persists per SF on disk; codebookCache is JVM-wide), so the
+  // rest is the gate itself. Default ON — the round-seal suite must carry
+  // it — with an inner-loop escape hatch: SPARK_GRAFT_SKIP_SF10_PINS=1
+  // cancels (not passes) the sf0.1 hash tests for fast iteration.
+  private val skipSf10 = sys.env.get("SPARK_GRAFT_SKIP_SF10_PINS").contains("1")
+
   ResultPins.hashPinnedSf10.toSeq.sortBy(_._1).foreach { case (key, expected) =>
     test(s"$key matches its pinned sf0.1 content hash") {
+      assume(!skipSf10, "sf0.1 pins skipped via SPARK_GRAFT_SKIP_SF10_PINS=1")
       // the canonical hash embeds the row count ("n:hash"), so this also
       // enforces pinnedSf10's counts without a second job per key
       val h = ResultPins.canonicalHash(SparkEntry.queries(key)(spark, sf("sf0.1")))

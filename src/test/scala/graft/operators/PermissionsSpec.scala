@@ -37,4 +37,21 @@ class PermissionsSpec extends SparkSpec {
     // ungranted for alice, t9 has no rows at all
     assert(got === Set((1L, "alice"), (1L, "bob")))
   }
+
+  test("gateReadsAll: input type_id column cannot collide; user_id is reserved (ADVICE r18 #1)") {
+    // an input that already carries type_id used to produce an ambiguous
+    // join (the grant matrix's own type_id); the internal __grant_ aliases
+    // make it unambiguous — the input's column survives untouched
+    val data = Seq((1L, "t1", "t2")).toDF("id", "typ", "type_id")
+    val got = Permissions.gateReadsAll(data, "typ", perms)
+      .select("id", "type_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "t2", "alice"), (1L, "t2", "bob")))
+    // user_id IS the appended output column — a pre-existing one would be
+    // silently overwritten, so the gate fails fast instead
+    val bad = Seq((1L, "t1", "mallory")).toDF("id", "typ", "user_id")
+    val ex = intercept[IllegalArgumentException](
+      Permissions.gateReadsAll(bad, "typ", perms))
+    assert(ex.getMessage.contains("user_id"))
+  }
 }

@@ -210,6 +210,23 @@ class VectorTextOpsSpec extends SparkSpec {
     assert(fast.find(_._3 == 1).get._2 === relTop)
   }
 
+  test("mmrRerankOver self-excludes a candidate list nominating the query (ADVICE r18 #2)") {
+    // a retrieval stage that nominates the query document itself must not
+    // hand it the guaranteed rel6=1e6 first pick — the operator filters
+    // cand != query_id like mmrRerank's own pool does
+    val rnd = new scala.util.Random(53)
+    val corpus = (1L to 8L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 3L)
+    val cands = Seq((3L, 3L), (3L, 1L), (3L, 2L), (3L, 5L))
+      .toDF("query_id", "neighbor_id")
+    val picked = VectorOps.mmrRerankOver(cands, corpus, queries, "vec_id",
+        "embedding", k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!picked.contains(3L), s"query picked itself: $picked")
+    assert(picked === Set(1L, 2L, 5L))
+  }
+
   test("k-center farthest-first picks one representative per cluster") {
     // three orthogonal clusters of identical vectors: the traversal must
     // take exactly one member of each before ever revisiting a cluster
