@@ -959,6 +959,7 @@ object OracleSql {
           graft.Tables.embeddings(spark, d), "vec_id", "embedding",
           k = 16, iters = 1)
         val ivf = ivfOracle(cents)
+        val ivfpq = ivfPqOracle(spark, d, cents)
         Map("q_vec_ann_ivf" -> ivf,
             // streaming index-maintenance twin: per-batch assignment folds
             // into the standing inverted list, probe stage sees only the
@@ -976,7 +977,12 @@ object OracleSql {
             // MMR-diversified via the shared greedy CTEs
             "q_hybrid_mmr" -> hybridMmrOracle(cents),
             "q_vec_ann_pq" -> pqOracle(spark, d),
-            "q_vec_ann_ivfpq" -> ivfPqOracle(spark, d, cents))
+            "q_vec_ann_ivfpq" -> ivfpq,
+            // persisted IVF-PQ serving index: materialized codes ==
+            // computed encode (identical training params; codes/floats
+            // round-trip parquet bit-exactly), so the SAME replay hashes
+            // it — trained once above, never twice at Verify time
+            "q_vec_ann_ivfpq_indexed" -> ivfpq)
       })
   }
 

@@ -3208,6 +3208,18 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** PERSISTED IVF-PQ serving index ([[stagedIvfPqIndexDir]] /
+    * [[ivfPqIndexedTopK]]): codes live IN the cell-partitioned index,
+    * the scan probe-prunes at the FILE level and scores via broadcast ADC
+    * lookup tables — the billion-scale serving shape. Output equals
+    * [[qVecAnnIvfPq]] exactly (materialized assignment/codes == computed;
+    * floats and codes round-trip parquet bit-exactly; identical training
+    * params), so the same GENERATED oracle (OracleSql.ivfPqOracle) hashes
+    * it, and the shared content pin proves indexed ≡ computed — the
+    * q_vec_ann_ivf_indexed precedent applied to the compressed domain. */
+  val qVecAnnIvfPqIndexed: Q = (s, d) =>
+    ivfPqIndexedTopK(s, d, k = 10).orderBy("query_id", "rank")
+
   /** IVF-partitioned approximate ANN — hash-gated since r17 via the
     * GENERATED codebook-literal oracle (OracleSql.ivfOracle). */
   val qVecAnnIvf: Q = (s, d) => {
@@ -3282,6 +3294,76 @@ object Queries {
       .filter(col("cell").isin(cells: _*))
     VectorOps.ivfTopKFromIndex(index, queries, "vec_id", "embedding",
       cents, k, nProbe)
+  }
+
+  /** Persisted IVF-PQ SERVING index — the full production FAISS on-disk
+    * layout (VERDICT r18 #1): alongside the coarse codebook, the index
+    * stores the residual-PQ books AND the per-vector codes IN the
+    * cell-partitioned table ([[VectorOps.ivfPqEncode]] →
+    * `partitionBy("cell")`), so the compressed-domain ADC scan — not just
+    * the raw-vector lists — is what probe-pruning reads: nProbe/nCentroids
+    * of the CODES' files, 8 codes/vector instead of 64 floats. Training
+    * params mirror [[qVecAnnIvfPq]] exactly (k=16 coarse / m=8 / ksub=16 /
+    * 1 iter), so the computed and indexed paths are the same algorithm on
+    * the same artifacts. Key doctrine as [[stagedIvfIndexDir]]: BUMP
+    * `enc-v1` when assign/encode semantics change. */
+  private def stagedIvfPqIndexDir(s: SparkSession, d: String): String =
+    Staging.dirFor(
+      "ivfpq-idx:k=16,m=8,ksub=16,iters=1,enc-v1:" + d + "@" +
+        Staging.fingerprint(Seq(s"$d/embeddings.parquet")),
+      "graft-ivfpq-index") { d0 =>
+      val emb = Tables.embeddings(s, d)
+      val coarse = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 1)
+      VectorOps.codebookDF(s, coarse).coalesce(1)
+        .write.mode("overwrite").parquet(d0 + "/cents")
+      // one assignment pass feeds book training AND encoding (the
+      // cosineTopKIvfPq checkpoint, staged)
+      val assigned = VectorOps.ivfPqAssign(emb, "vec_id", "embedding", coarse)
+        .localCheckpoint()
+      val books = VectorOps.pqBooks(assigned, "id", "rv", m = 8, ksub = 16,
+        dims = 64, iters = 1)
+      VectorOps.pqBooksDF(s, books).coalesce(1)
+        .write.mode("overwrite").parquet(d0 + "/books")
+      VectorOps.ivfPqEncode(assigned, books, m = 8, dims = 64)
+        .write.partitionBy("cell").mode("overwrite").parquet(d0 + "/codes")
+    }
+
+  // opened-index handle for the PQ books (the codebookCache doctrine:
+  // keyed by the content-fingerprinted index dir, JVM-lifetime)
+  private val pqBooksCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[VectorOps.BookEntry]]
+
+  /** Probe + ADC-scan + exact-re-rank against the staged persisted IVF-PQ
+    * index: driver-side probe planning feeds a LITERAL cell filter over
+    * the cell-partitioned CODES table (PlanContractSpec asserts the
+    * PartitionFilters), the broadcast ADC lookup tables rebuild from the
+    * persisted books/codebook (memoized per index dir), and only the
+    * k·refine re-rank candidates ever touch the float vectors. */
+  private def ivfPqIndexedTopK(s: SparkSession, d: String, k: Int,
+                               nProbe: Int = 4): DataFrame = {
+    val idxDir = stagedIvfPqIndexDir(s, d)
+    val cents: Seq[VectorOps.Centroid] =
+      codebookCache.getOrElseUpdate(idxDir,
+        s.read.parquet(idxDir + "/cents")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1))
+    val books: Seq[VectorOps.BookEntry] =
+      pqBooksCache.getOrElseUpdate(idxDir,
+        s.read.parquet(idxDir + "/books")
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+          .toSeq.sortBy(t => (t._1, t._2)))
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cells = VectorOps.ivfProbeCells(queries, "embedding", cents, nProbe)
+    // literal partition filter FIRST (static file pruning), then normalize
+    // the partition-inferred cell type back to the kernel's LongType
+    val codes = s.read.parquet(idxDir + "/codes")
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast(LongType))
+    VectorOps.ivfPqTopKFromCodes(codes, emb, queries, "vec_id", "embedding",
+      cents, books, k, nProbe, m = 8, dims = 64, refine = 8)
   }
 
   /** STREAMING IVF-index maintenance under the oracle gate

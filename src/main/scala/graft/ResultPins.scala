@@ -120,6 +120,8 @@ object ResultPins {
     // training context, so the suite still needs the pin to cover the key
     "q_vec_ann_ivf" -> 50L,
     "q_vec_ann_ivfpq" -> 50L,
+    // persisted IVF-PQ index == computed q_vec_ann_ivfpq, same pins
+    "q_vec_ann_ivfpq_indexed" -> 50L,
     "q_vec_ann_lsh_prod" -> 50L,
     "q_vec_ann_pq" -> 50L,
     // streaming fold == batch q_vec_ann_ivf by construction, same pins
@@ -151,6 +153,9 @@ object ResultPins {
     // partition-pruned persisted index == batch q_vec_ann_ivf, same hash
     "q_vec_ann_ivf_indexed" -> "50:5a80ee72f72e8934",
     "q_vec_ann_ivfpq" -> "50:ccf63940969f04f2",
+    // persisted IVF-PQ index == computed q_vec_ann_ivfpq: the SHARED pin
+    // is the indexed ≡ computed proof (the q_vec_ann_ivf_indexed precedent)
+    "q_vec_ann_ivfpq_indexed" -> "50:ccf63940969f04f2",
     "q_vec_ann_lsh_prod" -> "50:b79cf4f85a89fd00",
     "q_vec_ann_pq" -> "50:0c8dcb6dd30f9ddc"
   )
@@ -182,6 +187,7 @@ object ResultPins {
     "q_vec_ann_ivf" -> 50L,
     "q_vec_ann_ivf_indexed" -> 50L,
     "q_vec_ann_ivfpq" -> 50L,
+    "q_vec_ann_ivfpq_indexed" -> 50L,
     "q_vec_ann_lsh_prod" -> 50L,
     "q_vec_ann_pq" -> 50L
   )
@@ -204,6 +210,8 @@ object ResultPins {
     "q_vec_ann_ivf" -> "50:39a52bbe40637588",
     "q_vec_ann_ivf_indexed" -> "50:39a52bbe40637588",
     "q_vec_ann_ivfpq" -> "50:ac0ba9d6c570a596",
+    // shared pin == the indexed ≡ computed proof at bench scale
+    "q_vec_ann_ivfpq_indexed" -> "50:ac0ba9d6c570a596",
     "q_vec_ann_lsh_prod" -> "50:a8ad7efc971dfcfe",
     "q_vec_ann_pq" -> "50:a38e94e7ea499c21"
   )

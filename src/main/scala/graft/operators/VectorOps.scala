@@ -630,22 +630,64 @@ object VectorOps {
                       nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
                       dims: Int = 64, refine: Int = 4,
                       iters: Int = 1): DataFrame = {
+    val coarse = lloydCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    // corpus → (id, cell, residual) in ONE projection through the native
+    // assign kernel; checkpointed: feeds BOTH book training and encoding
+    val assigned = ivfPqAssign(corpus, idCol, vecCol, coarse).localCheckpoint()
+    val books = pqBooks(assigned, "id", "rv", m, ksub, dims, iters)
+    ivfPqTopKFromCodes(ivfPqEncode(assigned, books, m, dims), corpus,
+      queries, idCol, vecCol, coarse, books, k, nProbe, m, dims, refine)
+  }
+
+  /** Coarse-assign + residual stage of the IVF-PQ layout: (id, cell, rv)
+    * in ONE projection through the native assign kernel
+    * ([[graft.plans.CodebookExpressions.assignResidual]] — no crossJoin,
+    * no window shuffle). Split out of [[cosineTopKIvfPq]] so the PERSISTED
+    * serving index ([[graft.Queries]] `stagedIvfPqIndexDir`) encodes with
+    * the identical arithmetic. */
+  def ivfPqAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                  coarse: Seq[Centroid]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        graft.plans.CodebookExpressions
+          .assignResidual(col(vecCol), coarse).as("a"))
+      .select(col("id"), col("a.cell").as("cell"), col("a.rv").as("rv"))
+
+  /** Residual-PQ encode of an [[ivfPqAssign]] frame: (id, cell, sub, code)
+    * — m codes/vector, the cell riding along (no id-self-join to re-attach
+    * it). This IS the persisted-index row format: the floats never travel
+    * during a scan over these rows. */
+  def ivfPqEncode(assigned: DataFrame, books: Seq[BookEntry], m: Int,
+                  dims: Int): DataFrame =
+    assigned.select(col("id"), col("cell"),
+        posexplode(graft.plans.CodebookExpressions
+          .pqCodes(col("rv"), books, m, dims)).as(Seq("sub", "code")))
+      .select("id", "cell", "sub", "code")
+
+  /** [[pqBooks]] rendered as the persistable (sub, code, bcv) layout — ONE
+    * definition of the on-disk book schema, mirroring [[codebookDF]] for
+    * the coarse half. */
+  def pqBooksDF(spark: SparkSession, books: Seq[BookEntry]): DataFrame = {
+    import spark.implicits._
+    books.toDF("sub", "code", "bcv")
+  }
+
+  /** ADC scan + exact re-rank over an already-encoded (id, cell, sub, code)
+    * frame — the serving half of [[cosineTopKIvfPq]], split out so a
+    * PERSISTED cell-partitioned codes table (probe-pruned at the file
+    * level) scans with the identical broadcast lookup-table arithmetic.
+    * All LUTs are metadata-scale broadcasts (queries × nProbe × m × ksub
+    * entries); the scan is one equi-join on (cell, sub, code) + a hash
+    * agg — cost ∝ nProbe/nCentroids of the codes. */
+  def ivfPqTopKFromCodes(codes: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         coarse: Seq[Centroid], books: Seq[BookEntry],
+                         k: Int, nProbe: Int, m: Int, dims: Int,
+                         refine: Int): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
     val spark = corpus.sparkSession
     import spark.implicits._
     val dsub = dims / m
     require(m * dsub == dims, s"dims=$dims must divide by m=$m")
-    val coarse = lloydCentroids(corpus, idCol, vecCol, nCentroids, iters)
-    // corpus → (id, cell, residual) in ONE projection through the native
-    // assign kernel ([[graft.plans.CodebookExpressions.assignResidual]] —
-    // no crossJoin, no window shuffle); checkpointed: feeds BOTH book
-    // training and encoding
-    val assigned = corpus.select(col(idCol).as("id"),
-        graft.plans.CodebookExpressions
-          .assignResidual(col(vecCol), coarse).as("a"))
-      .select(col("id"), col("a.cell").as("cell"), col("a.rv").as("rv"))
-      .localCheckpoint()
-    val books = pqBooks(assigned, "id", "rv", m, ksub, dims, iters)
     val booksDf = books.toDF("sub", "code", "bcv")
       .withColumn("csq", dot(col("bcv"), col("bcv")))
     val coarseDf = coarse.toDF("cell", "ccv")
@@ -654,11 +696,6 @@ object VectorOps {
       .select(col("cell"), col("sub"), col("code"),
         dot(slice(col("ccv"), col("sub") * dsub + 1, lit(dsub)), col("bcv"))
           .as("cdot"))
-    // encode carries the cell along — no id-self-join to re-attach it
-    val codes = assigned.select(col("id"), col("cell"),
-        posexplode(graft.plans.CodebookExpressions
-          .pqCodes(col("rv"), books, m, dims)).as(Seq("sub", "code")))
-      .select("id", "cell", "sub", "code")
     // queries probe nProbe cells ([[probeCells]] — per-row sort, no
     // shuffle); per probed cell the residual differs
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -114,6 +114,15 @@ class PlanContractSpec extends SparkSpec {
       s"indexed ANN scan lost its literal cell partition filter:\n$p")
   }
 
+  test("persisted IVF-PQ codes scan partition-prunes to the probed cells") {
+    // VERDICT r18 #1: the compressed-domain serving index — the CODES
+    // table (8 longs/vector, not 64 floats) is what the probe prunes, and
+    // the float vectors appear only behind the k·refine re-rank id-join
+    val p = plan("q_vec_ann_ivfpq_indexed")
+    assert(raw"PartitionFilters: \[[^\]]*cell#\d+L? IN".r.findFirstIn(p).isDefined,
+      s"indexed IVF-PQ codes scan lost its literal cell partition filter:\n$p")
+  }
+
   test("hybrid RRF rides the indexed rankers: pruned IVF scan, no dense join") {
     // VERDICT r17 #1: the declared hybrid must eat its own scale cooking —
     // the vector side through the persisted cell-partitioned index
@@ -147,6 +156,8 @@ class PlanContractSpec extends SparkSpec {
       "q_vec_ann_ivfpq",   // LUT crossJoins: queries × books × cross-terms,
                            // all broadcast metadata-scale; the corpus scan
                            // itself is an equi-join on (cell, sub, code)
+      "q_vec_ann_ivfpq_indexed", // same LUT shape over the persisted codes
+                           // table — the scan is the pruned equi-join
       "q_dedup_embedding_exact", // all-pairs ground truth over a bounded
                            // sample — dense by definition
       "q_vec_knn_graph",   // exact k-NN graph over a bounded sample —
