@@ -1391,6 +1391,38 @@ object OracleSql {
        |ORDER BY p.user_id, d.source""".stripMargin
   }
 
+  /** Write-side 403 replay (q_permissions_write_gate): the same generated
+    * grant VALUES, the existing-type set as a generated IN literal, and
+    * the [[graft.operators.Permissions.writeDecision]] CASE — existing ⇒
+    * can_write, type-creating ⇒ can_create, error codes on deny. */
+  private def permissionsWriteGateSql: String = {
+    val values = graft.operators.Permissions.demoGrants.map {
+      case (u, t, r, c, w) => s"('$u', '$t', $r, $c, $w)"
+    }.mkString(",\n    ")
+    val existing = graft.operators.Permissions.demoExistingTypes
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH perms(user_id, type_id, can_read, can_create, can_write) AS (
+       |  VALUES
+       |    $values),
+       |writes AS (SELECT
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'alice'
+       |         WHEN 1 THEN 'bob' ELSE 'carol' END AS user_id,
+       |    source AS type_id
+       |  FROM documents),
+       |cls AS (SELECT w.user_id, w.type_id,
+       |    CASE
+       |      WHEN w.type_id IN ($existing) AND COALESCE(p.can_write, FALSE)
+       |        THEN 'ALLOWED'
+       |      WHEN w.type_id NOT IN ($existing) AND COALESCE(p.can_create, FALSE)
+       |        THEN 'ALLOWED'
+       |      WHEN w.type_id IN ($existing) THEN 'WriteForbidden'
+       |      ELSE 'CreateForbidden' END AS decision
+       |  FROM writes w LEFT JOIN perms p
+       |    ON p.user_id = w.user_id AND p.type_id = w.type_id)
+       |SELECT user_id, type_id, decision, COUNT(*) AS n
+       |FROM cls GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     // --- CRUD / engine semantics -----------------------------------
     "q_point_lookup" ->
@@ -1483,6 +1515,7 @@ object OracleSql {
     // from the same Seq the Spark query uses; can_read=false and missing
     // rows both deny (the 403 contract)
     "q_permissions_gate" -> permissionsGateSql,
+    "q_permissions_write_gate" -> permissionsWriteGateSql,
 
     "q_null_strip" ->
       """SELECT event_id, v FROM (

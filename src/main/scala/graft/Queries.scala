@@ -2144,6 +2144,33 @@ object Queries {
       .orderBy("user_id", "source")
   }
 
+  /** S24's WRITE-side 403 contract as a declared key (VERDICT r18 #3,
+    * tests/test_views.py:79-118): every (writer, type) write classified by
+    * [[operators.Permissions.classifyWrites]] — existing types demand
+    * can_write, type-creating first writes demand can_create; the emitted
+    * error codes are the quarantine routing the engine's `ingestAs` path
+    * applies (IngestSpec gates that path end-to-end; this key puts the
+    * decision MATRIX itself under the cross-engine hash). Writers derive
+    * deterministically from doc_id, types are the documents' sources
+    * (src0–9 exist, src10+ are first writes); grant matrix and
+    * existing-type set are ONE definition with the oracle's literals.
+    * NULL error_code folds to 'ALLOWED' so the two engines' NULL orderings
+    * never meet the sort. */
+  val qPermissionsWriteGate: Q = (s, d) => {
+    val perms = operators.Permissions.table(s, operators.Permissions.demoGrants)
+    val writes = Tables.documents(s, d).select(
+      when(col("doc_id") % 3 === 0, "alice")
+        .when(col("doc_id") % 3 === 1, "bob")
+        .otherwise("carol").as("user_id"),
+      col("source").as("type_id"))
+    operators.Permissions.classifyWrites(writes, "user_id", "type_id", perms,
+        operators.Permissions.demoExistingTypes)
+      .groupBy(col("user_id"), col("type_id"),
+        coalesce(col("error_code"), lit("ALLOWED")).as("decision"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "type_id", "decision")
+  }
+
   /** PII scrub ([[operators.TextOps.piiScrub]]): per-doc email / phone /
     * IPv4 counts + the redacted text. The synthetic corpus carries no PII,
     * so the query PLANTS one of each class deterministically from doc_id

@@ -298,6 +298,19 @@ object Engine {
                ingestTime: Option[java.sql.Timestamp] = None): Ingest.Report =
       Ingest.ingest(registry, envelopes, messageCol, ingestTime)
 
+    /** Write-gated ingest — S24's POST/PUT 403 contract
+      * (tests/test_views.py:79-118): envelopes for a type `user` lacks
+      * can_write on (or can_create, for a type-creating first write)
+      * route to that type's quarantine table with the structured 403
+      * error; the REST of the batch ingests normally (continue-on-deny,
+      * the dead-letter doctrine). Decision is per type, driver-side over
+      * the batch's fan-out list ([[operators.Permissions.writeDecision]]). */
+    def ingestAs(user: String, perms: DataFrame, envelopes: DataFrame,
+                 messageCol: String = "message",
+                 ingestTime: Option[java.sql.Timestamp] = None): Ingest.Report =
+      Ingest.ingest(registry, envelopes, messageCol, ingestTime,
+        writer = Some(user), grants = Some(perms))
+
     /** Health check (reference GET /__heartbeat__,
       * tests/test_views.py:186-190): server/schema liveness booleans. */
     def heartbeat: Map[String, Boolean] = Map(

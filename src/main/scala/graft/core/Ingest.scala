@@ -40,7 +40,9 @@ object Ingest {
     */
   def ingest(registry: SchemaRegistry,
              envelopes: DataFrame, messageCol: String = "message",
-             ingestTime: Option[java.sql.Timestamp] = None): Report = {
+             ingestTime: Option[java.sql.Timestamp] = None,
+             writer: Option[String] = None,
+             grants: Option[DataFrame] = None): Report = {
     // Bind to the session the batch's actions will actually EXECUTE on:
     // inside foreachBatch the frame belongs to the micro-batch clone, not
     // the caller's parent session — a WriteCounts listener registered on
@@ -73,6 +75,42 @@ object Ingest {
         .collect()
       val deadLetters = typeCounts.filter(_.isNullAt(0)).map(_.getLong(1)).sum
       val types = typeCounts.filter(!_.isNullAt(0)).map(_.getString(0)).sorted
+
+      // S24 WRITE-side gate (tests/test_views.py:79-118): when the batch
+      // carries a writer identity, each type's admit/deny decides DRIVER-
+      // side over the already-collected fan-out list (metadata scale —
+      // zero extra distributed work). Denied types' rows route to that
+      // type's quarantine with the structured 403 error
+      // (Permissions.writeDecision = the one semantic definition) and
+      // ingest CONTINUES for the rest of the batch — the dead-letter
+      // continue-on-error doctrine applied to authorization.
+      val typeRowCounts = typeCounts.filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val denied: Map[String, String] = writer match {
+        case Some(u) =>
+          val g = grants.getOrElse(throw new IllegalArgumentException(
+            "ingest(writer = ...) requires the grants frame"))
+          val gm = g.filter(col("user_id") === u)
+            .select("type_id", "can_create", "can_write").collect()
+            .map(r => r.getString(0) -> (
+              !r.isNullAt(1) && r.getBoolean(1),
+              !r.isNullAt(2) && r.getBoolean(2))).toMap
+          types.flatMap(t => graft.operators.Permissions
+            .writeDecision(gm.get(t), registry.knownTypes.contains(t))
+            .map(t -> _)).toMap
+        case None => Map.empty
+      }
+      denied.toSeq.sortBy(_._1).foreach { case (t, code) =>
+        Validation.quarantineRecords(
+            cached.filter($"type_id" === t).select("data_json"),
+            errno = 403, error = code,
+            message = s"user '${writer.get}' may not ${
+              if (code == "CreateForbidden") "create" else "write"} type '$t'")
+          .withColumn("type_id", lit(t))
+          .write.mode("append").option(NoJobMarker._1, NoJobMarker._2)
+          .parquet(registry.quarantinePath(t))
+      }
+      val admitted = types.filterNot(denied.contains)
       // Types are independent (separate tables, separate registry rows with
       // locked mutations) — fan their sub-batches out concurrently; Spark's
       // scheduler interleaves the jobs. Mirrors a real cluster where a
@@ -94,7 +132,7 @@ object Ingest {
               None
             else Some(sigs.sorted.mkString("\n")))
         }.toMap
-      val futures = types.toSeq.map { typeId =>
+      val futures = admitted.toSeq.map { typeId =>
         Future {
           val payloads: Dataset[String] =
             cached.filter($"type_id" === typeId).select("data_json").as[String]
@@ -106,7 +144,8 @@ object Ingest {
       Report(
         results.map { case (t, (n, _)) => t -> n }.toMap,
         deadLetters,
-        results.map(_._2._2).sum)
+        results.map(_._2._2).sum +
+          denied.keysIterator.map(typeRowCounts).sum)
     } finally cached.unpersist()
   }
 

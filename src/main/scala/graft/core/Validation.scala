@@ -72,10 +72,11 @@ object Validation {
     * (moisturizer/errors.py:20-25): the offending row serialized to JSON plus
     * an error code/message. */
   def quarantineRecords(rows: DataFrame, errno: Int = 999,
-                        message: String = "validation failed"): DataFrame =
+                        message: String = "validation failed",
+                        error: String = "Invalid parameters"): DataFrame =
     rows.select(
       to_json(struct(rows.columns.map(n => col(s"`$n`")).toSeq: _*)).as("row_json"),
       lit(errno).as("errno"),
-      lit("Invalid parameters").as("error"),
+      lit(error).as("error"),
       lit(message).as("message"))
 }

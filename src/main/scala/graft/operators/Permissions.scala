@@ -70,12 +70,58 @@ object Permissions {
       .drop("__grant_user", "__grant_type")
   }
 
-  /** The declared demo grant matrix (q_permissions_gate) — ONE definition
-    * shared by the Spark query and the DuckDB oracle's VALUES literal, so
-    * the two sides can never diverge. Exercises all three outcomes: grant
-    * (can_read=true), explicit deny (can_read=false), and missing row
-    * (deny) — 'carol' holds exactly one grant, everything else about her
-    * is absent. */
+  /** Write-side 403 decision (tests/test_views.py:79-118) — ONE semantic
+    * definition: writing rows of an EXISTING type requires can_write; a
+    * type-creating FIRST write requires can_create. `grant` =
+    * (can_create, can_write) for this (user, type), None = no grant row.
+    * Returns the structured error code ([[graft.core.Validation
+    * .quarantineRecords]]'s `error` field, the errors.py:20-25
+    * error_code analog), None = allowed. The relational
+    * [[classifyWrites]] mirrors this column-wise — PermissionsSpec sweeps
+    * all combinations against both so they cannot drift one-sidedly. */
+  def writeDecision(grant: Option[(Boolean, Boolean)],
+                    typeExists: Boolean): Option[String] =
+    if (typeExists && grant.exists(_._2)) None
+    else if (!typeExists && grant.exists(_._1)) None
+    else if (typeExists) Some("WriteForbidden")
+    else Some("CreateForbidden")
+
+  /** Relational write-gate classifier — [[writeDecision]] as columns, for
+    * auditing a whole write batch in one pass: appends `error_code`
+    * (NULL = allowed) to every (userCol, typeCol) write row. One broadcast
+    * left join against the metadata-scale grant matrix (internal
+    * `__grant_*` aliases — no input-column collisions); the existing-type
+    * set is metadata (table-per-type) and rides as a literal IN. */
+  def classifyWrites(writes: DataFrame, userCol: String, typeCol: String,
+                     perms: DataFrame, existingTypes: Seq[String]): DataFrame = {
+    val g = broadcast(perms.select(col("user_id").as("__grant_user"),
+      col("type_id").as("__grant_type"),
+      col("can_create").as("__grant_create"),
+      col("can_write").as("__grant_write")))
+    writes.join(g, col(userCol) === col("__grant_user") &&
+        col(typeCol) === col("__grant_type"), "left")
+      .withColumn("__exists", col(typeCol).isin(existingTypes: _*))
+      .withColumn("error_code",
+        when(col("__exists") && coalesce(col("__grant_write"), lit(false)),
+          lit(null).cast(StringType))
+          .when(!col("__exists") && coalesce(col("__grant_create"), lit(false)),
+            lit(null).cast(StringType))
+          .when(col("__exists"), lit("WriteForbidden"))
+          .otherwise(lit("CreateForbidden")))
+      .drop("__grant_user", "__grant_type", "__grant_create", "__grant_write",
+        "__exists")
+  }
+
+  /** The declared demo grant matrix (q_permissions_gate,
+    * q_permissions_write_gate) — ONE definition shared by the Spark
+    * queries and the DuckDB oracles' VALUES literals, so the two sides can
+    * never diverge. Exercises all outcomes: grant (can_read=true),
+    * explicit deny (can_read=false), and missing row (deny) — 'carol'
+    * holds exactly one read grant; the last two rows are can_read=false
+    * (invisible to the READ gate) and exist for the WRITE gate's
+    * type-creating cases: bob may CREATE src11, carol holds can_write on
+    * the not-yet-existing src12 — which does NOT admit its first write
+    * (create requires can_create). */
   val demoGrants: Seq[(String, String, Boolean, Boolean, Boolean)] = Seq(
     ("alice", "src0", true, true, true),
     ("alice", "src1", true, false, false),
@@ -86,5 +132,12 @@ object Permissions {
     ("bob", "src3", false, true, true), // write-only: reads still deny
     ("bob", "src5", true, false, false),
     ("bob", "src7", true, false, false),
-    ("carol", "src9", true, false, false))
+    ("carol", "src9", true, false, false),
+    ("bob", "src11", false, true, false), // new type: create admits
+    ("carol", "src12", false, false, true)) // new type: write alone does NOT
+
+  /** Existing-type set for the declared WRITE-gate key: src0..src9 were
+    * created before the batch; src10+ writes are type-creating first
+    * writes. One definition with the oracle's IN literal. */
+  val demoExistingTypes: Seq[String] = (0 to 9).map(i => s"src$i")
 }

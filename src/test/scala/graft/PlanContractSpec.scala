@@ -45,6 +45,10 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q_permissions_gate")
     assert(p.contains("BroadcastHashJoin"), s"grant matrix must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet grants:\n$p")
+    // write-side classifier: same metadata-scale broadcast contract
+    val w = plan("q_permissions_write_gate")
+    assert(w.contains("BroadcastHashJoin"), s"write-gate grants must broadcast:\n$w")
+    assert(!w.contains("SortMergeJoin"), s"corpus shuffled to meet write grants:\n$w")
   }
 
   test("contamination audit broadcasts the eval side; corpus never shuffles whole") {

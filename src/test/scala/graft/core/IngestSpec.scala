@@ -35,6 +35,41 @@ class IngestSpec extends SparkSpec {
     assert(row.getAs[java.sql.Timestamp]("last_modified") === t0)
   }
 
+  test("write-gated ingest: denied types quarantine with the 403 error; " +
+      "the rest of the batch continues (VERDICT r18 #3, ref tests/test_views.py:79-118)") {
+    val h = freshEngine()
+    // t1 exists (created ungated); t_new does not
+    h.ingest(env("""{"type_id":"t1","data":{"id":"seed","v":1}}"""),
+      ingestTime = Some(t0))
+    val perms = graft.operators.Permissions.table(spark, Seq(
+      ("u", "t1", true, false, false), // read-only: writes deny
+      ("u", "t_ok", true, true, true))) // may create t_ok
+    val report = h.ingestAs("u", perms, env(
+      """{"type_id":"t1","data":{"id":"a","v":2}}""", // exists, no can_write
+      """{"type_id":"t_new","data":{"id":"b"}}""", // new, no can_create
+      """{"type_id":"t_ok","data":{"id":"c","v":3}}"""), // new, can_create
+      ingestTime = Some(t1))
+    // continue-on-deny: the admitted type ingested normally
+    assert(report.perType === Map("t_ok" -> 1L))
+    assert(report.quarantined === 2L)
+    assert(h.table("t_ok").count() === 1L)
+    // the denied write never reached t1 (seed row untouched, LWW unbumped)
+    val t1rows = h.table("t1").collect()
+    assert(t1rows.length === 1 && t1rows.head.getAs[String]("id") === "seed")
+    // structured 403 error shape in each type's quarantine
+    val q1 = spark.read.parquet(h.registry.quarantinePath("t1")).collect()
+    assert(q1.length === 1)
+    assert(q1.head.getAs[Int]("errno") === 403)
+    assert(q1.head.getAs[String]("error") === "WriteForbidden")
+    // row_json nests the raw payload as an escaped JSON string
+    assert(q1.head.getAs[String]("row_json").contains("\\\"id\\\":\\\"a\\\""))
+    val qn = spark.read.parquet(h.registry.quarantinePath("t_new")).collect()
+    assert(qn.length === 1)
+    assert(qn.head.getAs[String]("error") === "CreateForbidden")
+    // the denied type was never created
+    assert(!h.registry.knownTypes.contains("t_new"))
+  }
+
   test("add-a-field evolves schema add-only; old rows read as null") {
     val h = freshEngine()
     h.ingest(env("""{"type_id":"t","data":{"id":"a","field":"foo"}}"""), ingestTime = Some(t0))

@@ -54,4 +54,37 @@ class PermissionsSpec extends SparkSpec {
       Permissions.gateReadsAll(bad, "typ", perms))
     assert(ex.getMessage.contains("user_id"))
   }
+
+  test("classifyWrites == writeDecision on every (grant, exists) combination") {
+    // the relational classifier and the driver-side ingest gate share ONE
+    // semantic definition; this sweep makes a one-sided edit impossible:
+    // grant ∈ {absent} ∪ {(create, write) : 4 combos}, type ∈ {exists, new}
+    val grantCombos: Seq[Option[(Boolean, Boolean)]] =
+      None +: (for (c <- Seq(false, true); w <- Seq(false, true))
+        yield Some((c, w)))
+    val cases = for {
+      (g, gi) <- grantCombos.zipWithIndex
+      exists <- Seq(true, false)
+    } yield (s"u$gi", if (exists) "t_old" else "t_new", g, exists)
+    val permRows = cases.collect { case (u, t, Some((c, w)), _) =>
+      (u, t, false, c, w) }.distinct
+    val writes = cases.map { case (u, t, _, _) => (u, t) }
+      .toDF("user_id", "type_id")
+    val got = Permissions.classifyWrites(writes, "user_id", "type_id",
+        Permissions.table(spark, permRows), Seq("t_old"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[String]("error_code"))).toMap
+    cases.foreach { case (u, t, g, exists) =>
+      assert(got((u, t)) === Permissions.writeDecision(g, exists),
+        s"classifier diverged from writeDecision at grant=$g exists=$exists")
+    }
+    // spot-pin the matrix corners (the reference 403 contract)
+    assert(Permissions.writeDecision(None, typeExists = true) === Some("WriteForbidden"))
+    assert(Permissions.writeDecision(None, typeExists = false) === Some("CreateForbidden"))
+    assert(Permissions.writeDecision(Some((true, false)), typeExists = false) === None)
+    assert(Permissions.writeDecision(Some((false, true)), typeExists = false) === Some("CreateForbidden"))
+    assert(Permissions.writeDecision(Some((false, true)), typeExists = true) === None)
+    assert(Permissions.writeDecision(Some((true, false)), typeExists = true) === Some("WriteForbidden"))
+  }
 }
