@@ -1391,6 +1391,49 @@ object OracleSql {
        |ORDER BY p.user_id, d.source""".stripMargin
   }
 
+  /** The [[graft.operators.TextOps.normalizeText]] replay — DuckDB's
+    * `nfc_normalize` (utf8proc) and the engine's JDK kernel both implement
+    * UAX #15 canonical composition; lower + the explicit `[ \t\n\r]+`
+    * collapse + trim mirror the Column pipeline term for term. ONE
+    * definition for both normalization oracles. */
+  private def normSql(e: String): String =
+    s"trim(regexp_replace(lower(nfc_normalize($e)), '[ \\t\\n\\r]+', ' ', 'g'))"
+
+  /** q_text_normalize: planted composed/decomposed twins from the SAME
+    * Scala constants the Spark query plants (TextOps.Plant*), interpolated
+    * as literals — a one-sided plant edit breaks the hash. */
+  private def textNormalizeSql: String = {
+    val comp = graft.operators.TextOps.PlantComposed
+    val dec = graft.operators.TextOps.PlantDecomposed
+    s"""WITH p AS (SELECT doc_id,
+       |    text || CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN '$comp' WHEN 1 THEN '$dec' ELSE '' END AS t
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, ${normSql("t")} AS norm
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_dedup_exact_normalized: raw vs normalized digest keepers — the
+    * cross-spelling duplicate class only the normalized digest collapses. */
+  private def dedupExactNormalizedSql: String = {
+    val comp = graft.operators.TextOps.PlantComposed
+    val dec = graft.operators.TextOps.PlantDecomposed
+    s"""WITH docs AS (SELECT doc_id,
+       |    CASE CAST(doc_id % 50 AS INT)
+       |      WHEN 0 THEN '$comp' WHEN 1 THEN '$dec' ELSE text END AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |dg AS (SELECT doc_id, md5(t) AS digest_raw,
+       |    md5(${normSql("t")}) AS digest_norm
+       |  FROM docs),
+       |k AS (SELECT doc_id,
+       |    MIN(doc_id) OVER (PARTITION BY digest_raw) AS keeper_raw,
+       |    MIN(doc_id) OVER (PARTITION BY digest_norm) AS keeper_norm
+       |  FROM dg)
+       |SELECT doc_id, keeper_raw, keeper_norm,
+       |  keeper_raw <> keeper_norm AS caught_by_norm_only
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** Write-side 403 replay (q_permissions_write_gate): the same generated
     * grant VALUES, the existing-type set as a generated IN literal, and
     * the [[graft.operators.Permissions.writeDecision]] CASE — existing ⇒
@@ -2514,7 +2557,10 @@ object OracleSql {
       """SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
 
+    "q_dedup_exact_normalized" -> dedupExactNormalizedSql,
+
     // --- Text analysis ----------------------------------------------
+    "q_text_normalize_unicode" -> textNormalizeSql,
     "q_text_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -1861,6 +1861,54 @@ object Queries {
     DedupOps.exact(Tables.documents(s, d), "text", "doc_id")
       .orderBy("digest")
 
+  /** Unicode normalization (VERDICT r18 #5) — [[operators.TextOps
+    * .normalizeText]]: NFC canonical composition (native kernel) +
+    * casefold + whitespace collapse, the CCNet/Gopher preprocessing stage
+    * ahead of dedup/quality. The corpus is ASCII-ish, so composed/
+    * decomposed twins PLANT deterministically from doc_id (the
+    * q_text_pii_scrub precedent): every ≡0 (mod 3) doc gets the
+    * composed-UPPERCASE phrase, every ≡1 the decomposed-lowercase one
+    * with different whitespace noise — both must normalize to exactly
+    * "café déjà", so NFC, casefold, AND the collapse each provably fire
+    * under the hash. Distinct from [[qTextNormalize]] (the ASCII-strip
+    * cleaning pass): this stage PRESERVES non-ASCII content, it only
+    * canonicalizes its encoding — the stage order in a real pipeline is
+    * unicode-normalize → dedup → (optionally) ascii-clean. */
+  val qTextNormalizeUnicode: Q = (s, d) => {
+    val plant = when(col("doc_id") % 3 === 0, lit(operators.TextOps.PlantComposed))
+      .when(col("doc_id") % 3 === 1, lit(operators.TextOps.PlantDecomposed))
+      .otherwise(lit(""))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        operators.TextOps.normalizeText(concat(col("text"), plant)).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup over NORMALIZED text — the pair class the raw digest
+    * misses (VERDICT r18 #5's acceptance shape): docs ≡0 (mod 50) carry
+    * the COMPOSED spelling as their whole text, docs ≡1 (mod 50) the
+    * DECOMPOSED one; raw md5 groups them separately, normalized md5
+    * collapses all into ONE duplicate class, so keeper_raw ≠ keeper_norm
+    * exactly on the cross-spelling rows (`caught_by_norm_only`). Both
+    * keeper windows under one hash gate. */
+  val qDedupExactNormalized: Q = (s, d) => {
+    val spelled = when(col("doc_id") % 50 === 0, lit(operators.TextOps.PlantComposed))
+      .when(col("doc_id") % 50 === 1, lit(operators.TextOps.PlantDecomposed))
+      .otherwise(col("text"))
+    val wRaw = Window.partitionBy("digest_raw")
+    val wNorm = Window.partitionBy("digest_norm")
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), spelled.as("t"))
+      .withColumn("digest_raw", md5(col("t").cast(BinaryType)))
+      .withColumn("digest_norm",
+        md5(operators.TextOps.normalizeText(col("t")).cast(BinaryType)))
+      .withColumn("keeper_raw", min("doc_id").over(wRaw))
+      .withColumn("keeper_norm", min("doc_id").over(wNorm))
+      .select(col("doc_id"), col("keeper_raw"), col("keeper_norm"),
+        (col("keeper_raw") =!= col("keeper_norm")).as("caught_by_norm_only"))
+      .orderBy("doc_id")
+  }
+
   /** SCD2 history reconstruction: per-user event_type changes become
     * validity intervals (valid_from/valid_to, open interval = current) —
     * the "state over time" serving view of a CDC stream. One window per

@@ -19,6 +19,26 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode text normalization (VERDICT r18 #5) — the standard
+    * CCNet/Gopher preprocessing stage ahead of dedup/quality: NFC
+    * canonical composition ([[graft.plans.TextExpressions.nfc]], a native
+    * codegen'd kernel), casefold (`lower`), whitespace collapse to single
+    * spaces, trim. Pure per-row projection — runs in the scan stage at any
+    * corpus size. Cross-engine exact: JDK Normalizer and DuckDB's
+    * `nfc_normalize` both implement UAX #15; the collapse class is the
+    * explicit `[ \t\n\r]+` so Java regex and RE2 read the same set. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(graft.plans.TextExpressions.nfc(text)),
+      "[ \\t\\n\\r]+", " "))
+
+  /** Planted normalization twins (ONE definition with the oracle
+    * literals): the composed-UPPERCASE and decomposed-lowercase spellings
+    * of the same phrase plus whitespace noise — [[normalizeText]] maps
+    * BOTH to exactly "café déjà", so the normalization provably fires
+    * (the q_text_pii_scrub plant precedent). */
+  val PlantComposed: String = " CAF\u00C9\t D\u00C9J\u00C0 "
+  val PlantDecomposed: String = " cafe\u0301  de\u0301ja\u0300\n"
+
   /** BPE-ish token split: letter runs, digit runs, and individual
     * punctuation (the standard pre-tokenizer shape used before byte-pair
     * merges). Lookaround-free regex so Java regex and RE2 agree. */

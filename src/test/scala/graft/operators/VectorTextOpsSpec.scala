@@ -658,4 +658,29 @@ class VectorTextOpsSpec extends SparkSpec {
       assert(idx.toSeq === (0 until nf by 2).toSeq)
     }
   }
+
+  test("normalizeText: NFC + casefold + collapse land composed/decomposed twins " +
+      "on one form (VERDICT r18 #5)") {
+    val rows = Seq(
+      ("comp", "x" + TextOps.PlantComposed),
+      ("dec", "x" + TextOps.PlantDecomposed),
+      ("ascii", "  Already   CLEAN\ttext\n"),
+      ("empty", ""))
+      .toDF("k", "t")
+      .select($"k", TextOps.normalizeText($"t").as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("comp") === "x café déjà")
+    assert(rows("dec") === rows("comp"),
+      "decomposed spelling must normalize to the composed twin's form")
+    assert(rows("ascii") === "already clean text")
+    assert(rows("empty") === "")
+    // the NFC kernel alone: decomposed e+U+0301 composes; ASCII identity;
+    // null propagates
+    val nfc = Seq(Some("e\u0301"), Some("plain"), None).toDF("t")
+      .select(graft.plans.TextExpressions.nfc($"t").as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(nfc(0) === Some("\u00E9"))
+    assert(nfc(1) === Some("plain"))
+    assert(nfc(2) === None)
+  }
 }
