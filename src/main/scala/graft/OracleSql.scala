@@ -960,6 +960,7 @@ object OracleSql {
           k = 16, iters = 1)
         val ivf = ivfOracle(cents)
         val ivfpq = ivfPqOracle(spark, d, cents)
+        val hyb = hybridRrfOracle(cents)
         Map("q_vec_ann_ivf" -> ivf,
             // streaming index-maintenance twin: per-batch assignment folds
             // into the standing inverted list, probe stage sees only the
@@ -972,7 +973,10 @@ object OracleSql {
             // hybrid fuse: vector side ranks through the same index
             // replay (top-50 cut), lexical side replays the postings
             // ranker (top-50) — see hybridRrfOracle
-            "q_hybrid_rrf" -> hybridRrfOracle(cents),
+            "q_hybrid_rrf" -> hyb,
+            // maintain-then-serve twin: both folds batching-invariant, the
+            // serve sees only final state — same replay (computed once)
+            "q_stream_hybrid" -> hyb,
             // RAG serving capstone: hybrid top-20 candidates re-scored +
             // MMR-diversified via the shared greedy CTEs
             "q_hybrid_mmr" -> hybridMmrOracle(cents),

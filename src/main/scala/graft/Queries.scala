@@ -3005,6 +3005,22 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** The hybrid served from STREAM-MAINTAINED indexes (VERDICT r18 #6,
+    * [[streaming.Declared.hybridMaintainServe]]): the postings index and
+    * the IVF inverted lists each fold per micro-batch, then the SAME
+    * union-RRF serve runs over their final states — the production
+    * maintain-then-serve loop as one key. Output equals batch
+    * [[qHybridRrf]] (both folds are batching-invariant; the serve sees
+    * only final state), so the same GENERATED oracle hashes it — the key
+    * gates the maintain→serve hand-off. */
+  val qStreamHybrid: Q = (s, d) => {
+    streaming.Declared.withSrcKey(streaming.Declared.srcKeyFor("hybridMaintainServe", d))(
+        streaming.Declared.hybridMaintainServe(s, Tables.documents(s, d),
+          Tables.embeddings(s, d), n = 50, nCentroids = 16, nProbe = 6,
+          scratchDir("stream-hybrid")))
+      .orderBy("query_id", "rank")
+  }
+
   /** HYBRID RETRIEVE → MMR DIVERSIFIED RE-RANK under ONE hash gate — the
     * SERVING-side capstone (the [[qPipelinePretrain]] pattern applied to
     * the query path): the stages a production RAG stack runs per query,
@@ -3047,20 +3063,13 @@ object Queries {
     lexPostingsTopN(Tables.documents(s, d), n)
 
   private[graft] def lexPostingsTopN(docsIn: DataFrame, n: Int): DataFrame = {
-    val docs = docsIn.select(col("doc_id"),
-      array_distinct(array_remove(split(col("text"), " "), "")).as("toks"))
-    val post = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val qpost = broadcast(post.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("tok")))
-    val wl = Window.partitionBy("query_id")
-      .orderBy(col("overlap").desc, col("neighbor_id").asc)
-    post.join(qpost, Seq("tok"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
-      .agg(count(lit(1)).as("overlap"))
-      .withColumn("rank", row_number().over(wl))
-      .filter(col("rank") <= n)
-      .select("query_id", "neighbor_id", "rank")
+    // build + serve split into operators.TextOps (docPostings /
+    // postingsOverlapTopN) so the streaming maintenance twin
+    // (Declared.hybridMaintainServe) serves with the IDENTICAL stage
+    val post = operators.TextOps.docPostings(docsIn, "doc_id", "text")
+    operators.TextOps.postingsOverlapTopN(post,
+      post.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("tok")), n)
   }
 
   /** The DENSE brute-force hybrid fusion — both rankings exact over the

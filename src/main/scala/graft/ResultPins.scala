@@ -110,6 +110,8 @@ object ResultPins {
     // q_vec_ann_ivf precedent): oracle-gated in Verify, pin-covered in
     // the suite where the training context is absent
     "q_hybrid_rrf" -> 50L,
+    // maintain-then-serve twin == batch q_hybrid_rrf, same pins
+    "q_stream_hybrid" -> 50L,
     // RAG serving composition (hybrid -> MMR) — generated-oracle-gated in
     // Verify, pin-covered in the suite (the q_vec_ann_ivf precedent)
     "q_hybrid_mmr" -> 25L,
@@ -145,6 +147,9 @@ object ResultPins {
     "q_dsir_weights" -> "500:a60fd25ec3948a06",
     "q_hybrid_mmr" -> "25:aee937ba3fb802c5",
     "q_hybrid_rrf" -> "50:d7be284412a92bce",
+    // maintain-then-serve twin == batch q_hybrid_rrf: the SHARED pin is
+    // the stream ≡ batch proof (the q_stream_vec_ivf precedent)
+    "q_stream_hybrid" -> "50:d7be284412a92bce",
     "q_lm_perplexity" -> "500:097df3aa8322d987",
     "q_text_bm25" -> "25:9e0df9d2b1a7c1ef",
     "q_vec_ann_ivf" -> "50:5a80ee72f72e8934",
@@ -182,6 +187,7 @@ object ResultPins {
     "q_hybrid_mmr" -> 25L,
     "q_hybrid_rrf" -> 50L,
     "q_lm_perplexity" -> 5000L,
+    "q_stream_hybrid" -> 50L,
     "q_stream_vec_ivf" -> 50L,
     "q_text_bm25" -> 25L,
     "q_vec_ann_ivf" -> 50L,
@@ -204,6 +210,8 @@ object ResultPins {
     "q_hybrid_mmr" -> "25:55118a1213202923",
     "q_hybrid_rrf" -> "50:0c46166e8f742e03",
     "q_lm_perplexity" -> "5000:29648648c4577c0c",
+    // maintain-then-serve twin == batch q_hybrid_rrf, same hash
+    "q_stream_hybrid" -> "50:0c46166e8f742e03",
     // streaming fold == batch q_vec_ann_ivf == persisted index, same hash
     "q_stream_vec_ivf" -> "50:39a52bbe40637588",
     "q_text_bm25" -> "25:3ad061187bc2ee77",

@@ -149,6 +149,36 @@ object TextOps {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(limit)
 
+  /** Distinct-token POSTINGS rows (doc_id, tok) — the lexical ranker's
+    * standing index ([[postingsOverlapTopN]] serves from it). Pure
+    * per-document projection: derived row-by-row, so per-batch postings
+    * union to exactly the one-shot batch postings for every batching —
+    * what lets the streaming maintenance twin (q_stream_hybrid) share the
+    * batch key's oracle. */
+  def docPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        array_distinct(array_remove(split(col(textCol), " "), "")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+
+  /** Serve stage of the lexical postings ranker: corpus postings equi-join
+    * the BROADCAST query postings (query_id, tok), overlap = COUNT per
+    * (query, doc) pair (tokens are distinct per doc, so the count IS
+    * |intersection|), top-`n` per query by (overlap DESC, id). The
+    * sparse-retrieval shape: cost ∝ postings matched, never
+    * queries × corpus; the aggregation map-side combines on the way up. */
+  def postingsOverlapTopN(postings: DataFrame, queryPostings: DataFrame,
+                          n: Int): DataFrame = {
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("neighbor_id").asc)
+    postings.join(broadcast(queryPostings), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= n)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Inverted index: term → document frequency + the first `cap` postings
     * (sorted doc ids). The posting list is truncated BEFORE collection
     * (row_number over the term partition), so no executor ever buffers an

@@ -1180,6 +1180,66 @@ object Declared {
     VectorOps.ivfTopKFromIndex(index, queries, idCol, vecCol, cents, k, nProbe)
   }
 
+  /** Streaming HYBRID-SERVING maintenance (VERDICT r18 #6) — the
+    * production maintain-then-serve loop closed: BOTH of the hybrid's
+    * standing retrieval indexes are kept by streaming folds, and ONE serve
+    * runs the same union-RRF fuse the batch key runs.
+    *
+    *  - lexical: per-batch [[graft.operators.TextOps.docPostings]] rows
+    *    fold by plain union (documents partition across batches and
+    *    postings derive per row, so the folded index is trivially
+    *    batching-invariant);
+    *  - vector: the [[ivfIndexMaintain]] fold shape — offline-trained
+    *    coarse codebook, per-batch [[graft.operators.VectorOps.ivfEncode]]
+    *    assignment into the standing inverted lists;
+    *  - serve: query postings read FROM the maintained lexical state,
+    *    [[graft.operators.TextOps.postingsOverlapTopN]] +
+    *    [[graft.operators.VectorOps.ivfTopKFromIndex]] top-`n` each,
+    *    fused with [[graft.operators.VectorOps.rrfFuseUnion]] — the exact
+    *    batch q_hybrid_rrf stages.
+    *
+    * Both folds' final states equal their batch indexes for every
+    * batching, and the serve sees only final state, so the output equals
+    * batch q_hybrid_rrf and the SAME generated oracle (hybridRrfOracle)
+    * hashes the maintained run — this key gates the maintain→serve
+    * hand-off. Each fold is its own AvailableNow run (a production loop
+    * streams one query per source topic); per-batch cost stays linear in
+    * arrivals, state is postings + inverted lists at rest. */
+  def hybridMaintainServe(s: SparkSession, docs: DataFrame, emb: DataFrame,
+                          n: Int, nCentroids: Int, nProbe: Int,
+                          dir: String): DataFrame = {
+    import graft.operators.{TextOps, VectorOps}
+    val cents = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
+      nCentroids, iters = 1)
+    // stateless folds: 4 shuffle partitions (the changesMaintain knob)
+    val s4 = sized(s, 4)
+    val docSrc = writeSrc(docs.select(col("doc_id"), col("text")),
+      dir + "/lex", nFiles = 2)
+    val postings = runFold(s4, s, docSrc, dir + "/lex", "graft-stream-hyblex") {
+      (prev, batch) =>
+        val bs = TextOps.docPostings(batch, "doc_id", "text")
+        prev.fold(bs)(_.unionByName(bs))
+    }.getOrElse(sys.error(
+      s"hybridMaintainServe: lexical stream at $dir committed no micro-batches"))
+    val embSrc = writeSrc(emb.select(col("vec_id"), col("embedding")),
+      dir + "/vec", nFiles = 2)
+    val index = runFold(s4, s, embSrc, dir + "/vec", "graft-stream-hybvec") {
+      (prev, batch) =>
+        val bs = VectorOps.ivfEncode(batch, "vec_id", "embedding", cents)
+        prev.fold(bs)(_.unionByName(bs))
+    }.getOrElse(sys.error(
+      s"hybridMaintainServe: vector stream at $dir committed no micro-batches"))
+    val lex = TextOps.postingsOverlapTopN(postings,
+      postings.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("tok")), n)
+    val queries = emb.filter(col("vec_id") < 5)
+    val vec = VectorOps.ivfTopKFromIndex(index, queries, "vec_id",
+        "embedding", cents, n, nProbe)
+      .select("query_id", "neighbor_id", "rank")
+    VectorOps.rrfFuseUnion(lex, vec,
+      rankAName = "lex_rank", rankBName = "vec_rank")
+  }
+
   /** Streaming INVERTED-INDEX maintenance — the text-search index kept
     * incrementally (the third standing index after the MinHash and IVF
     * folds): each micro-batch of arriving documents pays tokenize +

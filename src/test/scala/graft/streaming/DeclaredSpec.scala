@@ -375,6 +375,13 @@ class DeclaredSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("hybrid served from stream-maintained indexes equals the batch hybrid " +
+      "(VERDICT r18 #6: the maintain->serve hand-off)") {
+    val streamed = Queries.qStreamHybrid(spark, sf())
+    val batch = Queries.qHybridRrf(spark, sf())
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("srcKeyFor: regenerated input files invalidate the cross-JVM source cache key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-srckey").toFile
     val f = new java.io.File(dir, "events.parquet")
