@@ -125,18 +125,10 @@ object Bench {
   }
 
   def loadRefMins(path: String): Map[String, Double] =
-    try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      val key = txt.indexOf("\"queries_min\"")
-      val start = if (key < 0) -1 else txt.indexOf('{', key)
-      if (start < 0) Map.empty
-      else {
-        val body = txt.substring(start + 1, txt.indexOf('}', start))
-        raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Exception => Map.empty }
+    try loadKeyMap(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
+      "queries_min")
+    catch { case _: Exception => Map.empty }
 
   /** Kernel dirty + writeback pages (kB) — the run-shape witness. A bench
     * launched right after a heavy write phase (the full suite, the
@@ -224,6 +216,95 @@ object Bench {
       // not abort the sweep before any artifact exists
       case _: Exception => -1.0
     }
+
+  /** JIT code-cache occupancy (used KB summed over the CodeHeap pools) —
+    * one of the two sweep-tail witnesses (VERDICT r18 #2): the r18 driver
+    * artifact read its last-alphabetically keys at 4–7× with EVERY
+    * existing instrument quiet — end-of-sweep JVM degradation (JIT
+    * code-cache / GC class) that re-runs of long-compiled probe code can
+    * never see. Occupancy near the pool ceiling at the tail keys names
+    * that draw from the JSON alone. -1 on exotic JVMs. */
+  def codeCacheUsedKb(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+        .map(_.getUsage.getUsed).sum / 1024
+    } catch { case _: Exception => -1L }
+
+  /** Cumulative GC wall ms across all collectors — the second sweep-tail
+    * witness: a key whose runs absorbed a large GC delta reads slow for a
+    * JVM-state reason, not an operator reason. -1 on exotic JVMs. */
+  def gcTotalMs(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    } catch { case _: Exception => -1L }
+
+  /** Re-measure `keys` in a FRESH CHILD JVM (VERDICT r18 #2): the r18
+    * driver artifact's ref-salvage re-measured its flagged sweep-tail keys
+    * in the SAME degraded JVM and falsely "confirmed" them. A child
+    * process (same classpath + JVM flags, filtered to exactly these keys,
+    * its own BENCH_full at a temp path) measures them with fresh JIT/GC
+    * state — the reading that separates a positional JVM artifact from a
+    * real regression. Returns (median, min) per key parsed from the
+    * child's artifact; empty map on any failure (caller falls back to the
+    * in-JVM re-measure). Child runs with SPARK_GRAFT_BENCH_CHILD=1 so it
+    * never forks grandchildren. */
+  def childRemeasure(keys: Seq[String], sfDir: String,
+                     cpus: String): Map[String, (Double, Double)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val tmpOut = java.nio.file.Files.createTempFile("graft-bench-child", ".json")
+      java.nio.file.Files.deleteIfExists(tmpOut)
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_FILTER", keys.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_FULL", tmpOut.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // the parent IS a graft JVM — the child must not wait for it
+      pb.environment().put("SPARK_GRAFT_BENCH_WAIT", "0")
+      // and must not re-pay the settle loop: the host was already flushed
+      pb.environment().put("SPARK_GRAFT_BENCH_SETTLE", "0")
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); Map.empty }
+      else if (p.exitValue() != 0) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(tmpOut),
+          java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Files.deleteIfExists(tmpOut)
+        val med = loadKeyMap(txt, "queries")
+        val min = loadKeyMap(txt, "queries_min")
+        keys.flatMap(k => for (m <- med.get(k); n <- min.get(k))
+          yield k -> (m, n)).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
+  /** First flat string→number JSON object named `field` in `txt` — the
+    * loadRefMins parser generalized (no JSON lib on the classpath). */
+  def loadKeyMap(txt: String, field: String): Map[String, Double] = {
+    val key = txt.indexOf("\"" + field + "\"")
+    val start = if (key < 0) -1 else txt.indexOf('{', key)
+    if (start < 0) Map.empty
+    else {
+      val body = txt.substring(start + 1, txt.indexOf('}', start))
+      raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
 
   /** Dirty-at-start above this ⇒ the sweep launched inside another
     * phase's writeback shadow — stamp `run_shape:"post_suite"`. Measured
@@ -403,11 +484,17 @@ object Bench {
     // the most recent sample of the key, matching the timing that survives
     // the min-merge in the common case.
     val ioStamps = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    // Per-key JVM witnesses (VERDICT r18 #2): GC ms absorbed across the
+    // key's runs + JIT code-cache occupancy when the key finished — the
+    // end-of-sweep JVM-degradation signature no re-run of long-compiled
+    // probe code can see. Same overwrite-on-re-measure policy as ioStamps.
+    val jvmStamps = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     def measure(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (String, Double, Double) = {
       val (ior0, iow0) = procIo()
       val iwt0 = iowaitTicks()
+      val gc0 = gcTotalMs()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -430,10 +517,14 @@ object Bench {
       }.sorted
       val (ior1, iow1) = procIo()
       val iwt1 = iowaitTicks()
+      val gc1 = gcTotalMs()
       ioStamps(name) = (
         if (ior0 >= 0 && ior1 >= 0) (ior1 - ior0) / 1024 else -1L,
         if (iow0 >= 0 && iow1 >= 0) (iow1 - iow0) / 1024 else -1L,
         if (iwt0 >= 0 && iwt1 >= 0) iwt1 - iwt0 else -1L)
+      jvmStamps(name) = (
+        if (gc0 >= 0 && gc1 >= 0) gc1 - gc0 else -1L,
+        codeCacheUsedKb())
       (name, times(times.size / 2), times.head)
     }
     // Key-order A/B knob (VERDICT r16 #1): `stream_first` runs the
@@ -491,16 +582,41 @@ object Bench {
     }.map(_._1).filterNot(flagged.contains)
     val salvaged = scala.collection.mutable.ArrayBuffer[String]()
     val refSalvaged = scala.collection.mutable.ArrayBuffer[String]()
-    val allFlagged = flagged ++ refFlagged
+    // Ref-salvage isolation (VERDICT r18 #2): the r18 driver artifact's
+    // sweep-tail keys read 4–7× from end-of-sweep JVM degradation, and the
+    // in-JVM ref-salvage re-measured them in the SAME degraded state —
+    // falsely confirming the draw. Ref-flagged keys therefore re-measure
+    // in a FRESH CHILD JVM (childRemeasure — fresh JIT/GC state is the
+    // only reading that separates a positional artifact from a real
+    // regression); the in-JVM pass remains the fallback when the child
+    // fails, in SHUFFLED order so positional degradation can't land on
+    // the same alphabetical tail it flagged. Transient (median/min)
+    // salvage stays in-JVM by design — its premise is that the co-tenant
+    // drained, not that the JVM degraded. Children never fork
+    // grandchildren (SPARK_GRAFT_BENCH_CHILD).
+    val isChild = sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")
+    var refSalvageMode = "none"
+    val childMeasured: Map[String, (Double, Double)] =
+      if (refFlagged.nonEmpty && !isChild) {
+        System.err.println(s"[bench] reference salvage (min >2x $refPath): fresh child JVM for ${refFlagged.size} key(s): ${refFlagged.mkString(",")}")
+        val m = childRemeasure(refFlagged, sfDir, cpus)
+        refSalvageMode = if (m.nonEmpty) "child_jvm" else "in_jvm_child_failed"
+        if (m.isEmpty)
+          System.err.println("[bench] ** child JVM re-measure failed — falling back to in-JVM (shuffled) **")
+        m
+      } else {
+        if (refFlagged.nonEmpty) refSalvageMode = "in_jvm_is_child"
+        Map.empty
+      }
+    val allFlagged = flagged ++ refFlagged.filterNot(childMeasured.contains)
     val merged: Seq[(String, Double, Double)] =
-      if (allFlagged.isEmpty) primary
+      if (allFlagged.isEmpty && childMeasured.isEmpty) primary
       else {
         if (flagged.nonEmpty)
           System.err.println(s"[bench] contention salvage: re-measuring ${flagged.size} key(s): ${flagged.mkString(",")}")
-        if (refFlagged.nonEmpty)
-          System.err.println(s"[bench] reference salvage (min >2x $refPath): re-measuring ${refFlagged.size} key(s): ${refFlagged.mkString(",")}")
-        val remeasured = allFlagged
-          .map(k => k -> measure(k, SparkEntry.queries(k))).toMap
+        val remeasured = new scala.util.Random(42).shuffle(allFlagged)
+          .map(k => k -> measure(k, SparkEntry.queries(k))).toMap ++
+          childMeasured.map { case (k, (m, n)) => k -> ((k, m, n)) }
         primary.map { r =>
           remeasured.get(r._1) match {
             case Some(n) =>
@@ -644,11 +760,16 @@ object Bench {
       s""""salvage_replaced":${salvaged.map(jstr).mkString("[", ",", "]")},""" +
       s""""ref_flagged":${refFlagged.map(jstr).mkString("[", ",", "]")},""" +
       s""""ref_replaced":${refSalvaged.map(jstr).mkString("[", ",", "]")},""" +
+      s""""ref_salvage_mode":${jstr(refSalvageMode)},""" +
       s""""median_rescue_rerun":${medianFlagged.map(jstr).mkString("[", ",", "]")},""" +
       s""""median_rescue_replaced":${medianRescued.map(jstr).mkString("[", ",", "]")},""" +
       s""""segment_flagged":${segFlagged.map(jstr).mkString("[", ",", "]")},""" +
       s""""segment_replaced":${segReplaced.map(jstr).mkString("[", ",", "]")},""" +
       s""""bench_ref_path":${jstr(refPath)},""" +
+      // testdata-generation binding (VERDICT r18 #4): the anchor refresh
+      // refuses to min-merge floors measured on DIFFERENT input bytes —
+      // this stamp is the sweep's half of that handshake
+      s""""sf_fingerprint":${jstr(Staging.fingerprint(Seq(sfDir)))},""" +
       s""""key_order":${jstr(keyOrder)},""" +
       s""""tmpdir":${jstr(sys.props.getOrElse("java.io.tmpdir", "/tmp"))},""" +
       s""""io_read_kb_family":${famIoJson(_._1)},""" +
@@ -671,9 +792,13 @@ object Bench {
     // artifact) but honor an EXPLICIT SPARK_GRAFT_BENCH_FULL path — the
     // contention-rerun protocol writes its partial sample there on purpose.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    def keyJvmJson(pick: ((Long, Long)) => Long): String =
+      jvmStamps.map { case (k, v) => "\"" + k + "\":" + pick(v) }
+        .mkString("{", ",", "}")
     val fullLine = s"""{"queries":${qmap(_._2)},"queries_min":${qmap(_._3)},""" +
       s""""io_read_kb":${keyIoJson(_._1)},"io_write_kb":${keyIoJson(_._2)},""" +
       s""""iowait_ticks":${keyIoJson(_._3)},""" +
+      s""""gc_ms":${keyJvmJson(_._1)},"code_cache_kb":${keyJvmJson(_._2)},""" +
       s""""sf":"$sfDir","n_queries":${results.size},$stamp,""" +
       s""""total_min":${ms3(totalMin)},$normTail"metric":"total","value":${ms3(total)},"unit":"sec"}"""
     if (filter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_FULL"))

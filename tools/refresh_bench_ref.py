@@ -25,6 +25,16 @@ different computation. --reset <key,key> makes the listed keys enter at
 the sweep value, discarding the old floor; use it in the same commit as
 the redefinition, stating why.
 
+Testdata binding (VERDICT r18 #4): the driver regenerates
+/root/testdata in place, and an anchor min measured on the OLD bytes is
+not a floor for the NEW bytes — the r18 anchor silently carried such
+floors and only luck (keys got faster) kept it honest. The sweep stamps
+`sf_fingerprint` (Staging.fingerprint of the sf dir); the anchor stores
+it; a MISMATCH makes every key enter at the sweep value wholesale (the
+--reset semantics, automatic) instead of min-merging across data
+generations. A sweep or anchor without the stamp (pre-r19) merges as
+before with a loud warning.
+
 Usage: python3 tools/refresh_bench_ref.py [BENCH_full.json] [BENCH_ref.localN.json]
            [--allow-improvement k1,k2] [--reset k1,k2]
 """
@@ -66,9 +76,13 @@ def main(argv):
         print(f"[refresh] REFUSED: {full_path} has no queries_min — "
               "a truncated sweep must not wipe the anchor")
         return 1
+    sweep_fp = full.get("sf_fingerprint", "")
+    old_fp = ""
+    data_reset = False
     try:
         ref = json.load(open(ref_path))
         old = ref.get("queries_min", {})
+        old_fp = str(ref.get("sf_fingerprint", ""))
         # An anchor WITHOUT a cpus stamp is the legacy mixed-config file —
         # defaulting it to the sweep's cpus (ADVICE r15 #4) silently let
         # exactly the cross-config merge this guard exists for. Refuse and
@@ -85,6 +99,21 @@ def main(argv):
             return 1
     except FileNotFoundError:
         old = {}
+    if old and sweep_fp and old_fp and sweep_fp != old_fp:
+        # regenerated testdata: the old floors measure DIFFERENT bytes —
+        # min-merging them would hold phantom floors forever (or hide a
+        # real regression behind a lucky old min). Enter the sweep
+        # wholesale; the ratchet guard is inapplicable in this mode.
+        print(f"[refresh] sf_fingerprint changed ({old_fp} -> {sweep_fp}): "
+              "testdata was regenerated — entering sweep values WHOLESALE "
+              "(automatic --reset), old floors discarded")
+        old = {}
+        data_reset = True
+    elif old and not (sweep_fp and old_fp):
+        missing = "sweep" if not sweep_fp else "anchor"
+        print(f"[refresh] WARNING: {missing} carries no sf_fingerprint "
+              "stamp (pre-r19) — min-merge cannot verify the floors were "
+              "measured on these input bytes")
     merged, held = {}, []
     for k, v in sorted(new.items()):
         if k in reset:
@@ -103,9 +132,13 @@ def main(argv):
     if reset:
         print(f"[refresh] reset to sweep value (redefined keys): "
               f"{','.join(sorted(reset & set(new)))}")
-    json.dump({"queries_min": merged, "refreshed_from": full.get("ts"),
-               "calib": calib, "cpus": cpus}, open(ref_path, "w"), indent=0)
-    print(f"[refresh] {ref_path} (cpus={cpus}): {len(merged)} keys "
+    out = {"queries_min": merged, "refreshed_from": full.get("ts"),
+           "calib": calib, "cpus": cpus}
+    if sweep_fp:
+        out["sf_fingerprint"] = sweep_fp
+    json.dump(out, open(ref_path, "w"), indent=0)
+    mode = " [DATA-RESET]" if data_reset else ""
+    print(f"[refresh] {ref_path} (cpus={cpus}){mode}: {len(merged)} keys "
           f"({len(improved)} improved, {len(entered)} new, {len(dropped)} dropped)")
     if held:
         print(f"[refresh] ratchet guard held {len(held)} implausible >3x "
