@@ -94,6 +94,8 @@ object Permissions {
     * set is metadata (table-per-type) and rides as a literal IN. */
   def classifyWrites(writes: DataFrame, userCol: String, typeCol: String,
                      perms: DataFrame, existingTypes: Seq[String]): DataFrame = {
+    require(!writes.columns.contains("error_code"),
+      "classifyWrites appends error_code — the input must not already carry one")
     val g = broadcast(perms.select(col("user_id").as("__grant_user"),
       col("type_id").as("__grant_type"),
       col("can_create").as("__grant_create"),
