@@ -253,11 +253,21 @@ object Bench {
     * child's artifact; empty map on any failure (caller falls back to the
     * in-JVM re-measure). Child runs with SPARK_GRAFT_BENCH_CHILD=1 so it
     * never forks grandchildren. */
+  /** One child-measured key: (median, min) plus the child's OWN witness
+    * stamps — (io_read_kb, io_write_kb, iowait_ticks) and
+    * (gc_ms, code_cache_kb) — so the parent artifact's per-key stamps
+    * keep describing the sample whose timing survives the min-merge
+    * (r19 review: child timings with degraded-parent stamps would
+    * misdiagnose exactly the draws this machinery exists to attribute). */
+  final case class ChildSample(median: Double, min: Double,
+                               io: (Long, Long, Long), jvm: (Long, Long))
+
   def childRemeasure(keys: Seq[String], sfDir: String,
-                     cpus: String): Map[String, (Double, Double)] =
+                     cpus: String): Map[String, ChildSample] = {
+    var tmpOut: java.nio.file.Path = null
     try {
       import scala.jdk.CollectionConverters._
-      val tmpOut = java.nio.file.Files.createTempFile("graft-bench-child", ".json")
+      tmpOut = java.nio.file.Files.createTempFile("graft-bench-child", ".json")
       java.nio.file.Files.deleteIfExists(tmpOut)
       val javaBin = java.nio.file.Paths
         .get(sys.props("java.home"), "bin", "java").toString
@@ -268,6 +278,8 @@ object Bench {
         Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_FILTER", keys.mkString(","))
+      // exact names: substring matching would sweep every superstring key
+      pb.environment().put("SPARK_GRAFT_BENCH_FILTER_EXACT", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_FULL", tmpOut.toString)
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
@@ -285,13 +297,20 @@ object Bench {
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(tmpOut),
           java.nio.charset.StandardCharsets.UTF_8)
-        java.nio.file.Files.deleteIfExists(tmpOut)
         val med = loadKeyMap(txt, "queries")
         val min = loadKeyMap(txt, "queries_min")
-        keys.flatMap(k => for (m <- med.get(k); n <- min.get(k))
-          yield k -> (m, n)).toMap
+        def lm(f: String, k: String): Long =
+          loadKeyMap(txt, f).get(k).map(_.toLong).getOrElse(-1L)
+        keys.flatMap(k => for (m <- med.get(k); n <- min.get(k)) yield
+          k -> ChildSample(m, n,
+            (lm("io_read_kb", k), lm("io_write_kb", k), lm("iowait_ticks", k)),
+            (lm("gc_ms", k), lm("code_cache_kb", k)))).toMap
       }
     } catch { case _: Exception => Map.empty }
+    finally if (tmpOut != null)
+      try java.nio.file.Files.deleteIfExists(tmpOut)
+      catch { case _: Exception => () }
+  }
 
   /** First flat string→number JSON object named `field` in `txt` — the
     * loadRefMins parser generalized (no JSON lib on the classpath). */
@@ -437,8 +456,15 @@ object Bench {
     // doesn't pay an untimed streaming query it can't benefit from.
     val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
     val filterTerms = filter.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // EXACT mode (r19 review): the child-JVM salvage passes exact key
+    // names — substring matching would drag every superstring key into
+    // the child sweep (q_vec_ann_ivf → ...ivf_indexed/ivfpq/...) and burn
+    // its 15-minute budget on keys nobody flagged
+    val filterExact = sys.env.get("SPARK_GRAFT_BENCH_FILTER_EXACT").contains("1")
     def matches(name: String): Boolean =
-      filterTerms.isEmpty || filterTerms.exists(name.contains)
+      filterTerms.isEmpty ||
+        (if (filterExact) filterTerms.contains(name)
+         else filterTerms.exists(name.contains))
     // Streaming-machinery warmup OUTSIDE the timed loop (VERDICT r16 #1,
     // mechanism named by the r17 key-order A/B: a full sweep with the
     // stream family FIRST read it at 25.00 s vs 21.35 s sorted on the same
@@ -596,11 +622,16 @@ object Bench {
     // grandchildren (SPARK_GRAFT_BENCH_CHILD).
     val isChild = sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")
     var refSalvageMode = "none"
-    val childMeasured: Map[String, (Double, Double)] =
+    val childMeasured: Map[String, ChildSample] =
       if (refFlagged.nonEmpty && !isChild) {
         System.err.println(s"[bench] reference salvage (min >2x $refPath): fresh child JVM for ${refFlagged.size} key(s): ${refFlagged.mkString(",")}")
         val m = childRemeasure(refFlagged, sfDir, cpus)
-        refSalvageMode = if (m.nonEmpty) "child_jvm" else "in_jvm_child_failed"
+        // partial child coverage must not claim fresh-JVM isolation for
+        // the keys that fell back to the in-JVM pass (r19 review)
+        refSalvageMode =
+          if (m.isEmpty) "in_jvm_child_failed"
+          else if (refFlagged.forall(m.contains)) "child_jvm"
+          else "child_jvm_partial"
         if (m.isEmpty)
           System.err.println("[bench] ** child JVM re-measure failed — falling back to in-JVM (shuffled) **")
         m
@@ -616,12 +647,20 @@ object Bench {
           System.err.println(s"[bench] contention salvage: re-measuring ${flagged.size} key(s): ${flagged.mkString(",")}")
         val remeasured = new scala.util.Random(42).shuffle(allFlagged)
           .map(k => k -> measure(k, SparkEntry.queries(k))).toMap ++
-          childMeasured.map { case (k, (m, n)) => k -> ((k, m, n)) }
+          childMeasured.map { case (k, cs) => k -> ((k, cs.median, cs.min)) }
         primary.map { r =>
           remeasured.get(r._1) match {
             case Some(n) =>
-              if (n._2 < r._2)
+              if (n._2 < r._2) {
                 (if (refFlagged.contains(r._1)) refSalvaged else salvaged) += r._1
+                // the stamps must describe the sample whose timing
+                // survives: a child sample that wins brings its OWN
+                // fresh-JVM witnesses along (r19 review)
+                childMeasured.get(r._1).foreach { cs =>
+                  ioStamps(r._1) = cs.io
+                  jvmStamps(r._1) = cs.jvm
+                }
+              }
               (r._1, math.min(n._2, r._2), math.min(n._3, r._3))
             case None => r
           }

@@ -90,11 +90,18 @@ object Ingest {
         case Some(u) =>
           val g = grants.getOrElse(throw new IllegalArgumentException(
             "ingest(writer = ...) requires the grants frame"))
+          // duplicate (user, type) grant rows collapse by OR — the same
+          // any-granting-row-admits rule classifyWrites aggregates with,
+          // so the two paths stay equal on every input (r19 review: a
+          // plain .toMap was nondeterministic last-wins under collect
+          // partition order)
           val gm = g.filter(col("user_id") === u)
             .select("type_id", "can_create", "can_write").collect()
-            .map(r => r.getString(0) -> (
-              !r.isNullAt(1) && r.getBoolean(1),
-              !r.isNullAt(2) && r.getBoolean(2))).toMap
+            .groupBy(_.getString(0)).map { case (t, rows) =>
+              t -> (
+                rows.exists(r => !r.isNullAt(1) && r.getBoolean(1)),
+                rows.exists(r => !r.isNullAt(2) && r.getBoolean(2)))
+            }
           types.flatMap(t => graft.operators.Permissions
             .writeDecision(gm.get(t), registry.knownTypes.contains(t))
             .map(t -> _)).toMap

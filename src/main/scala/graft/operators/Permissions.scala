@@ -96,10 +96,16 @@ object Permissions {
                      perms: DataFrame, existingTypes: Seq[String]): DataFrame = {
     require(!writes.columns.contains("error_code"),
       "classifyWrites appends error_code — the input must not already carry one")
-    val g = broadcast(perms.select(col("user_id").as("__grant_user"),
-      col("type_id").as("__grant_type"),
-      col("can_create").as("__grant_create"),
-      col("can_write").as("__grant_write")))
+    // duplicate (user, type) grant rows collapse by OR (any granting row
+    // admits) BEFORE the join — r19 review: an un-collapsed duplicate
+    // would row-multiply the writes here while the driver-side ingest
+    // gate collapsed it nondeterministically; one deterministic rule,
+    // shared with Ingest's fold (any-true), keeps the two paths equal
+    val g = broadcast(perms
+      .groupBy(col("user_id").as("__grant_user"),
+        col("type_id").as("__grant_type"))
+      .agg(max(coalesce(col("can_create"), lit(false))).as("__grant_create"),
+        max(coalesce(col("can_write"), lit(false))).as("__grant_write")))
     writes.join(g, col(userCol) === col("__grant_user") &&
         col(typeCol) === col("__grant_type"), "left")
       .withColumn("__exists", col(typeCol).isin(existingTypes: _*))

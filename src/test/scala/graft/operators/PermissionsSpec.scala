@@ -79,6 +79,21 @@ class PermissionsSpec extends SparkSpec {
       assert(got((u, t)) === Permissions.writeDecision(g, exists),
         s"classifier diverged from writeDecision at grant=$g exists=$exists")
     }
+    // duplicate (user, type) grant rows collapse by OR deterministically
+    // on BOTH paths (r19 review: .toMap was partition-order last-wins):
+    // a deny row + a grant row for the same pair must ADMIT, always,
+    // and must not row-multiply the classifier's output
+    val dupPerms = Permissions.table(spark, Seq(
+      ("u", "t_old", false, false, false),
+      ("u", "t_old", false, false, true)))
+    val dupGot = Permissions.classifyWrites(
+        Seq(("u", "t_old")).toDF("user_id", "type_id"),
+        "user_id", "type_id", dupPerms, Seq("t_old"))
+      .collect()
+    assert(dupGot.length === 1, "duplicate grants must not row-multiply")
+    assert(dupGot.head.getAs[String]("error_code") == null,
+      "any granting duplicate row admits")
+
     // spot-pin the matrix corners (the reference 403 contract)
     assert(Permissions.writeDecision(None, typeExists = true) === Some("WriteForbidden"))
     assert(Permissions.writeDecision(None, typeExists = false) === Some("CreateForbidden"))

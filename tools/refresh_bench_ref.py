@@ -134,8 +134,11 @@ def main(argv):
               f"{','.join(sorted(reset & set(new)))}")
     out = {"queries_min": merged, "refreshed_from": full.get("ts"),
            "calib": calib, "cpus": cpus}
-    if sweep_fp:
-        out["sf_fingerprint"] = sweep_fp
+    # carry the anchor's stamp forward when the sweep lacks one — an
+    # unstamped (pre-r19) sweep must not silently strip the binding and
+    # disable the guard for every later refresh (r19 review)
+    if sweep_fp or old_fp:
+        out["sf_fingerprint"] = sweep_fp or old_fp
     json.dump(out, open(ref_path, "w"), indent=0)
     mode = " [DATA-RESET]" if data_reset else ""
     print(f"[refresh] {ref_path} (cpus={cpus}){mode}: {len(merged)} keys "

@@ -66,6 +66,17 @@ def test_missing_stamp_warns_but_merges():
     assert "sf_fingerprint" not in out
 
 
+def test_unstamped_sweep_preserves_anchor_fingerprint():
+    full = dict(BASE_FULL)  # pre-r19 sweep, no stamp
+    ref = {"queries_min": {"q_a": 1.5, "q_b": 3.0}, "cpus": "32",
+           "sf_fingerprint": "fp1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    # the binding survives: the next stamped sweep can still detect a
+    # regeneration against fp1
+    assert out["sf_fingerprint"] == "fp1"
+
+
 def test_ratchet_guard_still_holds_3x_improvements():
     full = dict(BASE_FULL, sf_fingerprint="fp1",
                 queries_min={"q_a": 0.1, "q_b": 1.0})
