@@ -299,12 +299,28 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         val med = loadKeyMap(txt, "queries")
         val min = loadKeyMap(txt, "queries_min")
-        def lm(f: String, k: String): Long =
-          loadKeyMap(txt, f).get(k).map(_.toLong).getOrElse(-1L)
-        keys.flatMap(k => for (m <- med.get(k); n <- min.get(k)) yield
+        val ior = loadKeyMap(txt, "io_read_kb")
+        val iow = loadKeyMap(txt, "io_write_kb")
+        val iwt = loadKeyMap(txt, "iowait_ticks")
+        val gcm = loadKeyMap(txt, "gc_ms")
+        val ccb = loadKeyMap(txt, "code_cache_kb")
+        def lv(m: Map[String, Double], k: String): Long =
+          m.get(k).map(_.toLong).getOrElse(-1L)
+        // a key that ERRORED in the child carries a meaningless
+        // elapsed-to-throw timing — it must not win the merge or ratchet
+        // the anchor (r19 second review). Error values are the only
+        // string-valued per-key entries in the artifact, so `"key":"`
+        // only occurs inside the errors object.
+        def childErrored(k: String): Boolean = txt.contains("\"" + k + "\":\"")
+        keys.filter { k =>
+          val e = childErrored(k)
+          if (e) System.err.println(
+            s"[bench] child re-measure of $k ERRORED — keeping the parent sample")
+          !e
+        }.flatMap(k => for (m <- med.get(k); n <- min.get(k)) yield
           k -> ChildSample(m, n,
-            (lm("io_read_kb", k), lm("io_write_kb", k), lm("iowait_ticks", k)),
-            (lm("gc_ms", k), lm("code_cache_kb", k)))).toMap
+            (lv(ior, k), lv(iow, k), lv(iwt, k)),
+            (lv(gcm, k), lv(ccb, k)))).toMap
       }
     } catch { case _: Exception => Map.empty }
     finally if (tmpOut != null)
@@ -651,7 +667,12 @@ object Bench {
         primary.map { r =>
           remeasured.get(r._1) match {
             case Some(n) =>
-              if (n._2 < r._2) {
+              // replaced = the re-measure improved EITHER surviving value
+              // (median feeds the headline, MIN feeds the anchor refresh —
+              // r19 second review: gating on median alone let a
+              // min-winning child sample feed queries_min unmarked and
+              // unstamped)
+              if (n._2 < r._2 || n._3 < r._3) {
                 (if (refFlagged.contains(r._1)) refSalvaged else salvaged) += r._1
                 // the stamps must describe the sample whose timing
                 // survives: a child sample that wins brings its OWN
@@ -673,8 +694,13 @@ object Bench {
     // bounded pass re-measures keys whose post-merge median still exceeds
     // 1.8× their min and keeps the better samples; a key that stays wide
     // after this is genuinely bimodal and the stamp says so.
+    // child-measured keys are excluded: they were JUST re-measured in a
+    // fresh JVM — another measure() here would run in the (possibly
+    // degraded) parent and clobber the child witnesses with
+    // degraded-parent stamps, undoing the isolation (r19 second review)
     val medianFlagged = merged
       .filter(r => r._3 > 0 && r._2 / r._3 > 1.8).map(_._1)
+      .filterNot(childMeasured.contains)
     val medianRescued = scala.collection.mutable.ArrayBuffer[String]()
     val rescued: Seq[(String, Double, Double)] =
       if (medianFlagged.isEmpty) merged
@@ -725,7 +751,9 @@ object Bench {
     val results: Seq[(String, Double, Double)] =
       if (segFlagged.isEmpty) rescued
       else {
+        // same child-witness protection as the median rescue above
         val keys = rescued.map(_._1).filter(k => segFlagged.contains(familyOf(k)))
+          .filterNot(childMeasured.contains)
         val remeasured = keys
           .map(k => k -> measure(k, SparkEntry.queries(k))).toMap
         rescued.map { r =>

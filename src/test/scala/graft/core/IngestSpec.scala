@@ -68,6 +68,16 @@ class IngestSpec extends SparkSpec {
     assert(qn.head.getAs[String]("error") === "CreateForbidden")
     // the denied type was never created
     assert(!h.registry.knownTypes.contains("t_new"))
+    // duplicate (user, type) grant rows collapse by OR on the INGEST
+    // path too (r19 review: .toMap was partition-order last-wins) — a
+    // deny row + a grant row must admit deterministically
+    val dupPerms = graft.operators.Permissions.table(spark, Seq(
+      ("u", "t1", false, false, false),
+      ("u", "t1", false, false, true)))
+    val dupReport = h.ingestAs("u", dupPerms, env(
+      """{"type_id":"t1","data":{"id":"dup","v":9}}"""), ingestTime = Some(t1))
+    assert(dupReport.perType === Map("t1" -> 1L))
+    assert(dupReport.quarantined === 0L)
   }
 
   test("add-a-field evolves schema add-only; old rows read as null") {
