@@ -308,10 +308,15 @@ object Bench {
           m.get(k).map(_.toLong).getOrElse(-1L)
         // a key that ERRORED in the child carries a meaningless
         // elapsed-to-throw timing — it must not win the merge or ratchet
-        // the anchor (r19 second review). Error values are the only
-        // string-valued per-key entries in the artifact, so `"key":"`
-        // only occurs inside the errors object.
-        def childErrored(k: String): Boolean = txt.contains("\"" + k + "\":\"")
+        // the anchor (r19 second review). The scan is scoped to the
+        // errors OBJECT (ADVICE r19 #2: a whole-artifact scan relied on
+        // error values being the only string-valued per-key entries —
+        // another key's truncated error text, or any future string-valued
+        // stamp, containing `"key":"` would silently discard a healthy
+        // child sample).
+        val errBody = jsonObjectBody(txt, "errors")
+        def childErrored(k: String): Boolean =
+          errBody.contains("\"" + k + "\":\"")
         keys.filter { k =>
           val e = childErrored(k)
           if (e) System.err.println(
@@ -326,6 +331,37 @@ object Bench {
     finally if (tmpOut != null)
       try java.nio.file.Files.deleteIfExists(tmpOut)
       catch { case _: Exception => () }
+  }
+
+  /** Body of the first JSON object named `field` in `txt` (between its
+    * braces, exclusive), found by a string-aware walk: escaped quotes and
+    * braces INSIDE string values don't terminate the object, so an error
+    * message containing `}` can't truncate the extraction. Empty string
+    * when the field is absent (ADVICE r19 #2). No JSON lib on the
+    * classpath — same constraint as [[loadKeyMap]]. */
+  def jsonObjectBody(txt: String, field: String): String = {
+    val key = txt.indexOf("\"" + field + "\"")
+    val start = if (key < 0) -1 else txt.indexOf('{', key)
+    if (start < 0) return ""
+    var i = start + 1
+    var depth = 1
+    var inString = false
+    var escaped = false
+    while (i < txt.length && depth > 0) {
+      val c = txt.charAt(i)
+      if (escaped) escaped = false
+      else if (inString) {
+        if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+      } else c match {
+        case '"' => inString = true
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _   => ()
+      }
+      i += 1
+    }
+    if (depth == 0) txt.substring(start + 1, i - 1) else ""
   }
 
   /** First flat string→number JSON object named `field` in `txt` — the
@@ -388,6 +424,74 @@ object Bench {
         }
       }
     } catch { case _: Exception => Set.empty }
+
+  /** Draw-level degradation verdict (VERDICT r19 #2): classify the whole
+    * sweep as quiet / contended / jit_tail from its own witnesses, so the
+    * anchor refresh can refuse to ratchet from a non-quiet draw
+    * AUTOMATICALLY instead of via a hand adjudication in NOTES.
+    * Thresholds are calibrated on the two adjudicated r19 draws and sit
+    * between them with headroom:
+    *   committed quiet 82.25 s — par_drift 1.01, calib_drift 1.01, 3.2%
+    *   of anchored keys >1.5× their floor, min-sum 1.10× anchor, code
+    *   cache flat (warmup had filled it);
+    *   driver contended 98.23 s — par_drift 1.12, 7.8% >1.5×, min-sum
+    *   1.21×, code cache +60 MB across the alphabet (the JIT sweep-tail
+    *   signature).
+    * `contended` = host interference (probes drifted, or the anchored
+    * keys inflated broadly); `jit_tail` = the JVM itself degraded through
+    * the sweep (code-cache growth with quiet probes). Either way the
+    * draw's values must not ENTER the anchor (new keys / resets) — the
+    * per-key min-merge of existing floors stays safe (one-way).
+    * MIRRORED in tools/refresh_bench_ref.py `classify()` for artifacts
+    * that predate the stamp — keep the thresholds in sync. */
+  def classifyDraw(calibBefore: Double, calibAfter: Double, calibRef: Double,
+                   parBefore: Double, parAfter: Double,
+                   minsInRunOrder: Seq[(String, Double)],
+                   refMins: Map[String, Double],
+                   ccInRunOrder: Seq[Long]): (String, String) = {
+    def drift(a: Double, b: Double): Double =
+      if (a > 0 && b > 0) math.max(a, b) / math.min(a, b) else 1.0
+    val parDrift = drift(parBefore, parAfter)
+    val calibDrift = drift(calibBefore, calibAfter)
+    val calibVsRef =
+      if (calibRef > 0) math.max(calibBefore, calibAfter) / calibRef else 1.0
+    val anchored = minsInRunOrder.filter { case (k, _) =>
+      refMins.getOrElse(k, 0.0) > 0 }
+    val inflFrac =
+      if (anchored.isEmpty) 0.0
+      else anchored.count { case (k, v) => v > 1.5 * refMins(k) }
+        .toDouble / anchored.size
+    val minsumRatio =
+      if (anchored.isEmpty) 1.0
+      else anchored.map(_._2).sum /
+        anchored.map { case (k, _) => refMins(k) }.sum
+    // code-cache growth across the PARENT sweep in run order (child-JVM
+    // samples excluded by the caller): first- vs last-decile medians, so
+    // one outlier key can't fake or hide the tail
+    val cc = ccInRunOrder.filter(_ > 0)
+    val ccGrowthKb =
+      if (cc.size < 20) 0L
+      else {
+        val d = math.max(1, cc.size / 10)
+        def med(s: Seq[Long]): Long = s.sorted.apply(s.size / 2)
+        med(cc.takeRight(d)) - med(cc.take(d))
+      }
+    val contended =
+      parDrift > 1.08 || calibDrift > 1.30 || calibVsRef > 1.25 ||
+        (anchored.size >= 50 && (inflFrac > 0.05 || minsumRatio > 1.15))
+    val verdict =
+      if (contended) "contended"
+      else if (ccGrowthKb > 20480L) "jit_tail"
+      else "quiet"
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val signals =
+      s"""{"par_drift":${f3(parDrift)},"calib_drift":${f3(calibDrift)},""" +
+      s""""calib_vs_ref":${f3(calibVsRef)},"anchored":${anchored.size},""" +
+      s""""inflated_frac":${f3(inflFrac)},"minsum_ratio":${f3(minsumRatio)},""" +
+      s""""code_cache_growth_kb":$ccGrowthKb}"""
+    (verdict, signals)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -585,6 +689,13 @@ object Bench {
         val (st, rest) = sortedQueries.partition(_._1.startsWith("q_stream"))
         st ++ rest
       } else sortedQueries
+    // one wall timestamp for the whole draw: stamped as `ts` AND the seed
+    // of the salvage shuffle (ADVICE r19 #4 — a fixed seed made the
+    // "shuffled" re-measure order identical every sweep, so end-of-salvage
+    // positional degradation always landed on the same pseudo-random tail
+    // keys; seeding from the stamped ts varies the order across sweeps
+    // while keeping it reproducible from the artifact alone)
+    val sweepTs = java.time.Instant.now()
     val primary: Seq[(String, Double, Double)] =
       orderedQueries
         .filter(r => matches(r._1)).map { case (name, fn) => measure(name, fn) }
@@ -656,12 +767,19 @@ object Bench {
         Map.empty
       }
     val allFlagged = flagged ++ refFlagged.filterNot(childMeasured.contains)
+    // per-key sample provenance for child-salvaged keys (ADVICE r19 #1):
+    // the witness stamps describe the sample whose MIN survives the merge
+    // (the anchor-refresh feed), so child stamps are adopted ONLY when the
+    // child won the min; when provenance is mixed (child median over a
+    // parent min, or vice versa) the flag says so instead of the stamps
+    // silently describing the losing sample
+    val sampleSource = scala.collection.mutable.LinkedHashMap[String, String]()
     val merged: Seq[(String, Double, Double)] =
       if (allFlagged.isEmpty && childMeasured.isEmpty) primary
       else {
         if (flagged.nonEmpty)
           System.err.println(s"[bench] contention salvage: re-measuring ${flagged.size} key(s): ${flagged.mkString(",")}")
-        val remeasured = new scala.util.Random(42).shuffle(allFlagged)
+        val remeasured = new scala.util.Random(sweepTs.toEpochMilli).shuffle(allFlagged)
           .map(k => k -> measure(k, SparkEntry.queries(k))).toMap ++
           childMeasured.map { case (k, cs) => k -> ((k, cs.median, cs.min)) }
         primary.map { r =>
@@ -674,12 +792,23 @@ object Bench {
               // unstamped)
               if (n._2 < r._2 || n._3 < r._3) {
                 (if (refFlagged.contains(r._1)) refSalvaged else salvaged) += r._1
-                // the stamps must describe the sample whose timing
-                // survives: a child sample that wins brings its OWN
-                // fresh-JVM witnesses along (r19 review)
+                // the stamps describe the sample whose MIN survives: a
+                // child sample that wins the min brings its OWN fresh-JVM
+                // witnesses along (r19 review); a child that won only the
+                // MEDIAN leaves the parent stamps (they still describe the
+                // surviving min) and the provenance flag records the mix
+                // (ADVICE r19 #1)
                 childMeasured.get(r._1).foreach { cs =>
-                  ioStamps(r._1) = cs.io
-                  jvmStamps(r._1) = cs.jvm
+                  val winsMin = n._3 < r._3
+                  val winsMed = n._2 < r._2
+                  if (winsMin) {
+                    ioStamps(r._1) = cs.io
+                    jvmStamps(r._1) = cs.jvm
+                  }
+                  sampleSource(r._1) =
+                    if (winsMin && winsMed) "child"
+                    else if (winsMin) "child_min_parent_median"
+                    else "parent_min_child_median"
                 }
               }
               (r._1, math.min(n._2, r._2), math.min(n._3, r._3))
@@ -765,6 +894,21 @@ object Bench {
           }
         }
       }
+    // draw-level verdict from the witnesses (VERDICT r19 #2): code-cache
+    // values ride run order; keys whose stamps were ADOPTED from a fresh
+    // child JVM are excluded (a child's small cache would fake a negative
+    // tail), which is exactly what sample_source records
+    val childStamped: Set[String] = sampleSource.collect {
+      case (k, s) if s == "child" || s == "child_min_parent_median" => k
+    }.toSet
+    val (degVerdict, degSignals) = classifyDraw(
+      calibBefore, calibAfter, CalibRef, calibParBefore, calibParAfter,
+      results.map(r => r._1 -> r._3),
+      refMins,
+      results.collect { case r if !childStamped.contains(r._1) =>
+        jvmStamps.get(r._1).map(_._2).getOrElse(-1L) })
+    if (degVerdict != "quiet")
+      System.err.println(s"[bench] ** draw degradation verdict: $degVerdict — $degSignals — the anchor refresh will not enter NEW floors from this draw **")
     // ONE JSON line, but field order matters: the harness keeps only the
     // TAIL of the run's output, so with 100+ queries the line's head gets
     // truncated. Put the big per-query map FIRST and the headline
@@ -815,7 +959,7 @@ object Bench {
     // the two probe times, so round-over-round diffs compare like with like
     val stamp =
       s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},""" +
-      s""""ts":"${java.time.Instant.now()}",""" +
+      s""""ts":"$sweepTs",""" +
       s""""calib_before_sec":${ms3(calibBefore)},"calib_after_sec":${ms3(calibAfter)},""" +
       s""""calib_par_before_sec":${ms3(calibParBefore)},"calib_par_after_sec":${ms3(calibParAfter)},""" +
       s""""fsync_ms_before":${ms3(fsyncBefore)},"fsync_ms_after":${ms3(fsyncAfter)},""" +
@@ -837,6 +981,16 @@ object Bench {
       // refuses to min-merge floors measured on DIFFERENT input bytes —
       // this stamp is the sweep's half of that handshake
       s""""sf_fingerprint":${jstr(Staging.fingerprint(Seq(sfDir)))},""" +
+      // sizes-only companion (ADVICE r19 #3): stable across touch/re-copy
+      // and byte-identical regeneration, so the refresh can tell an
+      // mtime-only change (keep the floors) from a real data change
+      // (wholesale reset) instead of resetting on every stamp flip
+      s""""sf_fingerprint_sizes":${jstr(Staging.sizeFingerprint(Seq(sfDir)))},""" +
+      s""""degradation":${jstr(degVerdict)},""" +
+      s""""degradation_signals":$degSignals,""" +
+      s""""sample_source":${sampleSource.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")},""" +
       s""""key_order":${jstr(keyOrder)},""" +
       s""""tmpdir":${jstr(sys.props.getOrElse("java.io.tmpdir", "/tmp"))},""" +
       s""""io_read_kb_family":${famIoJson(_._1)},""" +

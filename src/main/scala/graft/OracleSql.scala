@@ -1261,6 +1261,41 @@ object OracleSql {
        |  JOIN e n ON n.vec_id = c.neighbor_id)""".stripMargin
   }
 
+  /** Shared WITH-body of the lexical postings ranker through the ranked
+    * top-50 cut `lex` — ONE definition for [[hybridFuseCtes]] (the
+    * hybrid's lexical side) and [[textPostingsIndexedSql]] (the persisted
+    * postings index key, which cuts it to top-10), so the computed replay
+    * and the indexed key's oracle can never diverge. Replays
+    * `TextOps.docPostings` → `postingsOverlapTopN`: unnest the
+    * distinct-token lists, equi-join query postings on token, COUNT =
+    * |intersection| (tokens are distinct per doc), rank by
+    * (overlap DESC, id). The bucket partitioning of the persisted index
+    * is a pure layout artifact — pruning drops only never-matching
+    * postings — so the replay is bucket-free by design. */
+  private lazy val lexPostingsCtes: String =
+    s"""toks AS (SELECT doc_id, list_distinct(list_filter(
+       |    string_split(text, ' '), t -> t <> '')) AS toks FROM documents),
+       |post AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+       |qp AS (SELECT doc_id AS query_id, tok FROM post WHERE doc_id < 5),
+       |ov AS (SELECT qp.query_id, p.doc_id AS neighbor_id,
+       |    COUNT(*) AS overlap
+       |  FROM qp JOIN post p ON p.tok = qp.tok AND p.doc_id <> qp.query_id
+       |  GROUP BY qp.query_id, p.doc_id),
+       |lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY overlap DESC, neighbor_id) AS lex_rank FROM ov)
+       |  WHERE lex_rank <= 50)""".stripMargin
+
+  /** q_text_postings_indexed: the persisted postings serving index ≡ the
+    * computed postings ranker — same kernel over the same (bucket-pruned,
+    * never-matching-only dropped) rows, so the computed replay hashes the
+    * indexed path (the q_vec_ann_ivf_indexed ruling on the lexical side). */
+  private lazy val textPostingsIndexedSql: String =
+    s"""WITH $lexPostingsCtes
+       |SELECT query_id, neighbor_id, lex_rank AS rank FROM lex
+       |WHERE lex_rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Hybrid-RRF replay over the INDEXED rankers (VERDICT r17 #1): the
     * vector top-20 ranks through the shared IVF CTEs ([[ivfRankPrefix]] —
     * materialized index ≡ computed assignment, the q_vec_ann_ivf_indexed
@@ -1287,19 +1322,7 @@ object OracleSql {
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY cosine DESC, neighbor_id) AS vec_rank FROM scored)
        |  WHERE vec_rank <= 50),
-       |toks AS (SELECT doc_id, list_distinct(list_filter(
-       |    string_split(text, ' '), t -> t <> '')) AS toks FROM documents),
-       |post AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
-       |qp AS (SELECT doc_id AS query_id, tok FROM post WHERE doc_id < 5),
-       |ov AS (SELECT qp.query_id, p.doc_id AS neighbor_id,
-       |    COUNT(*) AS overlap
-       |  FROM qp JOIN post p ON p.tok = qp.tok AND p.doc_id <> qp.query_id
-       |  GROUP BY qp.query_id, p.doc_id),
-       |lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY overlap DESC, neighbor_id) AS lex_rank FROM ov)
-       |  WHERE lex_rank <= 50),
+       |$lexPostingsCtes,
        |f AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
        |    COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
        |    l.lex_rank, v.vec_rank,
@@ -1448,9 +1471,13 @@ object OracleSql {
     }.mkString(",\n    ")
     val existing = graft.operators.Permissions.demoExistingTypes
       .map(t => s"'$t'").mkString(", ")
-    s"""WITH perms(user_id, type_id, can_read, can_create, can_write) AS (
+    s"""WITH perms0(user_id, type_id, can_read, can_create, can_write) AS (
        |  VALUES
        |    $values),
+       |perms AS (SELECT user_id, type_id,
+       |    BOOL_OR(COALESCE(can_create, FALSE)) AS can_create,
+       |    BOOL_OR(COALESCE(can_write, FALSE)) AS can_write
+       |  FROM perms0 GROUP BY 1, 2),
        |writes AS (SELECT
        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'alice'
        |         WHEN 1 THEN 'bob' ELSE 'carol' END AS user_id,
@@ -2565,6 +2592,7 @@ object OracleSql {
 
     // --- Text analysis ----------------------------------------------
     "q_text_normalize_unicode" -> textNormalizeSql,
+    "q_text_postings_indexed" -> textPostingsIndexedSql,
     "q_text_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)

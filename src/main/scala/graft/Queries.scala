@@ -2997,7 +2997,10 @@ object Queries {
     * dense brute-force fusion stays spec-side as the recall ground truth
     * ([[qHybridRrfDense]], HybridRecallSpec). */
   val qHybridRrf: Q = (s, d) => {
-    val lex = lexPostingsTopN(s, d, n = 50)
+    // lexical side serves from the PERSISTED postings index since r20
+    // (postingsIndexedTopN ≡ lexPostingsTopN — DeclaredSpec gates it);
+    // both hybrid rankers now read indexes at rest, neither re-derives
+    val lex = postingsIndexedTopN(s, d, n = 50)
     val vec = ivfIndexedTopK(s, d, k = 50)
       .select("query_id", "neighbor_id", "rank")
     VectorOps.rrfFuseUnion(lex, vec,
@@ -3039,7 +3042,7 @@ object Queries {
     * mmrGreedyCtes) the component keys replay, so a drift in either stage
     * OR in how they hand off breaks the hash. Integer grids end to end. */
   val qHybridMmr: Q = (s, d) => {
-    val lex = lexPostingsTopN(s, d, n = 50)
+    val lex = postingsIndexedTopN(s, d, n = 50)
     val vec = ivfIndexedTopK(s, d, k = 50)
       .select("query_id", "neighbor_id", "rank")
     val cands = VectorOps.rrfFuseUnion(lex, vec, topK = 20,
@@ -3061,6 +3064,78 @@ object Queries {
   private[graft] def lexPostingsTopN(s: SparkSession, d: String,
                                      n: Int): DataFrame =
     lexPostingsTopN(Tables.documents(s, d), n)
+
+  /** Token-hash shard count of the persisted postings index. 32 matches
+    * this corpus's vocabulary scale; the 100 TB deployment sets it to
+    * thousands (see [[operators.TextOps.postingsBucket]]) — the constant
+    * is part of the index key below, so resizing restages. */
+  private val PostingsBuckets = 32
+
+  /** The staged PERSISTED lexical postings index for `d`'s documents —
+    * the symmetric twin of [[stagedIvfIndexDir]] on the lexical side
+    * (VERDICT r19 #1): distinct-token postings rows, PARTITIONED BY the
+    * token-hash bucket ([[operators.TextOps.postingsBucket]] — ONE
+    * definition with the probe side), staged once per input fingerprint.
+    * A serving process never re-derives postings from the corpus: the
+    * query's tokens name their buckets, and the scan lists and reads only
+    * those FILES — the inverted-index-at-rest shape every production
+    * search stack ships. Key doctrine as [[stagedIvfIndexDir]]: BUMP
+    * `tok-v1` when docPostings tokenization or the bucket hash changes. */
+  private def stagedPostingsIndexDir(s: SparkSession, d: String): String =
+    Staging.dirFor(
+      s"postings-idx:b=$PostingsBuckets,tok-v1:" + d + "@" +
+        Staging.fingerprint(Seq(s"$d/documents.parquet")),
+      "graft-postings-index") { d0 =>
+      val post = operators.TextOps.docPostings(
+        Tables.documents(s, d), "doc_id", "text")
+      post.withColumn("bucket",
+          operators.TextOps.postingsBucket(col("tok"), PostingsBuckets))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(d0 + "/postings")
+    }
+
+  // probe-planning memo (the codebookCache doctrine): the declared query
+  // set (doc_id < 5) is fixed per dataset, so its bucket list is computed
+  // once per index dir — immutable once staged; a regenerated input lands
+  // at a NEW dir via the fingerprint
+  private val queryBucketsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+
+  /** Serve stage over the staged persisted postings index: the query
+    * postings derive from the (pushdown-filtered) 5 query documents,
+    * their token buckets collect driver-side (metadata scale — distinct
+    * query tokens, memoized per index dir) and feed a LITERAL bucket
+    * filter, so the index scan lists and reads only the query tokens'
+    * FILES (PlanContractSpec asserts the PartitionFilters); ranking is
+    * the identical [[operators.TextOps.postingsOverlapTopN]] kernel the
+    * computed path runs — indexed ≡ computed by construction
+    * (DeclaredSpec gates the equality live). */
+  private def postingsIndexedTopN(s: SparkSession, d: String,
+                                  n: Int): DataFrame = {
+    val idxDir = stagedPostingsIndexDir(s, d)
+    val qp = operators.TextOps.docPostings(
+        Tables.documents(s, d).filter(col("doc_id") < 5), "doc_id", "text")
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val buckets: Seq[Long] = queryBucketsCache.getOrElseUpdate(idxDir,
+      qp.select(operators.TextOps.postingsBucket(col("tok"),
+          PostingsBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted)
+    val index = s.read.parquet(idxDir + "/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .select("doc_id", "tok")
+    operators.TextOps.postingsOverlapTopN(index, qp, n)
+  }
+
+  /** PERSISTED lexical postings SERVING index — the production sparse-
+    * retrieval deployment shape (VERDICT r19 #1, the
+    * [[qVecAnnIvfIndexed]] precedent applied to the lexical side):
+    * token-bucket-partitioned postings at rest, query tokens → literal
+    * bucket filter → bucket-pruned scan → the identical overlap ranker.
+    * Output equals the computed postings ranker exactly (same kernel over
+    * the same rows; pruning drops only never-matching postings), so the
+    * static SQL oracle replays the computed path. */
+  val qTextPostingsIndexed: Q = (s, d) =>
+    postingsIndexedTopN(s, d, n = 10).orderBy("query_id", "rank")
 
   private[graft] def lexPostingsTopN(docsIn: DataFrame, n: Int): DataFrame = {
     // build + serve split into operators.TextOps (docPostings /

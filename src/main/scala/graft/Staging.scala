@@ -60,12 +60,27 @@ private[graft] object Staging {
     * Metadata-only; never reads file contents. Missing paths fail fast: a
     * typo'd input would otherwise fingerprint as a constant and silently
     * disable the staleness detection. */
-  def fingerprint(paths: Seq[String]): String = {
+  def fingerprint(paths: Seq[String]): String =
+    fingerprintWith(paths, withMtime = true)
+
+  /** Sizes-only companion of [[fingerprint]] (ADVICE r19 #3): relative
+    * path + byte size per regular file, NO mtimes — stable across a
+    * touch, a re-copy, and a byte-identical regeneration, while a real
+    * data change almost surely moves some file's size. The bench stamps
+    * BOTH so the anchor refresh can tell an mtime-only flip (keep the
+    * floors) from a genuine testdata regeneration (wholesale reset).
+    * Staged-dir keys keep using the mtime-bearing [[fingerprint]] —
+    * over-rebuilding a stage is cheap; serving stale bytes is not. */
+  def sizeFingerprint(paths: Seq[String]): String =
+    fingerprintWith(paths, withMtime = false)
+
+  private def fingerprintWith(paths: Seq[String], withMtime: Boolean): String = {
     def walk(f: java.io.File, rel: String): Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).sortBy(_.getName)
           .flatMap(c => walk(c, s"$rel/${c.getName}"))
-      else Seq(s"$rel:${f.length}:${f.lastModified}")
+      else if (withMtime) Seq(s"$rel:${f.length}:${f.lastModified}")
+      else Seq(s"$rel:${f.length}")
     val parts = paths.flatMap { p =>
       val f = new java.io.File(p)
       require(f.exists(), s"Staging.fingerprint: input path missing: $p")

@@ -107,24 +107,33 @@ object Ingest {
             .map(t -> _)).toMap
         case None => Map.empty
       }
-      denied.toSeq.sortBy(_._1).foreach { case (t, code) =>
-        Validation.quarantineRecords(
-            cached.filter($"type_id" === t).select("data_json"),
-            errno = 403, error = code,
-            message = s"user '${writer.get}' may not ${
-              if (code == "CreateForbidden") "create" else "write"} type '$t'")
-          .withColumn("type_id", lit(t))
-          .write.mode("append").option(NoJobMarker._1, NoJobMarker._2)
-          .parquet(registry.quarantinePath(t))
+      // each denied type quarantines to its OWN table, so the writes stay
+      // per-type — but they fan out concurrently on the ingest pool like
+      // the admitted path below (VERDICT r19 #5: a mass-deny batch must
+      // not pay one SEQUENTIAL driver-blocked job per denied type)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = Ingest.ingestPool
+      if (denied.nonEmpty) {
+        val denyFutures = denied.toSeq.sortBy(_._1).map { case (t, code) =>
+          Future {
+            Validation.quarantineRecords(
+                cached.filter($"type_id" === t).select("data_json"),
+                errno = 403, error = code,
+                message = s"user '${writer.get}' may not ${
+                  if (code == "CreateForbidden") "create" else "write"} type '$t'")
+              .withColumn("type_id", lit(t))
+              .write.mode("append").option(NoJobMarker._1, NoJobMarker._2)
+              .parquet(registry.quarantinePath(t))
+          }
+        }
+        Await.result(Future.sequence(denyFutures), Duration.Inf)
       }
       val admitted = types.filterNot(denied.contains)
       // Types are independent (separate tables, separate registry rows with
       // locked mutations) — fan their sub-batches out concurrently; Spark's
       // scheduler interleaves the jobs. Mirrors a real cluster where a
       // driver loop over types would serialize executor idle time.
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = Ingest.ingestPool
       val subTotals = typeCounts.filter(!_.isNullAt(0))
         .map(r => r.getString(0) ->
           (if (r.getLong(2) == 0L) Some(r.getLong(1)) else None)).toMap

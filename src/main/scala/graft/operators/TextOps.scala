@@ -160,6 +160,18 @@ object TextOps {
         array_distinct(array_remove(split(col(textCol), " "), "")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
 
+  /** Token-hash bucket for the PERSISTED postings index — ONE definition
+    * shared by the write side (`partitionBy("bucket")` at staging) and the
+    * probe side (query tokens → literal bucket filter), so the two can
+    * never disagree on a token's shard. Pruning is SOUND by construction:
+    * every posting that can match a query token lives in that token's
+    * bucket, so dropping all other buckets drops only rows the postings
+    * equi-join would discard anyway. `buckets` scales with vocabulary —
+    * at 100 TB you shard a billion-term vocabulary over thousands of
+    * buckets and a few-word query still reads a handful of files. */
+  def postingsBucket(tok: Column, buckets: Int): Column =
+    pmod(xxhash64(tok), lit(buckets.toLong))
+
   /** Serve stage of the lexical postings ranker: corpus postings equi-join
     * the BROADCAST query postings (query_id, tok), overlap = COUNT per
     * (query, doc) pair (tokens are distinct per doc, so the count IS

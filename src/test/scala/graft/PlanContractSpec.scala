@@ -127,6 +127,19 @@ class PlanContractSpec extends SparkSpec {
       s"indexed IVF-PQ codes scan lost its literal cell partition filter:\n$p")
   }
 
+  test("persisted postings index scan partition-prunes to the query tokens' buckets") {
+    // VERDICT r19 #1: the lexical symmetric twin of the IVF indexes — the
+    // token-bucket-partitioned postings table's scan must carry a literal
+    // PartitionFilter on the query tokens' buckets, so a few-word query
+    // lists and reads only its tokens' FILES out of a sharded
+    // billion-term index (this corpus's 31-token vocabulary makes the
+    // declared cut structural; VectorTextOpsSpec proves strict pruning on
+    // a wide-vocabulary constructed corpus)
+    val p = plan("q_text_postings_indexed")
+    assert(raw"PartitionFilters: \[[^\]]*bucket#\d+L? IN".r.findFirstIn(p).isDefined,
+      s"indexed postings scan lost its literal bucket partition filter:\n$p")
+  }
+
   test("hybrid RRF rides the indexed rankers: pruned IVF scan, no dense join") {
     // VERDICT r17 #1: the declared hybrid must eat its own scale cooking —
     // the vector side through the persisted cell-partitioned index

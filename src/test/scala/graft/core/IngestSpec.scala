@@ -80,6 +80,28 @@ class IngestSpec extends SparkSpec {
     assert(dupReport.quarantined === 0L)
   }
 
+  test("mass-deny batch: every denied type quarantines (concurrent fan-out, " +
+      "VERDICT r19 #5); admitted types still land") {
+    val h = freshEngine()
+    val perms = graft.operators.Permissions.table(spark, Seq(
+      ("u", "t_ok", true, true, true))) // everything else denies
+    val report = h.ingestAs("u", perms, env(
+      """{"type_id":"d1","data":{"id":"a"}}""",
+      """{"type_id":"d2","data":{"id":"b"}}""",
+      """{"type_id":"d3","data":{"id":"c"}}""",
+      """{"type_id":"d3","data":{"id":"c2"}}""",
+      """{"type_id":"t_ok","data":{"id":"ok"}}"""), ingestTime = Some(t0))
+    assert(report.perType === Map("t_ok" -> 1L))
+    assert(report.quarantined === 4L)
+    for (t <- Seq("d1", "d2", "d3")) {
+      val qs = spark.read.parquet(h.registry.quarantinePath(t)).collect()
+      assert(qs.length === (if (t == "d3") 2 else 1), s"quarantine of $t")
+      assert(qs.forall(_.getAs[Int]("errno") === 403))
+      assert(qs.forall(_.getAs[String]("error") === "CreateForbidden"))
+      assert(!h.registry.knownTypes.contains(t))
+    }
+  }
+
   test("add-a-field evolves schema add-only; old rows read as null") {
     val h = freshEngine()
     h.ingest(env("""{"type_id":"t","data":{"id":"a","field":"foo"}}"""), ingestTime = Some(t0))

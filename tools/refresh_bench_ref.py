@@ -35,11 +35,66 @@ it; a MISMATCH makes every key enter at the sweep value wholesale (the
 generations. A sweep or anchor without the stamp (pre-r19) merges as
 before with a loud warning.
 
+Draw verdict (VERDICT r19 #2): the sweep stamps a `degradation` verdict
+(quiet | contended | jit_tail) computed from its own witnesses
+(probe drift, anchored-key inflation, code-cache growth — Bench.scala
+`classifyDraw`, thresholds MIRRORED in `classify()` below for artifacts
+that predate the stamp). A NON-QUIET draw may still min-merge existing
+floors (one-way, can only tighten) but must never ENTER values into the
+anchor: new keys are held out, --reset is refused, and a
+fingerprint-change wholesale reset is refused — an inflated entry floor
+makes every later ratio look good (the r19 hand adjudication, now a
+rule).
+
+mtime-only changes (ADVICE r19 #3): the sweep also stamps
+`sf_fingerprint_sizes` (path+size, no mtimes). When the mtime-bearing
+fingerprint flips but the sizes one matches, the testdata was touched or
+re-copied, not regenerated — the floors stay valid, so no reset; the
+anchor adopts the new stamps.
+
 Usage: python3 tools/refresh_bench_ref.py [BENCH_full.json] [BENCH_ref.localN.json]
            [--allow-improvement k1,k2] [--reset k1,k2]
 """
 import json
 import sys
+
+
+def classify(full, anchor_mins):
+    """Mirror of Bench.classifyDraw for artifacts without the
+    `degradation` stamp (pre-r20). Same thresholds — keep in sync."""
+    def drift(a, b):
+        return max(a, b) / min(a, b) if a and b and a > 0 and b > 0 else 1.0
+    par = drift(full.get("calib_par_before_sec", 0),
+                full.get("calib_par_after_sec", 0))
+    cal = drift(full.get("calib_before_sec", 0),
+                full.get("calib_after_sec", 0))
+    calib_ref = full.get("calib_ref", 0.68)
+    vs_ref = (max(full.get("calib_before_sec", 0),
+                  full.get("calib_after_sec", 0)) / calib_ref
+              if calib_ref > 0 else 1.0)
+    mins = full.get("queries_min", {})
+    anchored = [k for k in mins if anchor_mins.get(k, 0) > 0]
+    infl = (sum(1 for k in anchored if mins[k] > 1.5 * anchor_mins[k])
+            / len(anchored) if anchored else 0.0)
+    minsum = (sum(mins[k] for k in anchored)
+              / sum(anchor_mins[k] for k in anchored) if anchored else 1.0)
+    # code-cache growth in run order (sorted = the default key order);
+    # child-stamped keys excluded via sample_source when present
+    cc = full.get("code_cache_kb", {})
+    child = {k for k, v in full.get("sample_source", {}).items()
+             if v in ("child", "child_min_parent_median")}
+    vals = [cc[k] for k in sorted(cc) if k not in child and cc[k] > 0]
+    if len(vals) < 20:
+        growth = 0
+    else:
+        d = max(1, len(vals) // 10)
+        growth = (sorted(vals[-d:])[d // 2] - sorted(vals[:d])[d // 2])
+    if (par > 1.08 or cal > 1.30 or vs_ref > 1.25 or
+            (len(anchored) >= 50 and (infl > 0.05 or minsum > 1.15))):
+        return "contended"
+    if growth > 20480:
+        return "jit_tail"
+    return "quiet"
 
 
 def main(argv):
@@ -77,12 +132,15 @@ def main(argv):
               "a truncated sweep must not wipe the anchor")
         return 1
     sweep_fp = full.get("sf_fingerprint", "")
+    sweep_fps = full.get("sf_fingerprint_sizes", "")
     old_fp = ""
+    old_fps = ""
     data_reset = False
     try:
         ref = json.load(open(ref_path))
         old = ref.get("queries_min", {})
         old_fp = str(ref.get("sf_fingerprint", ""))
+        old_fps = str(ref.get("sf_fingerprint_sizes", ""))
         # An anchor WITHOUT a cpus stamp is the legacy mixed-config file —
         # defaulting it to the sweep's cpus (ADVICE r15 #4) silently let
         # exactly the cross-config merge this guard exists for. Refuse and
@@ -99,34 +157,68 @@ def main(argv):
             return 1
     except FileNotFoundError:
         old = {}
+    # draw verdict: the stamp when present, else the mirrored classifier
+    # over the artifact + current anchor (pre-r20 artifacts)
+    verdict = full.get("degradation") or classify(full, old)
+    if verdict != "quiet":
+        sig = full.get("degradation_signals", "computed from witnesses")
+        print(f"[refresh] draw degradation verdict: {verdict} "
+              f"(signals: {sig}) — NEW floors will not enter from this draw")
+        if not old:
+            print("[refresh] REFUSED: no existing anchor and the draw is "
+                  f"{verdict} — an anchor seeded from a degraded draw "
+                  "inflates every later ratio; rerun on a quiet host")
+            return 1
+        if reset:
+            print("[refresh] REFUSED: --reset would enter floors from a "
+                  f"{verdict} draw — rerun the sweep quiet first")
+            return 1
     if old and sweep_fp and old_fp and sweep_fp != old_fp:
-        # regenerated testdata: the old floors measure DIFFERENT bytes —
-        # min-merging them would hold phantom floors forever (or hide a
-        # real regression behind a lucky old min). Enter the sweep
-        # wholesale; the ratchet guard is inapplicable in this mode.
-        print(f"[refresh] sf_fingerprint changed ({old_fp} -> {sweep_fp}): "
-              "testdata was regenerated — entering sweep values WHOLESALE "
-              "(automatic --reset), old floors discarded")
-        old = {}
-        data_reset = True
+        if sweep_fps and old_fps and sweep_fps == old_fps:
+            # mtime-only flip (ADVICE r19 #3): same relative paths and
+            # byte sizes — the testdata was touched or re-copied, not
+            # regenerated. The floors stay valid; adopt the new stamp.
+            print(f"[refresh] sf_fingerprint changed ({old_fp} -> "
+                  f"{sweep_fp}) but sf_fingerprint_sizes matches "
+                  f"({sweep_fps}): mtime-only change — keeping the floors, "
+                  "adopting the new stamp")
+        else:
+            # regenerated testdata: the old floors measure DIFFERENT
+            # bytes — min-merging them would hold phantom floors forever
+            # (or hide a real regression behind a lucky old min). Enter
+            # the sweep wholesale; the ratchet guard is inapplicable.
+            if verdict != "quiet":
+                print(f"[refresh] REFUSED: testdata changed ({old_fp} -> "
+                      f"{sweep_fp}) but the draw is {verdict} — a wholesale "
+                      "reset would seed the anchor from a degraded draw; "
+                      "rerun on a quiet host")
+                return 1
+            print(f"[refresh] sf_fingerprint changed ({old_fp} -> {sweep_fp}): "
+                  "testdata was regenerated — entering sweep values WHOLESALE "
+                  "(automatic --reset), old floors discarded")
+            old = {}
+            data_reset = True
     elif old and not (sweep_fp and old_fp):
         missing = "sweep" if not sweep_fp else "anchor"
         print(f"[refresh] WARNING: {missing} carries no sf_fingerprint "
               "stamp (pre-r19) — min-merge cannot verify the floors were "
               "measured on these input bytes")
-    merged, held = {}, []
+    merged, held, held_new = {}, [], []
     for k, v in sorted(new.items()):
         if k in reset:
             merged[k] = v  # semantics changed: old floor measures a
             # different computation — enter at the sweep value
         elif k not in old:
-            merged[k] = v
+            if verdict != "quiet":
+                held_new.append(k)  # a degraded draw must not SEED floors
+            else:
+                merged[k] = v
         elif v < old[k] / 3.0 and k not in allow:
             merged[k] = old[k]
             held.append(k)
         else:
             merged[k] = min(v, old[k])
-    entered = sorted(set(new) - set(old))
+    entered = sorted(set(merged) - set(old))
     dropped = sorted(set(old) - set(new))
     improved = sorted(k for k in new if k in old and merged[k] < old[k])
     if reset:
@@ -139,10 +231,17 @@ def main(argv):
     # disable the guard for every later refresh (r19 review)
     if sweep_fp or old_fp:
         out["sf_fingerprint"] = sweep_fp or old_fp
+    if sweep_fps or old_fps:
+        out["sf_fingerprint_sizes"] = sweep_fps or old_fps
+    out["draw_verdict"] = verdict
     json.dump(out, open(ref_path, "w"), indent=0)
     mode = " [DATA-RESET]" if data_reset else ""
     print(f"[refresh] {ref_path} (cpus={cpus}){mode}: {len(merged)} keys "
           f"({len(improved)} improved, {len(entered)} new, {len(dropped)} dropped)")
+    if held_new:
+        print(f"[refresh] {len(held_new)} NEW key(s) held out of the anchor "
+              f"({verdict} draw): {','.join(held_new)} — they enter on the "
+              "next quiet refresh")
     if held:
         print(f"[refresh] ratchet guard held {len(held)} implausible >3x "
               f"improvement(s) at the old floor: {','.join(held)} — "

@@ -4,6 +4,13 @@
 set -euo pipefail
 
 echo "== 1/5 unit + behavioral specs"
+# ADVICE r19 #5: the sf0.1 content-pin escape hatch is for inner-loop
+# iteration ONLY — a gate/seal run that inherits it from a stale shell
+# would report green with the bench-scale pins silently canceled
+if [ "${SPARK_GRAFT_SKIP_SF10_PINS:-}" = "1" ]; then
+  echo "[gates] SPARK_GRAFT_SKIP_SF10_PINS=1 inherited — unsetting for the sealing run"
+  unset SPARK_GRAFT_SKIP_SF10_PINS
+fi
 sbt -batch test 2>&1 | grep -E '\*\*\*|Tests:' | tail -2
 
 echo "== 2/5 t1 smoke (flagship entry, sf0.001)"

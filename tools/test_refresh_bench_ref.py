@@ -103,6 +103,118 @@ def test_cross_config_refused():
     assert rc == 1
 
 
+# ---- draw-verdict consumption (VERDICT r19 #2) ----
+
+def test_stamped_contended_draw_holds_new_keys_but_min_merges():
+    full = dict(BASE_FULL, sf_fingerprint="fp1", degradation="contended")
+    ref = {"queries_min": {"q_a": 1.5}, "cpus": "32", "sf_fingerprint": "fp1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    # q_a min-merges (one-way, still safe); NEW q_b held out of the anchor
+    assert out["queries_min"] == {"q_a": 1.5}
+    assert out["draw_verdict"] == "contended"
+
+
+def test_stamped_contended_draw_refuses_reset():
+    full = dict(BASE_FULL, sf_fingerprint="fp1", degradation="jit_tail")
+    ref = {"queries_min": {"q_a": 1.5, "q_b": 3.0}, "cpus": "32",
+           "sf_fingerprint": "fp1"}
+    rc, out = run(full, ref, ("--reset", "q_a"))
+    assert rc == 1
+    assert out["queries_min"] == {"q_a": 1.5, "q_b": 3.0}  # untouched
+
+
+def test_contended_draw_refuses_wholesale_data_reset():
+    full = dict(BASE_FULL, sf_fingerprint="fp2", degradation="contended")
+    ref = {"queries_min": {"q_a": 0.1, "q_b": 0.1}, "cpus": "32",
+           "sf_fingerprint": "fp1"}
+    rc, out = run(full, ref)
+    assert rc == 1
+    assert out["queries_min"] == {"q_a": 0.1, "q_b": 0.1}  # untouched
+
+
+def test_contended_draw_refuses_seeding_a_fresh_anchor():
+    full = dict(BASE_FULL, sf_fingerprint="fp1", degradation="contended")
+    rc, out = run(full, None)
+    assert rc == 1
+    assert out is None  # no anchor written
+
+
+# ---- mtime-only fingerprint flips (ADVICE r19 #3) ----
+
+def test_mtime_only_change_keeps_floors_adopts_stamp():
+    full = dict(BASE_FULL, sf_fingerprint="fp2", sf_fingerprint_sizes="sz1")
+    ref = {"queries_min": {"q_a": 1.5, "q_b": 3.0}, "cpus": "32",
+           "sf_fingerprint": "fp1", "sf_fingerprint_sizes": "sz1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    # sizes match: touched/re-copied, not regenerated — floors kept
+    assert out["queries_min"] == {"q_a": 1.5, "q_b": 1.0}
+    assert out["sf_fingerprint"] == "fp2"
+    assert out["sf_fingerprint_sizes"] == "sz1"
+
+
+def test_sizes_change_still_resets_wholesale():
+    full = dict(BASE_FULL, sf_fingerprint="fp2", sf_fingerprint_sizes="sz2")
+    ref = {"queries_min": {"q_a": 0.1, "q_b": 0.1}, "cpus": "32",
+           "sf_fingerprint": "fp1", "sf_fingerprint_sizes": "sz1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    assert out["queries_min"] == {"q_a": 2.0, "q_b": 1.0}  # wholesale
+    assert out["sf_fingerprint_sizes"] == "sz2"
+
+
+# ---- the mirrored classifier reproduces the r19 adjudications ----
+# signal values distilled from the two real r19 draws (see Bench.scala
+# classifyDraw scaladoc): committed quiet 82.25 s vs driver 98.23 s
+
+def _synth(n_keys, infl_frac, per_key, par, cc_first, cc_last):
+    keys = [f"q_k{i:03d}" for i in range(n_keys)]
+    n_infl = int(n_keys * infl_frac)
+    mins = {k: (1.6 if i < n_infl else per_key)
+            for i, k in enumerate(keys)}
+    cc = {k: int(cc_first + (cc_last - cc_first) * i / max(1, n_keys - 1))
+          for i, k in enumerate(sorted(keys))}
+    return {
+        "cpus": "32", "calib_ref": 0.68,
+        "calib_before_sec": 0.738, "calib_after_sec": 0.747,
+        "calib_par_before_sec": par[0], "calib_par_after_sec": par[1],
+        "queries_min": mins, "code_cache_kb": cc,
+    }, {k: 1.0 for k in keys}
+
+
+def test_classifier_quiet_draw():
+    # r19 committed draw shape: par 0.101/0.102, 3.2% inflated, min-sum
+    # ~1.10x, code cache flat at ~167 MB (warmup had filled it)
+    full, anchor = _synth(217, 0.032, 1.09, (0.101, 0.102), 171000, 171000)
+    assert tool.classify(full, anchor) == "quiet"
+
+
+def test_classifier_contended_draw():
+    # r19 driver draw shape: par 0.111/0.124 (1.12x drift), 7.8%
+    # inflated, min-sum ~1.21x — any one of the three trips it
+    full, anchor = _synth(217, 0.078, 1.21, (0.111, 0.124), 85000, 147000)
+    assert tool.classify(full, anchor) == "contended"
+
+
+def test_classifier_jit_tail_draw():
+    # quiet probes and floors, but the code cache grew 60 MB across the
+    # alphabet — the JVM degraded even though the host stayed quiet
+    full, anchor = _synth(217, 0.0, 1.05, (0.101, 0.102), 85000, 147000)
+    assert tool.classify(full, anchor) == "jit_tail"
+
+
+def test_classifier_excludes_child_stamped_keys():
+    # child-JVM re-measured keys carry a small fresh-JVM code cache; they
+    # must not fake a (negative or positive) tail
+    full, anchor = _synth(217, 0.0, 1.05, (0.101, 0.102), 171000, 171000)
+    tail = sorted(full["code_cache_kb"])[-5:]
+    for k in tail:
+        full["code_cache_kb"][k] = 67000  # child values at the tail
+    full["sample_source"] = {k: "child" for k in tail}
+    assert tool.classify(full, anchor) == "quiet"
+
+
 if __name__ == "__main__":
     fns = [v for k, v in sorted(globals().items()) if k.startswith("test_")]
     for fn in fns:
