@@ -130,6 +130,16 @@ object Bench {
       "queries_min")
     catch { case _: Exception => Map.empty }
 
+  /** Top-level STRING field of a JSON artifact (e.g. the anchor's
+    * `sf_fingerprint`) — empty when the file or field is absent. */
+  def loadRefField(path: String, field: String): String =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      ("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    } catch { case _: Exception => "" }
+
   /** Kernel dirty + writeback pages (kB) — the run-shape witness. A bench
     * launched right after a heavy write phase (the full suite, the
     * driver's verify step) starts with GBs of dirty pages whose writeback
@@ -365,16 +375,15 @@ object Bench {
   }
 
   /** First flat string→number JSON object named `field` in `txt` — the
-    * loadRefMins parser generalized (no JSON lib on the classpath). */
+    * loadRefMins parser generalized (no JSON lib on the classpath). The
+    * body comes from the string-aware [[jsonObjectBody]] walk (one
+    * definition of "find this JSON object" in the file — r20 review: the
+    * old first-`}` cut was only safe while every parsed object held
+    * purely numeric values). */
   def loadKeyMap(txt: String, field: String): Map[String, Double] = {
-    val key = txt.indexOf("\"" + field + "\"")
-    val start = if (key < 0) -1 else txt.indexOf('{', key)
-    if (start < 0) Map.empty
-    else {
-      val body = txt.substring(start + 1, txt.indexOf('}', start))
-      raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    val body = jsonObjectBody(txt, field)
+    raw""""([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   /** Dirty-at-start above this ⇒ the sweep launched inside another
@@ -439,16 +448,27 @@ object Bench {
     *   signature).
     * `contended` = host interference (probes drifted, or the anchored
     * keys inflated broadly); `jit_tail` = the JVM itself degraded through
-    * the sweep (code-cache growth with quiet probes). Either way the
-    * draw's values must not ENTER the anchor (new keys / resets) — the
-    * per-key min-merge of existing floors stays safe (one-way).
+    * the sweep — detected as POSITIONAL inflation (the tail quartile of
+    * the run order inflated vs its anchors while the head quartile reads
+    * quiet), not as raw code-cache growth: the decontaminated r19 quiet
+    * draw grew its cache 66 → 166 MB through the alphabet like every
+    * fresh JVM does (the apparent "flat 167 MB" head was end-of-sweep
+    * re-measure stamps sitting at early-alphabet positions), so growth
+    * per se is normal; what is NOT normal is the r18 signature — late-run
+    * keys reading multiples of their floors with quiet probes (measured:
+    * quiet draw tail/head median ratio 0.98, degraded driver draw 1.12,
+    * r18's episode ≫1.5). Keys re-measured out of position (in-JVM
+    * salvage late in the sweep, fresh-child samples) are excluded from
+    * the positional series by the caller. Either verdict ⇒ the draw's
+    * values must not ENTER the anchor (new keys / resets) — the per-key
+    * min-merge of existing floors stays safe (one-way).
     * MIRRORED in tools/refresh_bench_ref.py `classify()` for artifacts
     * that predate the stamp — keep the thresholds in sync. */
   def classifyDraw(calibBefore: Double, calibAfter: Double, calibRef: Double,
                    parBefore: Double, parAfter: Double,
                    minsInRunOrder: Seq[(String, Double)],
                    refMins: Map[String, Double],
-                   ccInRunOrder: Seq[Long]): (String, String) = {
+                   positionExcluded: Set[String]): (String, String) = {
     def drift(a: Double, b: Double): Double =
       if (a > 0 && b > 0) math.max(a, b) / math.min(a, b) else 1.0
     val parDrift = drift(parBefore, parAfter)
@@ -465,23 +485,25 @@ object Bench {
       if (anchored.isEmpty) 1.0
       else anchored.map(_._2).sum /
         anchored.map { case (k, _) => refMins(k) }.sum
-    // code-cache growth across the PARENT sweep in run order (child-JVM
-    // samples excluded by the caller): first- vs last-decile medians, so
-    // one outlier key can't fake or hide the tail
-    val cc = ccInRunOrder.filter(_ > 0)
-    val ccGrowthKb =
-      if (cc.size < 20) 0L
-      else {
-        val d = math.max(1, cc.size / 10)
-        def med(s: Seq[Long]): Long = s.sorted.apply(s.size / 2)
-        med(cc.takeRight(d)) - med(cc.take(d))
-      }
+    // positional inflation: head- vs tail-quartile MEDIAN of the per-key
+    // min/anchor ratios in run order, over keys whose surviving sample
+    // was actually measured at its position
+    val pos = anchored.filterNot { case (k, _) => positionExcluded(k) }
+      .map { case (k, v) => v / refMins(k) }
+    val q = pos.size / 4
+    def med(s: Seq[Double]): Double =
+      if (s.isEmpty) 1.0 else s.sorted.apply(s.size / 2)
+    val (headMed, tailMed) =
+      if (pos.size < 50) (1.0, 1.0)
+      else (med(pos.take(q)), med(pos.takeRight(q)))
     val contended =
       parDrift > 1.08 || calibDrift > 1.30 || calibVsRef > 1.25 ||
         (anchored.size >= 50 && (inflFrac > 0.05 || minsumRatio > 1.15))
+    val jitTail =
+      headMed > 0 && tailMed / headMed > 1.15 && tailMed > 1.15
     val verdict =
       if (contended) "contended"
-      else if (ccGrowthKb > 20480L) "jit_tail"
+      else if (jitTail) "jit_tail"
       else "quiet"
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -489,7 +511,7 @@ object Bench {
       s"""{"par_drift":${f3(parDrift)},"calib_drift":${f3(calibDrift)},""" +
       s""""calib_vs_ref":${f3(calibVsRef)},"anchored":${anchored.size},""" +
       s""""inflated_frac":${f3(inflFrac)},"minsum_ratio":${f3(minsumRatio)},""" +
-      s""""code_cache_growth_kb":$ccGrowthKb}"""
+      s""""pos_head_med":${f3(headMed)},"pos_tail_med":${f3(tailMed)}}"""
     (verdict, signals)
   }
 
@@ -774,6 +796,14 @@ object Bench {
     // parent min, or vice versa) the flag says so instead of the stamps
     // silently describing the losing sample
     val sampleSource = scala.collection.mutable.LinkedHashMap[String, String]()
+    // keys whose SURVIVING MIN came from an out-of-position re-measure
+    // (in-JVM salvage late in the sweep, or a fresh child JVM): they must
+    // not feed the verdict's positional-inflation series (r20 review).
+    // Keys whose re-measure did NOT improve keep their in-position
+    // primary sample and stay in — an end-of-sweep fallback that falsely
+    // "confirms" a degraded tail (the r18 episode) leaves the evidence
+    // visible instead of hiding it
+    val reStamped = scala.collection.mutable.Set[String]()
     val merged: Seq[(String, Double, Double)] =
       if (allFlagged.isEmpty && childMeasured.isEmpty) primary
       else {
@@ -790,6 +820,7 @@ object Bench {
               // r19 second review: gating on median alone let a
               // min-winning child sample feed queries_min unmarked and
               // unstamped)
+              if (n._3 < r._3) reStamped += r._1
               if (n._2 < r._2 || n._3 < r._3) {
                 (if (refFlagged.contains(r._1)) refSalvaged else salvaged) += r._1
                 // the stamps describe the sample whose MIN survives: a
@@ -841,6 +872,7 @@ object Bench {
           remeasured.get(r._1) match {
             case Some(n) =>
               if (n._2 < r._2) medianRescued += r._1
+              if (n._3 < r._3) reStamped += r._1
               (r._1, math.min(n._2, r._2), math.min(n._3, r._3))
             case None => r
           }
@@ -888,25 +920,40 @@ object Bench {
         rescued.map { r =>
           remeasured.get(r._1) match {
             case Some(n) =>
-              if (n._3 < r._3) segReplaced += r._1
+              if (n._3 < r._3) { segReplaced += r._1; reStamped += r._1 }
               (r._1, math.min(n._2, r._2), math.min(n._3, r._3))
             case None => r
           }
         }
       }
-    // draw-level verdict from the witnesses (VERDICT r19 #2): code-cache
-    // values ride run order; keys whose stamps were ADOPTED from a fresh
-    // child JVM are excluded (a child's small cache would fake a negative
-    // tail), which is exactly what sample_source records
+    // draw-level verdict from the witnesses (VERDICT r19 #2): the
+    // positional series excludes keys whose surviving sample was NOT
+    // measured at its run position — fresh-child samples (sample_source
+    // records those) and keys re-measured in-JVM late in the sweep
+    // (their end-of-sweep readings sit at early-alphabet positions and
+    // would flatten or fake a real tail)
     val childStamped: Set[String] = sampleSource.collect {
       case (k, s) if s == "child" || s == "child_min_parent_median" => k
     }.toSet
+    val posExcluded = childStamped ++ reStamped
+    // the anchored-key signals are meaningful only when the anchor's
+    // floors were measured on THESE input bytes — against a regenerated
+    // dataset they read as broad "inflation" and would stamp a spurious
+    // contended verdict that blocks the refresh's own data-reset path
+    // (r20 review)
+    val sweepFp = Staging.fingerprint(Seq(sfDir))
+    val anchorFp = loadRefField(refPath, "sf_fingerprint")
+    val refMinsForVerdict =
+      if (anchorFp.isEmpty || anchorFp == sweepFp) refMins
+      else {
+        System.err.println(s"[bench] anchor sf_fingerprint differs from the sweep's — anchored-key verdict signals skipped")
+        Map.empty[String, Double]
+      }
     val (degVerdict, degSignals) = classifyDraw(
       calibBefore, calibAfter, CalibRef, calibParBefore, calibParAfter,
       results.map(r => r._1 -> r._3),
-      refMins,
-      results.collect { case r if !childStamped.contains(r._1) =>
-        jvmStamps.get(r._1).map(_._2).getOrElse(-1L) })
+      refMinsForVerdict,
+      posExcluded.toSet)
     if (degVerdict != "quiet")
       System.err.println(s"[bench] ** draw degradation verdict: $degVerdict — $degSignals — the anchor refresh will not enter NEW floors from this draw **")
     // ONE JSON line, but field order matters: the harness keeps only the
@@ -980,7 +1027,7 @@ object Bench {
       // testdata-generation binding (VERDICT r18 #4): the anchor refresh
       // refuses to min-merge floors measured on DIFFERENT input bytes —
       // this stamp is the sweep's half of that handshake
-      s""""sf_fingerprint":${jstr(Staging.fingerprint(Seq(sfDir)))},""" +
+      s""""sf_fingerprint":${jstr(sweepFp)},""" +
       // sizes-only companion (ADVICE r19 #3): stable across touch/re-copy
       // and byte-identical regeneration, so the refresh can tell an
       // mtime-only change (keep the floors) from a real data change
@@ -991,6 +1038,10 @@ object Bench {
       s""""sample_source":${sampleSource.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")},""" +
+      // keys whose surviving MIN came from an out-of-position in-JVM
+      // re-measure — the verdict's positional series excluded these, and
+      // the refresh's mirrored classifier reads the same list
+      s""""min_replaced":${reStamped.toSeq.sorted.map(jstr).mkString("[", ",", "]")},""" +
       s""""key_order":${jstr(keyOrder)},""" +
       s""""tmpdir":${jstr(sys.props.getOrElse("java.io.tmpdir", "/tmp"))},""" +
       s""""io_read_kb_family":${famIoJson(_._1)},""" +

@@ -59,9 +59,14 @@ import json
 import sys
 
 
-def classify(full, anchor_mins):
+def classify(full, anchor_mins, anchor_fp_matches=True):
     """Mirror of Bench.classifyDraw for artifacts without the
-    `degradation` stamp (pre-r20). Same thresholds — keep in sync."""
+    `degradation` stamp (pre-r20). Same thresholds — keep in sync.
+
+    anchor_fp_matches=False skips the anchored-key signals: floors
+    measured on DIFFERENT input bytes read as broad "inflation" and would
+    stamp a spurious contended verdict that blocks the data-reset path
+    this very tool implements (r20 review)."""
     def drift(a, b):
         return max(a, b) / min(a, b) if a and b and a > 0 and b > 0 else 1.0
     par = drift(full.get("calib_par_before_sec", 0),
@@ -73,26 +78,46 @@ def classify(full, anchor_mins):
                   full.get("calib_after_sec", 0)) / calib_ref
               if calib_ref > 0 else 1.0)
     mins = full.get("queries_min", {})
+    if not anchor_fp_matches:
+        anchor_mins = {}
     anchored = [k for k in mins if anchor_mins.get(k, 0) > 0]
     infl = (sum(1 for k in anchored if mins[k] > 1.5 * anchor_mins[k])
             / len(anchored) if anchored else 0.0)
     minsum = (sum(mins[k] for k in anchored)
               / sum(anchor_mins[k] for k in anchored) if anchored else 1.0)
-    # code-cache growth in run order (sorted = the default key order);
-    # child-stamped keys excluded via sample_source when present
-    cc = full.get("code_cache_kb", {})
+    # jit_tail = POSITIONAL inflation: tail- vs head-quartile MEDIAN of
+    # the per-key min/anchor ratios in RUN order (sorted keys by default;
+    # the q_stream_* family hoists to the front for stream_first draws).
+    # Raw code-cache growth is NOT a signal — a fresh JVM grows its cache
+    # through the alphabet on quiet draws too (the decontaminated r19
+    # quiet draw: 66 -> 166 MB). Excluded from the series: keys whose
+    # surviving min came from an out-of-position re-measure — fresh-child
+    # samples (sample_source) and in-JVM salvage REPLACEMENTS (the
+    # *_replaced stamp lists); keys whose re-measure did not improve keep
+    # their in-position primary sample and stay in.
     child = {k for k, v in full.get("sample_source", {}).items()
              if v in ("child", "child_min_parent_median")}
-    vals = [cc[k] for k in sorted(cc) if k not in child and cc[k] > 0]
-    if len(vals) < 20:
-        growth = 0
-    else:
-        d = max(1, len(vals) // 10)
-        growth = (sorted(vals[-d:])[d // 2] - sorted(vals[:d])[d // 2])
+    restamped = (set(full.get("salvage_replaced", []))
+                 | set(full.get("ref_replaced", []))
+                 | set(full.get("median_rescue_replaced", []))
+                 | set(full.get("segment_replaced", []))
+                 | set(full.get("min_replaced", [])))
+    order = sorted(anchored)
+    if full.get("key_order") == "stream_first":
+        order = ([k for k in order if k.startswith("q_stream")]
+                 + [k for k in order if not k.startswith("q_stream")])
+    pos = [mins[k] / anchor_mins[k] for k in order
+           if k not in child and k not in restamped]
+    q = len(pos) // 4
+
+    def med(s):
+        return sorted(s)[len(s) // 2] if s else 1.0
+    head, tail = ((med(pos[:q]), med(pos[-q:])) if len(pos) >= 50
+                  else (1.0, 1.0))
     if (par > 1.08 or cal > 1.30 or vs_ref > 1.25 or
             (len(anchored) >= 50 and (infl > 0.05 or minsum > 1.15))):
         return "contended"
-    if growth > 20480:
+    if head > 0 and tail / head > 1.15 and tail > 1.15:
         return "jit_tail"
     return "quiet"
 
@@ -158,8 +183,12 @@ def main(argv):
     except FileNotFoundError:
         old = {}
     # draw verdict: the stamp when present, else the mirrored classifier
-    # over the artifact + current anchor (pre-r20 artifacts)
-    verdict = full.get("degradation") or classify(full, old)
+    # over the artifact + current anchor (pre-r20 artifacts). Anchored-key
+    # signals only apply when the anchor's floors were measured on the
+    # sweep's input bytes (r20 review: a regeneration would otherwise
+    # classify contended and deadlock its own data-reset path).
+    fp_matches = not (sweep_fp and old_fp and sweep_fp != old_fp)
+    verdict = full.get("degradation") or classify(full, old, fp_matches)
     if verdict != "quiet":
         sig = full.get("degradation_signals", "computed from witnesses")
         print(f"[refresh] draw degradation verdict: {verdict} "

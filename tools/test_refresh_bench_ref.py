@@ -166,53 +166,112 @@ def test_sizes_change_still_resets_wholesale():
 
 # ---- the mirrored classifier reproduces the r19 adjudications ----
 # signal values distilled from the two real r19 draws (see Bench.scala
-# classifyDraw scaladoc): committed quiet 82.25 s vs driver 98.23 s
+# classifyDraw scaladoc): committed quiet 82.25 s (flat positional
+# profile, tail/head 0.98) vs driver 98.23 s (par drift 1.12, 7.8%
+# inflated, min-sum 1.21x, tail/head 1.12)
 
-def _synth(n_keys, infl_frac, per_key, par, cc_first, cc_last):
+def _synth(n_keys, infl_frac, per_key, par, tail_ratio=None):
+    """Artifact with `infl_frac` of keys >1.5x anchor (alphabet-uniform),
+    every other key at `per_key`x, and optionally the LAST quartile of
+    the run order lifted to `tail_ratio`x (the jit_tail shape)."""
     keys = [f"q_k{i:03d}" for i in range(n_keys)]
+    mins = {}
     n_infl = int(n_keys * infl_frac)
-    mins = {k: (1.6 if i < n_infl else per_key)
-            for i, k in enumerate(keys)}
-    cc = {k: int(cc_first + (cc_last - cc_first) * i / max(1, n_keys - 1))
-          for i, k in enumerate(sorted(keys))}
+    for i, k in enumerate(keys):
+        mins[k] = 1.6 if i % n_keys < n_infl else per_key
+    if tail_ratio is not None:
+        for k in keys[-(n_keys // 4):]:
+            mins[k] = tail_ratio
     return {
         "cpus": "32", "calib_ref": 0.68,
         "calib_before_sec": 0.738, "calib_after_sec": 0.747,
         "calib_par_before_sec": par[0], "calib_par_after_sec": par[1],
-        "queries_min": mins, "code_cache_kb": cc,
+        "queries_min": mins,
     }, {k: 1.0 for k in keys}
 
 
 def test_classifier_quiet_draw():
     # r19 committed draw shape: par 0.101/0.102, 3.2% inflated, min-sum
-    # ~1.10x, code cache flat at ~167 MB (warmup had filled it)
-    full, anchor = _synth(217, 0.032, 1.09, (0.101, 0.102), 171000, 171000)
+    # ~1.10x, flat positional profile
+    full, anchor = _synth(217, 0.032, 1.09, (0.101, 0.102))
     assert tool.classify(full, anchor) == "quiet"
 
 
 def test_classifier_contended_draw():
     # r19 driver draw shape: par 0.111/0.124 (1.12x drift), 7.8%
     # inflated, min-sum ~1.21x — any one of the three trips it
-    full, anchor = _synth(217, 0.078, 1.21, (0.111, 0.124), 85000, 147000)
+    full, anchor = _synth(217, 0.078, 1.21, (0.111, 0.124))
     assert tool.classify(full, anchor) == "contended"
 
 
 def test_classifier_jit_tail_draw():
-    # quiet probes and floors, but the code cache grew 60 MB across the
-    # alphabet — the JVM degraded even though the host stayed quiet
-    full, anchor = _synth(217, 0.0, 1.05, (0.101, 0.102), 85000, 147000)
+    # quiet probes, quiet head — but the last quartile of the run order
+    # reads 1.4x its floors (the r18 sweep-tail signature, which read
+    # multiples on the worst keys)
+    full, anchor = _synth(217, 0.0, 1.0, (0.101, 0.102), tail_ratio=1.4)
     assert tool.classify(full, anchor) == "jit_tail"
 
 
-def test_classifier_excludes_child_stamped_keys():
-    # child-JVM re-measured keys carry a small fresh-JVM code cache; they
-    # must not fake a (negative or positive) tail
-    full, anchor = _synth(217, 0.0, 1.05, (0.101, 0.102), 171000, 171000)
-    tail = sorted(full["code_cache_kb"])[-5:]
-    for k in tail:
-        full["code_cache_kb"][k] = 67000  # child values at the tail
-    full["sample_source"] = {k: "child" for k in tail}
-    assert tool.classify(full, anchor) == "quiet"
+def test_quiet_regeneration_still_data_resets():
+    # r20 review: against a REGENERATED dataset the old floors read as
+    # broad "inflation" — the anchored-key signals must be skipped on a
+    # fingerprint mismatch, or the classifier deadlocks the data reset
+    # ('contended' -> refusal -> no quiet rerun can ever succeed)
+    full, _ = _synth(217, 0.50, 1.40, (0.101, 0.102))
+    full["sf_fingerprint"] = "fp2"  # regenerated; probes quiet
+    ref = {"queries_min": {f"q_k{i:03d}": 1.0 for i in range(217)},
+           "cpus": "32", "sf_fingerprint": "fp1"}
+    d = tempfile.mkdtemp(prefix="graft-refresh-test-")
+    full_p, ref_p = (os.path.join(d, "BENCH_full.json"),
+                     os.path.join(d, "BENCH_ref.local32.json"))
+    json.dump(full, open(full_p, "w"))
+    json.dump(ref, open(ref_p, "w"))
+    rc = tool.main([full_p, ref_p])
+    out = json.load(open(ref_p))
+    assert rc == 0
+    assert out["queries_min"]["q_k216"] == 1.4  # wholesale reset happened
+
+
+def test_classifier_stream_first_run_order():
+    # a stream_first draw ran q_stream_* FIRST: the genuine tail
+    # inflation sits on the late-run keys; sorting the stream family
+    # into the middle would scramble the positional quartiles
+    par = (0.101, 0.102)
+    n = 217
+    keys = [f"q_k{i:03d}" for i in range(n)] + \
+        [f"q_stream_{i:02d}" for i in range(22)]
+    anchor = {k: 1.0 for k in keys}
+    run_order = ([k for k in sorted(keys) if k.startswith("q_stream")]
+                 + [k for k in sorted(keys) if not k.startswith("q_stream")])
+    mins = {k: (1.4 if i >= len(run_order) * 3 // 4 else 1.0)
+            for i, k in enumerate(run_order)}
+    full = {"cpus": "32", "calib_ref": 0.68,
+            "calib_before_sec": 0.738, "calib_after_sec": 0.747,
+            "calib_par_before_sec": par[0], "calib_par_after_sec": par[1],
+            "queries_min": mins, "key_order": "stream_first"}
+    assert tool.classify(full, anchor) == "jit_tail"
+
+
+def test_classifier_excludes_out_of_position_replacements():
+    # keys whose surviving min came from an out-of-position re-measure
+    # (child samples, in-JVM salvage replacements) must not flatten or
+    # fake the positional series: here 30 early-run keys carry REPLACED
+    # (end-of-sweep, inflated) mins — excluding them keeps the head
+    # median honest and the genuine tail visible
+    full, anchor = _synth(217, 0.0, 1.0, (0.101, 0.102), tail_ratio=1.3)
+    early = sorted(full["queries_min"])[:30]
+    for k in early:
+        full["queries_min"][k] = 1.35  # replaced late, inflated
+    full["salvage_replaced"] = early[:15]
+    full["min_replaced"] = early[15:]
+    assert tool.classify(full, anchor) == "jit_tail"
+    # without the exclusion lists the head median reads inflated too and
+    # the draw would pass as quiet — pin the counterfactual
+    full2, anchor2 = _synth(217, 0.0, 1.0, (0.101, 0.102), tail_ratio=1.3)
+    head = sorted(full2["queries_min"])[:30]
+    for k in head:
+        full2["queries_min"][k] = 1.35
+    assert tool.classify(full2, anchor2) == "quiet"
 
 
 if __name__ == "__main__":
