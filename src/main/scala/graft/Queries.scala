@@ -2998,8 +2998,8 @@ object Queries {
     * ([[qHybridRrfDense]], HybridRecallSpec). */
   val qHybridRrf: Q = (s, d) => {
     // lexical side serves from the PERSISTED postings index since r20
-    // (postingsIndexedTopN ≡ lexPostingsTopN — DeclaredSpec gates it);
-    // both hybrid rankers now read indexes at rest, neither re-derives
+    // (postingsIndexedTopN ≡ lexPostingsTopN — PostingsIndexSpec gates
+    // it); both hybrid rankers now read indexes at rest, neither re-derives
     val lex = postingsIndexedTopN(s, d, n = 50)
     val vec = ivfIndexedTopK(s, d, k = 50)
       .select("query_id", "neighbor_id", "rank")
@@ -3109,7 +3109,7 @@ object Queries {
     * FILES (PlanContractSpec asserts the PartitionFilters); ranking is
     * the identical [[operators.TextOps.postingsOverlapTopN]] kernel the
     * computed path runs — indexed ≡ computed by construction
-    * (DeclaredSpec gates the equality live). */
+    * (PostingsIndexSpec gates the equality live). */
   private def postingsIndexedTopN(s: SparkSession, d: String,
                                   n: Int): DataFrame = {
     val idxDir = stagedPostingsIndexDir(s, d)
