@@ -324,9 +324,12 @@ object Bench {
         // another key's truncated error text, or any future string-valued
         // stamp, containing `"key":"` would silently discard a healthy
         // child sample).
-        val errBody = jsonObjectBody(txt, "errors")
-        def childErrored(k: String): Boolean =
-          errBody.contains("\"" + k + "\":\"")
+        // parse the object's TOP-LEVEL keys rather than substring-matching
+        // `"k":"` inside the body: an error VALUE embedding an escaped
+        // JSON fragment for another key would false-positive and silently
+        // drop that key's healthy child sample (ADVICE r20 #3)
+        val errKeys = jsonObjectKeys(jsonObjectBody(txt, "errors"))
+        def childErrored(k: String): Boolean = errKeys.contains(k)
         keys.filter { k =>
           val e = childErrored(k)
           if (e) System.err.println(
@@ -372,6 +375,53 @@ object Bench {
       i += 1
     }
     if (depth == 0) txt.substring(start + 1, i - 1) else ""
+  }
+
+  /** Top-level keys of a JSON object BODY (as returned by
+    * [[jsonObjectBody]]): a key is a string literal read at depth 0 in
+    * key position (object start or after a top-level comma), with the
+    * same string-aware walk — escaped quotes, nested objects/arrays, and
+    * key-looking fragments INSIDE string values don't confuse it
+    * (ADVICE r20 #3). Escape sequences inside keys are left verbatim;
+    * bench keys are plain `[A-Za-z0-9_]` so none occur. */
+  def jsonObjectKeys(body: String): Set[String] = {
+    val keys = scala.collection.mutable.Set[String]()
+    var i = 0
+    var depth = 0
+    var expectKey = true
+    while (i < body.length) {
+      val c = body.charAt(i)
+      c match {
+        case '"' =>
+          // scan the string literal
+          val sb = new StringBuilder
+          var j = i + 1
+          var escaped = false
+          var done = false
+          while (j < body.length && !done) {
+            val d = body.charAt(j)
+            if (escaped) { sb.append(d); escaped = false }
+            else if (d == '\\') { sb.append(d); escaped = true }
+            else if (d == '"') done = true
+            else sb.append(d)
+            j += 1
+          }
+          if (depth == 0 && expectKey) {
+            // a key only if the next non-space char is ':'
+            var k = j
+            while (k < body.length && body.charAt(k).isWhitespace) k += 1
+            if (k < body.length && body.charAt(k) == ':') keys += sb.toString
+          }
+          expectKey = false
+          i = j - 1
+        case '{' | '[' => depth += 1; expectKey = false
+        case '}' | ']' => depth -= 1; expectKey = false
+        case ',' => if (depth == 0) expectKey = true
+        case _ => ()
+      }
+      i += 1
+    }
+    keys.toSet
   }
 
   /** First flat string→number JSON object named `field` in `txt` — the
@@ -943,9 +993,26 @@ object Bench {
     // (r20 review)
     val sweepFp = Staging.fingerprint(Seq(sfDir))
     val anchorFp = loadRefField(refPath, "sf_fingerprint")
+    // mtime-only data flips (a touch / re-copy of identical bytes) change
+    // the mtime-bearing fingerprint but not the path+size one; the
+    // anchor's floors are still valid there, and skipping the anchored
+    // signals in that window would let a broadly-inflated draw with quiet
+    // probes stamp 'quiet' and seed NEW keys at inflated floors — the
+    // exact case the verdict exists to block (ADVICE r20 #1)
+    val sweepFpSizes = Staging.sizeFingerprint(Seq(sfDir))
+    val anchorFpSizes = loadRefField(refPath, "sf_fingerprint_sizes")
+    // content witness (ADVICE r20 #2): a same-size regeneration passes the
+    // sizes comparison — when BOTH stamps carry the witness it must match
+    // too (pre-r21 anchors lack it and stay comparable on sizes alone)
+    val sweepFpContent = Staging.contentFingerprint(Seq(sfDir))
+    val anchorFpContent = loadRefField(refPath, "sf_fingerprint_content")
     val refMinsForVerdict =
       if (anchorFp.isEmpty || anchorFp == sweepFp) refMins
-      else {
+      else if (anchorFpSizes.nonEmpty && anchorFpSizes == sweepFpSizes &&
+               (anchorFpContent.isEmpty || anchorFpContent == sweepFpContent)) {
+        System.err.println(s"[bench] anchor sf_fingerprint differs but sf_fingerprint_sizes matches (mtime-only data flip) — anchored-key verdict signals kept")
+        refMins
+      } else {
         System.err.println(s"[bench] anchor sf_fingerprint differs from the sweep's — anchored-key verdict signals skipped")
         Map.empty[String, Double]
       }
@@ -1032,7 +1099,8 @@ object Bench {
       // and byte-identical regeneration, so the refresh can tell an
       // mtime-only change (keep the floors) from a real data change
       // (wholesale reset) instead of resetting on every stamp flip
-      s""""sf_fingerprint_sizes":${jstr(Staging.sizeFingerprint(Seq(sfDir)))},""" +
+      s""""sf_fingerprint_sizes":${jstr(sweepFpSizes)},""" +
+      s""""sf_fingerprint_content":${jstr(sweepFpContent)},""" +
       s""""degradation":${jstr(degVerdict)},""" +
       s""""degradation_signals":$degSignals,""" +
       s""""sample_source":${sampleSource.toSeq.sortBy(_._1)

@@ -74,12 +74,41 @@ private[graft] object Staging {
   def sizeFingerprint(paths: Seq[String]): String =
     fingerprintWith(paths, withMtime = false)
 
-  private def fingerprintWith(paths: Seq[String], withMtime: Boolean): String = {
+  /** Cheap content WITNESS companion of [[sizeFingerprint]] (ADVICE r20
+    * #2): relative path + byte size + a hash of each file's first and
+    * last 4 KiB — for parquet that spans the magic header and the footer
+    * metadata, which a regeneration virtually cannot reproduce
+    * byte-identically. Guards the size-collision case: a regeneration
+    * that preserves every file's size is indistinguishable from an
+    * mtime-only touch under [[sizeFingerprint]] alone, and would keep
+    * anchor floors measured on different bytes. Stamped as its own field
+    * (`sf_fingerprint_content`) so pre-r21 anchors, which lack it, stay
+    * comparable on the sizes stamp. Never reads more than 8 KiB per
+    * file. */
+  def contentFingerprint(paths: Seq[String]): String =
+    fingerprintWith(paths, withMtime = false, withWitness = true)
+
+  private def edgeWitness(f: java.io.File): Int = {
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n = raf.length()
+      val head = new Array[Byte](math.min(4096L, n).toInt)
+      raf.readFully(head)
+      val tail = new Array[Byte](math.min(4096L, n).toInt)
+      raf.seek(math.max(0L, n - tail.length))
+      raf.readFully(tail)
+      java.util.Arrays.hashCode(head) * 31 + java.util.Arrays.hashCode(tail)
+    } finally raf.close()
+  }
+
+  private def fingerprintWith(paths: Seq[String], withMtime: Boolean,
+                              withWitness: Boolean = false): String = {
     def walk(f: java.io.File, rel: String): Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).sortBy(_.getName)
           .flatMap(c => walk(c, s"$rel/${c.getName}"))
       else if (withMtime) Seq(s"$rel:${f.length}:${f.lastModified}")
+      else if (withWitness) Seq(s"$rel:${f.length}:${edgeWitness(f)}")
       else Seq(s"$rel:${f.length}")
     val parts = paths.flatMap { p =>
       val f = new java.io.File(p)

@@ -39,6 +39,10 @@ object JobTrace {
     val head = qe.optimizedPlan.toString.linesIterator
       .take(4).map(_.take(100)).mkString(" // ")
     lines.add(f"[qe ] +$rel%7.3fs  ${durationNs / 1e6}%7.1fms  $funcName%-14s sess=${qe.sparkSession.hashCode()} $head")
+    // the POST-execution plan shows AQE's final choices (join strategy
+    // rewrites, AQEShuffleRead coalescing) that pre-run explain cannot
+    if (sys.env.get("SPARK_GRAFT_TRACE_PLAN").contains("1"))
+      lines.add(qe.executedPlan.toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,6 +81,18 @@ object JobTrace {
         val rel = (System.nanoTime() - t00) / 1e9
         lines.add(f"[job] ${j.jobId}%4d +$rel%7.3fs  ${j.time - t0}%6dms  ${desc.take(110)}")
       }
+      // per-STAGE task counts + aggregate task time: a 2 s job can be one
+      // coalesced straggler task or 32 balanced ones — the job line alone
+      // cannot tell them apart (the AQE-coalescing blind spot)
+      override def onStageCompleted(
+          st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (recording.get()) {
+          val i = st.stageInfo
+          val rel = (System.nanoTime() - t00) / 1e9
+          val wall = (for { a <- i.completionTime; b <- i.submissionTime }
+            yield a - b).getOrElse(-1L)
+          lines.add(f"[stg] ${i.stageId}%4d +$rel%7.3fs  $wall%6dms  tasks=${i.numTasks}%3d  exec=${i.taskMetrics.executorRunTime}ms  ${i.name.take(80)}")
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     (1 to warmups).foreach { _ =>

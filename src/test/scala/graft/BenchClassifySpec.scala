@@ -83,4 +83,17 @@ class BenchClassifySpec extends AnyFunSuite {
       Map("q_a" -> 0.5, "q_b" -> 2.25))
     assert(Bench.loadKeyMap(txt, "nope") === Map.empty)
   }
+
+  test("jsonObjectKeys reads only top-level keys (ADVICE r20 #3)") {
+    // an error VALUE embedding an escaped JSON fragment for another key
+    // must not read as that key having errored
+    val body = Bench.jsonObjectBody(
+      """{"errors":{"q_a":"wrapped: \"q_b\":\"boom\" tail","q_c":"x"}}""",
+      "errors")
+    assert(Bench.jsonObjectKeys(body) === Set("q_a", "q_c"))
+    // nested objects/arrays inside values don't contribute keys
+    val b2 = """"q_a":{"inner":1},"q_b":[{"deep":"v"}],"q_c":"s""""
+    assert(Bench.jsonObjectKeys(b2) === Set("q_a", "q_b", "q_c"))
+    assert(Bench.jsonObjectKeys("") === Set.empty[String])
+  }
 }

@@ -158,14 +158,17 @@ def main(argv):
         return 1
     sweep_fp = full.get("sf_fingerprint", "")
     sweep_fps = full.get("sf_fingerprint_sizes", "")
+    sweep_fpc = full.get("sf_fingerprint_content", "")
     old_fp = ""
     old_fps = ""
+    old_fpc = ""
     data_reset = False
     try:
         ref = json.load(open(ref_path))
         old = ref.get("queries_min", {})
         old_fp = str(ref.get("sf_fingerprint", ""))
         old_fps = str(ref.get("sf_fingerprint_sizes", ""))
+        old_fpc = str(ref.get("sf_fingerprint_content", ""))
         # An anchor WITHOUT a cpus stamp is the legacy mixed-config file —
         # defaulting it to the sweep's cpus (ADVICE r15 #4) silently let
         # exactly the cross-config merge this guard exists for. Refuse and
@@ -203,7 +206,11 @@ def main(argv):
                   f"{verdict} draw — rerun the sweep quiet first")
             return 1
     if old and sweep_fp and old_fp and sweep_fp != old_fp:
-        if sweep_fps and old_fps and sweep_fps == old_fps:
+        # content witness (ADVICE r20 #2): a same-size regeneration passes
+        # the sizes comparison — when BOTH stamps carry the witness it must
+        # match too (pre-r21 anchors lack it: sizes alone still decides)
+        if (sweep_fps and old_fps and sweep_fps == old_fps
+                and (not (sweep_fpc and old_fpc) or sweep_fpc == old_fpc)):
             # mtime-only flip (ADVICE r19 #3): same relative paths and
             # byte sizes — the testdata was touched or re-copied, not
             # regenerated. The floors stay valid; adopt the new stamp.
@@ -247,8 +254,17 @@ def main(argv):
             held.append(k)
         else:
             merged[k] = min(v, old[k])
+    carried = []
+    if verdict != "quiet":
+        # a non-quiet draw holds NEW keys out of the anchor; symmetrically,
+        # keys present in the old anchor but absent from the sweep (e.g.
+        # errored out of queries_min under contention) must not silently
+        # lose their ratchet floor — carry them forward (ADVICE r20 #4)
+        for k in sorted(set(old) - set(new)):
+            merged[k] = old[k]
+            carried.append(k)
     entered = sorted(set(merged) - set(old))
-    dropped = sorted(set(old) - set(new))
+    dropped = sorted(set(old) - set(new) - set(carried))
     improved = sorted(k for k in new if k in old and merged[k] < old[k])
     if reset:
         print(f"[refresh] reset to sweep value (redefined keys): "
@@ -262,6 +278,8 @@ def main(argv):
         out["sf_fingerprint"] = sweep_fp or old_fp
     if sweep_fps or old_fps:
         out["sf_fingerprint_sizes"] = sweep_fps or old_fps
+    if sweep_fpc or old_fpc:
+        out["sf_fingerprint_content"] = sweep_fpc or old_fpc
     out["draw_verdict"] = verdict
     json.dump(out, open(ref_path, "w"), indent=0)
     mode = " [DATA-RESET]" if data_reset else ""
@@ -271,6 +289,9 @@ def main(argv):
         print(f"[refresh] {len(held_new)} NEW key(s) held out of the anchor "
               f"({verdict} draw): {','.join(held_new)} — they enter on the "
               "next quiet refresh")
+    if carried:
+        print(f"[refresh] {len(carried)} old-only key(s) carried forward "
+              f"({verdict} draw, absent from the sweep): {','.join(carried)}")
     if held:
         print(f"[refresh] ratchet guard held {len(held)} implausible >3x "
               f"improvement(s) at the old floor: {','.join(held)} — "

@@ -103,6 +103,55 @@ def test_cross_config_refused():
     assert rc == 1
 
 
+def test_nonquiet_draw_carries_old_only_keys_forward():
+    # ADVICE r20 #4: a key in the old anchor but absent from the sweep
+    # (errored out under contention) keeps its ratchet floor on a
+    # non-quiet draw instead of silently dropping out
+    full = dict(BASE_FULL, sf_fingerprint="fp1", degradation="contended")
+    ref = {"queries_min": {"q_a": 1.5, "q_gone": 0.4}, "cpus": "32",
+           "sf_fingerprint": "fp1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    assert out["queries_min"]["q_gone"] == 0.4  # carried, not dropped
+    assert out["queries_min"]["q_a"] == 1.5
+
+
+def test_quiet_draw_still_drops_old_only_keys():
+    # quiet draws keep the undeclared-key cleanup semantics
+    full = dict(BASE_FULL, sf_fingerprint="fp1")
+    ref = {"queries_min": {"q_a": 1.5, "q_gone": 0.4}, "cpus": "32",
+           "sf_fingerprint": "fp1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    assert "q_gone" not in out["queries_min"]
+
+
+def test_content_witness_mismatch_resets_despite_size_match():
+    # ADVICE r20 #2: same-size regeneration — sizes match but the content
+    # witness differs, so the floors measure different bytes: wholesale
+    full = dict(BASE_FULL, sf_fingerprint="fp2", sf_fingerprint_sizes="sz1",
+                sf_fingerprint_content="cw2")
+    ref = {"queries_min": {"q_a": 0.1, "q_b": 0.1}, "cpus": "32",
+           "sf_fingerprint": "fp1", "sf_fingerprint_sizes": "sz1",
+           "sf_fingerprint_content": "cw1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    assert out["queries_min"] == {"q_a": 2.0, "q_b": 1.0}
+    assert out["sf_fingerprint_content"] == "cw2"
+
+
+def test_content_witness_absent_on_anchor_sizes_alone_decides():
+    # pre-r21 anchor without the witness stays comparable on sizes
+    full = dict(BASE_FULL, sf_fingerprint="fp2", sf_fingerprint_sizes="sz1",
+                sf_fingerprint_content="cw2")
+    ref = {"queries_min": {"q_a": 1.5, "q_b": 3.0}, "cpus": "32",
+           "sf_fingerprint": "fp1", "sf_fingerprint_sizes": "sz1"}
+    rc, out = run(full, ref)
+    assert rc == 0
+    assert out["queries_min"] == {"q_a": 1.5, "q_b": 1.0}  # mtime-only
+    assert out["sf_fingerprint_content"] == "cw2"
+
+
 # ---- draw-verdict consumption (VERDICT r19 #2) ----
 
 def test_stamped_contended_draw_holds_new_keys_but_min_merges():
