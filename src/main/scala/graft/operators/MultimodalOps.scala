@@ -25,6 +25,15 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO defaults to FILE-backed image streams (a temp file per
+  // read/write) plus synchronized registry scans — measured r21: 32
+  // parallel codec tasks burned 64 s of CPU on 5000 tiny PNGs where one
+  // task needed 2 s (temp-file churn + lock contention). Memory-backed
+  // streams are payload-sized here by construction (imageDims caps
+  // rasters at ~24×20). JVM-global, affects performance only — decoded
+  // pixels and encoded bytes are unchanged.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to the payload. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -615,10 +624,22 @@ object MultimodalOps {
                     binCol: String, stamp: String, codecTag: String,
                     codec: Array[Byte] => Array[Byte] = encodePng,
                     inputs: Seq[String] = Nil): DataFrame = {
-    val key = stamp + "#" + codecTag + "@" +
+    // Stage the payloads as numShufflePartitions files, not the input's
+    // file count (r21, guide §6 output sizing): the source table is ONE
+    // parquet file at bench scale, so a 1:1 staged layout made every
+    // downstream codec mapPartitions stage (decode/resize/dHash/frames —
+    // this family's entire CPU cost) run as ONE task on a 32-core host.
+    // With n files and the 4 MB file-open cost in Spark's split packing,
+    // the scan plans ~one split per file and the codec work fans out.
+    // The count rides the session's shuffle-parallelism knob (scale-
+    // adaptive, per-config staged dirs via the key) and the repartition
+    // runs once per input fingerprint, before the encode, so the staging
+    // build itself is parallel too. Row set unchanged.
+    val nFiles = spark.sessionState.conf.numShufflePartitions
+    val key = stamp + "#" + codecTag + s"@p$nFiles@" +
       graft.Staging.fingerprint(inputs)
     spark.read.parquet(graft.Staging.dirFor(key, "graft-media-stage") { d =>
-      encodePayloads(spark, df, idCol, binCol, codec)
+      encodePayloads(spark, df.repartition(nFiles), idCol, binCol, codec)
         .write.mode("overwrite").parquet(d)
     })
   }
