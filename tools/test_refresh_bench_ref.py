@@ -152,6 +152,18 @@ def test_content_witness_absent_on_anchor_sizes_alone_decides():
     assert out["sf_fingerprint_content"] == "cw2"
 
 
+def test_epoch_swap_stamps_contended_and_blocks_refresh():
+    # VERDICT r20 #6: on a hardware epoch whose probe reads far from
+    # calib_ref, the calib_vs_ref trigger classifies every draw contended
+    # (the conservative hardware-swap guard) and the refresh refuses to
+    # seed a fresh anchor from it until the thresholds are re-verified
+    full = dict(BASE_FULL, sf_fingerprint="fp1",
+                calib_before_sec=0.88, calib_after_sec=0.88)  # 1.29x ref
+    assert tool.classify(full, {}) == "contended"
+    rc, out = run(full, None)
+    assert rc == 1 and out is None
+
+
 # ---- draw-verdict consumption (VERDICT r19 #2) ----
 
 def test_stamped_contended_draw_holds_new_keys_but_min_merges():
