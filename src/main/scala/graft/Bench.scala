@@ -1080,13 +1080,23 @@ object Bench {
     def keyIoJson(pick: ((Long, Long, Long)) => Long): String =
       ioStamps.map { case (k, v) => "\"" + k + "\":" + pick(v) }
         .mkString("{", ",", "}")
-    // provenance stamp: host cores + requested threads + wall timestamp +
-    // the two probe times, so round-over-round diffs compare like with like
-    val stamp =
+    // provenance stamp, split in two (VERDICT r21 #2: the all-in-one stdout
+    // line outgrew the driver's stdout capture in r20 — `parsed: null`, a
+    // second consecutive round without a per-query prev table). `stampLite`
+    // is what the round-over-round comparison and the epoch adjudication
+    // need next to the queries map; `stampHeavy` is the salvage/fingerprint/
+    // IO forensics, which live in BENCH_full.json (the refresh tool and
+    // run_gates.sh read the file, not stdout) and on a separate stdout line
+    // that may truncate harmlessly.
+    val stampLite =
       s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""ts":"$sweepTs",""" +
       s""""calib_before_sec":${ms3(calibBefore)},"calib_after_sec":${ms3(calibAfter)},""" +
       s""""calib_par_before_sec":${ms3(calibParBefore)},"calib_par_after_sec":${ms3(calibParAfter)},""" +
+      s""""degradation":${jstr(degVerdict)},""" +
+      s""""degradation_signals":$degSignals,""" +
+      s""""calib_ref":$CalibRef,"errors":$errJson"""
+    val stampHeavy =
       s""""fsync_ms_before":${ms3(fsyncBefore)},"fsync_ms_after":${ms3(fsyncAfter)},""" +
       s""""cotenant_jvms_at_start":${cotenants.size},""" +
       s""""run_shape":${jstr(runShape)},"dirty_kb_at_start":$dirtyAtStart,""" +
@@ -1112,8 +1122,6 @@ object Bench {
       // (wholesale reset) instead of resetting on every stamp flip
       s""""sf_fingerprint_sizes":${jstr(sweepFpSizes)},""" +
       s""""sf_fingerprint_content":${jstr(sweepFpContent)},""" +
-      s""""degradation":${jstr(degVerdict)},""" +
-      s""""degradation_signals":$degSignals,""" +
       s""""sample_source":${sampleSource.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")},""" +
@@ -1125,12 +1133,18 @@ object Bench {
       s""""tmpdir":${jstr(sys.props.getOrElse("java.io.tmpdir", "/tmp"))},""" +
       s""""io_read_kb_family":${famIoJson(_._1)},""" +
       s""""io_write_kb_family":${famIoJson(_._2)},""" +
-      s""""iowait_ticks_family":${famIoJson(_._3)},""" +
-      s""""calib_ref":$CalibRef,"errors":$errJson"""
+      s""""iowait_ticks_family":${famIoJson(_._3)}"""
     val normTail =
       s""""total_min_norm":${ms3(totalMin * norm)},"value_norm":${ms3(total * norm)},"""
+    // stdout protocol (VERDICT r21 #2): the forensics line FIRST (it has no
+    // "value" key, so run_gates.sh's `grep "value" | tail -1` and any
+    // last-line parse land on the compact line), then the compact
+    // queries+headline line LAST — the driver keeps the TAIL of stdout, so
+    // the line the round-over-round comparison needs is the one nearest the
+    // end and is ~7 KB instead of r20's ~20 KB.
+    println(s"""{"instrumentation":1,"sf":"$sfDir",$stampHeavy}""")
     val line = s"""{"queries":${qmap(_._2)},"sf":"$sfDir",""" +
-      s""""n_queries":${results.size},$stamp,"total_min":${ms3(totalMin)},$normTail""" +
+      s""""n_queries":${results.size},$stampLite,"total_min":${ms3(totalMin)},$normTail""" +
       s""""metric":"total","value":${ms3(total)},"unit":"sec"}"""
     println(line)
     // companion file with the FULL artifact: the per-query MEDIAN map (same
@@ -1150,7 +1164,7 @@ object Bench {
       s""""io_read_kb":${keyIoJson(_._1)},"io_write_kb":${keyIoJson(_._2)},""" +
       s""""iowait_ticks":${keyIoJson(_._3)},""" +
       s""""gc_ms":${keyJvmJson(_._1)},"code_cache_kb":${keyJvmJson(_._2)},""" +
-      s""""sf":"$sfDir","n_queries":${results.size},$stamp,""" +
+      s""""sf":"$sfDir","n_queries":${results.size},$stampLite,$stampHeavy,""" +
       s""""total_min":${ms3(totalMin)},$normTail"metric":"total","value":${ms3(total)},"unit":"sec"}"""
     if (filter.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_FULL"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullLine + "\n")
