@@ -156,7 +156,10 @@ object DedupOps {
     val numHashes = bands * rowsPerBand
     // fused signature kernel: all k minima in one pass over the shingle
     // hashes (graft.plans.MinHashSignatures) — the k-lambda built-in
-    // formulation materializes k intermediate arrays per document
+    // formulation materializes k intermediate arrays per document.
+    // NO Par.fanOut here (r22 A/B): the fused native kernel is cheap
+    // enough that shuffling the full text bodies to parallelize it
+    // measured SLOWER (0.470 → 0.543 s on q_dedup_minhash_prod)
     val sigd = docs.select(col(idCol).as("id"),
         array_sort(array_distinct(
           transform(shingles(col(textCol), k), s => xxhash64(s)))).as("sh"))
@@ -246,6 +249,11 @@ object DedupOps {
                               threshold: Double = 0.5,
                               maxBucket: Int = Int.MaxValue): DataFrame =
     minhashFixedPairsFromSigs(
+      // NO Par.fanOut here (r22 A/B): q_pipeline_pretrain feeds this an
+      // ALREADY-distributed post-join frame, where the text re-shuffle
+      // measured a consistent −25% (0.81 → 1.01 s); on the raw-scan
+      // consumer (q_dedup_minhash_fixed) the fan-out read +6%, inside the
+      // filtered-draw noise band — not worth the post-join consumer's loss
       minhashFixedSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
         .localCheckpoint(), // two-sided self-join; same reuse as the prod path
       bands, rowsPerBand, threshold, maxBucket)
@@ -340,6 +348,9 @@ object DedupOps {
                            maxDist: Int = 3,
                            maxBucket: Int = Int.MaxValue): DataFrame =
     simhashNearDupsFromSigs(
+      // NO Par.fanOut here (r22 A/B): shuffling full text bodies to
+      // parallelize the signature kernel measured SLOWER
+      // (0.543 → 0.656 s on q_dedup_simhash_fixed)
       simhashFixedSignatures(docs, idCol, textCol).localCheckpoint(),
       maxDist, blocks = 4, maxBucket = maxBucket)
 
@@ -440,6 +451,9 @@ object DedupOps {
                       maxDist: Int = 3, blocks: Int = 4,
                       maxBucket: Int = Int.MaxValue): DataFrame =
     simhashNearDupsFromSigs(
+      // NO Par.fanOut (r22 A/B): the fused SimHash64 kernel is a pure
+      // scan-side projection — shuffling text to widen it measured SLOWER
+      // (0.649 → 0.860 s on q_dedup_simhash_prod)
       simhashSignatures(docs, idCol, textCol).localCheckpoint(),
       maxDist, blocks, maxBucket)
 }

@@ -198,8 +198,11 @@ object VectorOps {
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("qnorm", norm(col("qv"))), "qv", probes))
+    // corpus side fans out before the bucket kernel (see Par) — the
+    // production twin of the cosineTopKLshFixed single-task defect
     val c = withBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      Par.widen(corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("nv")), col("neighbor_id"))
         .withColumn("nnorm", norm(col("nv"))), "nv", 0)
     val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -248,7 +251,12 @@ object VectorOps {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
     if (maxBucket == Int.MaxValue) bd
-    else bd
+    // explicit (table, bucket) fan-out feeds the cap window: its
+    // EnsureRequirements exchange otherwise AQE-coalesces the skinny
+    // banded rows to ONE task (334 ms serial window count at
+    // sf0.1/local[32] — see Par). Same partitioning, so the downstream
+    // bucket self-join still reuses this single exchange.
+    else Par.fanOut(bd, col("table"), col("bucket"))
       .withColumn("_bn",
         count(lit(1)).over(Window.partitionBy("table", "bucket")))
       .filter(col("_bn") <= maxBucket)
@@ -276,8 +284,12 @@ object VectorOps {
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("qnorm", sqrt(dotFixed(col("qv"), col("qv")))), "qv", probes))
+    // corpus side fans out before the bucket kernel (see Par: 430 ms of
+    // single-task kernel CPU at sf0.1/local[32]); the query side stays a
+    // broadcast-small literal build
     val c = withBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      Par.widen(corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("nv")), col("neighbor_id"))
         .withColumn("nnorm", sqrt(dotFixed(col("nv"), col("nv")))), "nv", 0)
     val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -361,7 +373,13 @@ object VectorOps {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val means = corpus.select(col(vecCol).as("v"))
+      // fan out before the assign kernel + posexplode: N·k dot products
+      // plus a ×dims explode otherwise run as ONE map task over a 1-file
+      // corpus scan (452 ms serial at sf0.1/local[32] — see Par). The
+      // DECIMAL-exact mean keeps the codebook bit-identical across
+      // partitionings, so the collected centroids are unchanged.
+      val means = Par.widen(
+          corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
         .select(graft.plans.CodebookExpressions.nearestCell(col("v"), cents)
           .as("cent_id"), posexplode(col("v")))
         .groupBy("cent_id", "pos")
@@ -765,7 +783,10 @@ object VectorOps {
                      threshold: Double, nPlanes: Int = 0, dims: Int = 64,
                      tables: Int = 4): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // fan out before the norm/bucket kernels (see Par) — the production
+    // twin of the cosineNearDupsLshFixed single-task defect
+    val side = Par.widen(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint()
     // nPlanes <= 0 ⇒ auto-size from the corpus via [[planesFor]], so the
@@ -783,9 +804,13 @@ object VectorOps {
       .withColumnRenamed("col", "bucket")
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val candidates = a.join(b, col("a.table") === col("b.table") &&
+    // pre-distinct fan-out: keeps the dedup agg, the id_a attach join, and
+    // the verify kernel wide off one explicit exchange (see Par /
+    // knnGraphLshFixed — the production twin of the same coalesced shape)
+    val candidates = Par.fanOut(
+      a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")), col("id_a"))
       .dropDuplicates("id_a", "id_b") // a pair may share cells in several tables
     // exact-cosine verify: two id-equi-joins re-attach vectors — linear
     // shuffles (broadcastable when the corpus side is small)
@@ -822,17 +847,23 @@ object VectorOps {
                              dims: Int = 64, tables: Int = 4,
                              maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // fan out before the norm/bucket kernels (see Par: 302 + 264 ms of
+    // single-task kernel CPU on this shape at sf0.1/local[32])
+    val side = Par.widen(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
       .withColumn("fnrm", norm(col("v")))
       .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
       .localCheckpoint()
     // windowed count, not a blacklist: oracle-replayable as COUNT(*) OVER
     // and the exchange is reused by the self-join
     val banded = bandedFixed(side, nPlanes, dims, tables, maxBucket)
-    val candidates = banded.alias("a").join(banded.alias("b"),
+    // pre-distinct fan-out: keeps the dedup agg, the id_a attach join, and
+    // the verify kernels wide off one explicit exchange (see Par /
+    // knnGraphLshFixed — the coalesced distinct ran 330 ms serial here)
+    val candidates = Par.fanOut(banded.alias("a").join(banded.alias("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")), col("id_a"))
       .dropDuplicates("id_a", "id_b") // any-table OR semantics
     candidates
       .join(side.select(col("id").as("id_a"), col("v").as("va"),
@@ -925,8 +956,10 @@ object VectorOps {
                             tables: Int = 4,
                             maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
+    // fan out before the norm/bucket kernels (see Par: 435 ms of
+    // single-task bucket-kernel CPU on this shape at sf0.1/local[32])
     def prep(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      Par.widen(df.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
         .withColumn("fnrm", norm(col("v")))
         .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
         .localCheckpoint()
@@ -934,10 +967,13 @@ object VectorOps {
       bandedFixed(side, nPlanes, dims, tables, maxBucket)
     val a = prep(left)
     val b = prep(right)
-    val candidates = banded(a).alias("a")
+    // pre-distinct fan-out: keeps the dedup agg, the id_a attach join, and
+    // the verify kernels wide off one explicit exchange (see Par /
+    // knnGraphLshFixed — the coalesced distinct ran 441 ms serial here)
+    val candidates = Par.fanOut(banded(a).alias("a")
       .join(banded(b).alias("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")), col("id_a"))
       .dropDuplicates("id_a", "id_b") // any-table OR semantics
     candidates
       .join(a.select(col("id").as("id_a"), col("v").as("va"),
@@ -1055,7 +1091,10 @@ object VectorOps {
                   k: Int, nPlanes: Int = 0, dims: Int = 64,
                   tables: Int = 4, maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // fan out before the norm/bucket kernels (see Par) — the production
+    // twin of the knnGraphLshFixed single-task defect
+    val side = Par.widen(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint()
     val planes =
@@ -1083,9 +1122,13 @@ object VectorOps {
       }
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val cand = a.join(b, col("a.table") === col("b.table") &&
+    // pre-distinct fan-out: keeps the dedup agg, the node attach join, and
+    // the dot kernel wide off one explicit exchange (see Par /
+    // knnGraphLshFixed — the production twin of the same coalesced shape)
+    val cand = Par.fanOut(
+      a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("node"), col("b.id").as("nbr"))
+      .select(col("a.id").as("node"), col("b.id").as("nbr")), col("node"))
       .dropDuplicates("node", "nbr") // any-table OR semantics
     val scored = cand
       .join(side.select(col("id").as("node"), col("v").as("va"),
@@ -1123,7 +1166,11 @@ object VectorOps {
                        tables: Int = 4,
                        maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.plans.FloatVectorExpressions.{dot, norm}
-    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // fan out BEFORE the norm/bucket kernels: a 1-file corpus scan is one
+    // partition and the 16-projection fixed-grid bucket kernel otherwise
+    // runs as ONE task (645 ms serial at sf0.1/local[32] — see Par)
+    val side = Par.widen(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
       .withColumn("fnrm", norm(col("v")))
       .withColumn("xnrm", sqrt(dotFixed(col("v"), col("v"))))
       .localCheckpoint()
@@ -1135,10 +1182,16 @@ object VectorOps {
     // mirror consumers. Scores go immediately SKINNY (ids + dcos): the
     // 2×64-float vectors must not ride through the window shuffles
     // (measured 2× the whole key's cost when they did).
-    val half = banded.alias("a").join(banded.alias("b"),
+    // fan the raw pairs out BEFORE the dedup aggregate (see Par): the
+    // distinct over skinny pair rows AQE-coalesces to ONE task (726 ms of
+    // serial HashAggregate at sf0.1/local[32]). hash(id_a) satisfies both
+    // the aggregate's clustered distribution on (id_a, id_b) AND the first
+    // attach join's — one explicit exchange keeps the dedup agg, the
+    // id_a-join, and its kernel side wide
+    val half = Par.fanOut(banded.alias("a").join(banded.alias("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")), col("id_a"))
       .dropDuplicates("id_a", "id_b") // any-table OR semantics
       .join(side.select(col("id").as("id_a"), col("v").as("va"),
         col("fnrm").as("fa")), Seq("id_a"))
@@ -1202,10 +1255,13 @@ object VectorOps {
       .localCheckpoint() // two self-join consumers
     val nn = g.alias("a").join(g.alias("b"), col("a.nbr") === col("b.node"))
       .select(col("a.node").as("node"), col("b.nbr").as("cand"))
-    val cands = g.select(col("node"), col("nbr").as("cand"))
+    val cands = Par.fanOut(g.select(col("node"), col("nbr").as("cand"))
       .unionAll(nn)
       .filter(col("node") =!= col("cand"))
-      .distinct()
+      .distinct(),
+      // fan the skinny candidate pairs out before the attach joins +
+      // rescore kernel (AQE-coalesced to one task otherwise — see Par)
+      col("node"))
     val side = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dotFixed(col("v"), col("v"))))
     val scored = cands
@@ -1219,8 +1275,13 @@ object VectorOps {
     val w = Window.partitionBy("node")
       .orderBy(col("cosine").desc, col("nbr").asc)
     // g's blocks feed the result lazily — the CALLER owns them once the
-    // result is consumed (the [[GraphOps.pageRank]] contract)
-    scored.withColumn("rank", row_number().over(w))
+    // result is consumed (the [[GraphOps.pageRank]] contract).
+    // Explicit node fan-out feeds the window: its post-shuffle input is
+    // skinny (node, nbr, cosine) rows, which AQE coalesced to ONE task
+    // (510 ms of sort+rank CPU at sf0.1/local[32]); the explicit
+    // hash-repartition satisfies the window's required distribution, so
+    // no extra exchange — same shuffle, 32 tasks instead of 1.
+    Par.fanOut(scored, col("node")).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("node"), col("nbr").as("neighbor_id"), col("cosine"),
         col("rank"))
