@@ -28,14 +28,29 @@ object Bench {
     */
   def calibrateMin(): Double = (1 to 3).map(_ => calibrate()).min
 
-  /** Quiet-epoch reference for the single-thread probe: the documented
-    * pre-reboot host class (NOTES "hardware epoch" entry — probe 0.68 s
-    * before the 00:03Z Aug 14 microVM replacement, 0.86–0.92 s after).
+  /** Quiet-epoch reference for the single-thread probe.
     * `value_norm = value × (CALIB_REF / probe)` rescales a sample onto
     * the reference epoch so the 2× gate survives host swaps: a 1.3×
     * slower host inflates queries and probe together, and the ratio
-    * cancels the epoch while leaving real code regressions visible. */
-  val CalibRef = 0.68
+    * cancels the epoch while leaving real code regressions visible.
+    *
+    * EPOCH RE-ADJUDICATION (r22, VERDICT r21 #3): 0.68 s was the
+    * pre-Aug-14 microVM class (NOTES "hardware epoch" entry); the
+    * replacement host's quiet probe reads 0.851–0.879 s across SIX
+    * hand-adjudicated quiet draws (r21 baseline/close, the r21 driver
+    * draw, r22 baseline + two r22 A/B draws — all cotenant-free,
+    * standalone-shaped, calib drift ≤ 1.03, sweep median/min ≤ 1.09),
+    * while a genuinely loaded r22 draw read its par probe 1.40× drifted
+    * with median inflation 1.18×. With the old 0.68 reference every draw
+    * on this host stamped `contended` via calib_vs_ref, permanently
+    * blocking the anchor ratchet. CalibRef is therefore re-anchored to
+    * this epoch's quiet floor (0.85); pre-r22 `value_norm` numbers
+    * reference the old epoch — multiply them by 0.85/0.68 = 1.25 to
+    * compare. Update together with the mirrored thresholds in
+    * tools/refresh_bench_ref.py `classify()` (and run its
+    * `--epoch-reset` once after re-anchoring so old-epoch floors don't
+    * min-merge into the new epoch's). */
+  val CalibRef = 0.85
 
   /** ALL-CORES probe: the single-thread probe's blind spot (found r9) is
     * a co-tenant stealing PARALLELISM — min-of-3 on one thread still
@@ -514,17 +529,25 @@ object Bench {
     * min-merge of existing floors stays safe (one-way).
     * MIRRORED in tools/refresh_bench_ref.py `classify()` for artifacts
     * that predate the stamp — keep the thresholds in sync. */
-  /** CALIBRATION NOTE (VERDICT r20 #6): every threshold below —
-    * par_drift 1.08, calib_drift 1.30, calib_vs_ref 1.25, inflated_frac
-    * 0.05, min-sum 1.15, positional 1.15 — was calibrated on the host
-    * epoch whose single-thread probe reads ~`CalibRef` (0.68 s), against
-    * that epoch's adjudicated draws. The `calibVsRef > 1.25` trigger IS
-    * the hardware-swap guard: on a different epoch (e.g. r21's 0.86 s
-    * probe) every draw stamps `contended`, which conservatively blocks
-    * anchor seeding/refresh until `CalibRef` and the thresholds are
-    * re-verified against hand-adjudicated draws on the new hardware —
-    * update CalibRef and the mirrored values in
-    * tools/refresh_bench_ref.py `classify()` together. */
+  /** CALIBRATION NOTE (VERDICT r20 #6, re-adjudicated r22 per VERDICT
+    * r21 #3): thresholds below — par_drift 1.25, calib_drift 1.30,
+    * calib_vs_ref 1.25, inflated_frac 0.05, min-sum 1.15, positional
+    * 1.15 — are calibrated on the CURRENT host epoch (CalibRef 0.85, see
+    * its scaladoc for the six adjudicated draws). par_drift moved
+    * 1.08 → 1.25 because this host's all-cores probe jitters to 1.20 on
+    * provably quiet draws (observed quiet drifts 1.03/1.05/1.12/1.20
+    * with cotenants 0 and median/min ≤ 1.09) while the one genuinely
+    * loaded draw read 1.40 — 1.25 separates the observed populations
+    * with margin on both sides; sustained parallel theft that stays
+    * under it is still caught by the anchored-key signals (the r19
+    * driver shape flags via inflated_frac/minsum either way, pinned in
+    * BenchClassifySpec). The `calibVsRef > 1.25` trigger IS the
+    * hardware-swap guard: on a different epoch every draw stamps
+    * `contended`, which conservatively blocks anchor seeding/refresh
+    * until `CalibRef` and the thresholds are re-verified against
+    * hand-adjudicated draws on the new hardware — update CalibRef and
+    * the mirrored values in tools/refresh_bench_ref.py `classify()`
+    * together, then `--epoch-reset` the anchor. */
   def classifyDraw(calibBefore: Double, calibAfter: Double, calibRef: Double,
                    parBefore: Double, parAfter: Double,
                    minsInRunOrder: Seq[(String, Double)],
@@ -558,7 +581,7 @@ object Bench {
       if (pos.size < 50) (1.0, 1.0)
       else (med(pos.take(q)), med(pos.takeRight(q)))
     val contended =
-      parDrift > 1.08 || calibDrift > 1.30 || calibVsRef > 1.25 ||
+      parDrift > 1.25 || calibDrift > 1.30 || calibVsRef > 1.25 ||
         (anchored.size >= 50 && (inflFrac > 0.05 || minsumRatio > 1.15))
     val jitTail =
       headMed > 0 && tailMed / headMed > 1.15 && tailMed > 1.15

@@ -46,6 +46,14 @@ object Flagship {
       perSession.getOrElseUpdate(planKey,
         spark.read.json(events.select("props").as[String]).schema)
     }
+    // NO Par.widen here (r22 A/B, negative result): widening the events
+    // feed parallelized the ingest's unwrap + shape-signature aggregate
+    // (319 ms serial → 86 ms on q_engine_ingest, +17% on that key), but
+    // the engine composition keys ingest SMALL slices repeatedly
+    // (timetravel ×2, l0_lww's micro-append, point_lookup) where the
+    // extra exchange + 32-task stages are pure overhead — the family
+    // read NET slower (q_engine_timetravel −33%, q_engine_history −31%,
+    // q_engine_l0_lww −27% on a steady-probe back-to-back A/B).
     events.select(to_json(struct(
       col("event_type").as("type_id"),
       struct(

@@ -3697,6 +3697,9 @@ object Queries {
       "src_bytes", stamp = s"y4m:$d", codecTag = "y4m",
       codec = operators.MultimodalOps.encodeY4m,
       inputs = Seq(s"$d/documents.parquet"))
+      // fanOut kept for Y4M (r22 A/B): unlike WAV's single-pass parse,
+      // the frame decode sums every plane of every frame (~131 ms of
+      // serial decode CPU) — the compact layout measured −10% here
     val feats = operators.MultimodalOps.decodeFeatures(s, vids, "doc_id",
       "payload", operators.MultimodalOps.decodeVideoFrames)
     feats.select(col("doc_id"), col("width"), col("height"), col("n_frames"),
@@ -3794,7 +3797,10 @@ object Queries {
     val wavs = operators.MultimodalOps.ensureEncoded(s, docs, "doc_id",
       "src_bytes", stamp = s"wav:$d", codecTag = "wav",
       codec = operators.MultimodalOps.encodeWav,
-      inputs = Seq(s"$d/documents.parquet"))
+      inputs = Seq(s"$d/documents.parquet"),
+      // WAV decode is a header+PCM parse, not a codec — the 32-file
+      // layout bought nothing and cost its scan overhead (VERDICT r21 #7)
+      fanOut = false)
     operators.MultimodalOps.audioFeatures(s, wavs, "doc_id", "payload")
       .select("doc_id", "sample_rate", "n_samples", "energy",
         "zero_crossings", "peak")

@@ -623,7 +623,8 @@ object MultimodalOps {
   def ensureEncoded(spark: SparkSession, df: => DataFrame, idCol: String,
                     binCol: String, stamp: String, codecTag: String,
                     codec: Array[Byte] => Array[Byte] = encodePng,
-                    inputs: Seq[String] = Nil): DataFrame = {
+                    inputs: Seq[String] = Nil,
+                    fanOut: Boolean = true): DataFrame = {
     // Stage the payloads as numShufflePartitions files, not the input's
     // file count (r21, guide §6 output sizing): the source table is ONE
     // parquet file at bench scale, so a 1:1 staged layout made every
@@ -635,7 +636,14 @@ object MultimodalOps {
     // adaptive, per-config staged dirs via the key) and the repartition
     // runs once per input fingerprint, before the encode, so the staging
     // build itself is parallel too. Row set unchanged.
-    val nFiles = spark.sessionState.conf.numShufflePartitions
+    // `fanOut = false` (r22, VERDICT r21 #7): payloads whose downstream
+    // decode is a trivial header/plane parse (Y4M frames, WAV audio) got
+    // zero codec benefit from the 32-file layout and paid its per-file
+    // scan-open cost every timed run (+0.02 s each) — those callers stage
+    // compactly instead; the heavy ImageIO codecs (PNG/GIF) keep the
+    // fan-out.
+    val nFiles =
+      if (fanOut) spark.sessionState.conf.numShufflePartitions else 1
     val key = stamp + "#" + codecTag + s"@p$nFiles@" +
       graft.Staging.fingerprint(inputs)
     spark.read.parquet(graft.Staging.dirFor(key, "graft-media-stage") { d =>

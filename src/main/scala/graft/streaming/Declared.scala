@@ -1227,32 +1227,45 @@ object Declared {
       dir + "/lex", nFiles = 2)
     val embSrc = writeSrc(emb.select(col("vec_id"), col("embedding")),
       dir + "/vec", nFiles = 2)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val postingsF = Future(runFold(s4, s, docSrc, dir + "/lex",
-        "graft-stream-hyblex") { (prev, batch) =>
-      val bs = TextOps.docPostings(batch, "doc_id", "text")
-      prev.fold(bs)(_.unionByName(bs))
-    })
-    val indexF = Future(runFold(s4, s, embSrc, dir + "/vec",
-        "graft-stream-hybvec") { (prev, batch) =>
-      val bs = VectorOps.ivfEncode(batch, "vec_id", "embedding", cents)
-      prev.fold(bs)(_.unionByName(bs))
-    })
-    val postings = Await.result(postingsF, Duration.Inf).getOrElse(sys.error(
-      s"hybridMaintainServe: lexical stream at $dir committed no micro-batches"))
-    val index = Await.result(indexF, Duration.Inf).getOrElse(sys.error(
-      s"hybridMaintainServe: vector stream at $dir committed no micro-batches"))
-    val lex = TextOps.postingsOverlapTopN(postings,
-      postings.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("query_id"), col("tok")), n)
-    val queries = emb.filter(col("vec_id") < 5)
-    val vec = VectorOps.ivfTopKFromIndex(index, queries, "vec_id",
-        "embedding", cents, n, nProbe)
-      .select("query_id", "neighbor_id", "rank")
-    VectorOps.rrfFuseUnion(lex, vec,
-      rankAName = "lex_rank", rankBName = "vec_rank")
+    // dedicated 2-thread pool, not the global fork-join pool (ADVICE r21
+    // #1): each future parks in awaitTermination, which would starve the
+    // shared pool under overlapping rigs; and awaiting BOTH before
+    // rethrowing means a failed fold can never leave its sibling running
+    // unsupervised past this call
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val postingsF = Future(blocking(runFold(s4, s, docSrc, dir + "/lex",
+          "graft-stream-hyblex") { (prev, batch) =>
+        val bs = TextOps.docPostings(batch, "doc_id", "text")
+        prev.fold(bs)(_.unionByName(bs))
+      }))
+      val indexF = Future(blocking(runFold(s4, s, embSrc, dir + "/vec",
+          "graft-stream-hybvec") { (prev, batch) =>
+        val bs = VectorOps.ivfEncode(batch, "vec_id", "embedding", cents)
+        prev.fold(bs)(_.unionByName(bs))
+      }))
+      val results = Seq("lexical" -> postingsF, "vector" -> indexF).map {
+        case (tag, f) => tag -> Await.ready(f, Duration.Inf).value.get
+      }
+      results.collectFirst { case (_, scala.util.Failure(e)) => e }
+        .foreach(e => throw e)
+      val Seq(postings, index) = results.map { case (tag, r) =>
+        r.get.getOrElse(sys.error(
+          s"hybridMaintainServe: $tag stream at $dir committed no micro-batches"))
+      }
+      val lex = TextOps.postingsOverlapTopN(postings,
+        postings.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("tok")), n)
+      val queries = emb.filter(col("vec_id") < 5)
+      val vec = VectorOps.ivfTopKFromIndex(index, queries, "vec_id",
+          "embedding", cents, n, nProbe)
+        .select("query_id", "neighbor_id", "rank")
+      VectorOps.rrfFuseUnion(lex, vec,
+        rankAName = "lex_rank", rankBName = "vec_rank")
+    } finally pool.shutdown()
   }
 
   /** Streaming INVERTED-INDEX maintenance — the text-search index kept

@@ -37,6 +37,19 @@ class BenchClassifySpec extends AnyFunSuite {
     assert(v === "contended", s)
   }
 
+  test("r22 epoch: quiet par-probe jitter up to 1.20x stays quiet, 1.40x flags") {
+    // this host's all-cores probe jitters to 1.198x on hand-adjudicated
+    // quiet draws (cotenants 0, flat anchored profile, median/min <= 1.09)
+    // — the old 1.08 threshold over-flagged every draw; the one genuinely
+    // loaded r22 draw read 1.40x with broad inflation
+    val (v1, s1) = Bench.classifyDraw(0.857, 0.852, 0.85, 0.139, 0.116,
+      mins(217, 1.05, inflFrac = 0.03), anchor, Set.empty)
+    assert(v1 === "quiet", s1)
+    val (v2, s2) = Bench.classifyDraw(0.864, 0.858, 0.85, 0.183, 0.131,
+      mins(217, 1.05, inflFrac = 0.03), anchor, Set.empty)
+    assert(v2 === "contended", s2)
+  }
+
   test("jit_tail draw: quiet probes, tail quartile inflated vs floors") {
     val (v, s) = Bench.classifyDraw(0.738, 0.747, 0.68, 0.101, 0.102,
       mins(217, 1.0, tail = Some(1.4)), anchor, Set.empty)

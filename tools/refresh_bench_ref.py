@@ -52,8 +52,17 @@ fingerprint flips but the sizes one matches, the testdata was touched or
 re-copied, not regenerated — the floors stay valid, so no reset; the
 anchor adopts the new stamps.
 
+Hardware-epoch reset (r22): floors measured on a DIFFERENT hardware
+epoch are not floors for this one in either direction — a faster old
+epoch's mins make every new draw read inflated forever (blocking the
+ratchet the same way the r21 calib_vs_ref refusals did), and min-merging
+across epochs hides real regressions behind fast old samples.
+--epoch-reset enters the sweep wholesale (the --reset semantics for
+every key), refused unless the draw is quiet; use it exactly once, in
+the same commit that re-anchors Bench.CalibRef, stating the adjudication.
+
 Usage: python3 tools/refresh_bench_ref.py [BENCH_full.json] [BENCH_ref.localN.json]
-           [--allow-improvement k1,k2] [--reset k1,k2]
+           [--allow-improvement k1,k2] [--reset k1,k2] [--epoch-reset]
 """
 import json
 import sys
@@ -114,7 +123,10 @@ def classify(full, anchor_mins, anchor_fp_matches=True):
         return sorted(s)[len(s) // 2] if s else 1.0
     head, tail = ((med(pos[:q]), med(pos[-q:])) if len(pos) >= 50
                   else (1.0, 1.0))
-    if (par > 1.08 or cal > 1.30 or vs_ref > 1.25 or
+    # par threshold 1.25 (r22 epoch re-adjudication — mirrored from
+    # Bench.classifyDraw; this host's all-cores probe jitters to 1.20 on
+    # hand-adjudicated quiet draws)
+    if (par > 1.25 or cal > 1.30 or vs_ref > 1.25 or
             (len(anchored) >= 50 and (infl > 0.05 or minsum > 1.15))):
         return "contended"
     if head > 0 and tail / head > 1.15 and tail > 1.15:
@@ -125,6 +137,7 @@ def classify(full, anchor_mins, anchor_fp_matches=True):
 def main(argv):
     allow = set()
     reset = set()
+    epoch_reset = False
     args = []
     it = iter(argv)
     for a in it:
@@ -132,6 +145,8 @@ def main(argv):
             allow = set(next(it).split(","))
         elif a == "--reset":
             reset = set(next(it).split(","))
+        elif a == "--epoch-reset":
+            epoch_reset = True
         else:
             args.append(a)
     full_path = args[0] if len(args) > 0 else "BENCH_full.json"
@@ -205,6 +220,10 @@ def main(argv):
             print("[refresh] REFUSED: --reset would enter floors from a "
                   f"{verdict} draw — rerun the sweep quiet first")
             return 1
+        if epoch_reset:
+            print("[refresh] REFUSED: --epoch-reset would seed the anchor "
+                  f"from a {verdict} draw — rerun the sweep quiet first")
+            return 1
     if old and sweep_fp and old_fp and sweep_fp != old_fp:
         # content witness (ADVICE r20 #2): a same-size regeneration passes
         # the sizes comparison — when BOTH stamps carry the witness it must
@@ -239,6 +258,12 @@ def main(argv):
         print(f"[refresh] WARNING: {missing} carries no sf_fingerprint "
               "stamp (pre-r19) — min-merge cannot verify the floors were "
               "measured on these input bytes")
+    if epoch_reset and old:
+        print("[refresh] --epoch-reset: hardware epoch re-anchored — "
+              "entering sweep values WHOLESALE, old-epoch floors discarded "
+              f"({len(old)} old keys)")
+        old = {}
+        data_reset = True
     merged, held, held_new = {}, [], []
     for k, v in sorted(new.items()):
         if k in reset:
@@ -282,7 +307,8 @@ def main(argv):
         out["sf_fingerprint_content"] = sweep_fpc or old_fpc
     out["draw_verdict"] = verdict
     json.dump(out, open(ref_path, "w"), indent=0)
-    mode = " [DATA-RESET]" if data_reset else ""
+    mode = (" [EPOCH-RESET]" if epoch_reset and data_reset
+            else " [DATA-RESET]" if data_reset else "")
     print(f"[refresh] {ref_path} (cpus={cpus}){mode}: {len(merged)} keys "
           f"({len(improved)} improved, {len(entered)} new, {len(dropped)} dropped)")
     if held_new:

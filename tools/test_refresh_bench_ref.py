@@ -335,6 +335,48 @@ def test_classifier_excludes_out_of_position_replacements():
     assert tool.classify(full2, anchor2) == "quiet"
 
 
+# ---- hardware-epoch reset (r22) ----
+
+def test_epoch_reset_quiet_enters_wholesale():
+    # floors measured on a different hardware epoch are discarded rather
+    # than min-merged (a faster old epoch's floors would read every new
+    # draw as inflated forever)
+    full = dict(BASE_FULL, sf_fingerprint="fp1", degradation="quiet",
+                calib_before_sec=0.86, calib_after_sec=0.86,
+                calib_ref=0.85)  # re-anchored epoch: probe ~ref
+    ref = {"queries_min": {"q_a": 0.7, "q_b": 0.4}, "cpus": "32",
+           "sf_fingerprint": "fp1"}  # old-epoch (faster-host) floors
+    rc, out = run(full, ref, ("--epoch-reset",))
+    assert rc == 0
+    assert out["queries_min"] == {"q_a": 2.0, "q_b": 1.0}
+
+
+def test_epoch_reset_refused_on_nonquiet():
+    full = dict(BASE_FULL, sf_fingerprint="fp1", degradation="contended",
+                calib_ref=0.85, calib_before_sec=0.86, calib_after_sec=0.86)
+    ref = {"queries_min": {"q_a": 0.7}, "cpus": "32", "sf_fingerprint": "fp1"}
+    rc, out = run(full, ref, ("--epoch-reset",))
+    assert rc == 1
+    assert out["queries_min"] == {"q_a": 0.7}  # untouched
+
+
+def test_classifier_new_epoch_par_jitter_is_quiet():
+    # r22 adjudication: this host's all-cores probe jitters to 1.20x on
+    # provably quiet draws (cotenants 0, flat anchored profile) — the old
+    # 1.08 threshold over-flagged; 1.25 keeps the quiet population quiet
+    full, anchor = _synth(217, 0.032, 1.09, (0.116, 0.139))  # 1.198x
+    full["calib_ref"] = 0.85
+    full["calib_before_sec"] = 0.86
+    full["calib_after_sec"] = 0.86
+    assert tool.classify(full, anchor) == "quiet"
+    # ...while the genuinely loaded r22 draw (1.40x par drift) still flags
+    full2, anchor2 = _synth(217, 0.032, 1.09, (0.131, 0.183))
+    full2["calib_ref"] = 0.85
+    full2["calib_before_sec"] = 0.86
+    full2["calib_after_sec"] = 0.86
+    assert tool.classify(full2, anchor2) == "contended"
+
+
 if __name__ == "__main__":
     fns = [v for k, v in sorted(globals().items()) if k.startswith("test_")]
     for fn in fns:
